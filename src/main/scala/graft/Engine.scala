@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings this engine assumes everywhere:
+  * UTC session time zone (oracle parity), shuffle partitions sized for
+  * local[32] rather than the 200 default, AQE on (runtime re-plan, skew
+  * join splitting — the Spark analog of the reference's JoinSwitcher
+  * `src/Interpreters/JoinSwitcher.h:16` adaptive fallback).
+  */
+object Engine {
+  def session(cores: Int = 32, app: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
