@@ -25,9 +25,7 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") /
-            org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     else df
   }
 

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import graft.Tables
+import graft.operators.{AsofJoin, WithFill}
+import graft.functions.Funnel
+
+/** Custom-operator coverage: ASOF JOIN, ORDER BY WITH FILL / INTERPOLATE,
+  * windowFunnel / retention / sequenceMatch — the SURVEY §7.3 "hard items"
+  * Spark lacks as primitives.
+  */
+object OperatorQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ASOF JOIN backward (>=): for each purchase, the user's latest view
+    // at-or-before it (ref src/Core/Joins.h:56; DuckDB ASOF JOIN = same
+    // semantics, used as the oracle).
+    Q.df("q_asof_join",
+      """SELECT p.user_id, p.event_id, p.value AS purchase_value,
+        |       v.ts AS view_ts, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      AsofJoin.join(purchases, views,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "view_ts",
+          inequality = ">=")
+        .select(col("user_id"), col("event_id"), col("purchase_value"),
+          col("view_ts"), col("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ASOF strict backward (>) — equal timestamps must not match
+    Q.df("q_asof_strict",
+      """SELECT c.user_id, c.event_id, e.ts AS err_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts > e.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"))
+      AsofJoin.join(clicks, errors,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "err_ts",
+          inequality = ">")
+        .select(col("user_id"), col("event_id"), col("err_ts"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // WITH FILL on a date axis: daily signup counts over January 2024 with
+    // gaps materialized as 0 (ref FillingTransform.h:16)
+    Q.df("q_with_fill",
+      """SELECT g.d AS day, coalesce(a.cnt, 0) AS cnt
+        |FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |              TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS d) g
+        |LEFT JOIN (SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |           FROM events WHERE event_type = 'signup'
+        |             AND ts < TIMESTAMP '2024-02-01' GROUP BY 1) a
+        |  ON g.d = a.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "signup" &&
+          col("ts") < lit("2024-02-01").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      WithFill.fillDays(s, daily, "day", "2024-01-01", "2024-01-31")
+        .na.fill(0, Seq("cnt"))
+        .orderBy("day")
+    },
+
+    // WITH FILL + INTERPOLATE carry-forward (ref FillingTransform
+    // interpolate expressions)
+    Q.df("q_with_fill_interpolate",
+      """WITH grid AS (SELECT unnest(generate_series(1, 200)) AS uid),
+        |     agg AS (SELECT user_id AS uid,
+        |                    round(sum(value), 4) AS user_value
+        |             FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT g.uid,
+        |       last_value(a.user_value IGNORE NULLS)
+        |         OVER (ORDER BY g.uid ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |               CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN agg a ON g.uid = a.uid
+        |ORDER BY g.uid""".stripMargin) { (s, dir) =>
+      val agg = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("uid"))
+        .agg(round(sum(col("value")), 4).as("user_value"))
+      WithFill.fillLong(s, agg, "uid", 1, 200,
+          carryForward = Seq("user_value"))
+        .select(col("uid"), col("user_value").as("filled_value"))
+        .orderBy("uid")
+    },
+
+    // retention(view, click, purchase): per-user cohort flags
+    // (ref AggregateFunctionRetention.cpp) — oracle = conditional aggs
+    Q.df("q_retention",
+      """SELECT user_id,
+        |       CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT) AS r1,
+        |       CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) *
+        |            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS r2,
+        |       CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) *
+        |            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r3
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ret = udaf(new Funnel.Retention(3), ExpressionEncoder[Int]())
+      val mask = when(col("event_type") === "view", 1).otherwise(0) +
+        when(col("event_type") === "click", 2).otherwise(0) +
+        when(col("event_type") === "purchase", 4).otherwise(0)
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(ret(mask).as("r"))
+        .select(col("user_id"), col("r").getItem(0).as("r1"),
+          col("r").getItem(1).as("r2"), col("r").getItem(2).as("r3"))
+        .orderBy("user_id")
+    },
+
+    // sequenceMatch('(?1).*(?2).*(?3)'): view → click → purchase as a
+    // subsequence in time order (ref AggregateFunctionSequenceMatch.cpp).
+    // Oracle: chained min-ts-after-ts subqueries.
+    Q.df("q_sequence_match",
+      """SELECT user_id, CAST(max(ok) AS INT) AS matched FROM (
+        |  SELECT v.user_id, CASE WHEN EXISTS (
+        |      SELECT 1 FROM events c WHERE c.user_id = v.user_id
+        |        AND c.event_type = 'click' AND c.ts > v.ts
+        |        AND EXISTS (SELECT 1 FROM events p
+        |                    WHERE p.user_id = c.user_id
+        |                      AND p.event_type = 'purchase' AND p.ts > c.ts))
+        |    THEN 1 ELSE 0 END AS ok
+        |  FROM events v WHERE v.event_type = 'view') t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val sm = udaf(new Funnel.SequenceMatch(3), ExpressionEncoder[(Long, Int)]())
+      val step = when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "purchase", 3).otherwise(0)
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sm(unix_micros(col("ts")), step).as("m"))
+        .select(col("user_id"), col("m").cast("int").as("matched"))
+        .orderBy("user_id")
+    },
+
+    // windowFunnel(1 hour, view→click→signup→purchase): deepest chain where
+    // every step is within 1h of the chain's step-1 (ref
+    // AggregateFunctionWindowFunnel.cpp). Sliding chain-start semantics are
+    // not pure SQL → rows-only here; FunnelSpec pins exact semantics.
+    Q.dfOnly("q_window_funnel") { (s, dir) =>
+      val wf = udaf(new Funnel.WindowFunnel(3600L * 1000000L, 4),
+        ExpressionEncoder[(Long, Int)]())
+      val step = when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "signup", 3)
+        .when(col("event_type") === "purchase", 4).otherwise(0)
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(wf(unix_micros(col("ts")), step).as("funnel_depth"))
+        .orderBy("user_id")
+    }
+  )
+}
