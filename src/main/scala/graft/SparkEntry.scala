@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
 
   private lazy val allQueries: Seq[Q] =
-    CoreQueries.all ++ FunctionQueries.all ++ OperatorQueries.all
+    CoreQueries.all ++ FunctionQueries.all ++ OperatorQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Exact dedup is a hash groupBy (one shuffle). Near-dup uses MinHash+LSH:
+  * shingle → per-hash min → band → bucket-join, the standard approach that
+  * scales linearly in corpus size (band explode is O(n·bands) rows, the
+  * self-join only pairs documents sharing a band bucket — never the O(n²)
+  * cross product). Candidates are then verified with exact Jaccard so the
+  * output is precision-1 relative to the threshold; LSH only bounds recall.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (`transform`,
+  * `aggregate`, `xxhash64`, `hash`) — no UDFs in the hot path.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical value of
+    * `exprCol`. */
+  def exact(df: DataFrame, idCol: String, exprCol: Column): DataFrame =
+    df.groupBy(exprCol.as("dup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles of a whitespace-tokenized text column. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** MinHash signature: element j = min over shingles of xxhash64(s, j). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Near-duplicate pairs by MinHash LSH, verified with exact Jaccard.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sig = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // (band index, murmur3 of the band's signature slice) — one row per band
+    val banded = sig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Character n-gram set of a string (for n-gram Jaccard similarity,
+    * ref `src/Functions/FunctionsStringSimilarity.cpp` ngramDistance). */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** SimHash: 64-bit fingerprint where bit b is the sign of the sum over
+    * tokens of (bit b of xxhash64(token) ? +1 : -1). Near-dup docs differ
+    * in few bits (compare with Hamming distance via bit_count(a ^ b)).
+    * Composed from built-ins: per-token hashes → per-bit vote → bits. */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    // vote(b) = sum over hashes of (bit b set ? 1 : -1); dynamic shift
+    // amounts need the SQL shiftright/shiftleft (column shift operand)
+    def shr(v: Column, b: Column) = call_function("shiftright", v, b)
+    def shl(v: Column, b: Column) = call_function("shiftleft", v, b)
+    val bitsSet = sequence(lit(0), lit(63))
+    val votes = transform(bitsSet, b =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shr(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(bitsSet, votes, (b, v) =>
+        when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Reference analog: `arrayDistance`/`arrayNorm`/`cosineDistance`
+  * (`/root/reference/src/Functions/array/arrayDistance.cpp`) and the Annoy
+  * vector index (`src/Storages/MergeTree/MergeTreeIndexAnnoy.cpp`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set against the
+  *    corpus scan; per-query top-k via window over rounded score (ties
+  *    broken by id so results are deterministic). Scales with corpus size
+  *    linearly; the broadcast bounds the multiplier at |queries|.
+  *  - `lshBucketTopK`: approximate scale path — sign-random-projection
+  *    buckets (Charikar hyperplane LSH); queries only join candidates in
+  *    the same bucket, turning the n×m product into a bucket-local join.
+  *
+  * All math is double-precision `aggregate`/`zip_with` built-ins (codegen'd).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Scores are rounded (6 dp) BEFORE ranking so ranking is deterministic
+    * across summation orders; ties broken by corpus id. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: String, corpusId: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rk").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded, reproducible). */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id (Charikar SimHash for vectors):
+    * bit p of the bucket = sign of <v, plane_p>. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    val ps = planes(dim, nPlanes, seed)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit(_)): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * One shuffle on bucket id; per-bucket local join. Recall grows with
+    * fewer planes (bigger buckets) — the standard tradeoff. */
+  def lshBucketTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: String, corpusId: String, vecCol: String,
+      dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rk").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, via LSH buckets
+    * (exact verify inside the bucket). */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nPlanes: Int = 6): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.TextAnalysis
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * dedup (exact fingerprint, MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (lang-ID, quality, token counts, fingerprints), multimodal plumbing.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup by bag-of-words fingerprint (hash groupBy — one shuffle)
+    Q.df("q_dedup_exact",
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |         string_split(lower(text), ' '))), ' ')) AS dup_key,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY dup_key ORDER BY dup_key""".stripMargin) {
+      (s, dir) =>
+        Dedup.exact(Tables.load(s, dir, "documents"), "doc_id",
+            TextAnalysis.fingerprint(col("text")))
+          .orderBy("dup_key")
+    },
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (oracle = exact
+    // pairwise Jaccard; LSH recall at J>=0.8 with 16 bands x 4 rows ~ 1.0
+    // so the candidate pruning must not lose a single true pair)
+    Q.df("q_dedup_minhash",
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |       || ' ' || string_split(text,' ')[i+2]
+        |     for i in range(1, greatest(len(string_split(text,' ')) - 1, 2))])
+        |    AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |             len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |      len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleK = 3, numHashes = 64, bands = 16,
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Character n-gram Jaccard similarity (ref ngramDistance,
+    // src/Functions/FunctionsStringSimilarity.cpp) — small id range only
+    Q.df("q_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(
+        |    [text[i:i+2] for i in range(1, greatest(length(text) - 1, 2))]) AS ng
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.ng, b.ng))::DOUBLE /
+        |             len(list_distinct(a.ng || b.ng)), 6) AS sim
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("ng"))
+      val a = docs.select(col("doc_id").as("id_a"), col("ng").as("ng_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("ng").as("ng_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("ng_a"), col("ng_b")), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash 64-bit fingerprints + Hamming distance of the known near-dup
+    // pair region — bit-vote semantics aren't pure SQL → rows-only;
+    // DedupSpec pins exact values.
+    Q.dfOnly("q_simhash") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash(split(col("text"), " ")).as("simhash64"))
+        .orderBy("doc_id")
+    },
+
+    // Brute-force exact ANN: top-3 cosine neighbors for 10 query vectors
+    Q.df("q_ann_topk",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, embedding FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(range(1, 65),
+        |                 i -> CAST(q.embedding[i] AS DOUBLE) *
+        |                      CAST(c.embedding[i] AS DOUBLE))) /
+        |           (sqrt(list_sum(list_transform(range(1, 65),
+        |                 i -> CAST(q.embedding[i] AS DOUBLE) *
+        |                      CAST(q.embedding[i] AS DOUBLE)))) *
+        |            sqrt(list_sum(list_transform(range(1, 65),
+        |                 i -> CAST(c.embedding[i] AS DOUBLE) *
+        |                      CAST(c.embedding[i] AS DOUBLE)))))
+        |           , 6) AS cos_sim
+        |  FROM q, c WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 3)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN (the 100TB scale path) — approximate by design →
+    // rows-only; SimilaritySpec checks recall against brute force.
+    Q.dfOnly("q_ann_lsh") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshBucketTopK(
+        emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", dim = 64, k = 3, nPlanes = 4)
+    },
+
+    // Language ID + quality + token counts (ref detectLanguage,
+    // FunctionsLanguageClassification.cpp). On this fixture only English
+    // stopwords occur, which the oracle encodes directly.
+    Q.df("q_text_analysis",
+      """SELECT doc_id,
+        |       CASE WHEN len(list_intersect(string_split(lower(text), ' '),
+        |              ['the','a','of','and','to','in','is','that','it','for'])) > 0
+        |            THEN 'en' ELSE 'und' END AS lang_guess,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |              w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+        |         AS bpe_tokens,
+        |       md5(array_to_string(list_sort(list_distinct(
+        |           string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_guess"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring (cheap web-text pre-filter) — formula mirrored in SQL
+    Q.df("q_text_quality",
+      """SELECT doc_id,
+        |  round(least(1.0,
+        |    0.25 * (CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 1000
+        |                 THEN 1.0 ELSE 0.5 END) +
+        |    0.25 * least((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
+        |                  greatest(length(text)::DOUBLE, 1.0)) * 1.2, 1.0) +
+        |    0.25 * least((len(list_intersect(list_transform(string_split(text,' '), w -> lower(w)),
+        |                  ['the','a','of','and','to','in','is','that','it','for']))::DOUBLE /
+        |                  greatest(len(string_split(text,' '))::DOUBLE, 1.0)) * 5.0, 1.0) +
+        |    0.25 * (CASE WHEN length(text)::DOUBLE /
+        |                      greatest(len(string_split(text,' '))::DOUBLE, 1.0)
+        |                      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.4 END)), 6)
+        |    AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling (order-sensitive) token hash — Spark-only arithmetic
+    // (xxhash64 has no DuckDB twin) → rows-only + spec
+    Q.dfOnly("q_rolling_hash") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal metadata plumbing: fake blobs with typed metadata
+    Q.df("q_multimodal_meta",
+      """SELECT doc_id,
+        |       ['image','audio','video'][(doc_id % 3) + 1] AS media_kind,
+        |       CAST(length(sha256(CAST(doc_id AS VARCHAR)) ||
+        |               sha256(CAST(doc_id AS VARCHAR) || 'x')) AS INT) AS n_bytes,
+        |       substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS head,
+        |       CASE WHEN doc_id % 3 = 2 THEN (doc_id % 100) + 1 END AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.attachFakeMedia(Tables.load(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("media_kind"),
+          length(col("media_bytes")).cast("int").as("n_bytes"),
+          substring(col("media_bytes").cast("string"), 1, 8).as("head"),
+          col("media_meta").getField("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    },
+
+    // Video frame sampling work units: every 5th frame
+    Q.df("q_frame_sampling",
+      """SELECT doc_id, CAST((doc_id % 100) // 5 + 1 AS BIGINT) AS n_sampled
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.attachFakeMedia(Tables.load(s, dir, "documents"), "doc_id"),
+            "doc_id", stride = 5)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("doc_id")
+    },
+
+    // Feature extraction through the stub decoder (mapPartitions batch
+    // path) — deterministic fake features; spec pins exact values
+    Q.dfOnly("q_multimodal_features") { (s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.attachFakeMedia(Tables.load(s, dir, "documents"), "doc_id"),
+          "doc_id")
+        .orderBy("doc_id")
+    }
+  )
+}
