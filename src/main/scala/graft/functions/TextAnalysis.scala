@@ -42,9 +42,11 @@ object TextAnalysis {
     val scores = stopwordsByLang.keys.toSeq.sorted.map(l =>
       struct(stopwordHits(toks, l).as("score"), lit(l).as("lang")))
     val best = array_max(array(scores: _*))
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .when(text.rlike("[\\u3040-\\u30ff]"), lit("ja"))
+    // kana before han: Japanese text mixes kanji with kana, so a han hit
+    // alone must not claim zh
+    when(text.rlike("[\\u3040-\\u30ff]"), lit("ja"))
       .when(text.rlike("[\\uac00-\\ud7af]"), lit("ko"))
+      .when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }

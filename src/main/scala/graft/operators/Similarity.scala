@@ -76,19 +76,29 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * One shuffle on bucket id; per-bucket local join. Recall grows with
-    * fewer planes (bigger buckets) — the standard tradeoff. */
+  /** Approximate top-k: candidates restricted to LSH buckets, with
+    * `nTables` independent hash tables (different plane seeds) unioned for
+    * recall 1-(1-p)^L — the standard multi-table LSH layout. Each point
+    * explodes to L (table, bucket) rows; the join is bucket-local, so cost
+    * scales with bucket occupancy, never the full n×m product. */
   def lshBucketTopK(
       queries: DataFrame, corpus: DataFrame,
       queryId: String, corpusId: String, vecCol: String,
-      dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+      dim: Int, k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col("*"),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col(vecCol), dim, nPlanes, seed = 42L + t)): _*))
+          .as(Seq("table_id", "bucket")))
+        .select(col(df.columns.head).as(idAs), col(vecCol).as(vecAs),
+          col("table_id"), col("bucket"))
+    val q = withBuckets(queries.select(col(queryId), col(vecCol)),
+      "query_id", "__qv")
+    val c = withBuckets(corpus.select(col(corpusId), col(vecCol)),
+      "neighbor_id", "__cv")
+    val scored = c.join(q, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds all true near-dup pairs at sf0.001 (recall 1 vs brute force)") {
+    val docs = Tables.load(spark, SparkSpec.tiny, "documents")
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force ground truth: exact jaccard over all pairs
+    val sh = docs.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    assert(lsh == truth)
+  }
+
+  test("simhash of near-identical token sets has small hamming distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away house"),
+      (3L, "completely different words about database engines and vectorized execution")
+    ).toDF("id", "text")
+      .select(col("id"), Dedup.simhash(split(col("text"), " ")).as("h"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < 16)
+    assert(hamming(m(1L), m(3L)) > hamming(m(1L), m(2L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val df = Seq(("abcabc", "abcabc", "xyzxyz")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(Dedup.charNgrams(col("a"), 3), Dedup.charNgrams(col("b"), 3)),
+      Dedup.jaccard(Dedup.charNgrams(col("a"), 3), Dedup.charNgrams(col("c"), 3)))
+      .as[(Double, Double)].head()
+    assert(r._1 == 1.0 && r._2 == 0.0)
+  }
+
+  test("brute-force topK is exact and deterministic") {
+    val vs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+      vs.filter($"vec_id" === 1), vs, "vec_id", "vec_id", "embedding", 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L), (4L, 2L)))
+  }
+
+  test("LSH bucket topK reaches decent recall vs brute force on fixtures") {
+    val emb = Tables.load(spark, SparkSpec.tiny, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketTopK(q, emb, "vec_id", "vec_id",
+      "embedding", 64, 3, nPlanes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for 2 planes")
+  }
+
+  test("nearDupPairs finds scaled copies of the same vector") {
+    val vs = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)), (2L, Array(2f, 4f, 6f, 8f)), // same direction
+      (3L, Array(-4f, 3f, 0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(vs, "vec_id", "embedding", 4, 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
