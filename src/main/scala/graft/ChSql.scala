@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.ChRegistry
+
+/** ClickHouse SQL dialect shim (SURVEY §7.3 "CH SQL dialect quirks"):
+  * light textual rewrites from CH-isms to Spark SQL, then execution with
+  * the CH function names registered. Handles the constructs Spark parses
+  * differently; anything already ANSI passes through untouched.
+  *
+  * Covered: PREWHERE→WHERE (ref MergeTreeWhereOptimizer — pushdown makes
+  * them equivalent here), FINAL stripped (our tables are already merged;
+  * engine-family FINAL semantics are exposed as queries/views instead),
+  * FORMAT clause stripped (the result is a DataFrame; formatting is the
+  * writer's job), GLOBAL IN→IN (no shard-local sets in Spark's shuffle
+  * model), == → =, LIMIT n BY cols → window rewrite hint (unsupported
+  * textually; raises with guidance).
+  */
+object ChSql {
+
+  /** CH composite higher-order fns (lambda under a scalar root — not
+    * registrable as temp functions): rewrite f(lambda, arr) with balanced-
+    * paren argument splitting into the Spark composition. */
+  private val hofRewrites: Map[String, (String, String) => String] = Map(
+    "arrayCount" -> ((l, a) => s"size(filter($a, $l))"),
+    "arrayFirst" -> ((l, a) => s"get(filter($a, $l), 0)"),
+    "arrayFirstIndex" ->
+      ((l, a) => s"coalesce(array_position(transform($a, $l), true), 0L)"))
+
+  private def rewriteHofs(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((name, fmt) <- hofRewrites) {
+        val idx = s.indexOf(name + "(")
+        if (idx >= 0 &&
+          (idx == 0 || !Character.isLetterOrDigit(s.charAt(idx - 1)))) {
+          val open = idx + name.length
+          var depth = 0; var i = open; var commaAt = -1
+          var end = -1
+          while (end < 0 && i < s.length) {
+            s.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = i
+              case ',' if depth == 1 && commaAt < 0 => commaAt = i
+              case _ =>
+            }
+            i += 1
+          }
+          require(end > 0 && commaAt > 0, s"cannot parse $name(...) args")
+          val lambda = s.substring(open + 1, commaAt).trim
+          val arr = s.substring(commaAt + 1, end).trim
+          s = s.substring(0, idx) + fmt(lambda, arr) + s.substring(end + 1)
+          changed = true
+        }
+      }
+    }
+    s
+  }
+
+  def translate(chSql: String): String = {
+    var s = rewriteHofs(chSql)
+    // FORMAT <name> at the end (CH sends results through an output format)
+    s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
+    // PREWHERE behaves as WHERE once pushdown applies
+    s = s.replaceAll("(?i)\\bPREWHERE\\b", "WHERE")
+    // FINAL modifier after a table ref
+    s = s.replaceAll("(?i)\\bFINAL\\b", "")
+    // GLOBAL IN / GLOBAL NOT IN
+    s = s.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", "$1IN")
+    // == is valid CH equality
+    s = s.replaceAll("==", "=")
+    // dateDiff('day', a, b) — Spark's parser special-cases dateDiff with an
+    // unquoted unit identifier, so unquote+uppercase and use timestampdiff
+    s = s.replaceAll("(?i)\\bdateDiff\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
+    // CH allows trailing semicolon
+    s = s.replaceAll(";\\s*$", "")
+    if (s.matches("(?is).*\\bLIMIT\\s+\\d+\\s+BY\\b.*"))
+      throw new IllegalArgumentException(
+        "LIMIT n BY is not translated textually; use row_number() OVER " +
+          "(PARTITION BY cols ORDER BY ...) <= n (see q_limit_by)")
+    s
+  }
+
+  /** Run a ClickHouse-dialect query: register CH function names + fixture
+    * views, translate, execute. */
+  def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame = {
+    ChRegistry.register(spark)
+    Tables.register(spark, sfDir)
+    spark.sql(translate(chQuery))
+  }
+}

@@ -1,0 +1,262 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, ArrayFilter, ArrayExists, ArrayForAll, ArrayPosition, Cast, Coalesce, GetArrayItem, Literal => Lit, Md5, Rand, Size}
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable registration of the ClickHouse function names: after
+  * `ChRegistry.register(spark)`, `spark.sql("SELECT toStartOfMonth(ts) …")`
+  * works — the CH name resolves to the same Catalyst expression tree the
+  * Spark-native name would produce (ref `src/Functions/` registerFunction
+  * and the alias machinery in FunctionFactory).
+  */
+object ChRegistry {
+
+  /** String value of a literal argument (for functions whose CH signature
+    * takes a constant, e.g. regexp patterns, format strings). */
+  private def litStr(e: Expression): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case Literal(other, _) => String.valueOf(other)
+    case other => throw new IllegalArgumentException(
+      s"argument must be a constant, got $other")
+  }
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Number, _) => v.intValue
+    case other => throw new IllegalArgumentException(
+      s"argument must be a constant integer, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(b: Seq[Expression] => Column): Unit =
+      reg.createOrReplaceTempFunction(name, es => E(b(es)), "scala_udf")
+    def f1(name: String)(b: Column => Column): Unit =
+      f(name) { case Seq(a) => b(C(a)) }
+    def f2(name: String)(b: (Column, Column) => Column): Unit =
+      f(name) { case Seq(a, x) => b(C(a), C(x)) }
+    def f3(name: String)(b: (Column, Column, Column) => Column): Unit =
+      f(name) { case Seq(a, x, y) => b(C(a), C(x), C(y)) }
+
+    // conversions
+    f1("toInt8")(ch.toInt8); f1("toInt16")(ch.toInt16)
+    f1("toInt32")(ch.toInt32); f1("toInt64")(ch.toInt64)
+    f1("toUInt8")(ch.toUInt8); f1("toUInt16")(ch.toUInt16)
+    f1("toUInt32")(ch.toUInt32); f1("toUInt64")(ch.toUInt64)
+    f1("toFloat32")(ch.toFloat32); f1("toFloat64")(ch.toFloat64)
+    f1("toString")(ch.toStringCh); f1("toDate")(ch.toDateCh)
+    f1("toDateTime")(ch.toDateTime)
+    f1("toInt64OrNull")(ch.toInt64OrNull); f1("toInt32OrNull")(ch.toInt32OrNull)
+    f1("toFloat64OrNull")(ch.toFloat64OrNull)
+    f1("toInt64OrZero")(ch.toInt64OrZero); f1("toInt32OrZero")(ch.toInt32OrZero)
+    f1("toFloat64OrZero")(ch.toFloat64OrZero)
+
+    // date/time
+    f1("toYear")(ch.toYear); f1("toQuarter")(ch.toQuarter)
+    f1("toMonth")(ch.toMonth); f1("toDayOfMonth")(ch.toDayOfMonth)
+    f1("toDayOfWeek")(ch.toDayOfWeek); f1("toDayOfYear")(ch.toDayOfYear)
+    f1("toHour")(ch.toHour); f1("toMinute")(ch.toMinute)
+    f1("toSecond")(ch.toSecond)
+    f1("toStartOfYear")(ch.toStartOfYear)
+    f1("toStartOfQuarter")(ch.toStartOfQuarter)
+    f1("toStartOfMonth")(ch.toStartOfMonth)
+    f1("toStartOfWeek")(ch.toStartOfWeek); f1("toMonday")(ch.toMonday)
+    f1("toStartOfDay")(ch.toStartOfDay); f1("toStartOfHour")(ch.toStartOfHour)
+    f1("toStartOfMinute")(ch.toStartOfMinute)
+    f1("toStartOfFiveMinutes")(ch.toStartOfFiveMinutes)
+    f1("toStartOfTenMinutes")(ch.toStartOfTenMinutes)
+    f1("toStartOfFifteenMinutes")(ch.toStartOfFifteenMinutes)
+    f1("toYYYYMM")(ch.toYYYYMM); f1("toYYYYMMDD")(ch.toYYYYMMDD)
+    f2("addSeconds")(ch.addSeconds); f2("addMinutes")(ch.addMinutes)
+    f2("addHours")(ch.addHours); f2("addDays")(ch.addDays)
+    f2("addWeeks")(ch.addWeeks); f2("addMonths")(ch.addMonths)
+    f2("addQuarters")(ch.addQuarters); f2("addYears")(ch.addYears)
+    f2("subtractSeconds")(ch.subtractSeconds)
+    f2("subtractMinutes")(ch.subtractMinutes)
+    f2("subtractHours")(ch.subtractHours); f2("subtractDays")(ch.subtractDays)
+    f2("subtractWeeks")(ch.subtractWeeks)
+    f2("subtractMonths")(ch.subtractMonths); f2("subtractYears")(ch.subtractYears)
+    f1("toUnixTimestamp")(ch.toUnixTimestamp)
+    f1("fromUnixTimestamp")(ch.fromUnixTimestamp)
+    f("now") { case Seq() => ch.nowCh() }
+    f("today") { case Seq() => ch.todayCh() }
+    f("yesterday") { case Seq() => ch.yesterdayCh() }
+    f1("timeSlot")(ch.timeSlot)
+    f1("toRelativeDayNum")(ch.toRelativeDayNum)
+    f1("toRelativeHourNum")(ch.toRelativeHourNum)
+    f1("toRelativeMinuteNum")(ch.toRelativeMinuteNum)
+    f1("monthName")(ch.monthName)
+    f("formatDateTime") { case Seq(c, fmt) =>
+      ch.formatDateTime(C(c), litStr(fmt)) }
+
+    // arithmetic / rounding
+    f2("plus")(ch.plus); f2("minus")(ch.minus)
+    f2("multiply")(ch.multiply); f2("divide")(ch.divide)
+    f2("intDiv")(ch.intDiv); f2("intDivOrZero")(ch.intDivOrZero)
+    f2("modulo")(ch.modulo); f2("moduloOrZero")(ch.moduloOrZero)
+    f1("negate")(ch.negate)
+    f("roundBankers") {
+      case Seq(c) => ch.roundBankers(C(c))
+      case Seq(c, s) => ch.roundBankers(C(c), litInt(s)) }
+    f1("roundToExp2")(ch.roundToExp2)
+    f1("roundDuration")(ch.roundDuration); f1("roundAge")(ch.roundAge)
+
+    // conditionals
+    f3("if")(ch.ifCh)
+    f("multiIf")(es => ch.multiIf(es.map(C)))
+    f2("ifNull")(ch.ifNull); f1("assumeNotNull")(ch.assumeNotNull)
+    f1("isFinite")(ch.isFinite); f1("isInfinite")(ch.isInfinite)
+
+    // strings
+    f1("lengthUTF8")(ch.lengthUTF8)
+    f1("lowerUTF8")(ch.lowerUTF8); f1("upperUTF8")(ch.upperUTF8)
+    f3("substringUTF8")(ch.substringUTF8)
+    f1("trimBoth")(ch.trimBoth); f1("trimLeft")(ch.trimLeft)
+    f1("trimRight")(ch.trimRight)
+    f1("reverseUTF8")(ch.reverseUTF8)
+    f2("startsWith")(ch.startsWith); f2("endsWith")(ch.endsWith)
+    f("appendTrailingCharIfAbsent") { case Seq(c, s) =>
+      ch.appendTrailingCharIfAbsent(C(c), litStr(s)) }
+    f1("empty")(ch.emptyCh); f1("notEmpty")(ch.notEmptyCh)
+    f2("position")(ch.position)
+    f2("positionCaseInsensitive")(ch.positionCaseInsensitive)
+    f("match") { case Seq(c, re) => ch.matchCh(C(c), litStr(re)) }
+    f("extract") { case Seq(c, re) => ch.extract(C(c), litStr(re)) }
+    f("extractAll") { case Seq(c, re) => ch.extractAllCh(C(c), litStr(re)) }
+    f("replaceAll") { case Seq(c, a, b) =>
+      ch.replaceAll(C(c), litStr(a), litStr(b)) }
+    f("replaceOne") { case Seq(c, a, b) =>
+      ch.replaceOne(C(c), litStr(a), litStr(b)) }
+    f("replaceRegexpAll") { case Seq(c, a, b) =>
+      ch.replaceRegexpAll(C(c), litStr(a), litStr(b)) }
+    f("countSubstrings") { case Seq(c, n) =>
+      ch.countSubstrings(C(c), litStr(n)) }
+    f("multiSearchAny") { case Seq(c, ns @ _*) =>
+      ch.multiSearchAny(C(c), ns.map(litStr)) }
+    f("hasToken") { case Seq(c, t) => ch.hasToken(C(c), litStr(t)) }
+    f("splitByChar") { case Seq(sep, c) => ch.splitByChar(litStr(sep), C(c)) }
+    f("splitByString") { case Seq(sep, c) =>
+      ch.splitByString(litStr(sep), C(c)) }
+    f("splitByRegexp") { case Seq(re, c) =>
+      ch.splitByRegexp(litStr(re), C(c)) }
+    f1("splitByWhitespace")(ch.splitByWhitespace)
+    f1("alphaTokens")(ch.alphaTokens)
+    f("arrayStringConcat") {
+      case Seq(a) => ch.arrayStringConcat(C(a))
+      case Seq(a, sep) => ch.arrayStringConcat(C(a), litStr(sep)) }
+
+    // arrays (higher-order fns keep CH argument order: lambda first)
+    f2("arrayElement")(ch.arrayElement)
+    f2("has")(ch.has); f2("hasAll")(ch.hasAll); f2("hasAny")(ch.hasAny)
+    f2("indexOf")(ch.indexOf); f2("countEqual")(ch.countEqual)
+    f1("emptyArrayInt64")(_ => ch.emptyArrayInt64())
+    f("range") {
+      case Seq(n) => ch.rangeCh(C(n))
+      case Seq(a, b) => sequence(C(a), C(b) - 1) }
+    f("arrayConcat")(es => ch.arrayConcat(es.map(C)))
+    f3("arraySlice")(ch.arraySlice)
+    f2("arrayPushBack")(ch.arrayPushBack); f2("arrayPushFront")(ch.arrayPushFront)
+    f1("arrayPopBack")(ch.arrayPopBack); f1("arrayPopFront")(ch.arrayPopFront)
+    f1("arraySort")(ch.arraySortCh); f1("arrayReverseSort")(ch.arrayReverseSort)
+    f1("arrayReverse")(ch.arrayReverse); f1("arrayDistinct")(ch.arrayDistinct)
+    f1("arrayUniq")(ch.arrayUniq); f1("arrayCompact")(ch.arrayCompact)
+    f1("arrayFlatten")(ch.arrayFlatten)
+    f2("arrayIntersect")(ch.arrayIntersect); f2("arrayZip")(ch.arrayZip)
+    f1("arrayDifference")(ch.arrayDifference); f1("arrayCumSum")(ch.arrayCumSum)
+    f1("arraySum")(ch.arraySum); f1("arrayMin")(ch.arrayMin)
+    f1("arrayMax")(ch.arrayMax); f1("arrayAvg")(ch.arrayAvg)
+    f1("arrayProduct")(ch.arrayProduct)
+    f2("arrayWithConstant")(ch.arrayWithConstant)
+    f1("arrayEnumerate")(ch.arrayEnumerate)
+    f2("dotProduct")(ch.dotProduct); f1("L2Norm")(ch.arrayL2Norm)
+    f2("cosineDistance")(ch.cosineDistance)
+    f2("L2Distance")(ch.arrayL2Distance)
+    // CH lambda-first higher-order functions → Spark HOF expressions
+    reg.createOrReplaceTempFunction("arrayMap",
+      { case Seq(l, a) => ArrayTransform(a, l) }, "scala_udf")
+    reg.createOrReplaceTempFunction("arrayFilter",
+      { case Seq(l, a) => ArrayFilter(a, l) }, "scala_udf")
+    reg.createOrReplaceTempFunction("arrayExists",
+      { case Seq(l, a) => ArrayExists(a, l) }, "scala_udf")
+    reg.createOrReplaceTempFunction("arrayAll",
+      { case Seq(l, a) => ArrayForAll(a, l) }, "scala_udf")
+    // arrayCount/arrayFirst/arrayFirstIndex compose a HOF under a scalar —
+    // the analyzer only accepts lambda args when the registered builder's
+    // ROOT is itself a HigherOrderFunction, so these are handled as dialect
+    // rewrites in ChSql.translate instead.
+
+    // maps / tuples
+    f1("mapKeys")(ch.mapKeys); f1("mapValues")(ch.mapValues)
+    f2("mapContains")(ch.mapContains)
+    f("tuple")(es => ch.tuple(es.map(C)))
+    f("tupleElement") { case Seq(t, i) => C(t).getField(s"col${litInt(i)}") }
+
+    // JSON
+    f("JSONExtractString") { case Seq(j, k) =>
+      ch.jsonExtractString(C(j), litStr(k)) }
+    f("JSONExtractInt") { case Seq(j, k) => ch.jsonExtractInt(C(j), litStr(k)) }
+    f("JSONExtractFloat") { case Seq(j, k) =>
+      ch.jsonExtractFloat(C(j), litStr(k)) }
+    f("JSONHas") { case Seq(j, k) => ch.jsonHas(C(j), litStr(k)) }
+    f("visitParamExtractString") { case Seq(j, k) =>
+      ch.visitParamExtractString(C(j), litStr(k)) }
+    f("visitParamExtractInt") { case Seq(j, k) =>
+      ch.visitParamExtractInt(C(j), litStr(k)) }
+
+    // URL
+    f1("domain")(ch.domain); f1("path")(ch.pathCh); f1("pathFull")(ch.pathFull)
+    f1("queryString")(ch.queryString); f1("fragment")(ch.fragment)
+    f1("protocol")(ch.protocol)
+    f("extractURLParameter") { case Seq(u, p) =>
+      ch.extractURLParameter(C(u), litStr(p)) }
+    f1("cutWWW")(ch.cutWWW); f1("topLevelDomain")(ch.topLevelDomain)
+    f1("cutQueryString")(ch.cutQueryString); f1("netloc")(ch.netloc)
+    f1("port")(ch.portCh)
+
+    // hash / encoding
+    f("cityHash64")(es => ch.cityHash64(es.map(C)))
+    f("sipHash64")(es => ch.sipHash64(es.map(C)))
+    f1("halfMD5")(ch.halfMD5)
+    f("MD5") { case Seq(c) => C(Md5(Cast(c, BinaryType))) }
+    f1("SHA256")(ch.sha256Ch)
+    f1("intHash64")(ch.intHash64); f1("hiveHash")(ch.hiveHash)
+    f1("base64Encode")(ch.base64Encode); f1("base64Decode")(ch.base64Decode)
+    f1("IPv4NumToString")(ch.ipv4NumToString)
+    f1("IPv4StringToNum")(ch.ipv4StringToNum)
+    f1("isIPv4String")(ch.isIPv4String)
+
+    // bits
+    f2("bitAnd")(ch.bitAnd); f2("bitOr")(ch.bitOr); f2("bitXor")(ch.bitXor)
+    f1("bitNot")(ch.bitNot)
+    f2("bitShiftLeft")(ch.bitShiftLeft); f2("bitShiftRight")(ch.bitShiftRight)
+    f1("bitCount")(ch.bitCountCh); f2("bitTest")(ch.bitTest)
+    f2("bitHammingDistance")(ch.bitHammingDistance)
+
+    // random / misc
+    f("rand") { case Seq() => (C(new Rand()) * 4294967296L).cast("bigint") }
+    f("rand64") { case Seq() => xxhash64(C(new Rand())) }
+    f("canonicalRand") { case Seq() => C(new Rand()) }
+    f("generateUUIDv4") { case Seq() => ch.generateUUIDv4() }
+    f1("formatReadableSize")(ch.formatReadableSize)
+    f("ignore")(es => ch.ignoreCh(es.map(C)))
+    f1("materialize")(ch.materialize); f1("identity")(ch.identityCh)
+    f("version") { case Seq() => ch.versionCh() }
+    f("hostName") { case Seq() => ch.hostName() }
+    f("currentDatabase") { case Seq() => ch.currentDatabase() }
+
+    // text-analysis extras (ref FunctionsLanguageClassification.cpp)
+    f1("detectLanguage")(TextAnalysis.languageId)
+    f1("tokens")(ch.splitByWhitespace)
+    f("ngramDistance") { case Seq(a, b) =>
+      lit(1.0) - graft.operators.Dedup.jaccard(
+        graft.operators.Dedup.charNgrams(C(a), 4),
+        graft.operators.Dedup.charNgrams(C(b), 4)) }
+    f("ngramSearch") { case Seq(a, b) =>
+      graft.operators.Dedup.jaccard(
+        graft.operators.Dedup.charNgrams(C(a), 4),
+        graft.operators.Dedup.charNgrams(C(b), 4)) }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import graft.{ChSql, SparkSpec}
+
+/** CH-name SQL surface: every registered family callable through
+  * spark.sql with ClickHouse names/semantics. */
+class ChRegistrySpec extends SparkSpec {
+
+  private def one[T](chQuery: String): T =
+    ChSql.sql(spark, chQuery, SparkSpec.tiny).collect()(0).getAs[T](0)
+
+  private def oneSeq(chQuery: String): List[Any] =
+    ChSql.sql(spark, chQuery, SparkSpec.tiny).collect()(0)
+      .getAs[scala.collection.Seq[Any]](0).toList
+
+  test("conversions incl. OrZero/OrNull") {
+    assert(one[Long]("SELECT toInt64('42')") == 42L)
+    assert(one[Long]("SELECT toInt64OrZero('oops')") == 0L)
+    assert(one[Any]("SELECT toInt64OrNull('oops')") == null)
+    assert(one[String]("SELECT toString(3.5)") == "3.5")
+  }
+
+  test("date/time family") {
+    assert(one[Int]("SELECT toYear(toDateTime('2024-03-15 10:30:00'))") == 2024)
+    assert(one[Int]("SELECT toDayOfWeek(toDateTime('2024-03-15 00:00:00'))") == 5) // Friday, ISO
+    assert(one[java.sql.Timestamp]("SELECT toStartOfMonth(toDateTime('2024-03-15 10:30:00'))")
+      .toString.startsWith("2024-03-01"))
+    assert(one[java.sql.Timestamp]("SELECT toStartOfFiveMinutes(toDateTime('2024-03-15 10:33:00'))")
+      .toString.contains("10:30:00"))
+    assert(one[java.sql.Timestamp]("SELECT addDays(toDateTime('2024-03-15 00:00:00'), 3)")
+      .toString.startsWith("2024-03-18"))
+    assert(one[Long]("SELECT dateDiff('day', toDateTime('2024-03-01 00:00:00'), toDateTime('2024-03-15 00:00:00'))") == 14L)
+    assert(one[Int]("SELECT toYYYYMM(toDateTime('2024-03-15 00:00:00'))") == 202403)
+    assert(one[String]("SELECT formatDateTime(toDateTime('2024-03-15 10:30:00'), '%Y-%m-%d %H:%i')") == "2024-03-15 10:30")
+  }
+
+  test("arithmetic and rounding") {
+    assert(one[Long]("SELECT intDiv(7, 2)") == 3L)
+    assert(one[Long]("SELECT intDiv(-7, 2)") == -4L) // CH floors
+    assert(one[Long]("SELECT intDivOrZero(7, 0)") == 0L)
+    assert(one[Double]("SELECT divide(5, 2)") == 2.5)
+    assert(one[Double]("SELECT roundBankers(CAST(2.5 AS DOUBLE), 0)") == 2.0)
+    assert(one[Long]("SELECT roundToExp2(100)") == 64L)
+    assert(one[Int]("SELECT roundAge(30)") == 25)
+  }
+
+  test("conditionals") {
+    assert(one[Int]("SELECT if(1 = 1, 10, 20)") == 10)
+    assert(one[String]("SELECT multiIf(1 = 2, 'a', 1 = 1, 'b', 'c')") == "b")
+    assert(one[Int]("SELECT ifNull(CAST(NULL AS INT), 7)") == 7)
+  }
+
+  test("strings, search, split") {
+    assert(one[Int]("SELECT lengthUTF8('héllo')") == 5)
+    assert(one[Int]("SELECT position('hello world', 'wor')") == 7)
+    assert(one[Boolean]("SELECT match('ab12', '^[a-z]+[0-9]+$')"))
+    assert(one[String]("SELECT replaceOne('aXbXc', 'X', '-')") == "a-bXc")
+    assert(one[String]("SELECT replaceAll('aXbXc', 'X', '-')") == "a-b-c")
+    assert(one[Long]("SELECT countSubstrings('abcabcabc', 'bc')") == 3L)
+    assert(one[Boolean]("SELECT multiSearchAny('hello world', 'xyz', 'wor')"))
+    assert(oneSeq("SELECT splitByChar(',', 'a,b,c')") == List("a", "b", "c"))
+    assert(one[String]("SELECT arrayStringConcat(splitByChar(',', 'a,b,c'), '-')") == "a-b-c")
+    assert(one[Boolean]("SELECT hasToken('the quick fox', 'quick')"))
+  }
+
+  test("arrays incl. lambda-first higher-order") {
+    assert(oneSeq("SELECT arrayMap(x -> x * 2, array(1, 2, 3))") == List(2, 4, 6))
+    assert(oneSeq("SELECT arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4))") == List(2, 4))
+    assert(one[Boolean]("SELECT arrayExists(x -> x > 2, array(1, 2, 3))"))
+    assert(one[Int]("SELECT arrayCount(x -> x > 1, array(1, 2, 3))") == 2)
+    assert(one[Int]("SELECT arrayFirst(x -> x > 1, array(1, 2, 3))") == 2)
+    assert(one[Long]("SELECT arraySum(array(1, 2, 3))") == 6L)
+    assert(oneSeq("SELECT arrayCumSum(array(1, 2, 3))") == List(1L, 3L, 6L))
+    assert(oneSeq("SELECT arrayDifference(array(1, 4, 9))") == List(0, 3, 5))
+    assert(one[Int]("SELECT arrayUniq(array(1, 1, 2))") == 2)
+    assert(oneSeq("SELECT arrayCompact(array(1, 1, 2, 2, 1))") == List(1, 2, 1))
+    assert(one[Long]("SELECT indexOf(array(10, 20, 30), 20)") == 2L)
+    assert(one[Boolean]("SELECT hasAll(array(1, 2, 3), array(1, 3))"))
+    assert(math.abs(one[Double]("SELECT cosineDistance(array(1.0, 0.0), array(1.0, 0.0))")) < 1e-12)
+  }
+
+  test("JSON and URL") {
+    assert(one[String]("""SELECT JSONExtractString('{"k": "v"}', 'k')""") == "v")
+    assert(one[Long]("""SELECT JSONExtractInt('{"k": 42}', 'k')""") == 42L)
+    assert(one[Boolean]("""SELECT JSONHas('{"k": 1}', 'k')"""))
+    assert(one[String]("SELECT domain('https://ex.com:8080/p?q=1')") == "ex.com")
+    assert(one[String]("SELECT path('https://ex.com/a/b?q=1')") == "/a/b")
+    assert(one[String]("SELECT extractURLParameter('https://ex.com/?a=1&b=2', 'b')") == "2")
+    assert(one[Int]("SELECT port('https://ex.com:8080/p')") == 8080)
+  }
+
+  test("hash, bits, IP") {
+    assert(one[String]("SELECT MD5('abc')") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(one[Int]("SELECT bitAnd(12, 10)") == 8)
+    assert(one[Int]("SELECT bitCount(255)") == 8)
+    assert(one[Int]("SELECT bitHammingDistance(0, 255)") == 8)
+    assert(one[String]("SELECT IPv4NumToString(3232235777)") == "192.168.1.1")
+    assert(one[Long]("SELECT IPv4StringToNum('192.168.1.1')") == 3232235777L)
+    assert(one[Boolean]("SELECT isIPv4String('10.0.0.1')"))
+  }
+
+  test("dialect shim: PREWHERE, FINAL, FORMAT, GLOBAL IN, ==") {
+    val df = ChSql.sql(spark,
+      """SELECT count() AS n FROM lineitem PREWHERE l_quantity > 30
+        |  FORMAT TabSeparated""".stripMargin
+        .replace("count()", "count(*)"), SparkSpec.tiny)
+    assert(df.collect()(0).getLong(0) > 0)
+    val df2 = ChSql.sql(spark,
+      "SELECT count(*) AS n FROM orders FINAL WHERE o_custkey GLOBAL IN " +
+        "(SELECT c_custkey FROM customer) AND 1 == 1", SparkSpec.tiny)
+    assert(df2.collect()(0).getLong(0) > 0)
+  }
+
+  test("text analysis extras") {
+    assert(one[String]("SELECT detectLanguage('the cat is on the mat and it is here')") == "en")
+    assert(one[Double]("SELECT ngramSearch('hello world', 'hello world')") == 1.0)
+  }
+}
