@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.Streams
+
+/** Tumble/hop window semantics (SURVEY §2.9, ref StorageWindowView tumble/
+  * hop) verified as batch queries over the events table, plus the
+  * remaining aggregate-function families (topK, sumMap, entropy,
+  * histogram, quantile arrays, two-phase partial/merge aggregation).
+  */
+object WindowedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // tumble(ts, 1h) (ref StorageWindowView.h:39-43)
+    Q.df("q_tumble_agg",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Streams.tumble(Tables.load(s, dir, "events"), "ts", "1 hour")
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // hop(ts, 30m, 1h) (ref StorageWindowView.h:44-56): every row falls in
+    // two windows; oracle materializes both starts per row
+    Q.df("q_hop_agg",
+      """SELECT ws AS window_start, count(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts)
+        |                   - INTERVAL '30 minutes']) AS ws
+        |  FROM events) t
+        |GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
+      Streams.hop(Tables.load(s, dir, "events"), "ts", "30 minutes", "1 hour")
+        .groupBy(col("window_start"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("window_start")
+    },
+
+    // topK(3) per group (ref SpaceSaving.h:73 — exact at this cardinality;
+    // deterministic tiebreak by value)
+    Q.sql("q_topk",
+      """SELECT event_type, user_id, cnt FROM (
+        |  SELECT event_type, user_id, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |             ORDER BY count(*) DESC, user_id) AS rk
+        |  FROM events GROUP BY event_type, user_id) t
+        |WHERE rk <= 3 ORDER BY event_type, cnt DESC, user_id""".stripMargin),
+
+    // sumMap (ref AggregateFunctionSumMap): CH returns parallel key/value
+    // arrays sorted by key
+    Q.sql2("q_sum_map",
+      """SELECT user_id,
+        |       transform(sort_array(collect_list(struct(event_type, s))),
+        |                 e -> e.event_type) AS ks,
+        |       transform(sort_array(collect_list(struct(event_type, s))),
+        |                 e -> e.s) AS vs
+        |FROM (SELECT user_id, event_type, round(sum(value), 4) AS s
+        |      FROM events GROUP BY user_id, event_type) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |       list(event_type ORDER BY event_type) AS ks,
+        |       list(s ORDER BY event_type) AS vs
+        |FROM (SELECT user_id, event_type, round(sum(value), 4) AS s
+        |      FROM events GROUP BY user_id, event_type) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // entropy of the event-type distribution per user
+    // (ref AggregateFunctionEntropy.cpp)
+    Q.sql("q_entropy",
+      """SELECT user_id,
+        |       round(-sum((cnt / total) * ln(cnt / total)), 6) AS h
+        |FROM (SELECT user_id, event_type,
+        |             CAST(count(*) AS DOUBLE) AS cnt,
+        |             CAST(sum(count(*)) OVER (PARTITION BY user_id) AS DOUBLE)
+        |               AS total
+        |      FROM events GROUP BY user_id, event_type) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // histogram as fixed-width buckets (ref AggregateFunctionHistogram.h)
+    Q.sql("q_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // quantiles(...) array form (ref AggregateFunctionQuantile.cpp
+    // quantiles combinator)
+    Q.sql2("q_quantiles_array",
+      """SELECT l_returnflag,
+        |       transform(percentile(l_extendedprice, array(0.25, 0.5, 0.75)),
+        |                 x -> round(x, 4)) AS qs
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+        |                      x -> round(x, 4)) AS qs
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // -State/-Merge shape (ref AggregateFunction type §1.2 + SURVEY §2.4):
+    // partial aggregates computed per (user, type) then merged — must equal
+    // the direct aggregation (Spark's partial/final contract made explicit)
+    Q.sql("q_state_merge",
+      """SELECT event_type,
+        |       CAST(sum(part_n) AS BIGINT) AS n,
+        |       round(sum(part_sum), 4) AS total
+        |FROM (SELECT user_id, event_type, count(*) AS part_n,
+        |             sum(value) AS part_sum
+        |      FROM events GROUP BY user_id, event_type) partial
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // uniq sketch family (ref AggregateFunctionUniq.h): exact vs approx —
+    // approx must be within HLL++ error of exact (checked by rows-only +
+    // relative assertion in the spec; here the EXACT variant is the oracle)
+    Q.sql("q_uniq_exact",
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS uniq_users,
+        |       count(DISTINCT user_id % 10) AS uniq_mod
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    Q.dfOnly("q_uniq_hll") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("uniq_users_approx"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumble aggregation with watermark drops late data") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumbleAggregate(
+      input.toDF.toDF("ts", "k", "v"),
+      "ts", "10 minutes", "5 minutes", Seq("k"),
+      Seq(count(lit(1)).as("n"), sum($"v").as("total")))
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1.0),
+        (ts("2024-01-01 00:04:00"), "a", 2.0),
+        (ts("2024-01-01 00:11:00"), "a", 5.0))
+      q.processAllAvailable()
+      // advance watermark far: closes earlier windows
+      input.addData((ts("2024-01-01 01:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      // late row for the already-closed 00:00 window — must be dropped
+      input.addData((ts("2024-01-01 00:02:00"), "a", 100.0))
+      input.addData((ts("2024-01-01 02:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .select($"window_start".cast("string"), $"n", $"total")
+        .as[(String, Long, Double)].collect().toMap2
+      assert(rows(("2024-01-01 00:00:00")) == (2L, 3.0)) // late 100.0 dropped
+      assert(rows(("2024-01-01 00:10:00")) == (1L, 5.0))
+    } finally q.stop()
+  }
+
+  implicit class M(rows: Array[(String, Long, Double)]) {
+    def toMap2: Map[String, (Long, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("hop windows assign each row to window/hop slots") {
+    val df = Seq((ts("2024-01-01 00:07:00"), 1.0)).toDF("ts", "v")
+    val hopped = Streams.hop(df, "ts", "5 minutes", "10 minutes")
+      .select($"window_start".cast("string")).as[String].collect().sorted
+    assert(hopped.toSeq == Seq("2024-01-01 00:00:00", "2024-01-01 00:05:00"))
+  }
+
+  test("batch tumble matches a DuckDB-style time_bucket") {
+    val df = Seq(
+      (ts("2024-01-01 00:01:00"), 1.0), (ts("2024-01-01 00:14:00"), 2.0),
+      (ts("2024-01-01 00:16:00"), 4.0)).toDF("ts", "v")
+    val got = Streams.tumble(df, "ts", "15 minutes")
+      .groupBy("window_start").agg(sum($"v").as("s"))
+      .select($"window_start".cast("string"), $"s")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("2024-01-01 00:00:00" -> 3.0, "2024-01-01 00:15:00" -> 4.0))
+  }
+
+  test("materializedView fans one batch out to multiple sinks") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    var sink1 = 0L; var sink2 = 0.0
+    val q = Streams.materializedView(
+      input.toDF.toDF("id", "v"),
+      batch => batch.filter($"v" > 0),
+      Seq(
+        b => sink1 = b.count(),
+        b => sink2 = b.agg(sum($"v")).collect()(0).getDouble(0)),
+      checkpoint = dir)
+    input.addData((1L, 1.5), (2L, -1.0), (3L, 2.5))
+    try { q.processAllAvailable() } finally q.stop()
+    assert(sink1 == 2L && sink2 == 4.0)
+  }
+}
