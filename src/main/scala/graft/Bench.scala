@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench runner (driver contract): headline queries at
+  * SPARK_GRAFT_SF_DIR on local[32]; prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Each query is forced end-to-end with a noop sink (count() alone lets
+  * Catalyst prune the compute). One tiny warmup query first so JVM/codegen
+  * startup is not billed to the first headline entry.
+  */
 object Bench {
+
+  /** Representative spread: scan, hash agg, joins, window, sort/topN, asof
+    * (custom op), minhash LSH, ANN, tumble windows, text pipeline. */
+  val headline: Seq[String] = Seq(
+    "q_scan_project", "q_agg_basic", "q_join_inner", "q_join_chain",
+    "q_window_rank", "q_topn", "q_count_distinct", "q_asof_join",
+    "q_tumble_agg", "q_dedup_minhash", "q_ann_topk", "q_text_analysis")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    force("q_prewhere") // warmup: JVM + codegen + parquet footer caches
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature + LSH band buckets as ONE tight-loop expression.
+  *
+  * The composed-builtin formulation (64 nested `transform`s) allocates 64
+  * intermediate arrays per row in the interpreted HOF path and re-evaluates
+  * captured subtrees per lambda iteration; this expression computes all
+  * `numHashes` lanes in a single pass over the pre-hashed shingles and
+  * folds each band's lanes into its bucket hash — the per-row cost is
+  * exactly |shingles| × numHashes long-hashes and zero temporary arrays.
+  *
+  * (Reference counterpart: ngram/minhash sketches used for fuzzy matching,
+  * `/root/reference/src/Functions/FunctionsStringSimilarity.cpp`; the LSH
+  * banding is the standard Broder scheme.)
+  */
+case class MinHashBands(
+    child: Expression, numHashes: Int, bands: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  private val rowsPerBand = numHashes / bands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashLong(h, j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var k = b * rowsPerBand
+      while (k < (b + 1) * rowsPerBand) {
+        acc = XXH64.hashLong(sig(k), acc)
+        k += 1
+      }
+      buckets(b) = acc
+      b += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}
+
+object MinHashBands {
+  /** Column API: band bucket hashes of an array<bigint> of shingle hashes. */
+  def apply(preHashed: Column, numHashes: Int, bands: Int): Column =
+    ColumnBridge.column(
+      MinHashBands(ColumnBridge.expression(preHashed), numHashes, bands))
+}
+
+/** Distinct word-k-shingle hashes straight from the text: tokenize on
+  * whitespace and fold each window of k token-hashes into one long — no
+  * intermediate shingle strings, no per-lambda array allocations. The
+  * string-shingle builder (`Dedup.wordShingles`) remains the exact-verify
+  * path; this is the scan-side sketch input. */
+case class ShingleHashes(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    // tokenize: hash each whitespace-separated token
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > start) {
+        var h = 2654435761L
+        var p = start
+        while (p < i) { h = XXH64.hashInt(s.charAt(p), h); p += 1 }
+        tokHashes += h
+      }
+    }
+    val m = tokHashes.length
+    val out = new java.util.HashSet[java.lang.Long]()
+    if (m >= k) {
+      var w = 0
+      while (w <= m - k) {
+        var h = 1099511628211L
+        var j = 0
+        while (j < k) { h = XXH64.hashLong(tokHashes(w + j), h); j += 1 }
+        out.add(h)
+        w += 1
+      }
+    } else if (m > 0) {
+      var h = 1099511628211L
+      var j = 0
+      while (j < m) { h = XXH64.hashLong(tokHashes(j), h); j += 1 }
+      out.add(h)
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var idx = 0
+    while (it.hasNext) { res(idx) = it.next(); idx += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+object ShingleHashes {
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+}

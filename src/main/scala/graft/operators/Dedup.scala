@@ -31,10 +31,14 @@ object Dedup {
       i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
   }
 
-  /** MinHash signature: element j = min over shingles of xxhash64(s, j). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** MinHash signature: shingles are string-hashed ONCE to longs, then
+    * each of the numHashes functions is a cheap long re-hash — 64 string
+    * hashes per shingle would dominate the pipeline otherwise. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val base = transform(shingles, s => xxhash64(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+      j => array_min(transform(base, h => xxhash64(h, j))))
+  }
 
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
@@ -58,28 +62,39 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val sig = df.select(
+    // Stage 1 (persisted): one string-hash per shingle. Everything after
+    // works on long arrays. The persist is a deliberate lineage barrier:
+    // without it, CollapseProject inlines this projection into the 64
+    // min-hash lambdas and the 2 self-join sides, multiplying the string
+    // hashing by ~100×  (observed 12s → 409s at sf0.1 without barriers).
+    val hashed = df.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      graft.functions.ShingleHashes(col(textCol), shingleK).as("base"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (band index, murmur3 of the band's signature slice) — one row per band
-    val banded = sig.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    // Banded rows are (band, bucket, id) ONLY — carrying shingle arrays
+    // through the 16-way explode would inflate the shuffle 16×. The
+    // signature + band buckets come from the single-pass MinHashBands
+    // expression (graft.functions.MinHashBands).
+    val banded = hashed.select(col("id"),
+      posexplode(graft.functions.MinHashBands(col("base"), numHashes, bands))
         .as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    // Exact-Jaccard verification recomputes shingles only for the join
+    // (cheap single pass; the expensive hashing stays cached above).
+    val sh = df.select(
+      col(idCol).as("id"),
+      wordShingles(col(textCol), shingleK).as("sh"))
     candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
