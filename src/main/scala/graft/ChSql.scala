@@ -88,6 +88,8 @@ object ChSql {
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame = {
     ChRegistry.register(spark)
     Tables.register(spark, sfDir)
-    spark.sql(translate(chQuery))
+    if (graft.functions.UserDefinedSqlFunctions.maybeExecute(spark, chQuery))
+      spark.emptyDataFrame
+    else spark.sql(translate(chQuery))
   }
 }

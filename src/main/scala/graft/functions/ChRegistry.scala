@@ -236,7 +236,11 @@ object ChRegistry {
     f2("bitHammingDistance")(ch.bitHammingDistance)
 
     // random / misc
-    f("rand") { case Seq() => (C(new Rand()) * 4294967296L).cast("bigint") }
+    // 0-arg = CH semantics (UInt32); seeded arity keeps Spark semantics so
+    // a CH-registered session doesn't hijack functions.rand(seed) callers
+    f("rand") {
+      case Seq() => (C(new Rand()) * 4294967296L).cast("bigint")
+      case Seq(seed) => C(Rand(seed)) }
     f("rand64") { case Seq() => xxhash64(C(new Rand())) }
     f("canonicalRand") { case Seq() => C(new Rand()) }
     f("generateUUIDv4") { case Seq() => ch.generateUUIDv4() }

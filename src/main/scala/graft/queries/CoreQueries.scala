@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 /** Core relational operator coverage (SURVEY.md §2.2–§2.7): scan/filter/
   * project, join kinds & strictness, aggregation + GROUP BY modifiers,
   * window functions, sorts/limits/LIMIT BY/WITH TIES, set operations,
@@ -385,6 +387,26 @@ object CoreQueries {
         |       round(sum(l_extendedprice), 2) AS amount
         |FROM lineitem GROUP BY l_partkey
         |HAVING sum(l_quantity) > 150 ORDER BY l_partkey""".stripMargin),
+
+    // SAMPLE k — deterministic on the sampling key like the reference
+    // (src/Storages/MergeTree/MergeTreeDataSelectExecutor.cpp:88-567
+    // hashes the sampling key; here: modulo on the key for oracle parity)
+    Q.sql("q_sample",
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin),
+
+    // numbers(N) table function (ref src/TableFunctions/
+    // TableFunctionNumbers.cpp; system.numbers StorageSystemNumbers.h:25)
+    Q.df("q_numbers",
+      """SELECT CAST(sum(n) AS BIGINT) AS s, count(*) AS cnt,
+        |       CAST(sum(CASE WHEN n % 7 = 0 THEN n END) AS BIGINT) AS s7
+        |FROM (SELECT unnest(range(0, 100000)) AS n) t""".stripMargin) {
+      (s, _) =>
+        s.range(0, 100000).toDF("n")
+          .agg(sum("n").cast("bigint").as("s"),
+            count(lit(1)).as("cnt"),
+            sum(when(col("n") % 7 === 0, col("n"))).cast("bigint").as("s7"))
+    },
 
     // CollapsingMergeTree: sign-cancellation
     // (ref CollapsingSortedAlgorithm.cpp) — sign derived from event parity

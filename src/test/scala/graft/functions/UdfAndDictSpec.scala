@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Dictionaries
+import org.apache.spark.sql.functions._
+
+class UdfAndDictSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CREATE FUNCTION macro-expands into call sites") {
+    assert(UserDefinedSqlFunctions.maybeExecute(spark,
+      "CREATE FUNCTION linear AS (x, k, b) -> k*x + b"))
+    val got = spark.sql("SELECT linear(10, 2, 1)").collect()(0).getInt(0)
+    assert(got == 21)
+    // params shadow columns of the same name only inside the body
+    assert(UserDefinedSqlFunctions.maybeExecute(spark,
+      "CREATE FUNCTION isWeekend AS (d) -> dayofweek(d) IN (1, 7)"))
+    val n = graft.ChSql.sql(spark,
+      "SELECT count(*) FROM orders WHERE isWeekend(o_orderdate)",
+      SparkSpec.tiny).collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("non-CREATE statements are passed over") {
+    assert(!UserDefinedSqlFunctions.maybeExecute(spark, "SELECT 1"))
+  }
+
+  test("dictGet resolves via broadcast join with defaults") {
+    val nation = Tables.load(spark, SparkSpec.tiny, "nation")
+    val customer = Tables.load(spark, SparkSpec.tiny, "customer")
+    val out = Dictionaries.dictGet(customer, nation,
+      "c_nationkey", "n_nationkey", "n_name", "nation_name",
+      default = Some(lit("UNKNOWN")))
+    assert(out.filter($"nation_name" === "UNKNOWN").count() == 0)
+    assert(out.count() == customer.count())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("dictHas flags membership") {
+    val supplier = Tables.load(spark, SparkSpec.tiny, "supplier")
+    val customer = Tables.load(spark, SparkSpec.tiny, "customer")
+    val out = Dictionaries.dictHas(customer, supplier,
+      "c_nationkey", "s_nationkey", "has_supplier")
+    val both = out.groupBy("has_supplier").count().collect()
+    assert(both.map(_.getBoolean(0)).toSet.size >= 1)
+  }
+
+  test("rangeHashed dictGet picks the value valid at the probe time") {
+    val dict = Seq(
+      (1L, 0L, 10L, "v0"), (1L, 10L, 20L, "v1"), (2L, 0L, 100L, "w0")
+    ).toDF("k", "from", "to", "v")
+    val fact = Seq((1L, 5L), (1L, 15L), (1L, 25L), (2L, 50L))
+      .toDF("k", "at")
+    val got = Dictionaries.dictGetRange(fact, dict,
+      "k", "at", "k", "from", "to", "v", "val")
+      .select("k", "at", "val").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 5L, Some("v0")), (1L, 15L, Some("v1")),
+      (1L, 25L, None), (2L, 50L, Some("w0"))))
+  }
+}
