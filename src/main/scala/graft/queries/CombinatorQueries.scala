@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregate-combinator and remaining engine-family coverage
+  * (SURVEY §2.4 combinators, §2.1 VersionedCollapsing; ref
+  * registerAggregateFunctions.cpp:84-94).
+  */
+object CombinatorQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // -Distinct combinator: sumDistinct/avgDistinct
+    Q.sql("q_agg_distinct",
+      """SELECT l_returnflag,
+        |       round(sum(DISTINCT l_quantity), 2) AS sum_d,
+        |       round(avg(DISTINCT l_quantity), 4) AS avg_d,
+        |       count(DISTINCT l_quantity)         AS n_d
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // -Array combinator: aggregate over array elements (explode path)
+    Q.sql2("q_agg_array",
+      """SELECT lang,
+        |       CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(max(size(split(text, ' '))) AS INT)    AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      """SELECT lang,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(max(len(string_split(text, ' '))) AS INT)    AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // groupArrayMovingAvg/MovingSum (ref AggregateFunctionMovingAvg) —
+    // windowed forms
+    Q.sql("q_moving_agg",
+      """SELECT o_custkey, o_orderkey,
+        |       round(avg(o_totalprice) OVER w, 4) AS moving_avg,
+        |       round(sum(o_totalprice) OVER w, 2) AS moving_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // deltaSum (ref AggregateFunctionDeltaSum): sum of positive deltas in
+    // order — lag window + conditional sum
+    Q.sql("q_delta_sum",
+      """SELECT user_id, round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 4)
+        |         AS delta_sum
+        |FROM (SELECT user_id,
+        |             value - lag(value) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id) AS d
+        |      FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // VersionedCollapsingMergeTree (ref VersionedCollapsingSortedAlgorithm):
+    // cancel sign pairs per (key, version), keep uncancelled state rows
+    Q.sql("q_versioned_collapsing",
+      """SELECT user_id, version, CAST(sum(sign) AS BIGINT) AS net
+        |FROM (SELECT user_id, event_id % 5 AS version,
+        |             CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS sign
+        |      FROM events) t
+        |GROUP BY user_id, version HAVING sum(sign) <> 0
+        |ORDER BY user_id, version""".stripMargin),
+
+    // Object('json') dynamic subcolumns (ref DataTypeObject.h §1.2):
+    // typed extraction from the JSON column
+    Q.sql2("q_json_object",
+      """SELECT event_id, j.k AS k
+        |FROM (SELECT event_id, from_json(props, 'k INT') AS j FROM events) t
+        |WHERE event_id <= 200 ORDER BY event_id""".stripMargin,
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin),
+
+    // anyLast/any per group with deterministic order (ref
+    // AggregateFunctionAny) — first/last value by explicit ordering
+    Q.sql2("q_any_last",
+      """SELECT user_id,
+        |       min_by(event_type, struct(ts, event_id))  AS first_event,
+        |       max_by(event_type, struct(ts, event_id))  AS last_event
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |       first(event_type ORDER BY ts, event_id) AS first_event,
+        |       last(event_type ORDER BY ts, event_id)  AS last_event
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // quantileTDigest/percentile_approx (ref QuantileTDigest.h:52) —
+    // sketch internals differ engine-to-engine → rows-only; the spec
+    // asserts relative error vs exact percentile
+    Q.dfOnly("q_quantile_approx") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
