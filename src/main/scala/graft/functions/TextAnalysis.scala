@@ -22,7 +22,7 @@ object TextAnalysis {
       transform(split(text, "\\s+"), w => ceil(length(w) / lit(4.0)).cast("long")),
       lit(0L), (a, x) => a + x)
 
-  private val stopwordsByLang: Map[String, Seq[String]] = Map(
+  private[functions] val stopwordLists: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
@@ -32,14 +32,14 @@ object TextAnalysis {
   /** Stopword hits for one language's marker list. */
   def stopwordHits(tokens: Column, lang: String): Column =
     size(array_intersect(tokens,
-      array(stopwordsByLang(lang).map(lit(_)): _*)))
+      array(stopwordLists(lang).map(lit(_)): _*)))
 
   /** n-gram-heuristic language ID: the language whose marker stopwords hit
     * the tokenized text most; CJK short-circuits on script detection.
     * Returns ISO code or 'und' when nothing matches. */
   def languageId(text: Column): Column = {
     val toks = split(lower(text), "[\\s\\p{Punct}]+")
-    val scores = stopwordsByLang.keys.toSeq.sorted.map(l =>
+    val scores = stopwordLists.keys.toSeq.sorted.map(l =>
       struct(stopwordHits(toks, l).as("score"), lit(l).as("lang")))
     val best = array_max(array(scores: _*))
     // kana before han: Japanese text mixes kanji with kana, so a han hit

@@ -141,12 +141,14 @@ object PipelineQueries {
         |       md5(array_to_string(list_sort(list_distinct(
         |           string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // single-pass TextStats expression; semantics pinned equal to the
+      // composed TextAnalysis forms by TextStatsSpec
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.languageId(col("text")).as("lang_guess"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
+          graft.functions.TextStats(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts.lang_guess").as("lang_guess"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.bpe_tokens").as("bpe_tokens"), col("ts.fp").as("fp"))
         .orderBy("doc_id")
     },
 
