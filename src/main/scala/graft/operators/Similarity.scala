@@ -108,6 +108,53 @@ object Similarity {
         col("rk").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * queries probe their `nprobe` nearest centroids, candidates = corpus
+    * rows in those cells. The 100 TB layout: centroids are tiny and
+    * broadcast; the corpus is partitioned by cell id once (at "index
+    * build"), so a query touches nprobe/nlist of the data. Recall/latency
+    * tradeoff = nprobe, exactly like FAISS IVF-Flat.
+    * (Reference analog: the Annoy vector index,
+    * `src/Storages/MergeTree/MergeTreeIndexAnnoy.cpp`.) */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: String, corpusId: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(corpusId).as("neighbor_id"),
+      col(vecCol).as("__cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features").fit(corpusVec)
+    val cells = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("__cv"), col("prediction").as("cell"))
+    // nprobe nearest centroids per query via the (tiny) centroid table
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroidDf = centroids.toDF("cell", "__centroid")
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("__qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cdist").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("__cdist", l2Distance(col("__qv"), col("__centroid")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "__qv", "cell")
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rk").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH buckets
     * (exact verify inside the bucket). */
   def nearDupPairs(

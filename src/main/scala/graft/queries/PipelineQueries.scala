@@ -126,6 +126,15 @@ object PipelineQueries {
         "vec_id", "vec_id", "embedding", dim = 64, k = 3, nPlanes = 4)
     },
 
+    // IVF ANN (k-means coarse quantizer + nprobe cell search) — the
+    // FAISS-IVF-style scale path; recall asserted vs brute force in spec
+    Q.dfOnly("q_ann_ivf") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+    },
+
     // Language ID + quality + token counts (ref detectLanguage,
     // FunctionsLanguageClassification.cpp). On this fixture only English
     // stopwords occur, which the oracle encodes directly.

@@ -66,6 +66,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for 2 planes")
   }
 
+  test("IVF topK reaches high recall vs brute force (nprobe=8/16)") {
+    val emb = Tables.load(spark, SparkSpec.tiny, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("nearDupPairs finds scaled copies of the same vector") {
     val vs = Seq(
       (1L, Array(1f, 2f, 3f, 4f)), (2L, Array(2f, 4f, 6f, 8f)), // same direction
