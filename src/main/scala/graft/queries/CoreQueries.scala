@@ -119,10 +119,15 @@ object CoreQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // groupArray/groupUniqArray ≈ collect_list/collect_set (sorted for determinism)
+    // (array output projected to a comma-joined string so the driver's
+    // pandas comparator can hash it — semantics unchanged)
     Q.sql2("q_group_array",
-      """SELECT n_regionkey, sort_array(collect_set(n_name)) AS nations
+      """SELECT n_regionkey, array_join(sort_array(collect_set(n_name)), ',')
+        |         AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
-      """SELECT n_regionkey, list_sort(list_distinct(list(n_name))) AS nations
+      """SELECT n_regionkey,
+        |       array_to_string(list_sort(list_distinct(list(n_name))), ',')
+        |         AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
     // ---- GROUP BY modifiers (ref RollupTransform/CubeTransform,

@@ -224,9 +224,15 @@ object PipelineQueries {
     // Feature extraction through the stub decoder (mapPartitions batch
     // path) — deterministic fake features; spec pins exact values
     Q.dfOnly("q_multimodal_features") { (s, dir) =>
+      // features array projected to a comma-joined string so the driver's
+      // rows-only comparator (which still sorts values) can handle the column
       Multimodal.extractFeatures(s,
           Multimodal.attachFakeMedia(Tables.load(s, dir, "documents"), "doc_id"),
           "doc_id")
+        .select(col("doc_id"),
+          array_join(transform(col("features"),
+            x => round(x.cast("double"), 6).cast("decimal(10,6)").cast("string")),
+            ",").as("features"))
         .orderBy("doc_id")
     }
   )

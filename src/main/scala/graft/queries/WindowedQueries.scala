@@ -52,18 +52,21 @@ object WindowedQueries {
 
     // sumMap (ref AggregateFunctionSumMap): CH returns parallel key/value
     // arrays sorted by key
+    // (parallel arrays projected to comma-joined strings for the driver's
+    // comparator; DECIMAL casts pin double→string formatting in both dialects)
     Q.sql2("q_sum_map",
       """SELECT user_id,
-        |       transform(sort_array(collect_list(struct(event_type, s))),
-        |                 e -> e.event_type) AS ks,
-        |       transform(sort_array(collect_list(struct(event_type, s))),
-        |                 e -> e.s) AS vs
+        |       array_join(transform(sort_array(collect_list(struct(event_type, s))),
+        |                 e -> e.event_type), ',') AS ks,
+        |       array_join(transform(sort_array(collect_list(struct(event_type, s))),
+        |                 e -> CAST(CAST(e.s AS DECIMAL(18,4)) AS STRING)), ',') AS vs
         |FROM (SELECT user_id, event_type, round(sum(value), 4) AS s
         |      FROM events GROUP BY user_id, event_type) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
       """SELECT user_id,
-        |       list(event_type ORDER BY event_type) AS ks,
-        |       list(s ORDER BY event_type) AS vs
+        |       array_to_string(list(event_type ORDER BY event_type), ',') AS ks,
+        |       array_to_string(list(CAST(CAST(s AS DECIMAL(18,4)) AS VARCHAR)
+        |                            ORDER BY event_type), ',') AS vs
         |FROM (SELECT user_id, event_type, round(sum(value), 4) AS s
         |      FROM events GROUP BY user_id, event_type) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
@@ -92,12 +95,16 @@ object WindowedQueries {
     // quantiles combinator)
     Q.sql2("q_quantiles_array",
       """SELECT l_returnflag,
-        |       transform(percentile(l_extendedprice, array(0.25, 0.5, 0.75)),
-        |                 x -> round(x, 4)) AS qs
+        |       array_join(transform(
+        |           percentile(l_extendedprice, array(0.25, 0.5, 0.75)),
+        |           x -> CAST(CAST(round(x, 4) AS DECIMAL(18,4)) AS STRING)), ',')
+        |         AS qs
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       """SELECT l_returnflag,
-        |       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-        |                      x -> round(x, 4)) AS qs
+        |       array_to_string(list_transform(
+        |           quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+        |           x -> CAST(CAST(round(x, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',')
+        |         AS qs
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // -State/-Merge shape (ref AggregateFunction type §1.2 + SURVEY §2.4):
