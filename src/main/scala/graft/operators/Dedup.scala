@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -58,7 +59,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 512): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -80,21 +82,39 @@ object Dedup {
       posexplode(graft.functions.MinHashBands(col("base"), numHashes, bands))
         .as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    // Bucket-size cap: at web scale, mass-duplicated boilerplate puts N
+    // identical docs in one (band,bucket) and the all-pairs self-join goes
+    // O(N²). Buckets over `maxBucketSize` are star-linked instead: every
+    // member pairs with the bucket's min id only (O(N)), which preserves
+    // the connected component a downstream clustering step needs while
+    // bounding work. The window partitions by (band,bucket) — the same key
+    // the self-join shuffles on, so no extra exchange.
+    val bw = Window.partitionBy(col("band"), col("bucket"))
+    val sized = banded
+      .withColumn("__bsz", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(col("id")).over(bw))
+    val small = sized.filter(col("__bsz") <= maxBucketSize)
+    val l = small.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = small.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val allPairs = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    val starPairs = sized
+      .filter(col("__bsz") > maxBucketSize && col("id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+    val candidates = allPairs.union(starPairs)
       .dropDuplicates("id_a", "id_b")
 
-    // Exact-Jaccard verification recomputes shingles only for the join
-    // (cheap single pass; the expensive hashing stays cached above).
-    val sh = df.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
+    // Exact-Jaccard verification over the persisted distinct-shingle-hash
+    // arrays: |A∩B|/|A∪B| on 64-bit hashes equals the string-shingle
+    // Jaccard (collisions are negligible and would be caught by the
+    // oracle). Reusing `hashed` avoids recomputing shingles — the
+    // interpreted-HOF recompute used to dominate the whole pipeline — and
+    // the candidate side is small (LSH-filtered pairs), so AQE broadcasts
+    // it and the corpus-side cache is streamed, not shuffled.
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("base").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("base").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -84,18 +84,31 @@ object Similarity {
   def lshBucketTopK(
       queries: DataFrame, corpus: DataFrame,
       queryId: String, corpusId: String, vecCol: String,
-      dim: Int, k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
+      dim: Int, k: Int, nPlanes: Int = 8, nTables: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    def withBuckets(df: DataFrame, idName: String, idAs: String,
+        vecAs: String) =
       df.select(col("*"),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col(vecCol), dim, nPlanes, seed = 42L + t)): _*))
           .as(Seq("table_id", "bucket")))
-        .select(col(df.columns.head).as(idAs), col(vecCol).as(vecAs),
+        .select(col(idName).as(idAs), col(vecCol).as(vecAs),
           col("table_id"), col("bucket"))
     val q = withBuckets(queries.select(col(queryId), col(vecCol)),
-      "query_id", "__qv")
+      queryId, "query_id", "__qv")
+    // Bucket occupancy cap: a degenerate bucket (mass-duplicated embeddings
+    // hashing identically) would make the bucket-local join quadratic. Keep
+    // a deterministic pseudo-random sample of `maxBucketSize` corpus rows
+    // per (table,bucket) — recall degrades gracefully in the (already
+    // approximate) pathological bucket instead of the job dying. The window
+    // partitions on the join key, so no extra exchange.
+    val cw = Window.partitionBy(col("table_id"), col("bucket"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
     val c = withBuckets(corpus.select(col(corpusId), col(vecCol)),
-      "neighbor_id", "__cv")
+      corpusId, "neighbor_id", "__cv")
+      .withColumn("__rn", row_number().over(cw))
+      .filter(col("__rn") <= maxBucketSize)
+      .drop("__rn")
     val scored = c.join(q, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

@@ -52,14 +52,48 @@ object WithFill {
   }
 
   /** INTERPOLATE (col AS last-seen): carry the previous non-null value
-    * forward along the fill order. */
-  private def interpolate(df: DataFrame, keyCol: String, cols: Seq[String]): DataFrame = {
+    * forward along the fill order.
+    *
+    * Scale-safe two-pass formulation (a single global `Window.orderBy`
+    * would collapse the whole grid into one task):
+    *  1. chunk the key range (`chunkSize` grid points per chunk) and
+    *     carry-forward inside each chunk with a partitioned window;
+    *  2. reduce each chunk to its last non-null value (one tiny row per
+    *     chunk), prefix-scan those carry-outs across chunks — the scan is a
+    *     window over the chunk-summary frame, which is grid/chunkSize rows,
+    *     bounded and broadcast-size by construction — and broadcast-join
+    *     each chunk's carry-in back; a row's value is
+    *     coalesce(local carry, chunk carry-in).
+    */
+  private[operators] def interpolate(
+      df: DataFrame, keyCol: String, cols: Seq[String],
+      chunkSize: Long = 8192L): DataFrame = {
     if (cols.isEmpty) df
     else {
-      val w = Window.orderBy(col(keyCol))
+      val chunked = df.withColumn("__chunk",
+        floor(col(keyCol).cast("long") / chunkSize))
+      val wLocal = Window.partitionBy(col("__chunk")).orderBy(col(keyCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cols.foldLeft(df)((d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      val localized = cols.foldLeft(chunked)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(wLocal)))
+      // Per-chunk carry-out: value at the max key where the column is
+      // non-null (struct max orders by key first). Null if the chunk has
+      // no non-null value — the prefix scan skips it with ignoreNulls.
+      val summaryAggs = cols.map(c =>
+        max(when(col(c).isNotNull, struct(col(keyCol).as("k"), col(c).as("v"))))
+          .as(s"__out_$c"))
+      val summaries = chunked.groupBy(col("__chunk"))
+        .agg(summaryAggs.head, summaryAggs.tail: _*)
+      val wPrev = Window.orderBy(col("__chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carryIns = cols.foldLeft(summaries)((d, c) =>
+        d.withColumn(s"__in_$c",
+          last(col(s"__out_$c"), ignoreNulls = true).over(wPrev)("v")))
+        .select(col("__chunk") +: cols.map(c => col(s"__in_$c")): _*)
+      val joined = localized.join(broadcast(carryIns), Seq("__chunk"), "left")
+      cols.foldLeft(joined)((d, c) =>
+          d.withColumn(c, coalesce(col(c), col(s"__in_$c"))))
+        .select(df.columns.map(col): _*)
     }
   }
 }

@@ -22,6 +22,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == truth)
   }
 
+  test("minhash bucket cap: 1000 identical docs stay linear via star linkage") {
+    // A mass-duplicated boilerplate doc puts all 1000 copies in every band
+    // bucket; without the cap the candidate join is ~500k pairs per band.
+    // With the cap the oversized bucket star-links to the min id: exactly
+    // 999 verified pairs, all anchored at doc 0.
+    val dups = (0L until 1000L).map(i =>
+      (i, "the same boilerplate footer text repeated on every single page"))
+    val uniq = Seq(
+      (2000L, "completely unrelated first document about spark execution"),
+      (2001L, "another distinct text concerning columnar storage formats"))
+    val docs = (dups ++ uniq).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8,
+      maxBucketSize = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 0L))
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+  }
+
+  test("minhash bucket cap does not change results for normal-size buckets") {
+    val docs = Tables.load(spark, SparkSpec.tiny, "documents")
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8,
+      maxBucketSize = 512)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8,
+      maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
+
+  test("lshBucketTopK bucket cap still returns k neighbors per query") {
+    // 200 identical embeddings all hash to one bucket per table; the cap
+    // samples 16 of them, and top-k per query still fills.
+    val vs = (0L until 200L).map(i => (i, Array(1f, 2f, 3f, 4f))).toDF(
+      "vec_id", "embedding")
+    val q = vs.filter($"vec_id" === 0)
+    val got = Similarity.lshBucketTopK(q, vs, "vec_id", "vec_id", "embedding",
+      dim = 4, k = 3, nPlanes = 4, nTables = 2, maxBucketSize = 16)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect()
+    assert(got.length == 3)
+    assert(got.forall(_._1 == 0L))
+  }
+
   test("simhash of near-identical token sets has small hamming distance") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
