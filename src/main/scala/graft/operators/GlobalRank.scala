@@ -35,19 +35,27 @@ object GlobalRank {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // Range partitioning keeps equal keys together and partition ids in
     // global sort order, so (partition offset + local row_number) is the
-    // global row number.
+    // global row number. The persist is a REQUIRED lineage barrier, not a
+    // cache optimization: the numbered frame is read by two branches
+    // (per-partition counts and the final join), and without the barrier
+    // each branch may re-materialize `repartitionByRange`, whose boundary
+    // sampling is seeded per RDD — two materializations can disagree on
+    // partition boundaries and desynchronize pids from offsets.
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid"))
       .orderBy(order.map(c => c): _*)
     val local = ranged.withColumn("__lrn", row_number().over(wLocal))
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-partition row count = that partition's max local row number.
     // Prefix sum over one row per partition — bounded by the partition
     // count, so the single-task window here is over a broadcast-size frame.
+    val counts = local.groupBy(col("__pid")).agg(max(col("__lrn")).as("__cnt"))
     val wPrefix = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wPrefix), lit(0L)))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt").cast("long")).over(wPrefix), lit(0L)))
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__off") + col("__lrn"))

@@ -33,7 +33,7 @@ object WithFill {
       carryForward: Seq[String] = Nil): DataFrame = {
     val grid = spark.range(from, to + 1, step).toDF(keyCol)
     val joined = grid.join(df, Seq(keyCol), "left")
-    interpolate(joined, keyCol, carryForward)
+    interpolate(joined, keyCol, carryForward, chunkSize = 8192L * step)
   }
 
   /** Fill a date/timestamp key onto a day-step grid [from, to]. */
@@ -48,7 +48,8 @@ object WithFill {
       s"SELECT explode(sequence(DATE '$fromDate', DATE '$toDate', INTERVAL 1 DAY)) AS $keyCol")
       .select(col(keyCol).cast("timestamp").as(keyCol))
     val joined = grid.join(df, Seq(keyCol), "left")
-    interpolate(joined, keyCol, carryForward)
+    // key is cast to epoch seconds for chunking; one chunk = 8192 days
+    interpolate(joined, keyCol, carryForward, chunkSize = 8192L * 86400L)
   }
 
   /** INTERPOLATE (col AS last-seen): carry the previous non-null value

@@ -295,14 +295,30 @@ object CoreQueries {
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
 
-    Q.sql("q_window_ntile_nth",
+    // Global ntile: a no-partition window collapses to one task, so the
+    // Spark side uses GlobalRank.ntile (range-partitioned row numbers +
+    // closed-form buckets); the oracle keeps the standard SQL form.
+    Q.df("q_window_ntile_nth",
       """SELECT o_orderkey, o_totalprice,
         |       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
         |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
         |FROM orders WHERE o_totalprice > 400000
-        |ORDER BY o_orderkey""".stripMargin),
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.Tables.register(s, dir)
+      val base = s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+          |             ORDER BY o_totalprice DESC, o_orderkey
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+          |FROM orders WHERE o_totalprice > 400000""".stripMargin)
+      graft.operators.GlobalRank
+        .ntile(base, Seq(col("o_totalprice"), col("o_orderkey")), 4, "quartile")
+        .select(col("o_orderkey"), col("o_totalprice"), col("quartile"),
+          col("second_best"))
+        .orderBy("o_orderkey")
+    },
 
     // RANGE frame (ref WindowDescription.h:29-46)
     Q.sql("q_window_range",
@@ -329,13 +345,25 @@ object CoreQueries {
         |   FROM orders) t
         |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin),
 
-    // LIMIT WITH TIES (ref LimitTransform.h:17) via rank()
-    Q.sql("q_with_ties",
+    // LIMIT WITH TIES (ref LimitTransform.h:17). The oracle keeps the
+    // rank() form; the Spark side uses the scale-safe threshold rewrite
+    // (parallel top-k to find the nth value, then a parallel filter)
+    // instead of a global no-partition window.
+    Q.df("q_with_ties",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM
         |  (SELECT l_orderkey, l_linenumber, l_quantity,
         |          rank() OVER (ORDER BY l_quantity DESC) AS rk
         |   FROM lineitem) t
-        |WHERE rk <= 3 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |WHERE rk <= 3 ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        graft.Tables.register(s, dir)
+        graft.operators.GlobalRank
+          .limitWithTies(
+            s.table("lineitem")
+              .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+            col("l_quantity"), descending = true, n = 3)
+          .orderBy("l_orderkey", "l_linenumber")
+    },
 
     // ---- set operations (ref InterpreterSelectIntersectExceptQuery) ----
     Q.sql("q_union_all",
