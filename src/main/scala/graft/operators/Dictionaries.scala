@@ -43,26 +43,42 @@ object Dictionaries {
   }
 
   /** rangeHashed dictGet: value valid for [from, to) — broadcast range
-    * join, last-write-wins on overlaps via deterministic ordering. */
+    * join, latest-__from-wins on overlaps.
+    *
+    * Overlap resolution happens entirely on the (broadcast-size)
+    * dictionary side: ranges are flattened into disjoint elementary
+    * intervals, each carrying the value of the covering range with the
+    * latest __from. The fact side then matches AT MOST ONE interval, so no
+    * post-join window is needed — duplicate fact rows are preserved (the
+    * old per-fact-row-window formulation silently collapsed them) and the
+    * fact table is never shuffled. */
   def dictGetRange(
       fact: DataFrame, dict: DataFrame,
       factKey: String, atCol: String,
       dictKey: String, fromCol: String, toCol: String, dictValue: String,
       asCol: String): DataFrame = {
-    val dim = broadcast(dict.select(
+    import org.apache.spark.sql.expressions.Window
+    val d = dict.select(
       col(dictKey).as("__dk"), col(fromCol).as("__from"),
-      col(toCol).as("__to"), col(dictValue).as(asCol)))
-    val joined = fact.join(dim,
-      fact(factKey) === col("__dk") &&
-        fact(atCol) >= col("__from") && fact(atCol) < col("__to"), "left")
-    // overlapping ranges: keep the latest __from per fact row
-    val factCols = fact.columns.map(col)
-    joined
+      col(toCol).as("__to"), col(dictValue).as(asCol))
+    // elementary interval boundaries per key (all windows partition by the
+    // dictionary key — dictionary-size data, never the fact table)
+    val bounds = d.select(col("__dk"),
+      explode(array(col("__from"), col("__to"))).as("__b")).distinct()
+    val intervals = bounds
+      .withColumn("__e",
+        lead(col("__b"), 1).over(Window.partitionBy("__dk").orderBy("__b")))
+      .filter(col("__e").isNotNull)
+    val flat = intervals.join(d, Seq("__dk"))
+      .filter(col("__b") >= col("__from") && col("__b") < col("__to"))
       .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(factCols: _*)
-          .orderBy(col("__from").desc_nulls_last)))
+        Window.partitionBy(col("__dk"), col("__b"))
+          .orderBy(col("__from").desc, col("__to").desc)))
       .filter(col("__rn") === 1)
-      .drop("__dk", "__from", "__to", "__rn")
+      .select(col("__dk"), col("__b"), col("__e"), col(asCol))
+    fact.join(broadcast(flat),
+      fact(factKey) === col("__dk") &&
+        fact(atCol) >= col("__b") && fact(atCol) < col("__e"), "left")
+      .drop("__dk", "__b", "__e")
   }
 }

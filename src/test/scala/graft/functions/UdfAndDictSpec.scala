@@ -60,4 +60,26 @@ class UdfAndDictSpec extends SparkSpec {
       (1L, 5L, Some("v0")), (1L, 15L, Some("v1")),
       (1L, 25L, None), (2L, 50L, Some("w0"))))
   }
+
+  test("rangeHashed dictGet preserves duplicate fact rows") {
+    val dict = Seq((1L, 0L, 10L, "v0")).toDF("k", "from", "to", "v")
+    // two IDENTICAL fact rows — the old per-fact-row-window overlap
+    // resolution collapsed these to one
+    val fact = Seq((1L, 5L), (1L, 5L), (1L, 7L)).toDF("k", "at")
+    val got = Dictionaries.dictGetRange(fact, dict,
+      "k", "at", "k", "from", "to", "v", "val")
+    assert(got.count() == 3)
+    assert(got.filter($"at" === 5L).count() == 2)
+  }
+
+  test("rangeHashed dictGet: overlapping ranges resolve to latest from") {
+    val dict = Seq(
+      (1L, 0L, 100L, "old"), (1L, 50L, 80L, "new")
+    ).toDF("k", "from", "to", "v")
+    val fact = Seq((1L, 10L), (1L, 60L), (1L, 90L)).toDF("k", "at")
+    val got = Dictionaries.dictGetRange(fact, dict,
+      "k", "at", "k", "from", "to", "v", "val")
+      .select("at", "val").as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "old"), (60L, "new"), (90L, "old")))
+  }
 }

@@ -36,4 +36,16 @@ class SkewAndPipeSpec extends SparkSpec {
       Seq("sed", "s/^/row-/")).as[String].collect().toSet
     assert(out.size == 20 && out.forall(_.startsWith("row-")))
   }
+
+  test("pipeWithId joins command output back to its input row") {
+    val docs = Tables.load(spark, SparkSpec.tiny, "documents").limit(20)
+      .select($"doc_id", $"lang")
+    // awk echoes the id ($1) and transforms the value ($2)
+    val out = ExecutableUdf.pipeWithId(spark, docs, "doc_id", "lang",
+      Seq("awk", "-F\t", "{print $1 \"\\t<\" $2 \">\"}"), "tagged")
+    assert(out.count() == 20)
+    val rows = out.select($"doc_id", $"lang", $"tagged")
+      .as[(Long, String, String)].collect()
+    assert(rows.forall { case (_, lang, tagged) => tagged == s"<$lang>" })
+  }
 }
