@@ -133,6 +133,70 @@ object WindowedQueries {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("uniq_users_approx"))
         .orderBy("event_type")
+    },
+
+    // exponentialTimeDecayed{Sum,Count,Avg,Max} (ref WindowTransform.cpp:
+    // 1597-1938) — oracle is the same prefix-scan closed form in DuckDB;
+    // λ = 7 days, times in epoch seconds (ns→µs truncation in both engines)
+    Q.df("q_exp_decay",
+      """WITH e AS (SELECT user_id, event_id, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP))/1000000.0 AS tsec
+        |           FROM events WHERE user_id < 20),
+        |     b AS (SELECT *, min(tsec) OVER (PARTITION BY user_id) AS tmin
+        |           FROM e)
+        |SELECT user_id, event_id,
+        |  round(sum(value * exp((tsec - tmin)/604800.0)) OVER w
+        |        * exp(-(tsec - tmin)/604800.0), 4) AS dsum,
+        |  round(sum(exp((tsec - tmin)/604800.0)) OVER w
+        |        * exp(-(tsec - tmin)/604800.0), 4) AS dcnt,
+        |  round((sum(value * exp((tsec - tmin)/604800.0)) OVER w)
+        |        / (sum(exp((tsec - tmin)/604800.0)) OVER w), 4) AS davg,
+        |  round(max(value * exp((tsec - tmin)/604800.0)) OVER w
+        |        * exp(-(tsec - tmin)/604800.0), 4) AS dmax
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import graft.functions.ExpDecay
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (unix_micros(col("ts")) / 1e6).as("tsec"))
+      val pb = Seq(col("user_id"))
+      val ob = Seq(col("tsec"), col("event_id"))
+      val d = 604800.0
+      ev.select(col("user_id"), col("event_id"),
+          round(ExpDecay.decayedSum(col("value"), col("tsec"), d, pb, ob), 4).as("dsum"),
+          round(ExpDecay.decayedCount(col("tsec"), d, pb, ob), 4).as("dcnt"),
+          round(ExpDecay.decayedAvg(col("value"), col("tsec"), d, pb, ob), 4).as("davg"),
+          round(ExpDecay.decayedMax(col("value"), col("tsec"), d, pb, ob), 4).as("dmax"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // nonNegativeDerivative(value, ts, 1h) (ref WindowTransform.cpp:2509)
+    Q.df("q_nonneg_derivative",
+      """WITH e AS (SELECT user_id, event_id, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP))/1000000.0 AS tsec
+        |           FROM events WHERE user_id < 20),
+        |     l AS (SELECT user_id, event_id,
+        |                  value - lag(value) OVER w AS dv,
+        |                  tsec - lag(tsec) OVER w AS dt
+        |           FROM e
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+        |SELECT user_id, event_id,
+        |       round(CASE WHEN dv IS NULL OR dt IS NULL OR dt <= 0 THEN 0.0
+        |                  ELSE greatest(dv/dt*3600.0, 0.0) END, 4) AS rate
+        |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import graft.functions.ExpDecay
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          (unix_micros(col("ts")) / 1e6).as("tsec"))
+      ev.select(col("user_id"), col("event_id"),
+          round(ExpDecay.nonNegativeDerivative(col("value"), col("tsec"),
+            3600.0, Seq(col("user_id")), Seq(col("tsec"), col("event_id"))), 4)
+            .as("rate"))
+        .orderBy("user_id", "event_id")
     }
   )
 }
