@@ -135,6 +135,55 @@ object WindowedQueries {
         .orderBy("event_type")
     },
 
+    // groupBitmap: distinct-count via compressed bitset UDAF (ref
+    // AggregateFunctionGroupBitmap.cpp) — oracle = exact count(DISTINCT)
+    Q.df("q_group_bitmap",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS card
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        val gb = udaf(new graft.functions.Bitmap.GroupBitmap(),
+          ExpressionEncoder[(Long, Boolean)]())
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(gb(col("user_id"), lit(true)).as("card"))
+          .orderBy("event_type")
+    },
+
+    // bitmap scalar algebra (ref FunctionsBitmap.cpp): set ops between the
+    // view-user and purchase-user bitmaps; oracle = INTERSECT/UNION/EXCEPT
+    Q.df("q_bitmap_ops",
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type='view'),
+        |     p AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase'),
+        |     vp_and AS (SELECT user_id FROM v INTERSECT SELECT user_id FROM p),
+        |     vp_or  AS (SELECT user_id FROM v UNION SELECT user_id FROM p),
+        |     vnp    AS (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS v_card,
+        |       CAST((SELECT count(*) FROM vp_and) AS BIGINT) AS and_card,
+        |       CAST((SELECT count(*) FROM vp_or) AS BIGINT) AS or_card,
+        |       CAST((SELECT count(*) FROM vnp) AS BIGINT) AS andnot_card,
+        |       CAST((SELECT count(*) FROM vp_or) -
+        |            (SELECT count(*) FROM vp_and) AS BIGINT) AS xor_card,
+        |       CAST((SELECT min(user_id) FROM v) AS BIGINT) AS v_min,
+        |       CAST((SELECT max(user_id) FROM v) AS BIGINT) AS v_max""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        import graft.functions.BitmapExprs._
+        val bs = udaf(new graft.functions.Bitmap.GroupBitmapState(),
+          ExpressionEncoder[(Long, Boolean)]())
+        Tables.load(s, dir, "events")
+          .agg(bs(col("user_id"), col("event_type") === "view").as("v"),
+            bs(col("user_id"), col("event_type") === "purchase").as("p"))
+          .select(
+            bitmapCardinality(col("v")).as("v_card"),
+            bitmapAndCardinality(col("v"), col("p")).as("and_card"),
+            bitmapOrCardinality(col("v"), col("p")).as("or_card"),
+            bitmapAndnotCardinality(col("v"), col("p")).as("andnot_card"),
+            bitmapXorCardinality(col("v"), col("p")).as("xor_card"),
+            bitmapMin(col("v")).as("v_min"),
+            bitmapMax(col("v")).as("v_max"))
+    },
+
     // exponentialTimeDecayed{Sum,Count,Avg,Max} (ref WindowTransform.cpp:
     // 1597-1938) — oracle is the same prefix-scan closed form in DuckDB;
     // λ = 7 days, times in epoch seconds (ns→µs truncation in both engines)
