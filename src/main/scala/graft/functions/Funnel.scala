@@ -94,4 +94,75 @@ object Funnel {
     def bufferEncoder: Encoder[ArrayBuffer[Ev]] = Encoders.kryo[ArrayBuffer[Ev]]
     def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
+
+  /** (epochMicros, eventId, step): eventId is the deterministic tiebreak
+    * for equal timestamps — the oracle sorts by (ts, event_id) too. */
+  type SEv = (Long, Long, Int)
+
+  /** sequenceCount('(?1).*(?2)…'): number of NON-OVERLAPPING complete
+    * chains, scanning greedily in ts order (ref
+    * `AggregateFunctionSequenceMatch.h:651` AggregateFunctionSequenceCount:
+    * after a match completes the scan restarts at the next event). */
+  class SequenceCount(steps: Int)
+      extends Aggregator[SEv, ArrayBuffer[SEv], Long] {
+    def zero: ArrayBuffer[SEv] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[SEv], e: SEv): ArrayBuffer[SEv] = {
+      if (e._3 > 0) b += e; b
+    }
+    def merge(a: ArrayBuffer[SEv], b: ArrayBuffer[SEv]): ArrayBuffer[SEv] = a ++= b
+    def finish(b: ArrayBuffer[SEv]): Long = {
+      val evs = b.sortBy(e => (e._1, e._2))
+      var want = 1
+      var cnt = 0L
+      evs.foreach { case (_, _, s) =>
+        if (s == want) {
+          if (want == steps) { cnt += 1; want = 1 } else want += 1
+        }
+      }
+      cnt
+    }
+    def bufferEncoder: Encoder[ArrayBuffer[SEv]] = Encoders.kryo[ArrayBuffer[SEv]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** (epochMicros, eventId, eventName, mask): bit 0 of mask = base
+    * condition, bit i (1-based) = condition i. */
+  type NEv = (Long, Long, String, Int)
+
+  /** sequenceNextNode(direction, base)(ts, event, baseCond, cond1..condN)
+    * (ref `AggregateFunctionSequenceNextNode.cpp`): find the chain of N
+    * CONSECUTIVE events (in ts order; reversed for backward) matching
+    * cond1..condN whose first event satisfies the base condition, and
+    * return the name of the event immediately after it (before it, for
+    * backward) — null when no chain matches or the chain ends the stream.
+    *
+    * Bases: "head" (chain must start at the stream's first event),
+    * "first_match", "last_match". CH's "tail" is backward+head on the
+    * reversed stream, which is how it's expressed here. */
+  class SequenceNextNode(forward: Boolean, base: String, n: Int)
+      extends Aggregator[NEv, ArrayBuffer[NEv], String] {
+    require(Set("head", "first_match", "last_match")(base), s"bad base $base")
+    def zero: ArrayBuffer[NEv] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[NEv], e: NEv): ArrayBuffer[NEv] = { b += e; b }
+    def merge(a: ArrayBuffer[NEv], b: ArrayBuffer[NEv]): ArrayBuffer[NEv] = a ++= b
+    def finish(b: ArrayBuffer[NEv]): String = {
+      val sorted = b.sortBy(e => (e._1, e._2))
+      val seq = if (forward) sorted else sorted.reverse
+      def bit(i: Int, c: Int) = (seq(i)._4 & (1 << c)) != 0
+      def matchAt(i: Int): Boolean =
+        i + n <= seq.length && bit(i, 0) &&
+          (0 until n).forall(j => bit(i + j, j + 1))
+      val starts = base match {
+        case "head" => if (seq.nonEmpty && matchAt(0)) Seq(0) else Seq.empty
+        case "first_match" => seq.indices.find(matchAt).toSeq
+        case "last_match" => seq.indices.findLast(matchAt).toSeq
+      }
+      starts.headOption
+        .filter(_ + n < seq.length)
+        .map(i => seq(i + n)._3)
+        .orNull
+    }
+    def bufferEncoder: Encoder[ArrayBuffer[NEv]] = Encoders.kryo[ArrayBuffer[NEv]]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
 }

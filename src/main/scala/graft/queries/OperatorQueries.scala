@@ -149,6 +149,68 @@ object OperatorQueries {
         .orderBy("user_id")
     },
 
+    // sequenceCount('(?1).*(?2).*(?3)'): non-overlapping greedy chain count
+    // (ref AggregateFunctionSequenceMatch.h:651) — oracle runs the same
+    // automaton with DuckDB list_reduce (state = count*4 + wanted_step)
+    Q.df("q_sequence_count",
+      """WITH st AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |              WHEN 'purchase' THEN 3 ELSE 0 END AS step
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id,
+        |         coalesce(list(step ORDER BY ts, event_id)
+        |                  FILTER (WHERE step > 0), []) AS steps
+        |  FROM st GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(list_reduce(list_prepend(1, steps),
+        |    (acc, x) -> CASE WHEN x = acc % 4
+        |                THEN CASE WHEN acc % 4 = 3 THEN acc + 2 ELSE acc + 1 END
+        |                ELSE acc END) // 4 AS BIGINT) AS n_chains
+        |FROM agg ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val sc = udaf(new Funnel.SequenceCount(3),
+        ExpressionEncoder[(Long, Long, Int)]())
+      val step = when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "purchase", 3).otherwise(0)
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sc(unix_micros(col("ts")), col("event_id"), step).as("n_chains"))
+        .orderBy("user_id")
+    },
+
+    // sequenceNextNode('forward', 'first_match')(ts, event, true,
+    // type='view', type='click'): event name right after the first
+    // CONSECUTIVE view→click pair (ref AggregateFunctionSequenceNextNode.cpp)
+    Q.df("q_sequence_next_node",
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS n1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS n2
+        |  FROM events),
+        |m AS (SELECT user_id, n2,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS rk
+        |      FROM s WHERE event_type = 'view' AND n1 = 'click'),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, f.n2 AS next_node
+        |FROM u LEFT JOIN (SELECT user_id, n2 FROM m WHERE rk = 1) f
+        |  USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val nn = udaf(new Funnel.SequenceNextNode(true, "first_match", 2),
+        ExpressionEncoder[(Long, Long, String, Int)]())
+      val mask = lit(1) +
+        when(col("event_type") === "view", 2).otherwise(0) +
+        when(col("event_type") === "click", 4).otherwise(0)
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(nn(unix_micros(col("ts")), col("event_id"), col("event_type"),
+          mask).as("next_node"))
+        .orderBy("user_id")
+    },
+
     // windowFunnel(1 hour, view→click→signup→purchase): deepest chain where
     // every step is within 1h of the chain's step-1 (ref
     // AggregateFunctionWindowFunnel.cpp). Sliding chain-start semantics are
