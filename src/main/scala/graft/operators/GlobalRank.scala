@@ -83,6 +83,33 @@ object GlobalRank {
     d.withColumn(out, tile.cast("int")).drop("__rn", "__n")
   }
 
+  /** Distributed running (inclusive) sum of `value` over the total order
+    * `order` — same range-partition + per-partition scan + tiny-prefix
+    * design as [[withRowNumber]]. */
+  def withRunningSum(
+      df: DataFrame, order: Seq[Column], value: Column, out: String,
+      numPartitions: Int = 0): DataFrame = {
+    val p =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__lsum", sum(col("__v")).over(wLocal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__psum"))
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__psum")).over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__lsum"))
+      .drop("__pid", "__lsum", "__off", "__v")
+  }
+
   /** `ORDER BY key [DESC] LIMIT n WITH TIES` — equivalently
     * `rank() OVER (ORDER BY key) <= n` — as threshold + filter. */
   def limitWithTies(

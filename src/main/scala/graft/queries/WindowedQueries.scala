@@ -135,6 +135,103 @@ object WindowedQueries {
         .orderBy("event_type")
     },
 
+    // ---- statistical-test aggregates (ref AggregateFunctionTTest.h,
+    // AggregateFunctionMannWhitney.cpp, AggregateFunctionRankCorr.h,
+    // AggregateFunctionSimpleLinearRegression.cpp). Oracles verify the
+    // statistics closed-form; p-values (not SQL-expressible in DuckDB)
+    // are pinned by StatsTestsSpec against textbook values. ----
+    Q.df("q_stats_ttest",
+      """WITH e AS (SELECT value, event_type = 'view' AS f FROM events
+        |           WHERE event_type IN ('view','click')
+        |             AND value IS NOT NULL),
+        |m AS (SELECT avg(CASE WHEN f THEN value END) AS m1,
+        |             avg(CASE WHEN NOT f THEN value END) AS m2,
+        |             var_samp(CASE WHEN f THEN value END) AS s1,
+        |             var_samp(CASE WHEN NOT f THEN value END) AS s2,
+        |             CAST(count(CASE WHEN f THEN value END) AS DOUBLE) AS n1,
+        |             CAST(count(CASE WHEN NOT f THEN value END) AS DOUBLE) AS n2
+        |      FROM e)
+        |SELECT round((m1-m2)/sqrt(s1/n1 + s2/n2), 4) AS welch_t,
+        |       round(pow(s1/n1 + s2/n2, 2) /
+        |             (pow(s1/n1, 2)/(n1-1) + pow(s2/n2, 2)/(n2-1)), 2) AS welch_df,
+        |       round((m1-m2)/sqrt(((n1-1)*s1 + (n2-1)*s2)/(n1+n2-2)
+        |             * (1/n1 + 1/n2)), 4) AS student_t,
+        |       CAST(n1+n2-2 AS BIGINT) AS student_df
+        |FROM m""".stripMargin) { (s, dir) =>
+      import graft.functions.StatsTests
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click") &&
+          col("value").isNotNull)
+      val f = col("event_type") === "view"
+      e.agg(StatsTests.welchTTest(col("value"), f).as("w"),
+          StatsTests.studentTTest(col("value"), f).as("st"))
+        .select(round(col("w.t"), 4).as("welch_t"),
+          round(col("w.df"), 2).as("welch_df"),
+          round(col("st.t"), 4).as("student_t"),
+          col("st.df").cast("bigint").as("student_df"))
+    },
+
+    Q.df("q_simple_linreg",
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS k,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS b
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.StatsTests
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(StatsTests.simpleLinearRegression(
+            col("l_quantity"), col("l_extendedprice")).as("r"))
+          .select(col("l_returnflag"),
+            round(col("r.k"), 4).as("k"), round(col("r.b"), 4).as("b"))
+          .orderBy("l_returnflag")
+    },
+
+    Q.df("q_rank_corr",
+      """WITH r AS (SELECT
+        |    rank() OVER (ORDER BY l_quantity)
+        |      + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0 AS rx,
+        |    rank() OVER (ORDER BY l_extendedprice)
+        |      + (count(*) OVER (PARTITION BY l_extendedprice) - 1)/2.0 AS ry
+        |  FROM lineitem)
+        |SELECT round(corr(rx, ry), 4) AS rho FROM r""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.StatsTests
+        StatsTests.rankCorr(Tables.load(s, dir, "lineitem"),
+            col("l_quantity"), col("l_extendedprice"))
+          .select(round(col("rho"), 4).as("rho"))
+    },
+
+    Q.df("q_mannwhitney",
+      """WITH e AS (SELECT value, event_type = 'view' AS f FROM events
+        |           WHERE event_type IN ('view','click')
+        |             AND value IS NOT NULL),
+        |r AS (SELECT f,
+        |        rank() OVER (ORDER BY value)
+        |          + (count(*) OVER (PARTITION BY value) - 1)/2.0 AS rk,
+        |        count(*) OVER (PARTITION BY value) AS cnt
+        |      FROM e),
+        |a AS (SELECT sum(CASE WHEN f THEN rk END) AS r1,
+        |             CAST(count(CASE WHEN f THEN 1 END) AS DOUBLE) AS n1,
+        |             CAST(count(CASE WHEN NOT f THEN 1 END) AS DOUBLE) AS n2,
+        |             sum(cnt*cnt - 1.0) AS tie
+        |      FROM r)
+        |SELECT round(r1 - n1*(n1+1)/2, 2) AS u1,
+        |       round(n1*n2 - (r1 - n1*(n1+1)/2), 2) AS u2,
+        |       round((r1 - n1*(n1+1)/2 - n1*n2/2)
+        |             / sqrt(n1*n2/12*((n1+n2+1)
+        |                    - tie/((n1+n2)*(n1+n2-1)))), 4) AS z
+        |FROM a""".stripMargin) { (s, dir) =>
+      import graft.functions.StatsTests
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click") &&
+          col("value").isNotNull)
+      StatsTests.mannWhitneyUTest(e, col("value"),
+          col("event_type") === "view")
+        .select(round(col("u1"), 2).as("u1"), round(col("u2"), 2).as("u2"),
+          round(col("z"), 4).as("z"))
+    },
+
     // groupBitmap: distinct-count via compressed bitset UDAF (ref
     // AggregateFunctionGroupBitmap.cpp) — oracle = exact count(DISTINCT)
     Q.df("q_group_bitmap",
