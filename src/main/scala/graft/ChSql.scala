@@ -59,8 +59,77 @@ object ChSql {
     s
   }
 
+  /** CH bracket syntax: `[a, b]` literals → `array(a, b)`, and 1-based
+    * subscripts `expr[i]` → `element_at(expr, i)` (Spark's `[]` is
+    * 0-based for arrays; element_at matches CH's 1-based convention).
+    * Char-scan with string-literal awareness; a `[` after an identifier,
+    * `)`, or `]` is a subscript, otherwise a literal. */
+  private[graft] def rewriteBrackets(sql: String): String = {
+    val out = new StringBuilder
+    // for each open bracket: ")" to emit at its close
+    val stack = scala.collection.mutable.Stack.empty[Char]
+    var inStr = false
+    var i = 0
+    def lastNonSpace: Char = {
+      var j = out.length - 1
+      while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+      if (j >= 0) out.charAt(j) else ' '
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'' && sql.charAt(i - 1) != '\\') inStr = false
+      } else c match {
+        case '\'' => inStr = true; out.append(c)
+        case '[' =>
+          val prev = lastNonSpace
+          val isSubscript = prev.isLetterOrDigit || prev == '_' ||
+            prev == ')' || prev == ']'
+          if (isSubscript) {
+            // wrap the base expression: identifier chain or balanced parens
+            var j = out.length - 1
+            while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+            if (j >= 0 && out.charAt(j) == ')') {
+              var depth = 0
+              var k = j
+              var done = false
+              while (!done && k >= 0) {
+                out.charAt(k) match {
+                  case ')' => depth += 1
+                  case '(' => depth -= 1; if (depth == 0) done = true
+                  case _ =>
+                }
+                if (!done) k -= 1
+              }
+              // include a preceding function name if present
+              var f = k - 1
+              while (f >= 0 && (out.charAt(f).isLetterOrDigit ||
+                out.charAt(f) == '_' || out.charAt(f) == '.')) f -= 1
+              out.insert(f + 1, "element_at(")
+            } else {
+              var k = j
+              while (k >= 0 && (out.charAt(k).isLetterOrDigit ||
+                out.charAt(k) == '_' || out.charAt(k) == '.')) k -= 1
+              out.insert(k + 1, "element_at(")
+            }
+            out.append(", ")
+            stack.push(')')
+          } else {
+            out.append("array(")
+            stack.push(')')
+          }
+        case ']' if stack.nonEmpty =>
+          out.append(stack.pop())
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   def translate(chSql: String): String = {
-    var s = rewriteHofs(chSql)
+    var s = rewriteHofs(rewriteBrackets(chSql))
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
     // PREWHERE behaves as WHERE once pushdown applies

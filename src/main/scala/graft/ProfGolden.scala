@@ -1,0 +1,39 @@
+package graft
+
+/** Scratch: sweep candidate golden files, print PASS/FAIL per file
+  * (not part of the API). args(0) = file with one .sql path per line. */
+object ProfGolden {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+    val list = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(args(0))).toArray.map(_.toString).filter(_.nonEmpty)
+    val sfDir = "/root/testdata/sf0.001"
+    var pass = 0
+    val res = new java.io.PrintWriter("/tmp/golden_results.txt")
+    def clean(s: String): String =
+      s.filter(c => c >= ' ' && c < 127).take(300)
+    list.foreach { path =>
+      try {
+        val (actual, expected) = golden.Golden.runFile(spark, path, sfDir)
+        if (actual == expected) { pass += 1; res.println(s"PASS $path") }
+        else {
+          val diff = actual.zipAll(expected, "<missing>", "<missing>")
+            .filter { case (a, b) => a != b }.take(2)
+          res.println(s"FAIL $path " + clean(
+            diff.map { case (a, b) => s"got=<$a> want=<$b>" }.mkString(" | ")))
+        }
+      } catch {
+        case e: Throwable =>
+          val m = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          res.println(s"ERR  $path ${clean(m)}")
+      }
+      res.flush()
+    }
+    res.println(s"total pass $pass / ${list.length}")
+    res.close()
+    println(s"[golden] total pass $pass / ${list.length}")
+    spark.stop()
+  }
+}

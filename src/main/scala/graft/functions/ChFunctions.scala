@@ -205,8 +205,23 @@ object ch {
     when(p === 0, c).otherwise(concat(
       c.substr(lit(1), p - 1), lit(to), c.substr(p + from.length, length(c))))
   }
+  /** CH re2 replacement strings use \1 backrefs; Spark uses $1. */
+  private def reBackrefs(to: String): String =
+    to.replaceAll("\\\\(\\d)", "\\$$$1")
   def replaceRegexpAll(c: Column, re: String, to: String): Column =
-    regexp_replace(c, re, to)
+    regexp_replace(c, re, reBackrefs(to))
+  def replaceRegexpOne(c: Column, re: String, to: String): Column = {
+    // Replace only the FIRST match: extend the pattern with a tail group
+    // that swallows the rest of the string, so the regex can only match
+    // once, and re-append the tail in the replacement. Group numbering of
+    // user backrefs is preserved by the non-capturing wrapper.
+    val tailGroup = countGroups(re)
+    regexp_replace(c, "(?s)(?:" + re + ")(.*)$",
+      reBackrefs(to) + "$" + tailGroup)
+  }
+  /** index of the appended tail group = user groups + 1. */
+  private def countGroups(re: String): Int =
+    java.util.regex.Pattern.compile(re).matcher("").groupCount() + 1
   def countSubstrings(h: Column, n: String): Column =
     ((length(h) - length(call_function("replace", h, lit(n), lit("")))) /
       n.length).cast("bigint")
@@ -224,9 +239,19 @@ object ch {
   // split/join (ref FunctionsStringArray.h)
   def splitByChar(sep: String, c: Column): Column =
     split(c, java.util.regex.Pattern.quote(sep))
+  /** CH: empty separator splits into one element per char (and '' -> []);
+    * non-empty separator on '' gives [''] like Spark
+    * (tests/queries/0_stateless/01100_split_by_string.sql). */
   def splitByString(sep: String, c: Column): Column =
-    split(c, java.util.regex.Pattern.quote(sep))
-  def splitByRegexp(re: String, c: Column): Column = split(c, re)
+    if (sep.isEmpty)
+      when(length(c) === 0, array().cast("array<string>"))
+        .otherwise(split(c, "(?!^)(?!$)"))
+    else split(c, java.util.regex.Pattern.quote(sep))
+  def splitByRegexp(re: String, c: Column): Column =
+    if (re.isEmpty)
+      when(length(c) === 0, array().cast("array<string>"))
+        .otherwise(split(c, "(?!^)(?!$)"))
+    else split(c, re)
   def splitByWhitespace(c: Column): Column = split(c, "\\s+")
   def alphaTokens(c: Column): Column =
     array_remove(split(c, "[^A-Za-z]+"), "")
@@ -354,7 +379,15 @@ object ch {
       .cast("bigint")
   def md5Ch(c: Column): Column = md5(c)
   def sha256Ch(c: Column): Column = sha2(c, 256)
-  def hexCh(c: Column): Column = hex(c)
+  /** CH hex() renders whole bytes — odd-length Spark output gets a
+    * leading 0 (hex(10) = '0A', tests 01656_test_hex_mysql_dialect). */
+  def hexCh(c: Column): Column = {
+    val h = hex(c)
+    when(length(h) % 2 === 1, concat(lit("0"), h)).otherwise(h)
+  }
+  /** CH factorial: 1 for anything below 2 (tests 02478_factorial). */
+  def factorialCh(c: Column): Column =
+    when(c < 2, lit(1L)).otherwise(factorial(c.cast("int")).cast("bigint"))
   def unhexCh(c: Column): Column = unhex(c)
   def base64Encode(c: Column): Column = base64(c.cast("binary"))
   def base64Decode(c: Column): Column = unbase64(c).cast("string")

@@ -251,6 +251,64 @@ object ChRegistry {
     f("hostName") { case Seq() => ch.hostName() }
     f("currentDatabase") { case Seq() => ch.currentDatabase() }
 
+    // type-annotation no-ops + remaining conversions (ref
+    // src/Functions/toLowCardinality.cpp, toNullable.cpp, parseDateTime.cpp)
+    f1("toNullable")(c => c)
+    f1("toLowCardinality")(c => c)
+    f("toDateTime64") { case Seq(c, _) => C(c).cast("timestamp") }
+    f("toDecimal32") { case Seq(c, s) =>
+      C(c).cast(s"decimal(9, ${litInt(s)})") }
+    f("toDecimal64") { case Seq(c, s) =>
+      C(c).cast(s"decimal(18, ${litInt(s)})") }
+    f("toDecimal128") { case Seq(c, s) =>
+      C(c).cast(s"decimal(38, ${litInt(s)})") }
+    f1("parseDateTimeBestEffort")(c => c.cast("timestamp"))
+    f1("parseDateTimeBestEffortOrNull")(c => try_to_timestamp(c))
+    // factorial: build the Catalyst node directly — calling
+    // functions.factorial inside a builder registered under the same name
+    // self-recurses through the resolver (see the rand note below)
+    f("factorial") { case Seq(c) =>
+      val col = C(c)
+      when(col < 2, lit(1L)).otherwise(
+        C(org.apache.spark.sql.catalyst.expressions.Factorial(
+          E(col.cast("int")))).cast("bigint")) }
+    f1("hex")(ch.hexCh)
+    f1("unhex")(c => ch.unhexCh(c).cast("string"))
+    f("replaceRegexpOne") { case Seq(c, a, b) =>
+      ch.replaceRegexpOne(C(c), litStr(a), litStr(b)) }
+
+    // aggregate-function CH names + -If combinators (ref
+    // registerAggregateFunctions.cpp; combinators
+    // AggregateFunctionCombinatorIf.cpp) — the builders return Spark
+    // aggregate expressions, which the analyzer accepts anywhere a
+    // built-in aggregate call is legal
+    f1("countIf")(c => count(when(c, lit(1))))
+    f2("sumIf")((v, c) => sum(when(c, v)))
+    f2("avgIf")((v, c) => avg(when(c, v)))
+    f2("minIf")((v, c) => min(when(c, v)))
+    f2("maxIf")((v, c) => max(when(c, v)))
+    f1("groupArray")(collect_list)
+    f1("groupUniqArray")(c => array_sort(collect_set(c)))
+    f2("argMin")((a, v) => min_by(a, v))
+    f2("argMax")((a, v) => max_by(a, v))
+    f1("anyLast")(c => last(c, ignoreNulls = true))
+    f1("median")(c => percentile_approx(c, lit(0.5), lit(1000000)))
+
+    // arrayJoin: CH's row-exploding function (ref
+    // src/Functions/array/arrayJoin.cpp) = Spark's explode generator
+    f1("arrayJoin")(explode)
+
+    // dictionaries (ref FunctionsExternalDictionaries.h): dictionaries
+    // registered via Dictionaries.createDictionary resolve as map-literal
+    // probes — CH's RAM-resident dictionary model
+    f("dictGet") { case Seq(d, a, k) =>
+      graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k)) }
+    f("dictGetOrDefault") { case Seq(d, a, k, dv) =>
+      graft.operators.Dictionaries.sqlDictGetOrDefault(
+        litStr(d), litStr(a), C(k), C(dv)) }
+    f("dictHas") { case Seq(d, k) =>
+      graft.operators.Dictionaries.sqlDictHas(litStr(d), C(k)) }
+
     // text-analysis extras (ref FunctionsLanguageClassification.cpp)
     f1("detectLanguage")(TextAnalysis.languageId)
     f1("tokens")(ch.splitByWhitespace)

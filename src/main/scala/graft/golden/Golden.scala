@@ -1,0 +1,126 @@
+package graft.golden
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Golden-test harness: run reference `.sql` files through the ChSql
+  * dialect shim and diff CH-style TSV output against the paired
+  * `.reference` file — the reference's own test strategy
+  * (`/root/reference/tests/queries/0_stateless/`, SURVEY §5).
+  */
+object Golden {
+
+  /** CH TabSeparated formatting of one value (top level). */
+  def fmt(v: Any): String = v match {
+    case null => "\\N"
+    case s: String => escapeTsv(s)
+    case b: Boolean => if (b) "1" else "0"
+    case d: java.lang.Double => chDouble(d)
+    case f: java.lang.Float => chDouble(f.toDouble)
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case b: Array[Byte] => escapeTsv(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Timestamp => t.toString.takeWhile(_ != '.')
+    case a: scala.collection.Seq[_] =>
+      a.map(fmtNested).mkString("[", ",", "]")
+    case r: Row => r.toSeq.map(fmtNested).mkString("(", ",", ")")
+    case other => other.toString
+  }
+
+  /** Nested (inside arrays/tuples) formatting: strings get quoted. */
+  private def fmtNested(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case other => fmt(other)
+  }
+
+  private def escapeTsv(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+      .replace("\r", "\\r")
+
+  /** CH float formatting: shortest round-trip digits, plain decimal for
+    * moderate exponents, `e` notation beyond — matches the reference's
+    * output for the integer-valued and short-fraction cases the curated
+    * tests exercise. */
+  def chDouble(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isPosInfinity) return "inf"
+    if (d.isNegInfinity) return "-inf"
+    if (d == 0.0) return if (1 / d < 0) "-0" else "0"
+    val neg = d < 0
+    val repr = java.lang.Double.toString(math.abs(d))
+    val (mantStr, e10) = repr.split("E") match {
+      case Array(m) => (m, 0)
+      case Array(m, e) => (m, e.toInt)
+    }
+    val dot = mantStr.indexOf('.')
+    val digits0 = mantStr.replace(".", "")
+    val digits = digits0.reverse.dropWhile(_ == '0').reverse match {
+      case "" => "0"
+      case x => x
+    }
+    // exponent of the first digit (value = 0.digits * 10^(exp))
+    val exp = e10 + dot
+    val sb = new StringBuilder(if (neg) "-" else "")
+    if (exp > 15 || exp < -4) {
+      // 1 digit, then fraction, then e±exp (CH style: 1.5e16)
+      sb.append(digits.head)
+      if (digits.length > 1) sb.append('.').append(digits.tail)
+      sb.append('e').append(if (exp - 1 >= 0) "" else "").append(exp - 1)
+    } else if (exp >= digits.length) {
+      sb.append(digits).append("0" * (exp - digits.length))
+    } else if (exp > 0) {
+      sb.append(digits.take(exp)).append('.').append(digits.drop(exp))
+    } else {
+      sb.append("0.").append("0" * -exp).append(digits)
+    }
+    sb.toString
+  }
+
+  def formatDf(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(r => r.toSeq.map(fmt).mkString("\t"))
+
+  /** Split a .sql file into statements: strips `--` comments, splits on
+    * `;` outside single-quoted strings. */
+  def splitStatements(text: String): Seq[String] = {
+    val noComments = text.linesIterator
+      .map { line =>
+        var i = 0; var inStr = false; var cut = -1
+        while (cut < 0 && i < line.length - 1) {
+          val c = line.charAt(i)
+          if (c == '\'') inStr = !inStr
+          else if (!inStr && c == '-' && line.charAt(i + 1) == '-') cut = i
+          i += 1
+        }
+        if (cut >= 0) line.substring(0, cut) else line
+      }
+      .mkString("\n")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < noComments.length) {
+      val c = noComments.charAt(i)
+      if (c == '\'' &&
+        (i == 0 || noComments.charAt(i - 1) != '\\')) inStr = !inStr
+      if (c == ';' && !inStr) { out += sb.toString; sb.clear() }
+      else sb.append(c)
+      i += 1
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Run one golden file; returns (actual, expected) output lines. */
+  def runFile(spark: SparkSession, sqlPath: String,
+      sfDir: String): (Seq[String], Seq[String]) = {
+    val text = Files.readString(Paths.get(sqlPath))
+    val refPath = sqlPath.stripSuffix(".sql") + ".reference"
+    val expected = Files.readString(Paths.get(refPath))
+      .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
+    val actual = splitStatements(text).flatMap { stmt =>
+      formatDf(graft.ChSql.sql(spark, stmt, sfDir))
+    }
+    (actual, expected)
+  }
+}

@@ -16,6 +16,51 @@ import org.apache.spark.sql.functions._
   */
 object Dictionaries {
 
+  /** Named dictionaries for SQL-callable dictGet('name','attr',key)
+    * (ref FunctionsExternalDictionaries.h). CH keeps dictionaries
+    * RAM-resident on every node; the analog here is a collected map baked
+    * into the expression tree as a literal — same broadcast-size
+    * constraint, pure Catalyst (map literal + element_at), no UDF. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Column]]()
+
+  /** Register `dict` under `name`: collects one key→value map literal per
+    * attribute column. Call once per session per dictionary. */
+  def createDictionary(name: String, dict: DataFrame, keyCol: String): Unit = {
+    val attrs = dict.columns.filter(_ != keyCol)
+    val rows = dict.select(keyCol, attrs: _*).collect()
+    val maps = attrs.zipWithIndex.map { case (a, i) =>
+      val pairs = rows.iterator.flatMap { r =>
+        if (r.isNullAt(i + 1)) Iterator.empty
+        else Iterator(lit(r.get(0)), lit(r.get(i + 1)))
+      }.toSeq
+      a -> map(pairs: _*)
+    }.toMap
+    registry.put(name, maps)
+  }
+
+  /** dictGet('name', 'attr', key) as a Column (null when absent). */
+  def sqlDictGet(name: String, attr: String, key: Column): Column = {
+    val dict = registry.get(name)
+    require(dict != null, s"unknown dictionary '$name'; call createDictionary")
+    val m = dict.getOrElse(attr,
+      throw new IllegalArgumentException(s"dictionary '$name' has no attribute '$attr'"))
+    element_at(m, key)
+  }
+
+  /** dictGetOrDefault('name', 'attr', key, default). */
+  def sqlDictGetOrDefault(name: String, attr: String, key: Column,
+      default: Column): Column =
+    coalesce(sqlDictGet(name, attr, key), default)
+
+  /** dictHas('name', key): true when any attribute map contains the key. */
+  def sqlDictHas(name: String, key: Column): Column = {
+    val dict = registry.get(name)
+    require(dict != null, s"unknown dictionary '$name'; call createDictionary")
+    dict.values.map(m => map_contains_key(m, key))
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
   /** dictGet(dict, value, key): left-joins the broadcast dictionary and
     * appends `asCol` (default-filled). One call per attribute, matching
     * CH's dictGet('d', 'attr', key). */

@@ -83,6 +83,50 @@ object CombinatorQueries {
         |       last(event_type ORDER BY ts, event_id)  AS last_event
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // -OrDefault / -OrNull combinators (ref AggregateFunctionOrFill.h):
+    // sum over an empty selection yields the fill value, not NULL/0-row
+    Q.df("q_agg_or_default",
+      """SELECT CAST(coalesce(sum(CASE WHEN l_quantity > 1000 THEN l_quantity END), 0)
+        |            AS BIGINT) AS sum_or_default,
+        |       CAST(CASE WHEN count(CASE WHEN l_quantity > 1000 THEN 1 END) = 0
+        |                 THEN NULL
+        |                 ELSE count(CASE WHEN l_quantity > 1000 THEN 1 END)
+        |            END AS BIGINT) AS count_or_null,
+        |       round(coalesce(avg(CASE WHEN l_quantity > 30 THEN l_quantity END),
+        |                      -1.0), 4) AS avg_populated
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import graft.functions.Combinators
+      val li = Tables.load(s, dir, "lineitem")
+      val over1000 = col("l_quantity") > 1000
+      li.agg(
+        Combinators.orDefault(sum(when(over1000, col("l_quantity"))), lit(0))
+          .cast("bigint").as("sum_or_default"),
+        Combinators.countOrNull(over1000).cast("bigint").as("count_or_null"),
+        round(Combinators.orDefault(
+          avg(when(col("l_quantity") > 30, col("l_quantity"))), lit(-1.0)), 4)
+          .as("avg_populated"))
+    },
+
+    // -Resample combinator (ref AggregateFunctionResample.h):
+    // sumResample(0, 50, 10)(l_extendedprice, l_quantity) — one aggregate
+    // per quantity bucket in a single aggregation pass; array projected to
+    // a joined string for the driver comparator
+    Q.df("q_agg_resample",
+      """SELECT concat_ws(',',
+        |  CAST(round(sum(CASE WHEN l_quantity >= 0  AND l_quantity < 10 THEN l_extendedprice END), 2) AS DECIMAL(18,2)),
+        |  CAST(round(sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN l_extendedprice END), 2) AS DECIMAL(18,2)),
+        |  CAST(round(sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN l_extendedprice END), 2) AS DECIMAL(18,2)),
+        |  CAST(round(sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN l_extendedprice END), 2) AS DECIMAL(18,2)),
+        |  CAST(round(sum(CASE WHEN l_quantity >= 40 AND l_quantity < 50 THEN l_extendedprice END), 2) AS DECIMAL(18,2))
+        |  ) AS sums FROM lineitem""".stripMargin) { (s, dir) =>
+      import graft.functions.Combinators
+      val li = Tables.load(s, dir, "lineitem")
+      val arr = Combinators.resample(col("l_quantity"), 0, 50, 10)(c =>
+        round(sum(when(c, col("l_extendedprice"))), 2)
+          .cast("decimal(18,2)").cast("string"))
+      li.agg(array_join(arr, ",").as("sums"))
+    },
+
     // quantileTDigest/percentile_approx (ref QuantileTDigest.h:52) —
     // sketch internals differ engine-to-engine → rows-only; the spec
     // asserts relative error vs exact percentile

@@ -231,7 +231,10 @@ object PipelineQueries {
           "doc_id")
         .select(col("doc_id"),
           array_join(transform(col("features"),
-            x => round(x.cast("double"), 6).cast("decimal(10,6)").cast("string")),
+            // decimal(16,6), not (10,6): the stub keeps features in [0,1],
+            // but a real decoder could emit values >= 10^4, which (10,6)
+            // would NULL out on overflow and array_join would then drop
+            x => round(x.cast("double"), 6).cast("decimal(16,6)").cast("string")),
             ",").as("features"))
         .orderBy("doc_id")
     }

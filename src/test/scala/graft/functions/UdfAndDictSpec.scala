@@ -61,6 +61,28 @@ class UdfAndDictSpec extends SparkSpec {
       (1L, 25L, None), (2L, 50L, Some("w0"))))
   }
 
+  test("dictGet/dictHas are SQL-callable through ChSql after createDictionary") {
+    val nation = Tables.load(spark, SparkSpec.tiny, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Dictionaries.createDictionary("nations", nation, "n_nationkey")
+    val r = graft.ChSql.sql(spark,
+      """SELECT dictGet('nations', 'n_name', 0) AS name0,
+        |       dictGetOrDefault('nations', 'n_name', 9999, 'none') AS dflt,
+        |       dictHas('nations', 1) AS h1,
+        |       dictHas('nations', 9999) AS h2""".stripMargin,
+      SparkSpec.tiny).collect()(0)
+    val expected = nation.filter(col("n_nationkey") === 0)
+      .select("n_name").collect()(0).getString(0)
+    assert(r.getString(0) == expected)
+    assert(r.getString(1) == "none")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    // and as a per-row probe over a fact table
+    val n = graft.ChSql.sql(spark,
+      "SELECT count(*) AS n FROM customer WHERE dictHas('nations', c_nationkey)",
+      SparkSpec.tiny).collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
   test("rangeHashed dictGet preserves duplicate fact rows") {
     val dict = Seq((1L, 0L, 10L, "v0")).toDF("k", "from", "to", "v")
     // two IDENTICAL fact rows — the old per-fact-row-window overlap
