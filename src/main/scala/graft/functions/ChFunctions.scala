@@ -380,15 +380,23 @@ object ch {
   def md5Ch(c: Column): Column = md5(c)
   def sha256Ch(c: Column): Column = sha2(c, 256)
   /** CH hex() renders whole bytes — odd-length Spark output gets a
-    * leading 0 (hex(10) = '0A', tests 01656_test_hex_mysql_dialect). */
+    * leading 0 (hex(10) = '0A', tests 01656_test_hex_mysql_dialect).
+    * Built on the Catalyst Hex node directly: Spark 4's functions.hex
+    * emits an UNRESOLVED "hex" call, which would resolve back into this
+    * builder when registered under the same name and grow the tree until
+    * the analyzer dies (same trap as rand/factorial). */
   def hexCh(c: Column): Column = {
-    val h = hex(c)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    val h = CC(org.apache.spark.sql.catalyst.expressions.Hex(EE(c)))
     when(length(h) % 2 === 1, concat(lit("0"), h)).otherwise(h)
   }
   /** CH factorial: 1 for anything below 2 (tests 02478_factorial). */
   def factorialCh(c: Column): Column =
     when(c < 2, lit(1L)).otherwise(factorial(c.cast("int")).cast("bigint"))
-  def unhexCh(c: Column): Column = unhex(c)
+  def unhexCh(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    CC(org.apache.spark.sql.catalyst.expressions.Unhex(EE(c)))
+  }
   def base64Encode(c: Column): Column = base64(c.cast("binary"))
   def base64Decode(c: Column): Column = unbase64(c).cast("string")
   def intHash64(c: Column): Column = xxhash64(c)

@@ -45,6 +45,56 @@ class StreamsSpec extends SparkSpec {
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("file-stream e2e: readStream → tumble agg → foreachBatch sink, " +
+      "late rows watermark-dropped") {
+    // Kafka-shaped pipeline with a real (non-Memory) source: files arrive
+    // while the query runs (processAllAvailable between arrivals pins the
+    // batch boundaries), the watermark advances between batches, and a
+    // row landing in an already-closed window is dropped — the driver
+    // contract of WATERMARK ... BOUNDED (ref StorageWindowView.h:70-83).
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toFile
+    val srcDir = new java.io.File(dir, "in"); srcDir.mkdirs()
+    val outPath = new java.io.File(dir, "out").getAbsolutePath
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(srcDir, name).toPath,
+        lines.mkString("\n").getBytes)
+    writeFile("batch0.json", Seq(
+      """{"ts":"2024-01-01 00:01:00","k":"a","v":1.0}""",
+      """{"ts":"2024-01-01 00:04:00","k":"a","v":2.0}""",
+      """{"ts":"2024-01-01 00:11:00","k":"a","v":5.0}"""))
+    val stream = spark.readStream
+      .schema("ts timestamp, k string, v double")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(srcDir.getAbsolutePath)
+    val agg = Streams.tumbleAggregate(stream, "ts", "10 minutes",
+      "5 minutes", Seq("k"),
+      Seq(count(lit(1)).as("n"), sum($"v").as("total")))
+    val q = agg.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath))
+      .outputMode("append")
+      .option("checkpointLocation", new java.io.File(dir, "ck").getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark-advancing arrival (01:00 → watermark 00:55 closes the
+      // 00:00 and 00:10 windows)
+      writeFile("batch1.json", Seq(
+        """{"ts":"2024-01-01 01:00:00","k":"a","v":9.0}"""))
+      q.processAllAvailable()
+      // late arrival for the closed 00:00 window — must be dropped
+      writeFile("batch2.json", Seq(
+        """{"ts":"2024-01-01 00:02:00","k":"a","v":100.0}""",
+        """{"ts":"2024-01-01 02:00:00","k":"a","v":1.0}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(outPath)
+      .select($"window_start".cast("string"), $"n", $"total")
+      .as[(String, Long, Double)].collect().toMap2
+    assert(rows("2024-01-01 00:00:00") == (2L, 3.0)) // late 100.0 absent
+    assert(rows("2024-01-01 00:10:00") == (1L, 5.0))
+  }
+
   test("hop windows assign each row to window/hop slots") {
     val df = Seq((ts("2024-01-01 00:07:00"), 1.0)).toDF("ts", "v")
     val hopped = Streams.hop(df, "ts", "5 minutes", "10 minutes")
