@@ -464,4 +464,139 @@ object ch {
   def versionCh(): Column = lit("23.3.19.32-graft")
   def hostName(): Column = lit("localhost")
   def currentDatabase(): Column = lit("default")
+
+  // ---- wave 2: binary repr, regexp groups, date parts, map algebra,
+  // array norms/AUC (ref FunctionsBinaryRepresentation.cpp,
+  // extractGroups.cpp, dateName.cpp, mapFilter.cpp, arrayNorm.cpp,
+  // arrayAUC.cpp) ----
+
+  /** CH bin(): whole bytes — pad to a multiple of 8 bits. Catalyst Bin
+    * node directly (functions.bin would resolve back into a registered
+    * "bin" and loop). */
+  def binCh(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    val b = CC(org.apache.spark.sql.catalyst.expressions.Bin(EE(c)))
+    val pad = (lit(8) - length(b) % 8) % 8
+    concat(call_function("repeat", lit("0"), pad), b)
+  }
+
+  /** unbin('00110001') → '1': 8-bit chunks to characters. */
+  def unbinCh(c: Column): Column =
+    array_join(transform(sequence(lit(1), (length(c) / 8).cast("int")),
+      i => char(conv(c.substr((i - 1) * 8 + 1, lit(8)), 2, 10))), "")
+
+  /** extractGroups(s, re): all capture groups of the FIRST match. */
+  def extractGroups(s: Column, re: String): Column = {
+    val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+    array((1 to n).map(i => regexp_extract(s, re, i)): _*)
+  }
+
+  /** countMatches(s, re): number of non-overlapping matches. */
+  def countMatches(s: Column, re: String): Column =
+    size(regexp_extract_all(s, lit(re), lit(0))).cast("bigint")
+
+  /** dateName(part, d) → the named/numbered part as a string. */
+  def dateName(part: String, d: Column): Column = part.toLowerCase match {
+    case "year" => date_format(d, "yyyy")
+    case "quarter" => quarter(d).cast("string")
+    case "month" => date_format(d, "MMMM")
+    case "week" => weekofyear(d).cast("string")
+    case "dayofyear" => dayofyear(d).cast("string")
+    case "day" | "dayofmonth" => dayofmonth(d).cast("string")
+    case "weekday" | "dayofweek" => date_format(d, "EEEE")
+    case "hour" => hour(d).cast("string")
+    case "minute" => minute(d).cast("string")
+    case "second" => second(d).cast("string")
+    case other => throw new IllegalArgumentException(s"dateName: bad part $other")
+  }
+
+  /** age(unit, a, b): COMPLETE elapsed units between a and b (b >= a),
+    * unlike dateDiff's calendar-boundary crossings. */
+  def ageCh(unit: String, a: Column, b: Column): Column = {
+    val secs = unix_timestamp(b) - unix_timestamp(a)
+    unit.toLowerCase match {
+      case "year" => floor(floor(months_between(b, a)) / 12).cast("bigint")
+      case "quarter" => floor(floor(months_between(b, a)) / 3).cast("bigint")
+      case "month" => floor(months_between(b, a)).cast("bigint")
+      case "week" => floor(datediff(b, a) / 7).cast("bigint")
+      case "day" => datediff(b, a).cast("bigint")
+      case "hour" => floor(secs / 3600).cast("bigint")
+      case "minute" => floor(secs / 60).cast("bigint")
+      case "second" => secs.cast("bigint")
+      case other => throw new IllegalArgumentException(s"age: bad unit $other")
+    }
+  }
+
+  /** ISO-8601 week number / week-based year. */
+  def toISOWeek(d: Column): Column = weekofyear(d)
+  /** ISO week-based year = calendar year of that week's Thursday
+    * (week-based 'YYYY' patterns are rejected by Spark 3+). */
+  def toISOYear(d: Column): Column =
+    year(date_add(d, lit(4) - toDayOfWeek(d)))
+
+  /** mapUpdate(a, b): b's entries override a's (ref map.cpp mapUpdate).
+    * Disjoint-keys concat, so the ANSI duplicate-map-key policy never
+    * fires. */
+  def mapUpdate(a: Column, b: Column): Column =
+    map_concat(map_filter(a, (k, _) => !map_contains_key(b, k)), b)
+
+  /** mapFilter((k,v) -> bool, m). */
+  def mapFilterCh(m: Column, f: (Column, Column) => Column): Column =
+    map_filter(m, f)
+
+  /** mapApply on values (CH's common (k,v) -> (k, f(v)) shape). */
+  def mapApplyValues(m: Column, f: (Column, Column) => Column): Column =
+    transform_values(m, f)
+
+  /** mapPopulateSeries(m): integer-keyed map densified over
+    * [min(keys), max(keys)] with 0 defaults. */
+  def mapPopulateSeries(m: Column): Column = {
+    val ks = map_keys(m)
+    val grid = sequence(array_min(ks), array_max(ks))
+    map_from_arrays(grid,
+      transform(grid, k => coalesce(try_element_at(m, k), lit(0))))
+  }
+
+  /** arrayL1Norm / arrayLinfNorm and their distances. */
+  def arrayL1Norm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + abs(x.cast("double")))
+  def arrayLinfNorm(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double"))))
+  def arrayL1Distance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+  def arrayLinfDistance(a: Column, b: Column): Column =
+    array_max(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))))
+
+  /** arrayAUC(scores, labels): area under the ROC curve via the
+    * Mann-Whitney pairwise form (ties count ½) — O(n²) over the array,
+    * fine for the per-row array sizes this function exists for. */
+  def arrayAUC(scores: Column, labels: Column): Column = {
+    val z = zip_with(scores, labels, (s, l) => struct(s.as("s"), l.as("l")))
+    val pos = filter(z, p => p.getField("l") === 1)
+    val neg = filter(z, p => p.getField("l") === 0)
+    val wins = aggregate(pos, lit(0.0), (acc, p) =>
+      acc + aggregate(neg, lit(0.0), (a2, q) =>
+        a2 + when(p.getField("s") > q.getField("s"), 1.0)
+          .when(p.getField("s") === q.getField("s"), 0.5)
+          .otherwise(0.0)))
+    wins / (size(pos) * size(neg))
+  }
+
+  // ---- JSON wave 2 (ref FunctionsJSON.cpp, FunctionSQLJSON.cpp):
+  // raw extraction via the variant type so quotes/structure survive ----
+  def jsonExtractRaw(j: Column, key: String): Column =
+    to_json(try_variant_get(parse_json(j), s"$$.$key", "variant"))
+  def jsonExtractKeys(j: Column): Column = json_object_keys(j)
+  /** JSON_VALUE: scalar at a JSONPath (unquoted), '' when absent (CH
+    * returns empty string). */
+  def jsonValue(j: Column, path: String): Column =
+    coalesce(get_json_object(j, path), lit(""))
+  /** JSON_QUERY: matched fragment(s) as a JSON array string, '' if none. */
+  def jsonQuery(j: Column, path: String): Column = {
+    val raw = to_json(try_variant_get(parse_json(j), path, "variant"))
+    when(raw.isNull, lit("")).otherwise(concat(lit("["), raw, lit("]")))
+  }
+  def jsonLength(j: Column, path: String = "$"): Column =
+    json_array_length(get_json_object(j, path))
 }

@@ -298,6 +298,31 @@ object ChRegistry {
     // src/Functions/array/arrayJoin.cpp) = Spark's explode generator
     f1("arrayJoin")(explode)
 
+    // wave 2: binary repr, regexp groups, date parts, map algebra,
+    // array norms/AUC, JSON raw (ref FunctionsBinaryRepresentation.cpp,
+    // extractGroups.cpp, dateName.cpp, mapFilter.cpp/map.cpp,
+    // arrayNorm.cpp, arrayAUC.cpp, FunctionsJSON.cpp, FunctionSQLJSON.cpp)
+    f1("bin")(ch.binCh)
+    f1("unbin")(ch.unbinCh)
+    f("extractGroups") { case Seq(s, re) => ch.extractGroups(C(s), litStr(re)) }
+    f("countMatches") { case Seq(s, re) => ch.countMatches(C(s), litStr(re)) }
+    f("dateName") { case Seq(p, d) => ch.dateName(litStr(p), C(d)) }
+    f("age") { case Seq(u, a, b) => ch.ageCh(litStr(u), C(a), C(b)) }
+    f1("toISOWeek")(ch.toISOWeek); f1("toISOYear")(ch.toISOYear)
+    f2("mapUpdate")(ch.mapUpdate)
+    f1("mapPopulateSeries")(ch.mapPopulateSeries)
+    f1("arrayL1Norm")(ch.arrayL1Norm); f1("arrayLinfNorm")(ch.arrayLinfNorm)
+    f2("arrayL1Distance")(ch.arrayL1Distance)
+    f2("arrayLinfDistance")(ch.arrayLinfDistance)
+    f2("arrayAUC")(ch.arrayAUC)
+    f("JSONExtractRaw") { case Seq(j, k) => ch.jsonExtractRaw(C(j), litStr(k)) }
+    f1("JSONExtractKeys")(ch.jsonExtractKeys)
+    f("JSON_VALUE") { case Seq(j, p) => ch.jsonValue(C(j), litStr(p)) }
+    f("JSON_QUERY") { case Seq(j, p) => ch.jsonQuery(C(j), litStr(p)) }
+    f("JSONLength") {
+      case Seq(j) => ch.jsonLength(C(j))
+      case Seq(j, p) => ch.jsonLength(C(j), litStr(p)) }
+
     // dictionaries (ref FunctionsExternalDictionaries.h): dictionaries
     // registered via Dictionaries.createDictionary resolve as map-literal
     // probes — CH's RAM-resident dictionary model

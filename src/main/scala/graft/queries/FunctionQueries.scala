@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+
 /** Scalar-function family coverage (SURVEY.md §2.8, ref `src/Functions/`
   * ~810 registered names). Each query exercises one family through the
   * Spark SQL surface with a DuckDB oracle; the ClickHouse-name → Spark
@@ -338,6 +341,37 @@ object FunctionQueries {
         |FROM (SELECT o_orderkey,
         |             {'price': o_totalprice, 'status': o_orderstatus} AS s
         |      FROM orders) t
-        |WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)
+        |WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin),
+
+    // wave-2 scalar functions (ref FunctionsBinaryRepresentation.cpp,
+    // dateName.cpp, extractGroups.cpp): byte-padded bin, named date
+    // parts, complete-unit age, ISO week/year, match counting
+    Q.df("q_fn_wave2",
+      """SELECT o_orderkey,
+        |  lpad(bin(CAST(o_custkey % 256 AS INT)),
+        |       CAST(((length(bin(CAST(o_custkey % 256 AS INT))) + 7) // 8) * 8
+        |            AS INT),
+        |       '0') AS bin_key,
+        |  monthname(o_orderdate) AS month_name,
+        |  CAST(date_diff('day', o_orderdate,
+        |                 o_orderdate + INTERVAL 40 DAY) AS BIGINT) AS age_days,
+        |  CAST(week(o_orderdate) AS INT) AS iso_week,
+        |  CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+        |  CAST(length(regexp_extract_all(o_orderpriority, '[A-Z]+'))
+        |       AS BIGINT) AS n_words
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.ch
+        Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            ch.binCh((col("o_custkey") % 256).cast("int")).as("bin_key"),
+            ch.dateName("month", col("o_orderdate")).as("month_name"),
+            ch.ageCh("day", col("o_orderdate"),
+              date_add(col("o_orderdate"), 40)).as("age_days"),
+            ch.toISOWeek(col("o_orderdate")).as("iso_week"),
+            ch.toISOYear(col("o_orderdate")).as("iso_year"),
+            ch.countMatches(col("o_orderpriority"), "[A-Z]+").as("n_words"))
+          .orderBy("o_orderkey")
+    }
   )
 }

@@ -111,6 +111,65 @@ class ChRegistrySpec extends SparkSpec {
     assert(df2.collect()(0).getLong(0) > 0)
   }
 
+  test("wave 2: bin/unbin, regexp groups, date parts, ISO week") {
+    assert(one[String]("SELECT bin(10)") == "00001010")
+    assert(one[String]("SELECT bin(256)") == "0000000100000000")
+    assert(one[String]("SELECT unbin('0011000100110010')") == "12")
+    assert(one[scala.collection.Seq[String]](
+      "SELECT extractGroups('2024-01-15', '(\\\\d+)-(\\\\d+)-(\\\\d+)')")
+      .toList == List("2024", "01", "15"))
+    assert(one[Long]("SELECT countMatches('a1b22c333', '\\\\d+')") == 3L)
+    assert(one[String]("SELECT dateName('month', DATE '2024-03-15')") == "March")
+    assert(one[String]("SELECT dateName('weekday', DATE '2024-03-15')") == "Friday")
+    assert(one[Long](
+      "SELECT age('month', DATE '2024-01-31', DATE '2024-03-01')") == 1L)
+    assert(one[Long](
+      "SELECT age('day', DATE '2024-01-01', DATE '2024-01-08')") == 7L)
+    assert(one[Int]("SELECT toISOWeek(DATE '2024-01-04')") == 1)
+    assert(one[Int]("SELECT toISOYear(DATE '2023-01-01')") == 2022) // ISO year
+  }
+
+  test("wave 2: map algebra") {
+    assert(one[Map[Int, Int]](
+      "SELECT mapUpdate(map(1, 10, 2, 20), map(2, 99, 3, 30))")
+      == Map(1 -> 10, 2 -> 99, 3 -> 30))
+    assert(one[Map[Long, Long]](
+      "SELECT mapPopulateSeries(map(1L, 1L, 4L, 4L))")
+      == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
+  }
+
+  test("wave 2: array norms and AUC") {
+    assert(one[Double]("SELECT arrayL1Norm(array(1.0, -2.0, 3.0))") == 6.0)
+    assert(one[Double]("SELECT arrayLinfNorm(array(1.0, -5.0, 3.0))") == 5.0)
+    assert(one[Double](
+      "SELECT arrayL1Distance(array(1.0, 2.0), array(3.0, 1.0))") == 3.0)
+    assert(one[Double](
+      "SELECT arrayLinfDistance(array(1.0, 2.0), array(3.0, 1.0))") == 2.0)
+    // perfect ranking → AUC 1; random tie-everything → 0.5
+    assert(one[Double](
+      "SELECT arrayAUC(array(0.9, 0.8, 0.2, 0.1), array(1, 1, 0, 0))") == 1.0)
+    assert(one[Double](
+      "SELECT arrayAUC(array(0.5, 0.5, 0.5, 0.5), array(1, 1, 0, 0))") == 0.5)
+    assert(one[Double](
+      "SELECT arrayAUC(array(0.1, 0.9), array(1, 0))") == 0.0)
+  }
+
+  test("wave 2: JSON raw/keys/JSON_VALUE/JSON_QUERY") {
+    assert(one[String](
+      """SELECT JSONExtractRaw('{"a": {"b": 1}}', 'a')""") == """{"b":1}""")
+    assert(one[String](
+      """SELECT JSONExtractRaw('{"a": "str"}', 'a')""") == "\"str\"")
+    assert(one[scala.collection.Seq[String]](
+      """SELECT JSONExtractKeys('{"x": 1, "y": 2}')""").toList == List("x", "y"))
+    assert(one[String](
+      """SELECT JSON_VALUE('{"a": {"b": "v"}}', '$.a.b')""") == "v")
+    assert(one[String](
+      """SELECT JSON_VALUE('{"a": 1}', '$.missing')""") == "")
+    assert(one[String](
+      """SELECT JSON_QUERY('{"a": 5}', '$.a')""") == "[5]")
+    assert(one[Int]("""SELECT JSONLength('[1, 2, 3]')""") == 3)
+  }
+
   test("text analysis extras") {
     assert(one[String]("SELECT detectLanguage('the cat is on the mat and it is here')") == "en")
     assert(one[Double]("SELECT ngramSearch('hello world', 'hello world')") == 1.0)
