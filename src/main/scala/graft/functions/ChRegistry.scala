@@ -262,6 +262,27 @@ object ChRegistry {
       C(c).cast(s"decimal(18, ${litInt(s)})") }
     f("toDecimal128") { case Seq(c, s) =>
       C(c).cast(s"decimal(38, ${litInt(s)})") }
+    f("toTimeZone") { case Seq(c, tz) => ch.toTimeZone(C(c), litStr(tz)) }
+    f1("toDate32")(c => c.cast("date"))
+    f1("toYYYYMMDDhhmmss")(c =>
+      date_format(c, "yyyyMMddHHmmss").cast("bigint"))
+    f1("toUInt64OrZero")(ch.toInt64OrZero)
+    f1("toUInt32OrZero")(ch.toInt64OrZero)
+    f1("toUInt8OrZero")(ch.toInt32OrZero); f1("toUInt16OrZero")(ch.toInt32OrZero)
+    f1("toUInt64OrNull")(ch.toInt64OrNull); f1("toUInt32OrNull")(ch.toInt64OrNull)
+    // arrayReduce('agg', arr): constant agg name → array fold
+    f("arrayReduce") { case Seq(n, a) =>
+      val arr = C(a)
+      litStr(n) match {
+        case "sum" => aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
+        case "min" => array_min(arr)
+        case "max" => array_max(arr)
+        case "count" => size(arr).cast("bigint")
+        case "avg" =>
+          aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double")) / size(arr)
+        case other =>
+          throw new IllegalArgumentException(s"arrayReduce: unsupported $other")
+      } }
     f1("parseDateTimeBestEffort")(c => c.cast("timestamp"))
     f1("parseDateTimeBestEffortOrNull")(c => try_to_timestamp(c))
     // factorial: build the Catalyst node directly — calling

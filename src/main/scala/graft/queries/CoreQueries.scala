@@ -320,6 +320,31 @@ object CoreQueries {
         .orderBy("o_orderkey")
     },
 
+    // GROUPS frame (ref WindowDescription.h:29-46 FrameType::GROUPS):
+    // Spark lacks the frame type; dense_rank + RANGE over the rank is an
+    // exact emulation (operators/WindowFrames). DuckDB runs native GROUPS.
+    Q.df("q_window_groups_frame",
+      """WITH d AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_suppkey
+        |                       ORDER BY l_shipdate) AS dr
+        |  FROM lineitem WHERE l_suppkey <= 5)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |             ORDER BY dr
+        |             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS g_sum
+        |FROM d ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        graft.operators.WindowFrames.withGroupsFrame(
+            graft.Tables.load(s, dir, "lineitem").filter(col("l_suppkey") <= 5),
+            partitionBy = Seq(col("l_suppkey")),
+            orderBy = Seq(col("l_shipdate")),
+            agg = sum(col("l_quantity")), out = "__g",
+            precedingGroups = 1, followingGroups = 1)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            round(col("__g"), 2).as("g_sum"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
     // RANGE frame (ref WindowDescription.h:29-46)
     Q.sql("q_window_range",
       """SELECT c_mktsegment, c_custkey, c_acctbal,
