@@ -315,6 +315,14 @@ object ChRegistry {
     f1("anyLast")(c => last(c, ignoreNulls = true))
     f1("median")(c => percentile_approx(c, lit(0.5), lit(1000000)))
 
+    // uniq sketch family (ref AggregateFunctionUniq.h,
+    // ColumnAggregateFunction.h:54): binary sketch columns with the
+    // -State/-Merge contract, backed by the DataSketches HLL built-ins
+    f1("uniq")(c => approx_count_distinct(c))
+    f1("uniqState")(UniqState.uniqState)
+    f1("uniqMerge")(UniqState.uniqMerge)
+    f1("uniqMergeState")(UniqState.uniqMergeState)
+
     // arrayJoin: CH's row-exploding function (ref
     // src/Functions/array/arrayJoin.cpp) = Spark's explode generator
     f1("arrayJoin")(explode)

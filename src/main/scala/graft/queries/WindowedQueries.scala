@@ -135,6 +135,19 @@ object WindowedQueries {
         .orderBy("event_type")
     },
 
+    // uniqState/uniqMerge: sketch COLUMNS re-aggregated across shards
+    // (ref ColumnAggregateFunction.h:54) — estimates, so rows-only;
+    // UniqStateSpec pins error bounds and the store/merge round trip
+    Q.dfOnly("q_uniq_state_merge") { (s, dir) =>
+      import graft.functions.UniqState
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), (col("user_id") % 8).as("shard"))
+        .agg(UniqState.uniqState(col("user_id")).as("st"))
+        .groupBy("event_type")
+        .agg(UniqState.uniqMerge(col("st")).as("uniq_users_merged"))
+        .orderBy("event_type")
+    },
+
     // ---- statistical-test aggregates (ref AggregateFunctionTTest.h,
     // AggregateFunctionMannWhitney.cpp, AggregateFunctionRankCorr.h,
     // AggregateFunctionSimpleLinearRegression.cpp). Oracles verify the
