@@ -369,6 +369,39 @@ object ch {
   def portCh(u: Column): Column =
     coalesce(regexp_extract(u, "://[^/]*:(\\d+)", 1).try_cast("int"), lit(0))
 
+  /** firstSignificantSubdomain (ref URL/firstSignificantSubdomain.cpp):
+    * the registrable label — the label left of the public suffix. CH uses
+    * a TLD table; this uses the standard heuristic (a short second-level
+    * label like co/com/org/net/gov/edu/ac before a 2-letter ccTLD is part
+    * of the suffix). */
+  def firstSignificantSubdomain(u: Column): Column = {
+    val labels = split(domain(u), "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, n - 1) // second-to-last label
+    when(n >= 3 &&
+        sld.isin("co", "com", "org", "net", "gov", "edu", "ac") &&
+        length(element_at(labels, n)) === 2,
+      element_at(labels, n - 2)).otherwise(
+      when(n >= 2, sld).otherwise(element_at(labels, lit(1))))
+  }
+
+  /** cutToFirstSignificantSubdomain: domain truncated to start at the
+    * first significant subdomain ('news.clickhouse.com' → 'clickhouse.com'). */
+  def cutToFirstSignificantSubdomain(u: Column): Column = {
+    val labels = split(domain(u), "\\.")
+    val n = size(labels)
+    val keep3 = n >= 3 &&
+      element_at(labels, n - 1)
+        .isin("co", "com", "org", "net", "gov", "edu", "ac") &&
+      length(element_at(labels, n)) === 2
+    when(keep3, concat_ws(".", slice(labels, n - 2, lit(3))))
+      .otherwise(when(n >= 2, concat_ws(".", slice(labels, n - 1, lit(2))))
+        .otherwise(element_at(labels, lit(1))))
+  }
+
+  def encodeURLComponent(c: Column): Column = url_encode(c)
+  def decodeURLComponent(c: Column): Column = url_decode(c)
+
   // ---- hash/encoding (ref FunctionsHashing.h; sipHash/cityHash values
   // intentionally NOT bit-compatible — documented divergence, stable
   // within this engine) ----

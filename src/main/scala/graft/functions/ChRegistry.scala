@@ -327,6 +327,21 @@ object ChRegistry {
     // src/Functions/array/arrayJoin.cpp) = Spark's explode generator
     f1("arrayJoin")(explode)
 
+    // URL family completion (ref src/Functions/URL/)
+    f1("firstSignificantSubdomain")(ch.firstSignificantSubdomain)
+    f1("cutToFirstSignificantSubdomain")(ch.cutToFirstSignificantSubdomain)
+    f1("encodeURLComponent")(ch.encodeURLComponent)
+    f1("decodeURLComponent")(ch.decodeURLComponent)
+    // pads + intervals (ref padString.cpp, FunctionsConversion.h)
+    f("leftPad") { case Seq(s, n, p) =>
+      call_function("lpad", C(s), C(n), C(p)) }
+    f("rightPad") { case Seq(s, n, p) =>
+      call_function("rpad", C(s), C(n), C(p)) }
+    f1("toIntervalSecond")(n => make_dt_interval(lit(0), lit(0), lit(0), n))
+    f1("toIntervalMinute")(n => make_dt_interval(lit(0), lit(0), n, lit(0)))
+    f1("toIntervalHour")(n => make_dt_interval(lit(0), n, lit(0), lit(0)))
+    f1("toIntervalDay")(n => make_dt_interval(n, lit(0), lit(0), lit(0)))
+
     // wave 2: binary repr, regexp groups, date parts, map algebra,
     // array norms/AUC, JSON raw (ref FunctionsBinaryRepresentation.cpp,
     // extractGroups.cpp, dateName.cpp, mapFilter.cpp/map.cpp,

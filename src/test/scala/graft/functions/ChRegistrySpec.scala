@@ -170,6 +170,28 @@ class ChRegistrySpec extends SparkSpec {
     assert(one[Int]("""SELECT JSONLength('[1, 2, 3]')""") == 3)
   }
 
+  test("URL family completion, pads, intervals") {
+    assert(one[String](
+      "SELECT firstSignificantSubdomain('https://news.clickhouse.com/path')")
+      == "clickhouse")
+    assert(one[String](
+      "SELECT firstSignificantSubdomain('https://www.example.co.uk/x')")
+      == "example")
+    assert(one[String](
+      "SELECT cutToFirstSignificantSubdomain('https://news.clickhouse.com/p')")
+      == "clickhouse.com")
+    assert(one[String](
+      "SELECT cutToFirstSignificantSubdomain('https://www.example.co.uk/x')")
+      == "example.co.uk")
+    assert(one[String]("SELECT encodeURLComponent('a b&c')") == "a+b%26c")
+    assert(one[String]("SELECT decodeURLComponent('a+b%26c')") == "a b&c")
+    assert(one[String]("SELECT leftPad('7', 3, '0')") == "007")
+    assert(one[String]("SELECT rightPad('7', 3, '.')") == "7..")
+    assert(one[java.sql.Timestamp](
+      "SELECT toDateTime('2024-01-01 00:00:00') + toIntervalHour(2)")
+      .toString.contains("02:00:00"))
+  }
+
   test("text analysis extras") {
     assert(one[String]("SELECT detectLanguage('the cat is on the mat and it is here')") == "en")
     assert(one[Double]("SELECT ngramSearch('hello world', 'hello world')") == 1.0)
