@@ -8,7 +8,7 @@ import graft.SparkSpec
   * equal the paired `.reference` file byte-for-byte. This is the
   * reference's primary test asset (SURVEY §5) re-targeted at this engine;
   * the list below is every file from the ~470 SELECT-only candidates that
-  * exercises semantics this engine reproduces exactly (98 files covering
+  * exercises semantics this engine reproduces exactly (99 files covering
   * array ops, higher-order functions, UNION ALL forms, string/regexp
   * functions, aggregation-in-subquery shapes, escape handling, hex/unhex,
   * splitBy*, factorial, IN-tuple comparisons, date arithmetic, CASE,
@@ -21,6 +21,7 @@ class GoldenSpec extends SparkSpec {
   private val base = "/root/reference/tests/queries/0_stateless"
 
   private val files = Seq(
+    "00479_date_and_datetime_to_number.sql",
     "00001_select_1.sql",
     "00008_array_join.sql",
     "00009_array_join_subquery.sql",
