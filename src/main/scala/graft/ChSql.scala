@@ -143,6 +143,15 @@ object ChSql {
     // dateDiff('day', a, b) — Spark's parser special-cases dateDiff with an
     // unquoted unit identifier, so unquote+uppercase and use timestampdiff
     s = s.replaceAll("(?i)\\bdateDiff\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
+    // zero-arg count() is valid CH (count(*) in ANSI)
+    s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // numbers(N) / numbers(offset, N) table function (ref
+    // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
+    // same lazy integer generator, column renamed to CH's `number`
+    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\((\\d+)\\s*,\\s*(\\d+)\\)",
+      "(SELECT id AS number FROM range($1, $1 + $2))")
+    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\((\\d+)\\)",
+      "(SELECT id AS number FROM range($1))")
     // CH allows trailing semicolon
     s = s.replaceAll(";\\s*$", "")
     if (s.matches("(?is).*\\bLIMIT\\s+\\d+\\s+BY\\b.*"))

@@ -26,7 +26,7 @@ object ProfGolden {
       } catch {
         case e: Throwable =>
           val m = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString
+            .replace('\n', ' ').trim
           res.println(s"ERR  $path ${clean(m)}")
       }
       res.flush()

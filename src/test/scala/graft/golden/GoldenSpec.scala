@@ -8,7 +8,7 @@ import graft.SparkSpec
   * equal the paired `.reference` file byte-for-byte. This is the
   * reference's primary test asset (SURVEY §5) re-targeted at this engine;
   * the list below is every file from the ~470 SELECT-only candidates that
-  * exercises semantics this engine reproduces exactly (99 files covering
+  * exercises semantics this engine reproduces exactly (118 files covering
   * array ops, higher-order functions, UNION ALL forms, string/regexp
   * functions, aggregation-in-subquery shapes, escape handling, hex/unhex,
   * splitBy*, factorial, IN-tuple comparisons, date arithmetic, CASE,
@@ -21,6 +21,25 @@ class GoldenSpec extends SparkSpec {
   private val base = "/root/reference/tests/queries/0_stateless"
 
   private val files = Seq(
+    "00582_not_aliasing_functions.sql",
+    "00591_columns_removal_union_all.sql",
+    "00836_numbers_table_function_zero.sql",
+    "00967_ubsan_bit_test.sql",
+    "00994_table_function_numbers_mt.sql",
+    "01051_scalar_optimization.sql",
+    "01065_array_zip_mixed_const.sql",
+    "01092_base64.sql",
+    "01116_cross_count_asterisks.sql",
+    "01248_least_greatest_mixed_const.sql",
+    "01417_update_permutation_crash.sql",
+    "02113_base64encode_trailing_bytes_1.sql",
+    "02131_remove_columns_in_subquery.sql",
+    "02265_cross_join_empty_list.sql",
+    "02353_ascii.sql",
+    "02364_window_case.sql",
+    "02467_cross_join_three_table_functions.sql",
+    "02494_analyzer_cte_resolution_in_subquery_fix.sql",
+    "02515_distinct_zero_size_key_bug_44831.sql",
     "00479_date_and_datetime_to_number.sql",
     "00001_select_1.sql",
     "00008_array_join.sql",
