@@ -183,6 +183,21 @@ object ChRegistry {
       { case Seq(l, a) => ArrayExists(a, l) }, "scala_udf")
     reg.createOrReplaceTempFunction("arrayAll",
       { case Seq(l, a) => ArrayForAll(a, l) }, "scala_udf")
+    reg.createOrReplaceTempFunction("arrayFold",
+      { case Seq(l, a, z) =>
+        org.apache.spark.sql.catalyst.expressions.ArrayAggregate(
+          a, z, l, org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+            org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("acc")),
+            Seq(org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("acc"))))) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("mapFilter",
+      { case Seq(l, m) =>
+        org.apache.spark.sql.catalyst.expressions.MapFilter(m, l) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("mapApply",
+      { case Seq(l, m) =>
+        org.apache.spark.sql.catalyst.expressions.TransformValues(m, l) },
+      "scala_udf")
     // arrayCount/arrayFirst/arrayFirstIndex compose a HOF under a scalar —
     // the analyzer only accepts lambda args when the registered builder's
     // ROOT is itself a HigherOrderFunction, so these are handled as dialect

@@ -138,6 +138,16 @@ class ChRegistrySpec extends SparkSpec {
       == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
   }
 
+  test("lambda-first arrayFold / mapFilter / mapApply") {
+    assert(one[Int](
+      "SELECT arrayFold((acc, x) -> acc + x, array(1, 2, 3), 0)") == 6)
+    assert(one[Map[Int, Int]](
+      "SELECT mapFilter((k, v) -> v > 10, map(1, 5, 2, 20))") == Map(2 -> 20))
+    assert(one[Map[Int, Int]](
+      "SELECT mapApply((k, v) -> v * 2, map(1, 5, 2, 20))")
+      == Map(1 -> 10, 2 -> 40))
+  }
+
   test("wave 2: array norms and AUC") {
     assert(one[Double]("SELECT arrayL1Norm(array(1.0, -2.0, 3.0))") == 6.0)
     assert(one[Double]("SELECT arrayLinfNorm(array(1.0, -5.0, 3.0))") == 5.0)

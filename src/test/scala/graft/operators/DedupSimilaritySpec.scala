@@ -42,6 +42,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
   }
 
+  test("minhashPairs plan: equi-joins only, no cartesian product") {
+    val docs = Tables.load(spark, SparkSpec.tiny, "documents")
+    val plan = Dedup.minhashPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join found:\n$plan")
+  }
+
   test("minhash bucket cap does not change results for normal-size buckets") {
     val docs = Tables.load(spark, SparkSpec.tiny, "documents")
     val capped = Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8,

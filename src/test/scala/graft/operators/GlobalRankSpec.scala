@@ -56,6 +56,18 @@ class GlobalRankSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("plans: offsets join is broadcast; no cartesian product anywhere") {
+    val df = randDf(200)
+    val rankPlan = GlobalRank.withRowNumber(df, Seq($"v", $"id"), "rn")
+      .queryExecution.executedPlan.toString
+    assert(rankPlan.contains("Broadcast"), s"expected broadcast:\n$rankPlan")
+    assert(!rankPlan.contains("CartesianProduct"))
+    val tiesPlan = GlobalRank.limitWithTies(df, $"v", descending = true, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(tiesPlan.contains("Broadcast"), s"expected broadcast:\n$tiesPlan")
+    assert(!tiesPlan.contains("CartesianProduct"))
+  }
+
   test("limitWithTies ascending") {
     val df = Seq(5, 1, 1, 2, 3).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
