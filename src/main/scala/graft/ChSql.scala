@@ -152,6 +152,16 @@ object ChSql {
       "(SELECT id AS number FROM range($1, $1 + $2))")
     s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\((\\d+)\\)",
       "(SELECT id AS number FROM range($1))")
+    // ARRAY JOIN clause (ref src/Interpreters/ArrayJoinAction.h): the
+    // aliased single-array form maps to LATERAL VIEW explode; LEFT ARRAY
+    // JOIN keeps empty-array rows → explode_outer. (The alias-less form
+    // shadows the source column name — not translated textually.)
+    s = s.replaceAll(
+      "(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+([\\w.]+(?:\\([^()]*\\))?)\\s+AS\\s+(\\w+)",
+      "LATERAL VIEW explode_outer($1) __aj AS $2")
+    s = s.replaceAll(
+      "(?i)\\bARRAY\\s+JOIN\\s+([\\w.]+(?:\\([^()]*\\))?)\\s+AS\\s+(\\w+)",
+      "LATERAL VIEW explode($1) __aj AS $2")
     // CH allows trailing semicolon
     s = s.replaceAll(";\\s*$", "")
     if (s.matches("(?is).*\\bLIMIT\\s+\\d+\\s+BY\\b.*"))

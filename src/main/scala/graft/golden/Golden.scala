@@ -80,10 +80,8 @@ object Golden {
   def formatDf(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => r.toSeq.map(fmt).mkString("\t"))
 
-  /** Split a .sql file into statements: strips `--` comments, splits on
-    * `;` outside single-quoted strings. */
-  def splitStatements(text: String): Seq[String] = {
-    val noComments = text.linesIterator
+  private def stripComments(text: String): String =
+    text.linesIterator
       .map { line =>
         var i = 0; var inStr = false; var cut = -1
         while (cut < 0 && i < line.length - 1) {
@@ -95,21 +93,36 @@ object Golden {
         if (cut >= 0) line.substring(0, cut) else line
       }
       .mkString("\n")
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Split a .sql file into (statement, expectsError): splits on `;`
+    * outside single-quoted strings; a statement annotated with CH's
+    * `-- { serverError N }` / `-- { clientError N }` test marker is
+    * expected to FAIL in the reference and contributes no output lines
+    * (the same contract the reference's clickhouse-test runner applies).
+    * Comments are stripped after annotation detection. */
+  def splitAnnotated(text: String): Seq[(String, Boolean)] = {
+    val raw = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
     var i = 0
-    while (i < noComments.length) {
-      val c = noComments.charAt(i)
-      if (c == '\'' &&
-        (i == 0 || noComments.charAt(i - 1) != '\\')) inStr = !inStr
-      if (c == ';' && !inStr) { out += sb.toString; sb.clear() }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' && (i == 0 || text.charAt(i - 1) != '\\')) inStr = !inStr
+      if (c == ';' && !inStr) { raw += sb.toString; sb.clear() }
       else sb.append(c)
       i += 1
     }
-    out += sb.toString
-    out.map(_.trim).filter(_.nonEmpty).toSeq
+    raw += sb.toString
+    raw.toSeq.flatMap { stmt =>
+      val expectsError =
+        stmt.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*")
+      val clean = stripComments(stmt).trim
+      if (clean.isEmpty) None else Some((clean, expectsError))
+    }
   }
+
+  def splitStatements(text: String): Seq[String] =
+    splitAnnotated(text).map(_._1)
 
   /** Run one golden file; returns (actual, expected) output lines. */
   def runFile(spark: SparkSession, sqlPath: String,
@@ -118,8 +131,9 @@ object Golden {
     val refPath = sqlPath.stripSuffix(".sql") + ".reference"
     val expected = Files.readString(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
-    val actual = splitStatements(text).flatMap { stmt =>
-      formatDf(graft.ChSql.sql(spark, stmt, sfDir))
+    val actual = splitAnnotated(text).flatMap {
+      case (_, true) => Seq.empty // expected-error statement: no output
+      case (stmt, false) => formatDf(graft.ChSql.sql(spark, stmt, sfDir))
     }
     (actual, expected)
   }
