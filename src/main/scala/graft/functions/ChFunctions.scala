@@ -275,7 +275,10 @@ object ch {
   def arraySortCh(a: Column): Column = array_sort(a)
   def arrayReverseSort(a: Column): Column = reverse(array_sort(a))
   def arrayReverse(a: Column): Column = reverse(a)
-  def arrayDistinct(a: Column): Column = array_distinct(a)
+  /** CH arrayDistinct also drops NULLs
+    * (tests/queries/0_stateless/00691_array_distinct.sql). */
+  def arrayDistinct(a: Column): Column =
+    filter(array_distinct(a), x => x.isNotNull)
   def arrayUniq(a: Column): Column = size(array_distinct(a))
   /** previous-element array: [null, a(0), …, a(n-2)] (same length as a) */
   private def shifted(a: Column): Column =
@@ -350,14 +353,20 @@ object ch {
     call_function("try_parse_json", j).isNotNull
 
   // ---- URL (ref src/Functions/URL/) ----
-  def domain(u: Column): Column = parse_url(u, lit("HOST"))
-  def pathCh(u: Column): Column = parse_url(u, lit("PATH"))
+  /** CH URL functions accept scheme-less URLs ('www.ex.com/a');
+    * parse_url needs a scheme, so default one in
+    * (tests 01199_url_functions_path_without_schema_yiurule). */
+  private def withScheme(u: Column): Column =
+    when(u.contains("://"), u).otherwise(concat(lit("http://"), u))
+  def domain(u: Column): Column = parse_url(withScheme(u), lit("HOST"))
+  def pathCh(u: Column): Column = parse_url(withScheme(u), lit("PATH"))
   def pathFull(u: Column): Column =
-    concat(parse_url(u, lit("PATH")),
-      when(parse_url(u, lit("QUERY")).isNotNull,
-        concat(lit("?"), parse_url(u, lit("QUERY")))).otherwise(lit("")))
-  def queryString(u: Column): Column = parse_url(u, lit("QUERY"))
-  def fragment(u: Column): Column = parse_url(u, lit("REF"))
+    concat(parse_url(withScheme(u), lit("PATH")),
+      when(parse_url(withScheme(u), lit("QUERY")).isNotNull,
+        concat(lit("?"), parse_url(withScheme(u), lit("QUERY"))))
+        .otherwise(lit("")))
+  def queryString(u: Column): Column = parse_url(withScheme(u), lit("QUERY"))
+  def fragment(u: Column): Column = parse_url(withScheme(u), lit("REF"))
   def protocol(u: Column): Column = parse_url(u, lit("PROTOCOL"))
   def extractURLParameter(u: Column, p: String): Column =
     parse_url(u, lit("QUERY"), lit(p))
@@ -399,8 +408,12 @@ object ch {
         .otherwise(element_at(labels, lit(1))))
   }
 
-  def encodeURLComponent(c: Column): Column = url_encode(c)
-  def decodeURLComponent(c: Column): Column = url_decode(c)
+  /** CH uses percent-encoding, not form-encoding: space is %20 (never
+    * '+'), and a literal '+' survives decoding. */
+  def encodeURLComponent(c: Column): Column =
+    regexp_replace(url_encode(c), "\\+", "%20")
+  def decodeURLComponent(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
 
   // ---- hash/encoding (ref FunctionsHashing.h; sipHash/cityHash values
   // intentionally NOT bit-compatible — documented divergence, stable

@@ -193,8 +193,9 @@ class ChRegistrySpec extends SparkSpec {
     assert(one[String](
       "SELECT cutToFirstSignificantSubdomain('https://www.example.co.uk/x')")
       == "example.co.uk")
-    assert(one[String]("SELECT encodeURLComponent('a b&c')") == "a+b%26c")
-    assert(one[String]("SELECT decodeURLComponent('a+b%26c')") == "a b&c")
+    assert(one[String]("SELECT encodeURLComponent('a b&c')") == "a%20b%26c")
+    assert(one[String]("SELECT decodeURLComponent('a%20b%26c')") == "a b&c")
+    assert(one[String]("SELECT decodeURLComponent('a+b')") == "a+b")
     assert(one[String]("SELECT leftPad('7', 3, '0')") == "007")
     assert(one[String]("SELECT rightPad('7', 3, '.')") == "7..")
     assert(one[java.sql.Timestamp](

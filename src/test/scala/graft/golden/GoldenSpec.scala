@@ -8,7 +8,7 @@ import graft.SparkSpec
   * equal the paired `.reference` file byte-for-byte. This is the
   * reference's primary test asset (SURVEY §5) re-targeted at this engine;
   * the list below is every file from the ~470 SELECT-only candidates that
-  * exercises semantics this engine reproduces exactly (122 files covering
+  * exercises semantics this engine reproduces exactly (124 files covering
   * array ops, higher-order functions, UNION ALL forms, string/regexp
   * functions, aggregation-in-subquery shapes, escape handling, hex/unhex,
   * splitBy*, factorial, IN-tuple comparisons, date arithmetic, CASE,
@@ -21,6 +21,8 @@ class GoldenSpec extends SparkSpec {
   private val base = "/root/reference/tests/queries/0_stateless"
 
   private val files = Seq(
+    "00691_array_distinct.sql",
+    "01199_url_functions_path_without_schema_yiurule.sql",
     "00012_array_join_alias_2.sql",
     "00023_agg_select_agg_subquery.sql",
     "00024_unused_array_join_in_subquery.sql",
