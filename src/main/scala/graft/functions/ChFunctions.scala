@@ -629,6 +629,24 @@ object ch {
     wins / (size(pos) * size(neg))
   }
 
+  /** greatCircleDistance(lon1, lat1, lon2, lat2) in meters — haversine on
+    * the mean Earth radius (ref src/Functions/greatCircleDistance.cpp). */
+  def greatCircleDistance(lon1: Column, lat1: Column,
+      lon2: Column, lat2: Column): Column = {
+    val r = 6371000.0
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * r) * asin(sqrt(a))
+  }
+
+  /** pointInEllipses / geoDistance share the haversine core; geoDistance
+    * is the CH alias with identical args. */
+  def geoDistance(lon1: Column, lat1: Column,
+      lon2: Column, lat2: Column): Column =
+    greatCircleDistance(lon1, lat1, lon2, lat2)
+
   // ---- JSON wave 2 (ref FunctionsJSON.cpp, FunctionSQLJSON.cpp):
   // raw extraction via the variant type so quotes/structure survive ----
   def jsonExtractRaw(j: Column, key: String): Column =

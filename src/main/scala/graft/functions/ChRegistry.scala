@@ -382,6 +382,12 @@ object ChRegistry {
       case Seq(j) => ch.jsonLength(C(j))
       case Seq(j, p) => ch.jsonLength(C(j), litStr(p)) }
 
+    // geo distances (ref greatCircleDistance.cpp) — haversine, meters
+    f("greatCircleDistance") { case Seq(a, b, c, d) =>
+      ch.greatCircleDistance(C(a), C(b), C(c), C(d)) }
+    f("geoDistance") { case Seq(a, b, c, d) =>
+      ch.geoDistance(C(a), C(b), C(c), C(d)) }
+
     // dictionaries (ref FunctionsExternalDictionaries.h): dictionaries
     // registered via Dictionaries.createDictionary resolve as map-literal
     // probes — CH's RAM-resident dictionary model

@@ -203,6 +203,17 @@ class ChRegistrySpec extends SparkSpec {
       .toString.contains("02:00:00"))
   }
 
+  test("greatCircleDistance haversine") {
+    // Paris (2.3522, 48.8566) → London (-0.1276, 51.5072) ≈ 343.5 km
+    val d = one[Double](
+      "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")
+    assert(math.abs(d - 343500) < 2000, s"got $d")
+    assert(one[Double]("SELECT geoDistance(0, 0, 0, 0)") == 0.0)
+    // one degree of latitude ≈ 111.2 km
+    val dl = one[Double]("SELECT greatCircleDistance(0, 0, 0, 1)")
+    assert(math.abs(dl - 111195) < 500, s"got $dl")
+  }
+
   test("text analysis extras") {
     assert(one[String]("SELECT detectLanguage('the cat is on the mat and it is here')") == "en")
     assert(one[Double]("SELECT ngramSearch('hello world', 'hello world')") == 1.0)
