@@ -25,7 +25,16 @@ object ChSql {
     "arrayCount" -> ((l, a) => s"size(filter($a, $l))"),
     "arrayFirst" -> ((l, a) => s"get(filter($a, $l), 0)"),
     "arrayFirstIndex" ->
-      ((l, a) => s"coalesce(array_position(transform($a, $l), true), 0L)"))
+      ((l, a) => s"coalesce(array_position(transform($a, $l), true), 0L)"),
+    "arrayFirstOrNull" -> ((l, a) => s"get(filter($a, $l), 0)"),
+    "arrayLast" ->
+      ((l, a) => s"get(filter($a, $l), size(filter($a, $l)) - 1)"),
+    "arrayLastOrNull" ->
+      ((l, a) => s"get(filter($a, $l), size(filter($a, $l)) - 1)"),
+    // last matching 1-based index, 0 when none: max over masked indices
+    "arrayLastIndex" -> ((l, a) =>
+      s"if(size($a) = 0, 0, coalesce(array_max(zip_with(transform($a, $l), " +
+        s"sequence(1, size($a)), (p, i) -> if(p, i, 0))), 0))"))
 
   private def rewriteHofs(sql: String): String = {
     var s = sql
@@ -75,6 +84,20 @@ object ChSql {
       while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
       if (j >= 0) out.charAt(j) else ' '
     }
+    // a `[` directly after one of these is an array literal, not a
+    // subscript on the keyword (`SELECT [1,2]`, `WHERE [1] = ...`)
+    val keywords = Set("select", "from", "where", "and", "or", "not", "in",
+      "by", "as", "on", "when", "then", "else", "end", "join", "all",
+      "distinct", "union", "having", "limit", "offset", "with", "between",
+      "like", "is", "if", "case", "using", "interval")
+    def trailingWord: String = {
+      var j = out.length - 1
+      while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+      val e = j
+      while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_'))
+        j -= 1
+      out.substring(j + 1, e + 1)
+    }
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) {
@@ -84,8 +107,9 @@ object ChSql {
         case '\'' => inStr = true; out.append(c)
         case '[' =>
           val prev = lastNonSpace
-          val isSubscript = prev.isLetterOrDigit || prev == '_' ||
-            prev == ')' || prev == ']'
+          val isSubscript = (prev.isLetterOrDigit || prev == '_' ||
+            prev == ')' || prev == ']') &&
+            !keywords.contains(trailingWord.toLowerCase)
           if (isSubscript) {
             // wrap the base expression: identifier chain or balanced parens
             var j = out.length - 1
@@ -128,8 +152,41 @@ object ChSql {
     out.toString
   }
 
+  /** CH 1-based tuple element access `t.1` → `t.col1` (Spark names
+    * unnamed struct fields col1..colN, so the index maps directly).
+    * Only fires when the token before the dot is an identifier or a
+    * closing paren/bracket — `0.5` stays a decimal literal. */
+  private[graft] def rewriteTupleAccess(sql: String): String = {
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'' && sql.charAt(i - 1) != '\\') inStr = false
+      } else if (c == '\'') { inStr = true; out.append(c) }
+      else if (c == '.' && i + 1 < sql.length && sql.charAt(i + 1).isDigit &&
+          out.nonEmpty) {
+        // token before the dot: identifier not starting with a digit, or )/]
+        var j = out.length - 1
+        val prev = out.charAt(j)
+        val isAccess =
+          if (prev == ')' || prev == ']') true
+          else if (prev.isLetterOrDigit || prev == '_') {
+            while (j >= 0 && (out.charAt(j).isLetterOrDigit ||
+              out.charAt(j) == '_')) j -= 1
+            !out.charAt(j + 1).isDigit
+          } else false
+        if (isAccess) out.append(".col") else out.append(c)
+      } else out.append(c)
+      i += 1
+    }
+    out.toString
+  }
+
   def translate(chSql: String): String = {
-    var s = rewriteHofs(rewriteBrackets(chSql))
+    var s = rewriteHofs(rewriteBrackets(rewriteTupleAccess(chSql)))
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
     // PREWHERE behaves as WHERE once pushdown applies
@@ -138,6 +195,14 @@ object ChSql {
     s = s.replaceAll("(?i)\\bFINAL\\b", "")
     // GLOBAL IN / GLOBAL NOT IN
     s = s.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", "$1IN")
+    // join strictness modifiers (ref src/Parsers/ASTTablesInSelectQuery.h):
+    // ALL is CH's default (= ANSI); ANY keeps the first match per left row —
+    // identical when the right key is unique, which each pinned golden
+    // file's hash-diff verifies before we accept the translation
+    s = s.replaceAll(
+      "(?i)\\b(ALL|ANY)\\s+((?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?JOIN)",
+      "$2")
+    s = s.replaceAll("(?i)\\b(ALL|ANY)\\s+JOIN\\b", "JOIN")
     // == is valid CH equality
     s = s.replaceAll("==", "=")
     // dateDiff('day', a, b) — Spark's parser special-cases dateDiff with an

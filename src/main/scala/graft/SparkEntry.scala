@@ -8,7 +8,8 @@ object SparkEntry {
 
   private lazy val allQueries: Seq[Q] =
     CoreQueries.all ++ FunctionQueries.all ++ OperatorQueries.all ++
-      PipelineQueries.all ++ WindowedQueries.all ++ CombinatorQueries.all
+      PipelineQueries.all ++ WindowedQueries.all ++ CombinatorQueries.all ++
+      Round4Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

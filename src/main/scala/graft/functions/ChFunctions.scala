@@ -44,7 +44,15 @@ object ch {
   def toMonth(c: Column): Column = month(c)
   def toDayOfMonth(c: Column): Column = dayofmonth(c)
   /** CH: Monday=1..Sunday=7 (ISO); Spark dayofweek: Sunday=1. */
-  def toDayOfWeek(c: Column): Column = ((dayofweek(c) + 5) % 7) + 1
+  // direct DayOfWeek node: the SQL name `dayofweek` is shadowed by the
+  // CH-semantics DAYOFWEEK registration, so functions.dayofweek here
+  // would double-apply the Monday=1 shift
+  def toDayOfWeek(c: Column): Column = {
+    val dow = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.DayOfWeek(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+    ((dow + 5) % 7) + 1
+  }
   def toDayOfYear(c: Column): Column = dayofyear(c)
   def toHour(c: Column): Column = hour(c)
   def toMinute(c: Column): Column = minute(c)
@@ -97,9 +105,29 @@ object ch {
   def monthName(c: Column): Column = date_format(c, "MMMM")
 
   /** formatDateTime with MySQL-style % patterns
-    * (ref src/Functions/formatDateTime.cpp). */
-  def formatDateTime(c: Column, fmt: String): Column =
-    date_format(c, mysqlToJavaFormat(fmt))
+    * (ref src/Functions/formatDateTime.cpp). %G/%g (ISO week-based year)
+    * can't ride on date_format — Spark's Java-time patterns reject the
+    * week-based 'Y' — so they're computed from toISOYear and spliced in. */
+  def formatDateTime(c: Column, fmt: String): Column = {
+    if (!fmt.contains("%G") && !fmt.contains("%g"))
+      date_format(c, mysqlToJavaFormat(fmt))
+    else {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val buf = new StringBuilder
+      def flush(): Unit =
+        if (buf.nonEmpty) { parts += date_format(c, mysqlToJavaFormat(buf.toString)); buf.clear() }
+      var i = 0
+      while (i < fmt.length) {
+        if (fmt.startsWith("%G", i)) {
+          flush(); parts += lpad(toISOYear(c).cast("string"), 4, "0"); i += 2
+        } else if (fmt.startsWith("%g", i)) {
+          flush(); parts += lpad((toISOYear(c) % 100).cast("string"), 2, "0"); i += 2
+        } else { buf.append(fmt.charAt(i)); i += 1 }
+      }
+      flush()
+      concat(parts.toSeq: _*)
+    }
+  }
   def mysqlToJavaFormat(f: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -125,8 +153,13 @@ object ch {
   def minus(a: Column, b: Column): Column = a - b
   def multiply(a: Column, b: Column): Column = a * b
   def divide(a: Column, b: Column): Column = a.cast("double") / b.cast("double")
+  // division truncated toward zero (ref DivisionUtils.h: C++ a/b for
+  // ints, float divide then static_cast for floats; 00977/01350 golden
+  // outputs pin truncation, not floor). Decimal lanes keep Long-range
+  // operands exact where a double quotient would round, and keep
+  // float operands working where a bigint pre-cast would corrupt them.
   def intDiv(a: Column, b: Column): Column =
-    floor(a.cast("double") / b.cast("double")).cast("bigint")
+    (a.cast("decimal(38,9)") / b.cast("decimal(38,9)")).cast("bigint")
   def intDivOrZero(a: Column, b: Column): Column =
     when(b === 0, lit(0L)).otherwise(intDiv(a, b))
   def modulo(a: Column, b: Column): Column = a % b
@@ -304,8 +337,10 @@ object ch {
   def arrayAvg(a: Column): Column =
     arraySumD(a) / greatest(size(a), lit(1)).cast("double")
   def arrayProduct(a: Column): Column = aggregate(a, lit(1.0), (s, x) => s * x)
+  // array_repeat, not transform(sequence(1, n)): sequence(1, 0) counts
+  // DOWN in Spark, so n=0 would yield 2 elements instead of none
   def arrayWithConstant(n: Column, v: Column): Column =
-    transform(sequence(lit(1), n), _ => v)
+    array_repeat(v, greatest(n, lit(0)).cast("int"))
   def emptyArrayInt64(): Column = array().cast("array<bigint>")
   def emptyArrayString(): Column = array().cast("array<string>")
   def arrayMap(f: Column => Column, a: Column): Column = transform(a, f)
@@ -663,4 +698,219 @@ object ch {
   }
   def jsonLength(j: Column, path: String = "$"): Column =
     json_array_length(get_json_object(j, path))
+
+  // ---- wave 3: vector math (ref src/Functions/array/arrayNorm.cpp,
+  // arrayDistance.cpp — L1/L2/L2Squared/Linf/Lp norms and distances,
+  // plus the normalize family) ----
+  def arrayL2SquaredNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  def arrayLpNorm(a: Column, p: Column): Column =
+    pow(aggregate(a, lit(0.0), (acc, x) => acc + pow(abs(x), p)), lit(1.0) / p)
+  def arrayL2SquaredDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+  def arrayLpDistance(a: Column, b: Column, p: Column): Column =
+    arrayLpNorm(zip_with(a, b, (x, y) => x - y), p)
+  def l1Normalize(a: Column): Column = {
+    val n = aggregate(a, lit(0.0), (acc, x) => acc + abs(x))
+    transform(a, x => x / n)
+  }
+  def l2Normalize(a: Column): Column = {
+    val n = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    transform(a, x => x / n)
+  }
+  def linfNormalize(a: Column): Column = {
+    val n = array_max(transform(a, abs(_)))
+    transform(a, x => x / n)
+  }
+
+  // ---- wave 3: encodings / hashes (ref FunctionsHashing.h,
+  // FunctionsCodingUUID.cpp, FunctionsCodingIP.cpp) ----
+  def sha1Ch(c: Column): Column = sha1(c)
+  def sha224Ch(c: Column): Column = sha2(c, 224)
+  def sha384Ch(c: Column): Column = sha2(c, 384)
+  def sha512Ch(c: Column): Column = sha2(c, 512)
+  def crc32Ch(c: Column): Column = crc32(c.cast("binary"))
+  /** UUIDStringToNum: canonical UUID text → 16 raw bytes. */
+  def uuidStringToNum(c: Column): Column = unhex(regexp_replace(c, "-", ""))
+  /** UUIDNumToString: 16 raw bytes → canonical dashed form. */
+  def uuidNumToString(c: Column): Column = {
+    val h = lower(hex(c))
+    concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+      substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+  }
+  /** MACNumToString: low 6 bytes of a UInt64 → AA:BB:CC:DD:EE:FF. */
+  def macNumToString(c: Column): Column =
+    upper(concat_ws(":", (5 to 0 by -1).map(i =>
+      lpad(hex(shiftright(c, i * 8).bitwiseAND(lit(255L))), 2, "0")): _*))
+  def macStringToNum(c: Column): Column =
+    conv(regexp_replace(c, "[:-]", ""), 16, 10).cast("bigint")
+  /** MACStringToOUI: first 3 octets as a number. */
+  def macStringToOui(c: Column): Column =
+    conv(substring(regexp_replace(c, "[:-]", ""), 1, 6), 16, 10).cast("bigint")
+
+  // ---- wave 3: bits (ref src/Functions/bitRotateLeft.cpp etc.;
+  // rotation is over the 64-bit width since UInt64 is our widest lane) ----
+  // (x << k) | (x >>> (64-k)); shift amounts are Columns, so the int-arg
+  // functions.shiftleft overloads don't apply — call by name instead
+  def bitRotateLeft(x: Column, n: Column): Column = {
+    val k = pmod(n.cast("int"), lit(64))
+    when(k === 0, x.cast("bigint")).otherwise(
+      call_function("shiftleft", x.cast("bigint"), k).bitwiseOR(
+        call_function("shiftrightunsigned", x.cast("bigint"), lit(64) - k)))
+  }
+  def bitRotateRight(x: Column, n: Column): Column = {
+    val k = pmod(n.cast("int"), lit(64))
+    when(k === 0, x.cast("bigint")).otherwise(
+      call_function("shiftrightunsigned", x.cast("bigint"), k).bitwiseOR(
+        call_function("shiftleft", x.cast("bigint"), lit(64) - k)))
+  }
+  def bitTestAll(x: Column, bits: Seq[Column]): Column =
+    bits.map(b => x.cast("bigint")
+        .bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)
+      .reduce(_ && _)
+  def bitTestAny(x: Column, bits: Seq[Column]): Column =
+    bits.map(b => x.cast("bigint")
+        .bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)
+      .reduce(_ || _)
+  def bitPositionsToArray(x: Column): Column =
+    filter(sequence(lit(0), lit(63)), p =>
+      call_function("shiftrightunsigned", x.cast("bigint"), p)
+        .bitwiseAND(lit(1L)) === 1L)
+
+  // ---- wave 3: sub-second date arithmetic (ref addMilliseconds.cpp) ----
+  def addMilliseconds(ts: Column, n: Column): Column =
+    ts + make_dt_interval(lit(0), lit(0), lit(0), n.cast("double") / 1000.0)
+  def addMicroseconds(ts: Column, n: Column): Column =
+    ts + make_dt_interval(lit(0), lit(0), lit(0), n.cast("double") / 1000000.0)
+  def subtractMilliseconds(ts: Column, n: Column): Column =
+    addMilliseconds(ts, -n)
+  def subtractMicroseconds(ts: Column, n: Column): Column =
+    addMicroseconds(ts, -n)
+  /** TimeDiff(a, b) = b - a in whole seconds (ref dateDiff.cpp alias). */
+  def timeDiff(a: Column, b: Column): Column =
+    unix_timestamp(b) - unix_timestamp(a)
+
+  // ---- wave 3: array enumerate / resize / last (ref
+  // arrayEnumerateUniq.cpp, arrayEnumerateDense.cpp, arrayResize.cpp) ----
+  /** arrayEnumerateUniq: per-element occurrence counter (1-based).
+    * (sequence(1, 0) counts DOWN in Spark, so empty input needs a guard.) */
+  def arrayEnumerateUniq(a: Column): Column =
+    when(size(a) === 0, array().cast("array<int>")).otherwise(
+      zip_with(a, sequence(lit(1), size(a)), (x, i) =>
+        size(filter(slice(a, lit(1), i), y => y <=> x))))
+  /** arrayEnumerateDense: first-occurrence dense index (1-based). */
+  def arrayEnumerateDense(a: Column): Column =
+    transform(a, x => array_position(array_distinct(a), x).cast("int"))
+  def arrayResize(a: Column, n: Column, fill: Column): Column = {
+    val nn = n.cast("int")
+    when(size(a) >= nn, slice(a, lit(1), nn)).otherwise(
+      concat(a, transform(sequence(lit(1), nn - size(a)), _ => fill)))
+  }
+  def arrayResizeZero(a: Column, n: Column): Column =
+    arrayResize(a, n, lit(0))
+  /** arrayCumSumNonNegative: running sum clamped at 0 on the way
+    * (ref arrayCumSumNonNegative.cpp). */
+  def arrayCumSumNonNegative(a: Column): Column =
+    reverse(aggregate(a,
+      struct(lit(0.0).as("acc"), array().cast("array<double>").as("out")),
+      (st, x) => {
+        val nxt = greatest(st.getField("acc") + x.cast("double"), lit(0.0))
+        struct(nxt.as("acc"),
+          concat(array(nxt), st.getField("out")).as("out"))
+      },
+      st => st.getField("out")))
+
+  // ---- wave 3: misc string/display (ref FunctionsVisibleWidth.cpp,
+  // bar.cpp, basename.cpp) ----
+  def basenameCh(c: Column): Column = element_at(split(c, "[\\\\/]"), -1)
+  /** bar(x, min, max, width): unicode bar chart — full blocks plus one
+    * partial eighth block, matching CH's UnicodeBar::render. */
+  def barCh(x: Column, mn: Column, mx: Column, w: Column): Column = {
+    val unit = (x - mn) / (mx - mn) * w.cast("double")
+    val clamped = greatest(least(unit, w.cast("double")), lit(0.0))
+    val full = floor(clamped).cast("int")
+    val eighths = floor((clamped - full) * 8).cast("int")
+    val partials = Seq("", "▏", "▎", "▍", "▌",
+      "▋", "▊", "▉")
+    concat(repeat(lit("█"), full),
+      element_at(array(partials.map(lit): _*), eighths + 1))
+  }
+
+  // ---- wave 3: encryption (ref FunctionsAES.h — encrypt/decrypt with
+  // openssl mode strings; Spark's aes built-ins cover ECB/CBC/GCM) ----
+  private def aesMode(mode: String): (String, String) = {
+    val m = mode.toLowerCase
+    require(m.startsWith("aes-"), s"unsupported cipher $mode")
+    val spark = m.split("-").last.toUpperCase match {
+      case "ECB" => ("ECB", "PKCS")
+      case "CBC" => ("CBC", "PKCS")
+      case "GCM" => ("GCM", "NONE")
+      case other => throw new IllegalArgumentException(
+        s"unsupported AES block mode $other")
+    }
+    spark
+  }
+  def encrypt(mode: String, plain: Column, key: Column): Column = {
+    val (m, pad) = aesMode(mode)
+    aes_encrypt(plain.cast("binary"), key.cast("binary"), lit(m), lit(pad))
+  }
+  def decrypt(mode: String, ciphertext: Column, key: Column): Column = {
+    val (m, pad) = aesMode(mode)
+    aes_decrypt(ciphertext, key.cast("binary"), lit(m), lit(pad))
+  }
+
+  // ---- wave 3b: long-tail scalars surfaced by the golden-test sweep ----
+  /** Logical xor over 2+ args (ref src/Functions/logical.cpp). */
+  def xorCh(es: Seq[Column]): Column =
+    es.map(_.cast("boolean")).reduce(_ =!= _)
+  def sigmoidCh(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
+  /** regexpQuoteMeta: escape regex metacharacters (ref
+    * src/Functions/regexpQuoteMeta.cpp). */
+  def regexpQuoteMeta(s: Column): Column =
+    regexp_replace(s, "([\\\\.$^+*?()\\[\\]{}|])", "\\\\$1")
+  /** hasSubstr(a, sub): contiguous subsequence test (ref
+    * src/Functions/array/hasSubstr.cpp). */
+  def hasSubstr(a: Column, sub: Column): Column =
+    when(size(sub) === 0, lit(true)).otherwise(
+      when(size(sub) > size(a), lit(false)).otherwise(
+        exists(sequence(lit(1), size(a) - size(sub) + 1),
+          i => slice(a, i, size(sub)) === sub)))
+  /** multiMatchAny(s, [regexps]) (ref FunctionsMultiStringSearch.h). */
+  def multiMatchAny(s: Column, pats: Column): Column =
+    exists(pats, p => regexp_like(s, p))
+  def multiSearchAnyArr(s: Column, needles: Column): Column =
+    exists(needles, n => s.contains(n))
+  def visitParamExtractUInt(j: Column, key: String): Column =
+    get_json_object(j, s"$$.$key").cast("bigint")
+  def visitParamExtractFloat(j: Column, key: String): Column =
+    get_json_object(j, s"$$.$key").cast("double")
+  def visitParamExtractBool(j: Column, key: String): Column =
+    get_json_object(j, s"$$.$key").cast("boolean")
+  def visitParamExtractRaw(j: Column, key: String): Column =
+    jsonExtractRaw(j, key)
+  /** Best-effort timestamp parsing (ref parseDateTimeBestEffort.cpp):
+    * ISO forms via the native parser, then am/pm, then CH's bare-time
+    * quirk (HH:mm:ss alone → that time on 2000-01-01). */
+  def parseBestEffort(c: Column): Column = coalesce(
+    try_to_timestamp(c),
+    try_to_timestamp(upper(c), lit("yyyy-MM-dd hh:mm:ss a")),
+    try_to_timestamp(concat(lit("2000-01-01 "), c),
+      lit("yyyy-MM-dd HH:mm:ss")))
+  def parseDateTimeBestEffortOrZero(c: Column): Column =
+    coalesce(parseBestEffort(c), lit("1970-01-01 00:00:00").cast("timestamp"))
+  /** extractURLParameters: the k=v pairs of the query string (ref
+    * src/Functions/URL/extractURLParameters.cpp). */
+  def extractURLParameters(u: Column): Column = {
+    val qs = queryString(u)
+    when(qs === "", array().cast("array<string>")).otherwise(split(qs, "&"))
+  }
+  /** sumForEach: element-wise array sum (ref
+    * AggregateFunctionForEach.h) — shorter arrays count as zero-padded.
+    * Drop-in aggregate name; per-group state is the collected list, so
+    * the scalable formulation for huge groups is explode + groupBy. */
+  def sumForEach(a: Column): Column =
+    aggregate(collect_list(a), array().cast("array<double>"),
+      (acc, x) => zip_with(acc, x, (p, q) =>
+        coalesce(p, lit(0.0)) + coalesce(q.cast("double"), lit(0.0))))
 }

@@ -134,8 +134,12 @@ object ChRegistry {
       ch.replaceRegexpAll(C(c), litStr(a), litStr(b)) }
     f("countSubstrings") { case Seq(c, n) =>
       ch.countSubstrings(C(c), litStr(n)) }
-    f("multiSearchAny") { case Seq(c, ns @ _*) =>
-      ch.multiSearchAny(C(c), ns.map(litStr)) }
+    // both CH forms: multiSearchAny(s, 'a', 'b') and
+    // multiSearchAny(s, ['a', 'b'])
+    f("multiSearchAny") {
+      case Seq(c, arr) if !arr.isInstanceOf[Literal] =>
+        ch.multiSearchAnyArr(C(c), C(arr))
+      case Seq(c, ns @ _*) => ch.multiSearchAny(C(c), ns.map(litStr)) }
     f("hasToken") { case Seq(c, t) => ch.hasToken(C(c), litStr(t)) }
     f("splitByChar") { case Seq(sep, c) => ch.splitByChar(litStr(sep), C(c)) }
     f("splitByString") { case Seq(sep, c) =>
@@ -298,8 +302,9 @@ object ChRegistry {
         case other =>
           throw new IllegalArgumentException(s"arrayReduce: unsupported $other")
       } }
-    f1("parseDateTimeBestEffort")(c => c.cast("timestamp"))
-    f1("parseDateTimeBestEffortOrNull")(c => try_to_timestamp(c))
+    f1("parseDateTimeBestEffort")(c =>
+      coalesce(ch.parseBestEffort(c), c.cast("timestamp")))
+    f1("parseDateTimeBestEffortOrNull")(ch.parseBestEffort)
     // factorial: build the Catalyst node directly — calling
     // functions.factorial inside a builder registered under the same name
     // self-recurses through the resolver (see the rand note below)
@@ -410,5 +415,181 @@ object ChRegistry {
       graft.operators.Dedup.jaccard(
         graft.operators.Dedup.charNgrams(C(a), 4),
         graft.operators.Dedup.charNgrams(C(b), 4)) }
+
+    // wave 3: vector norms/distances (ref arrayNorm.cpp, arrayDistance.cpp)
+    f1("L1Norm")(ch.arrayL1Norm); f1("LinfNorm")(ch.arrayLinfNorm)
+    f1("L2SquaredNorm")(ch.arrayL2SquaredNorm)
+    f2("LpNorm")(ch.arrayLpNorm)
+    f2("L1Distance")(ch.arrayL1Distance)
+    f2("LinfDistance")(ch.arrayLinfDistance)
+    f2("L2SquaredDistance")(ch.arrayL2SquaredDistance)
+    f3("LpDistance")(ch.arrayLpDistance)
+    f1("L1Normalize")(ch.l1Normalize); f1("L2Normalize")(ch.l2Normalize)
+    f1("LinfNormalize")(ch.linfNormalize)
+
+    // wave 3: hashes / UUID / MAC codings (ref FunctionsHashing.h,
+    // FunctionsCodingUUID.cpp)
+    // (SHA1 / CRC32 / ascii need no registration: Spark's same-named
+    // built-ins resolve case-insensitively, and re-registering a name the
+    // builder itself calls self-recurses through the resolver)
+    f1("SHA224")(ch.sha224Ch)
+    f1("SHA384")(ch.sha384Ch); f1("SHA512")(ch.sha512Ch)
+    f1("CRC32IEEE")(ch.crc32Ch)
+    f1("UUIDStringToNum")(ch.uuidStringToNum)
+    f1("UUIDNumToString")(ch.uuidNumToString)
+    f1("MACNumToString")(ch.macNumToString)
+    f1("MACStringToNum")(ch.macStringToNum)
+    f1("MACStringToOUI")(ch.macStringToOui)
+
+    // wave 3: bit rotation / tests (ref bitRotateLeft.cpp, bitTestAll.cpp)
+    f2("bitRotateLeft")(ch.bitRotateLeft)
+    f2("bitRotateRight")(ch.bitRotateRight)
+    f("bitTestAll") { case x +: bits =>
+      ch.bitTestAll(C(x), bits.map(C)) }
+    f("bitTestAny") { case x +: bits =>
+      ch.bitTestAny(C(x), bits.map(C)) }
+    f1("bitPositionsToArray")(ch.bitPositionsToArray)
+
+    // wave 3: sub-second date arithmetic + aliases (ref addMilliseconds.cpp)
+    f2("addMilliseconds")(ch.addMilliseconds)
+    f2("addMicroseconds")(ch.addMicroseconds)
+    f2("subtractMilliseconds")(ch.subtractMilliseconds)
+    f2("subtractMicroseconds")(ch.subtractMicroseconds)
+    f2("TimeDiff")(ch.timeDiff)
+    f("UTCTimestamp") { case Seq() => current_timestamp() }
+
+    // wave 3: array enumerate/resize/last (ref arrayEnumerateUniq.cpp,
+    // arrayResize.cpp)
+    f1("arrayEnumerateUniq")(ch.arrayEnumerateUniq)
+    f1("arrayEnumerateDense")(ch.arrayEnumerateDense)
+    f("arrayResize") {
+      case Seq(a, n) => ch.arrayResizeZero(C(a), C(n))
+      case Seq(a, n, fill) => ch.arrayResize(C(a), C(n), C(fill)) }
+    f1("arrayCumSumNonNegative")(ch.arrayCumSumNonNegative)
+
+    // wave 3: display/misc (ref FunctionsVisibleWidth.cpp, bar.cpp)
+    f1("basename")(ch.basenameCh)
+    f("bar") {
+      case Seq(x, mn, mx) => ch.barCh(C(x), C(mn), C(mx), lit(80))
+      case Seq(x, mn, mx, w) => ch.barCh(C(x), C(mn), C(mx), C(w)) }
+
+    // wave 3: encryption (ref FunctionsAES.h) — mode string is CH's
+    // openssl-style 'aes-128-ecb'; Spark's aes built-ins do the work
+    f("encrypt") { case Seq(m, p, k) => ch.encrypt(litStr(m), C(p), C(k)) }
+    f("decrypt") { case Seq(m, c, k) => ch.decrypt(litStr(m), C(c), C(k)) }
+    f("aes_encrypt_mysql") { case Seq(m, p, k) =>
+      ch.encrypt(litStr(m), C(p), C(k)) }
+    f("aes_decrypt_mysql") { case Seq(m, c, k) =>
+      ch.decrypt(litStr(m), C(c), C(k)) }
+
+    // wave 3: moment aggregates (ref
+    // AggregateFunctionsStatisticsSimple.h — skewPop/skewSamp/kurtPop/
+    // kurtSamp). Spark's skewness/kurtosis are population (kurtosis is
+    // excess); the Samp forms rescale by n/(n-1) on the central moment
+    // with the sample variance in the denominator.
+    f1("skewPop")(c => skewness(c))
+    f1("kurtPop")(c => kurtosis(c) + lit(3.0))
+    f1("skewSamp") { c =>
+      val n = count(c).cast("double")
+      skewness(c) * pow(var_pop(c) / var_samp(c), 1.5) * n / (n - 1) }
+    f1("kurtSamp") { c =>
+      val n = count(c).cast("double")
+      (kurtosis(c) + lit(3.0)) * pow(var_pop(c), 2) * n /
+        ((n - 1) * pow(var_samp(c), 2)) }
+
+    // wave 3: sumMap/minMap/maxMap as SQL-callable aggregates (ref
+    // AggregateFunctionSumMap.h): parallel key/value arrays in, CH's
+    // (sorted keys, per-key aggregate) tuple-of-arrays out. The per-group
+    // pair list is collected once; key fan-out happens in the finishing
+    // expression, so the shuffle carries one row per group.
+    def mapAgg(red: (Column, Column) => Column)(
+        k: Column, v: Column): Column = {
+      val pairs = flatten(collect_list(zip_with(k, v,
+        (a, b) => struct(a.as("k"), b.as("v")))))
+      val ks = array_sort(array_distinct(transform(pairs, _.getField("k"))))
+      val sums = transform(ks, key =>
+        red(filter(pairs, p => p.getField("k") === key), key))
+      struct(ks.as("keys"), sums.as("values"))
+    }
+    // CH substring semantics: a NEGATIVE size means "up to size chars
+    // before the end" (ref src/Functions/substring.cpp). Shadows the
+    // Spark builtin, so the builder uses raw Substring/Length nodes —
+    // calling functions.substring here would self-recurse through the
+    // resolver. Non-negative sizes behave exactly like the builtin.
+    {
+      import org.apache.spark.sql.catalyst.expressions.{Substring, Length}
+      def chSubstring(es: Seq[Expression]): Column = es match {
+        case Seq(s, p) =>
+          C(Substring(s, E(C(p).cast("int")), Literal(Int.MaxValue)))
+        case Seq(s, p, l) =>
+          val len = C(Length(s)).cast("int")
+          val pc = C(p).cast("int"); val lc = C(l).cast("int")
+          val start = when(pc >= 0, pc).otherwise(len + pc + 1)
+          val size0 = when(lc >= 0, lc).otherwise(len + lc - start + 1)
+          val size = greatest(size0, lit(0))
+          C(Substring(s, E(start), E(size)))
+      }
+      Seq("substring", "substr", "mid").foreach(n =>
+        reg.createOrReplaceTempFunction(n,
+          es => E(chSubstring(es)), "scala_udf"))
+    }
+
+    // wave 3b: long-tail scalars surfaced by the golden-test sweep
+    f("xor")(es => ch.xorCh(es.map(C)))
+    f1("sigmoid")(ch.sigmoidCh)
+    f1("regexpQuoteMeta")(ch.regexpQuoteMeta)
+    f2("hasSubstr")(ch.hasSubstr)
+    f2("positionCaseInsensitiveUTF8")(ch.positionCaseInsensitive)
+    f2("positionUTF8")((h, n) => call_function("position", n, h))
+    f2("multiMatchAny")(ch.multiMatchAny)
+    f("visitParamExtractUInt") { case Seq(j, k) =>
+      ch.visitParamExtractUInt(C(j), litStr(k)) }
+    f("visitParamExtractFloat") { case Seq(j, k) =>
+      ch.visitParamExtractFloat(C(j), litStr(k)) }
+    f("visitParamExtractBool") { case Seq(j, k) =>
+      ch.visitParamExtractBool(C(j), litStr(k)) }
+    f("visitParamExtractRaw") { case Seq(j, k) =>
+      ch.visitParamExtractRaw(C(j), litStr(k)) }
+    f1("parseDateTimeBestEffortOrZero")(ch.parseDateTimeBestEffortOrZero)
+    // DAYOFWEEK: CH aliases the MySQL name to toDayOfWeek (Monday=1),
+    // NOT MySQL/Spark numbering (Sunday=1) — ref dateTimeFunctions
+    // alias table. Shadows the builtin → direct DayOfWeek node
+    f1("DAYOFWEEK")(ch.toDayOfWeek)
+    f1("toFloat32OrZero")(c => coalesce(c.try_cast("float"), lit(0.0f)))
+    f1("toFloat32OrNull")(c => c.try_cast("float"))
+    f("toDecimal32OrZero") { case Seq(c, s) =>
+      coalesce(C(c).try_cast(s"decimal(9,${litInt(s)})"),
+        lit(0).cast(s"decimal(9,${litInt(s)})")) }
+    f("toDecimal32OrNull") { case Seq(c, s) =>
+      C(c).try_cast(s"decimal(9,${litInt(s)})") }
+    f("toDecimal64OrZero") { case Seq(c, s) =>
+      coalesce(C(c).try_cast(s"decimal(18,${litInt(s)})"),
+        lit(0).cast(s"decimal(18,${litInt(s)})")) }
+    f("toDecimal64OrNull") { case Seq(c, s) =>
+      C(c).try_cast(s"decimal(18,${litInt(s)})") }
+    f1("uniqExact")(c => count_distinct(c))
+    f1("uniqCombined")(c => approx_count_distinct(c))
+    f1("uniqArray")(a =>
+      size(array_distinct(flatten(collect_list(a)))).cast("bigint"))
+    f1("medianExact")(c => call_function("percentile", c, lit(0.5)))
+    f1("extractURLParameters")(ch.extractURLParameters)
+    f1("sumForEach")(ch.sumForEach)
+    f1("identity")(c => c)
+    // niche integer scalars with no loop-free Catalyst formulation — the
+    // one place a plain Scala UDF is the honest tool (scalar, O(1) state)
+    spark.udf.register("gcd", (a: Long, b: Long) =>
+      BigInt(a).gcd(BigInt(b)).toLong)
+    spark.udf.register("lcm", (a: Long, b: Long) =>
+      if (a == 0 || b == 0) 0L
+      else math.abs(a / BigInt(a).gcd(BigInt(b)).toLong * b))
+    // javaHash = java.lang.String.hashCode (ref FunctionsHashing.h)
+    spark.udf.register("javaHash", (s: String) => s.hashCode)
+
+    f2("sumMap")(mapAgg((ps, _) =>
+      aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))(_, _))
+    f2("minMap")(mapAgg((ps, _) =>
+      array_min(transform(ps, _.getField("v"))))(_, _))
+    f2("maxMap")(mapAgg((ps, _) =>
+      array_max(transform(ps, _.getField("v"))))(_, _))
   }
 }

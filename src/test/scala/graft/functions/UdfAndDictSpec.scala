@@ -13,8 +13,9 @@ class UdfAndDictSpec extends SparkSpec {
     val got = spark.sql("SELECT linear(10, 2, 1)").collect()(0).getInt(0)
     assert(got == 21)
     // params shadow columns of the same name only inside the body
+    // (dayofweek here is the CH-registered DAYOFWEEK: Monday=1..Sunday=7)
     assert(UserDefinedSqlFunctions.maybeExecute(spark,
-      "CREATE FUNCTION isWeekend AS (d) -> dayofweek(d) IN (1, 7)"))
+      "CREATE FUNCTION isWeekend AS (d) -> dayofweek(d) IN (6, 7)"))
     val n = graft.ChSql.sql(spark,
       "SELECT count(*) FROM orders WHERE isWeekend(o_orderdate)",
       SparkSpec.tiny).collect()(0).getLong(0)
