@@ -227,6 +227,12 @@ object ChSql {
     s = s.replaceAll(
       "(?i)\\bARRAY\\s+JOIN\\s+([\\w.]+(?:\\([^()]*\\))?)\\s+AS\\s+(\\w+)",
       "LATERAL VIEW explode($1) __aj AS $2")
+    // WITH TOTALS (ref TotalsHavingTransform.h): the totals row is the
+    // empty grouping set; Spark's GROUPING SETS computes both in one
+    // aggregation pass (totals row carries NULL group keys)
+    s = s.replaceAll(
+      "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b",
+      "GROUP BY GROUPING SETS (($1), ())")
     // CH allows trailing semicolon
     s = s.replaceAll(";\\s*$", "")
     if (s.matches("(?is).*\\bLIMIT\\s+\\d+\\s+BY\\b.*"))
@@ -236,6 +242,15 @@ object ChSql {
     s
   }
 
+  // ORDER BY <key> WITH FILL [FROM a TO b [STEP s]] — the integer-key
+  // form (ref src/Interpreters/FillingRow.h). The clause is a table
+  // operator (it MAKES rows), so it can't stay in the SQL string: strip
+  // it, run the base query, and apply operators/WithFill on the result.
+  private val FillRe =
+    ("(?is)\\bORDER\\s+BY\\s+(\\w+)\\s+WITH\\s+FILL" +
+      "(?:\\s+FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(\\d+))?)?" +
+      "\\s*$").r
+
   /** Run a ClickHouse-dialect query: register CH function names + fixture
     * views, translate, execute. */
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame = {
@@ -243,6 +258,25 @@ object ChSql {
     Tables.register(spark, sfDir)
     if (graft.functions.UserDefinedSqlFunctions.maybeExecute(spark, chQuery))
       spark.emptyDataFrame
-    else spark.sql(translate(chQuery))
+    else FillRe.findFirstMatchIn(chQuery.trim.stripSuffix(";")) match {
+      case Some(m) =>
+        val base = spark.sql(translate(
+          FillRe.replaceFirstIn(chQuery.trim.stripSuffix(";"),
+            s"ORDER BY ${m.group(1)}")))
+        val key = m.group(1)
+        val casted = base.withColumn(key,
+          org.apache.spark.sql.functions.col(key).cast("bigint"))
+        val (from, to) = if (m.group(2) != null)
+          (m.group(2).toLong, m.group(3).toLong)
+        else {
+          val r = casted.agg(org.apache.spark.sql.functions.min(key),
+            org.apache.spark.sql.functions.max(key)).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val step = Option(m.group(4)).map(_.toLong).getOrElse(1L)
+        graft.operators.WithFill.fillLong(spark, casted, key, from, to, step)
+          .orderBy(key)
+      case None => spark.sql(translate(chQuery))
+    }
   }
 }

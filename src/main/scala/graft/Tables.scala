@@ -29,7 +29,14 @@ object Tables {
     else df
   }
 
+  // re-registering all ten views re-reads parquet footers; skip when the
+  // same (session, dir) pair is already in place
+  private val registeredDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register all fixture tables as temp views (idempotent, lazy). */
   def register(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDirs.put(spark, dir) != dir)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

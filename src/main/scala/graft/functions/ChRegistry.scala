@@ -30,7 +30,16 @@ object ChRegistry {
       s"argument must be a constant integer, got $other")
   }
 
+  // one registration pass per session: ~370 names (plus typed-UDF encoder
+  // derivation for gcd/lcm/javaHash) is noticeable when a harness calls
+  // ChSql.sql per statement
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Column): Unit =
       reg.createOrReplaceTempFunction(name, es => E(b(es)), "scala_udf")

@@ -1,0 +1,61 @@
+package graft
+
+/** Dialect-shim translations added in round 4: WITH TOTALS → grouping
+  * sets, ORDER BY ... WITH FILL → the WithFill operator, tuple access,
+  * keyword-adjacent array literals, join strictness stripping. */
+class ChSqlSpec extends SparkSpec {
+
+  test("WITH TOTALS translates to an empty grouping set") {
+    val rows = ChSql.sql(spark,
+      """SELECT n_regionkey, count() AS c FROM nation
+        |GROUP BY n_regionkey WITH TOTALS ORDER BY n_regionkey NULLS LAST
+        |""".stripMargin, SparkSpec.tiny).collect()
+    assert(rows.length === 6) // 5 regions + totals
+    val totals = rows.last
+    assert(totals.isNullAt(0))
+    assert(totals.getLong(1) === 25L)
+  }
+
+  test("ORDER BY WITH FILL FROM/TO/STEP generates the missing rows") {
+    val rows = ChSql.sql(spark,
+      """SELECT n_regionkey * 2 AS k, count() AS c FROM nation
+        |GROUP BY k ORDER BY k WITH FILL FROM 0 TO 10 STEP 2""".stripMargin,
+      SparkSpec.tiny).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    // filled rows exist with null counts; original rows keep their counts
+    assert(rows.count(_.isNullAt(1)) === 1) // k=10 is off the data grid
+  }
+
+  test("ORDER BY WITH FILL without bounds spans min..max of the result") {
+    val rows = ChSql.sql(spark,
+      """SELECT n_regionkey * 3 AS k, count() AS c FROM nation
+        |WHERE n_regionkey IN (0, 2) GROUP BY k ORDER BY k WITH FILL""".stripMargin,
+      SparkSpec.tiny).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 6L).toSeq)
+  }
+
+  test("tuple access t.1 maps to Spark's col1 field") {
+    val r = ChSql.sql(spark,
+      "SELECT tuple(41, 'x').1 AS a, tuple(41, 'x').2 AS b",
+      SparkSpec.tiny).collect()(0)
+    assert(r.getInt(0) === 41)
+    assert(r.getString(1) === "x")
+  }
+
+  test("array literal after a keyword is not a subscript; decimals survive") {
+    val r = ChSql.sql(spark,
+      "SELECT [1, 2, 3][2] AS x, 0.5 AS d", SparkSpec.tiny).collect()(0)
+    assert(r.getInt(0) === 2)
+    // Spark parses 0.5 as DECIMAL(1,1) — the point is the dot survived
+    // the tuple-access rewrite
+    assert(r.getDecimal(1).doubleValue === 0.5)
+  }
+
+  test("ANY/ALL join strictness strips to plain joins") {
+    val n = ChSql.sql(spark,
+      """SELECT count() AS c FROM nation AS n
+        |ANY LEFT JOIN region AS r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+      SparkSpec.tiny).collect()(0).getLong(0)
+    assert(n === 25L)
+  }
+}
