@@ -36,6 +36,63 @@ object ChSql {
       s"if(size($a) = 0, 0, coalesce(array_max(zip_with(transform($a, $l), " +
         s"sequence(1, size($a)), (p, i) -> if(p, i, 0))), 0))"))
 
+  /** CH parameterized aggregates: `name(params)(args)` → `name(args,
+    * params)` (ref src/Parsers/ASTFunction.h `parameters`). The registry
+    * declares these names with the parameter(s) appended after the
+    * regular arguments. */
+  private val paramAggs = Set("quantile", "quantileExact", "quantiles",
+    "quantilesExact", "quantileTiming", "quantilesTiming",
+    "quantileTDigest", "quantileExactWeighted", "topK", "uniqUpTo",
+    "histogram")
+
+  private[graft] def rewriteParamAggs(sql: String): String = {
+    var s = sql
+    var changed = true
+    def balancedEnd(str: String, open: Int): Int = {
+      var depth = 0; var i = open; var inStr = false
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (inStr) { if (c == '\'' && str.charAt(i - 1) != '\\') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    while (changed) {
+      changed = false
+      for (name <- paramAggs if !changed) {
+        var idx = s.indexOf(name + "(")
+        while (idx >= 0 && !changed) {
+          val boundary = idx == 0 ||
+            (!Character.isLetterOrDigit(s.charAt(idx - 1)) &&
+              s.charAt(idx - 1) != '_')
+          val pEnd = if (boundary) balancedEnd(s, idx + name.length) else -1
+          if (pEnd > 0) {
+            var j = pEnd + 1
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            if (j < s.length && s.charAt(j) == '(') {
+              val aEnd = balancedEnd(s, j)
+              if (aEnd > 0) {
+                val params = s.substring(idx + name.length + 1, pEnd).trim
+                val args = s.substring(j + 1, aEnd).trim
+                s = s.substring(0, idx) +
+                  s"$name($args, $params)" + s.substring(aEnd + 1)
+                changed = true
+              }
+            }
+          }
+          if (!changed) idx = s.indexOf(name + "(", idx + 1)
+        }
+      }
+    }
+    s
+  }
+
   private def rewriteHofs(sql: String): String = {
     var s = sql
     var changed = true
@@ -152,10 +209,11 @@ object ChSql {
     out.toString
   }
 
-  /** CH 1-based tuple element access `t.1` → `t.col1` (Spark names
-    * unnamed struct fields col1..colN, so the index maps directly).
-    * Only fires when the token before the dot is an identifier or a
-    * closing paren/bracket — `0.5` stays a decimal literal. */
+  /** CH 1-based tuple element access: `t.1` → `tupleElement(t, 1)` —
+    * positional, because Spark names a parenthesized tuple's fields
+    * after its member expressions, not col1..colN. Only fires when the
+    * token before the dot is an identifier or a closing paren/bracket —
+    * `0.5` stays a decimal literal. */
   private[graft] def rewriteTupleAccess(sql: String): String = {
     val out = new StringBuilder
     var inStr = false
@@ -168,17 +226,37 @@ object ChSql {
       } else if (c == '\'') { inStr = true; out.append(c) }
       else if (c == '.' && i + 1 < sql.length && sql.charAt(i + 1).isDigit &&
           out.nonEmpty) {
-        // token before the dot: identifier not starting with a digit, or )/]
+        // token before the dot: identifier not starting with a digit, or )
         var j = out.length - 1
         val prev = out.charAt(j)
-        val isAccess =
-          if (prev == ')' || prev == ']') true
-          else if (prev.isLetterOrDigit || prev == '_') {
-            while (j >= 0 && (out.charAt(j).isLetterOrDigit ||
-              out.charAt(j) == '_')) j -= 1
-            !out.charAt(j + 1).isDigit
-          } else false
-        if (isAccess) out.append(".col") else out.append(c)
+        var baseStart = -1
+        if (prev == ')') {
+          var depth = 0; var k = j; var done = false
+          while (!done && k >= 0) {
+            out.charAt(k) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) done = true
+              case _ =>
+            }
+            if (!done) k -= 1
+          }
+          // include a preceding function name if present
+          var f = k - 1
+          while (f >= 0 && (out.charAt(f).isLetterOrDigit ||
+            out.charAt(f) == '_' || out.charAt(f) == '.')) f -= 1
+          baseStart = f + 1
+        } else if (prev.isLetterOrDigit || prev == '_') {
+          while (j >= 0 && (out.charAt(j).isLetterOrDigit ||
+            out.charAt(j) == '_')) j -= 1
+          if (!out.charAt(j + 1).isDigit) baseStart = j + 1
+        }
+        if (baseStart >= 0) {
+          var d = i + 1
+          while (d < sql.length && sql.charAt(d).isDigit) d += 1
+          out.insert(baseStart, "tupleElement(")
+          out.append(", ").append(sql.substring(i + 1, d)).append(')')
+          i = d - 1
+        } else out.append(c)
       } else out.append(c)
       i += 1
     }
@@ -186,7 +264,10 @@ object ChSql {
   }
 
   def translate(chSql: String): String = {
-    var s = rewriteHofs(rewriteBrackets(rewriteTupleAccess(chSql)))
+    // tuple access runs AFTER brackets so `t[1].1` sees the rewritten
+    // `element_at(t, 1)` and wraps it positionally
+    var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
+      rewriteParamAggs(chSql))))
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
     // PREWHERE behaves as WHERE once pushdown applies

@@ -892,11 +892,16 @@ object ch {
   /** Best-effort timestamp parsing (ref parseDateTimeBestEffort.cpp):
     * ISO forms via the native parser, then am/pm, then CH's bare-time
     * quirk (HH:mm:ss alone → that time on 2000-01-01). */
-  def parseBestEffort(c: Column): Column = coalesce(
-    try_to_timestamp(c),
-    try_to_timestamp(upper(c), lit("yyyy-MM-dd hh:mm:ss a")),
-    try_to_timestamp(concat(lit("2000-01-01 "), c),
-      lit("yyyy-MM-dd HH:mm:ss")))
+  def parseBestEffort(c: Column): Column = {
+    // bare time first: Spark's default parser would accept '01:01:01'
+    // too, but stamps it onto TODAY's date instead of CH's 2000-01-01
+    val bareTime = c.rlike("^\\s*\\d{1,2}:\\d{2}:\\d{2}\\s*$")
+    when(bareTime, try_to_timestamp(concat(lit("2000-01-01 "), trim(c)),
+        lit("yyyy-MM-dd HH:mm:ss")))
+      .otherwise(coalesce(
+        try_to_timestamp(c),
+        try_to_timestamp(upper(c), lit("yyyy-MM-dd hh:mm:ss a"))))
+  }
   def parseDateTimeBestEffortOrZero(c: Column): Column =
     coalesce(parseBestEffort(c), lit("1970-01-01 00:00:00").cast("timestamp"))
   /** extractURLParameters: the k=v pairs of the query string (ref

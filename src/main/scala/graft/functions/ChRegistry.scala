@@ -220,7 +220,7 @@ object ChRegistry {
     f1("mapKeys")(ch.mapKeys); f1("mapValues")(ch.mapValues)
     f2("mapContains")(ch.mapContains)
     f("tuple")(es => ch.tuple(es.map(C)))
-    f("tupleElement") { case Seq(t, i) => C(t).getField(s"col${litInt(i)}") }
+    f("tupleElement") { case Seq(t, i) => C(TupleElement(t, litInt(i))) }
 
     // JSON
     f("JSONExtractString") { case Seq(j, k) =>
@@ -415,7 +415,20 @@ object ChRegistry {
 
     // text-analysis extras (ref FunctionsLanguageClassification.cpp)
     f1("detectLanguage")(TextAnalysis.languageId)
-    f1("tokens")(ch.splitByWhitespace)
+    // tokens splits on NON-ALPHANUMERIC runs, not whitespace (ref
+    // src/Functions/tokens — 'a, b' → ['a','b'])
+    f1("tokens")(c =>
+      filter(split(c, "[^\\p{L}\\p{Nd}]+"), x => x =!= ""))
+    // CH aliases REGEXP_REPLACE to replaceRegexpAll, whose replacement
+    // uses \1-style backrefs; shadows Spark's builtin of the same name,
+    // so build the RegExpReplace node directly (a functions.* call here
+    // would resolve back into this registration)
+    f("REGEXP_REPLACE") { case Seq(c, re, to) =>
+      C(org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+        c, re,
+        Literal(UTF8String.fromString(
+          litStr(to).replaceAll("\\\\(\\d)", "\\$$$1")),
+          org.apache.spark.sql.types.StringType))) }
     f("ngramDistance") { case Seq(a, b) =>
       lit(1.0) - graft.operators.Dedup.jaccard(
         graft.operators.Dedup.charNgrams(C(a), 4),
@@ -513,8 +526,12 @@ object ChRegistry {
     // expression, so the shuffle carries one row per group.
     def mapAgg(red: (Column, Column) => Column)(
         k: Column, v: Column): Column = {
-      val pairs = flatten(collect_list(zip_with(k, v,
-        (a, b) => struct(a.as("k"), b.as("v")))))
+      // NULL values contribute nothing, same as the reference
+      // (01634_summap_nullable: sumMap(['a','b'],[1,NULL]) = (['a'],[1]))
+      val pairs = filter(
+        flatten(collect_list(zip_with(k, v,
+          (a, b) => struct(a.as("k"), b.as("v"))))),
+        p => p.getField("v").isNotNull)
       val ks = array_sort(array_distinct(transform(pairs, _.getField("k"))))
       val sums = transform(ks, key =>
         red(filter(pairs, p => p.getField("k") === key), key))
@@ -581,6 +598,36 @@ object ChRegistry {
     f1("uniqArray")(a =>
       size(array_distinct(flatten(collect_list(a)))).cast("bigint"))
     f1("medianExact")(c => call_function("percentile", c, lit(0.5)))
+    // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
+    // quantile(p)(x) into quantile(x, p) before these resolve (ref
+    // AggregateFunctionQuantile.h). Exact/Timing tiers share Spark's
+    // exact interpolated percentile; TDigest keeps the sketch form.
+    f2("quantile")((x, p) => call_function("percentile", x, p))
+    f2("quantileExact")((x, p) => call_function("percentile", x, p))
+    f2("quantileTiming")((x, p) => call_function("percentile", x, p))
+    f("quantiles") { case x +: ps =>
+      call_function("percentile", C(x), array(ps.map(C): _*)) }
+    f("quantilesExact") { case x +: ps =>
+      call_function("percentile", C(x), array(ps.map(C): _*)) }
+    f("quantilesTiming") { case x +: ps =>
+      call_function("percentile", C(x), array(ps.map(C): _*)) }
+    f3("quantileExactWeighted")((x, w, p) =>
+      call_function("percentile", x, p, w.cast("bigint")))
+    f("quantileTDigest") {
+      case Seq(x) => percentile_approx(C(x), lit(0.5), lit(1000))
+      case Seq(x, p) => percentile_approx(C(x), C(p), lit(1000)) }
+    // topK(x, k): most-frequent values, count-descending (ref
+    // SpaceSaving.h — exact here; the sketch only matters above memory)
+    f("topK") { case Seq(x, k) =>
+      val lst = collect_list(C(x))
+      slice(
+        transform(
+          array_sort(transform(array_distinct(lst), v =>
+            struct((lit(0L) - size(filter(lst, e => e <=> v))).as("n"),
+              v.as("v")))),
+          s => s.getField("v")),
+        lit(1), C(k).cast("int")) }
+    f2("uniqUpTo")((x, k) => least(count_distinct(x), k.cast("bigint")))
     f1("extractURLParameters")(ch.extractURLParameters)
     f1("sumForEach")(ch.sumForEach)
     f1("identity")(c => c)

@@ -124,16 +124,58 @@ object Golden {
   def splitStatements(text: String): Seq[String] =
     splitAnnotated(text).map(_._1)
 
-  /** Run one golden file; returns (actual, expected) output lines. */
+  /** Raw `;`-separated chunks (comments kept — echo mode needs them). */
+  private def splitRaw(text: String): Seq[String] = {
+    val raw = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' && (i == 0 || text.charAt(i - 1) != '\\')) inStr = !inStr
+      if (c == ';' && !inStr) { raw += sb.toString; sb.clear() }
+      else sb.append(c)
+      i += 1
+    }
+    raw += sb.toString
+    raw.toSeq
+  }
+
+  private val EchoMarker = "\\s*--\\s*\\{\\s*(echo|echoOn|echoOff)\\s*\\}\\s*".r
+
+  /** Run one golden file; returns (actual, expected) output lines.
+    * Honors the reference runner's `-- { echo }` / `{ echoOn }` /
+    * `{ echoOff }` markers: while echoing, each statement's original
+    * text (with its attached comment lines) precedes its result rows,
+    * and the on-turning marker line itself is emitted — the exact
+    * contract of clickhouse-test's echo mode. */
   def runFile(spark: SparkSession, sqlPath: String,
       sfDir: String): (Seq[String], Seq[String]) = {
     val text = Files.readString(Paths.get(sqlPath))
     val refPath = sqlPath.stripSuffix(".sql") + ".reference"
     val expected = Files.readString(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
-    val actual = splitAnnotated(text).flatMap {
-      case (_, true) => Seq.empty // expected-error statement: no output
-      case (stmt, false) => formatDf(graft.ChSql.sql(spark, stmt, sfDir))
+    var echo = false
+    val actual = splitRaw(text).flatMap { chunk =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      // peel marker/comment lines, toggling echo state in order
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      chunk.linesIterator.foreach {
+        case line @ EchoMarker(kind) =>
+          echo = kind != "echoOff"
+          if (echo) out += line.trim
+        case line => kept += line
+      }
+      val stmtText = kept.mkString("\n")
+        .dropWhile(_ == '\n').reverse.dropWhile(_ == '\n').reverse
+      val expectsError =
+        stmtText.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*")
+      val clean = stripComments(stmtText).trim
+      if (clean.nonEmpty && echo)
+        out ++= (stmtText + ";").linesIterator
+      if (clean.nonEmpty && !expectsError)
+        out ++= formatDf(graft.ChSql.sql(spark, clean, sfDir))
+      out.toSeq
     }
     (actual, expected)
   }

@@ -115,6 +115,28 @@ object Round4Queries {
           |WHERE vec_id < 50 ORDER BY vec_id""".stripMargin, dir)
     },
 
+    // CH parameterized-aggregate call syntax through the dialect shim
+    // (ref ASTFunction.h `parameters`): quantile(p)(x) and
+    // quantileExactWeighted(p)(x, w); the weighted oracle replays each
+    // row weight-many times via generate_series
+    Q.df("q_quantile_param",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |       (SELECT round(quantile_cont(l.l_extendedprice, 0.5), 2)
+        |        FROM lineitem l JOIN generate_series(1, 7) g(i)
+        |          ON g.i <= l.l_linenumber
+        |        WHERE l.l_returnflag = o.l_returnflag) AS wmed
+        |FROM lineitem o GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      ChSql.sql(s,
+        """SELECT l_returnflag,
+          |       round(quantile(0.9)(l_extendedprice), 2) AS p90,
+          |       round(quantileExactWeighted(0.5)(l_extendedprice,
+          |             l_linenumber), 2) AS wmed
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin, dir)
+    },
+
     // sumMap as a SQL-callable aggregate (ref AggregateFunctionSumMap.h):
     // the drop-in name collects the per-group pair list and fans keys out
     // in the finishing expression — the SCALABLE formulation for huge
