@@ -19,22 +19,61 @@ import graft.functions.ChRegistry
 object ChSql {
 
   /** CH composite higher-order fns (lambda under a scalar root — not
-    * registrable as temp functions): rewrite f(lambda, arr) with balanced-
-    * paren argument splitting into the Spark composition. */
-  private val hofRewrites: Map[String, (String, String) => String] = Map(
-    "arrayCount" -> ((l, a) => s"size(filter($a, $l))"),
-    "arrayFirst" -> ((l, a) => s"get(filter($a, $l), 0)"),
-    "arrayFirstIndex" ->
-      ((l, a) => s"coalesce(array_position(transform($a, $l), true), 0L)"),
-    "arrayFirstOrNull" -> ((l, a) => s"get(filter($a, $l), 0)"),
-    "arrayLast" ->
-      ((l, a) => s"get(filter($a, $l), size(filter($a, $l)) - 1)"),
-    "arrayLastOrNull" ->
-      ((l, a) => s"get(filter($a, $l), size(filter($a, $l)) - 1)"),
+    * registrable as temp functions): rewrite f(lambda, arr...) with
+    * balanced-paren argument splitting into the Spark composition. The
+    * fill/split family accepts CH's multi-array form, where the lambda
+    * takes one parameter per array and the FIRST array carries the
+    * values (ref src/Functions/array/arrayFill.cpp, arraySplit.cpp). */
+  private def predArr(l: String, as: Seq[String]): String = as match {
+    case Seq(a) => s"transform($a, $l)"
+    case Seq(a, b) => s"zip_with($a, $b, $l)"
+    case other => throw new IllegalArgumentException(
+      s"HOF with ${other.size} arrays not supported")
+  }
+  // carry the last pred-true element forward (first element always kept);
+  // lambdas may return UInt8 0/1, hence the boolean cast
+  private def fillExpr(vals: String, pred: String): String =
+    s"aggregate(zip_with($vals, $pred, (v, p) -> struct(v AS v, p AS p)), " +
+      s"slice($vals, 1, 0), (acc, s) -> concat(acc, " +
+      s"array(if(cast(s.p AS boolean) OR size(acc) = 0, s.v, " +
+      s"element_at(acc, -1)))))"
+  // group boundaries: 1, every pred-true position (+1 for the reverse
+  // form), and n+1; groups are the slices between consecutive bounds
+  private def splitExpr(vals: String, pred: String, after: Boolean): String = {
+    val shift = if (after) " + 1" else ""
+    val bounds = s"array_sort(array_distinct(concat(array(1), " +
+      s"filter(zip_with($pred, sequence(1, size($vals)), " +
+      s"(p, i) -> if(cast(p AS boolean), i$shift, -1)), x -> x > 0), " +
+      s"array(size($vals) + 1))))"
+    s"if(size($vals) = 0, slice(array($vals), 1, 0), " +
+      s"transform(zip_with(slice($bounds, 1, size($bounds) - 1), " +
+      s"slice($bounds, 2, size($bounds) - 1), " +
+      s"(s, e) -> slice($vals, s, e - s)), g -> g))"
+  }
+
+  private val hofRewrites: Map[String, (String, Seq[String]) => String] = Map(
+    "arrayCount" -> ((l, as) => s"size(filter(${as.head}, $l))"),
+    "arrayFirst" -> ((l, as) => s"get(filter(${as.head}, $l), 0)"),
+    "arrayFirstIndex" -> ((l, as) =>
+      s"coalesce(array_position(transform(${as.head}, $l), true), 0L)"),
+    "arrayFirstOrNull" -> ((l, as) => s"get(filter(${as.head}, $l), 0)"),
+    "arrayLast" -> ((l, as) =>
+      s"get(filter(${as.head}, $l), size(filter(${as.head}, $l)) - 1)"),
+    "arrayLastOrNull" -> ((l, as) =>
+      s"get(filter(${as.head}, $l), size(filter(${as.head}, $l)) - 1)"),
     // last matching 1-based index, 0 when none: max over masked indices
-    "arrayLastIndex" -> ((l, a) =>
-      s"if(size($a) = 0, 0, coalesce(array_max(zip_with(transform($a, $l), " +
-        s"sequence(1, size($a)), (p, i) -> if(p, i, 0))), 0))"))
+    "arrayLastIndex" -> ((l, as) =>
+      s"if(size(${as.head}) = 0, 0, coalesce(array_max(zip_with(" +
+        s"transform(${as.head}, $l), sequence(1, size(${as.head})), " +
+        s"(p, i) -> if(p, i, 0))), 0))"),
+    "arrayFill" -> ((l, as) => fillExpr(as.head, predArr(l, as))),
+    "arrayReverseFill" -> ((l, as) =>
+      s"reverse(${fillExpr(s"reverse(${as.head})",
+        predArr(l, as.map(a => s"reverse($a)")))})"),
+    "arraySplit" -> ((l, as) =>
+      splitExpr(as.head, predArr(l, as), after = false)),
+    "arrayReverseSplit" -> ((l, as) =>
+      splitExpr(as.head, predArr(l, as), after = true)))
 
   /** CH parameterized aggregates: `name(params)(args)` → `name(args,
     * params)` (ref src/Parsers/ASTFunction.h `parameters`). The registry
@@ -101,23 +140,35 @@ object ChSql {
       for ((name, fmt) <- hofRewrites) {
         val idx = s.indexOf(name + "(")
         if (idx >= 0 &&
-          (idx == 0 || !Character.isLetterOrDigit(s.charAt(idx - 1)))) {
+          (idx == 0 || (!Character.isLetterOrDigit(s.charAt(idx - 1)) &&
+            s.charAt(idx - 1) != '_'))) {
           val open = idx + name.length
-          var depth = 0; var i = open; var commaAt = -1
+          var depth = 0; var i = open; var inStr = false
+          val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
           var end = -1
           while (end < 0 && i < s.length) {
-            s.charAt(i) match {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\'' && s.charAt(i - 1) != '\\') inStr = false }
+            else c match {
+              case '\'' => inStr = true
               case '(' => depth += 1
               case ')' => depth -= 1; if (depth == 0) end = i
-              case ',' if depth == 1 && commaAt < 0 => commaAt = i
+              case ',' if depth == 1 => commas += i
               case _ =>
             }
             i += 1
           }
-          require(end > 0 && commaAt > 0, s"cannot parse $name(...) args")
-          val lambda = s.substring(open + 1, commaAt).trim
-          val arr = s.substring(commaAt + 1, end).trim
-          s = s.substring(0, idx) + fmt(lambda, arr) + s.substring(end + 1)
+          require(end > 0 && commas.nonEmpty, s"cannot parse $name(...) args")
+          // the lambda may itself contain depth-1 commas inside its
+          // parameter list `(x, y) ->`: the first comma AFTER the arrow
+          // (or the only comma for bare `x ->`) separates lambda from arrays
+          val arrow = s.indexOf("->", open)
+          val argCommas = commas.filter(_ > arrow).toSeq
+          val lambda = s.substring(open + 1, argCommas.head).trim
+          val arrs = (argCommas :+ end).sliding(2).map {
+            case Seq(a, b) => s.substring(a + 1, b).trim
+          }.toSeq
+          s = s.substring(0, idx) + fmt(lambda, arrs) + s.substring(end + 1)
           changed = true
         }
       }

@@ -166,6 +166,12 @@ object ChRegistry {
     f2("has")(ch.has); f2("hasAll")(ch.hasAll); f2("hasAny")(ch.hasAny)
     f2("indexOf")(ch.indexOf); f2("countEqual")(ch.countEqual)
     f1("emptyArrayInt64")(_ => ch.emptyArrayInt64())
+    for ((n, t) <- Seq("UInt8" -> "smallint", "UInt16" -> "int",
+        "UInt32" -> "bigint", "UInt64" -> "bigint", "Int8" -> "tinyint",
+        "Int16" -> "smallint", "Int32" -> "int", "Float32" -> "float",
+        "Float64" -> "double", "String" -> "string", "Date" -> "date",
+        "DateTime" -> "timestamp"))
+      f(s"emptyArray$n")(_ => array().cast(s"array<$t>"))
     f("range") {
       case Seq(n) => ch.rangeCh(C(n))
       case Seq(a, b) => sequence(C(a), C(b) - 1) }

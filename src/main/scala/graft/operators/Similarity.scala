@@ -168,6 +168,65 @@ object Similarity {
         col("rk").as("rank"))
   }
 
+  /** Scalar int8 quantization of an embedding column (the FAISS SQ8 /
+    * vector-db "scalar quantizer" layout): per-vector max-abs scale plus
+    * an int8 code array — 4× fewer bytes through every shuffle and
+    * cache than float32, which is the difference between an in-memory
+    * and a spilled ANN index at 100 TB corpus scale. Codes stay fully
+    * columnar (array<tinyint> + float), no binary blobs, so Parquet
+    * encodes them tightly and Catalyst prunes as usual. */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+      codeCol: String = "code", scaleCol: String = "scale"): DataFrame = {
+    val v = col(vecCol)
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30f))
+      .cast("float")
+    df.withColumn(scaleCol, scale)
+      .withColumn(codeCol, transform(v, x =>
+        round(x.cast("double") / col(scaleCol) * 127.0).cast("tinyint")))
+  }
+
+  /** Reconstruct approximate float vectors from int8 codes. */
+  def dequantizeInt8(code: Column, scale: Column): Column =
+    transform(code, c => c.cast("double") * scale / 127.0)
+
+  /** Cosine between two quantized vectors without materializing the
+    * dequantized arrays: integer dot product scaled once. */
+  def cosineInt8(codeA: Column, codeB: Column): Column = {
+    val di = aggregate(zip_with(codeA, codeB,
+        (x, y) => x.cast("bigint") * y.cast("bigint")),
+      lit(0L), (acc, v) => acc + v).cast("double")
+    val na = sqrt(aggregate(transform(codeA,
+        x => x.cast("bigint") * x.cast("bigint")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
+    val nb = sqrt(aggregate(transform(codeB,
+        x => x.cast("bigint") * x.cast("bigint")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
+    di / (na * nb)
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: same plan shape as
+    * bruteForceTopK (corpus scan × broadcast queries) at a quarter of
+    * the scan/broadcast bytes; scores approximate the float cosine to
+    * ~1e-2, so use it as the candidate stage and rescore the winners in
+    * float when exactness matters. */
+  def bruteForceTopKInt8(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: String, corpusId: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = quantizeInt8(queries, vecCol, "__qc", "__qs")
+      .select(col(queryId).as("query_id"), col("__qc"))
+    val c = quantizeInt8(corpus, vecCol, "__cc", "__cs")
+      .select(col(corpusId).as("neighbor_id"), col("__cc"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosineInt8(col("__qc"), col("__cc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rk").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH buckets
     * (exact verify inside the bucket). */
   def nearDupPairs(

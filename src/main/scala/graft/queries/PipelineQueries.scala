@@ -126,6 +126,15 @@ object PipelineQueries {
         "vec_id", "vec_id", "embedding", dim = 64, k = 3, nPlanes = 4)
     },
 
+    // int8 scalar-quantized ANN (FAISS-SQ8 layout): quarter the
+    // scan/shuffle bytes; recall vs float brute force in Int8AnnSpec
+    Q.dfOnly("q_ann_int8") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopKInt8(
+        emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 3)
+    },
+
     // IVF ANN (k-means coarse quantizer + nprobe cell search) — the
     // FAISS-IVF-style scale path; recall asserted vs brute force in spec
     Q.dfOnly("q_ann_ivf") { (s, dir) =>
