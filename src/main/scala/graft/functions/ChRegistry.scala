@@ -647,6 +647,57 @@ object ChRegistry {
     // javaHash = java.lang.String.hashCode (ref FunctionsHashing.h)
     spark.udf.register("javaHash", (s: String) => s.hashCode)
 
+    // wave 3c: §2.8 sweep-up
+    // shadows builtin isnan (case-insensitive) — build the node directly
+    f("isNaN") { case Seq(e) =>
+      C(org.apache.spark.sql.catalyst.expressions.IsNaN(
+        Cast(e, org.apache.spark.sql.types.DoubleType))) }
+    f("char")(es => concat(es.map(e => call_function("chr", C(e))): _*))
+    f("concatWithSeparator") { case sep +: rest =>
+      concat_ws(litStr(sep), rest.map(C): _*) }
+    // CH format('{} and {}', a, b) — positional {} placeholders
+    f("format") { case fmt +: args =>
+      call_function("format_string",
+        (lit(litStr(fmt).replace("%", "%%").replace("{}", "%s"))
+          +: args.map(C)): _*) }
+    f1("countDigits")(c =>
+      length(regexp_replace(abs(c).cast("string"), "[.\\-]", "")))
+    // murmur/int hash names: Spark's murmur3 (seed 42) — stable and
+    // well-distributed, not bit-identical to CH's seed-0 variants
+    // (same documented policy as cityHash64/sipHash64)
+    f("murmurHash3_32")(es => hash(es.map(C): _*))
+    f("murmurHash3_64")(es => xxhash64(es.map(C): _*))
+    f1("intHash32")(c => hash(c))
+    // normalizeQuery: literals → placeholders (ref normalizeQuery.cpp)
+    f1("normalizeQuery")(c =>
+      regexp_replace(regexp_replace(c,
+        "'[^']*'", "?"), "\\b\\d+\\b", "?"))
+    // base58 (bitcoin alphabet) — big-integer radix conversion, the one
+    // honest UDF tier (ref FunctionBase58Conversion.h)
+    locally {
+      val alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+      spark.udf.register("base58Encode", (s: String) => {
+        val bytes = s.getBytes("UTF-8")
+        val zeros = bytes.takeWhile(_ == 0).length
+        var n = BigInt(1, bytes)
+        val sb = new StringBuilder
+        while (n > 0) { sb.append(alpha(((n % 58).toInt))); n /= 58 }
+        "1" * zeros + sb.reverse.toString
+      })
+      spark.udf.register("base58Decode", (s: String) => {
+        val zeros = s.takeWhile(_ == '1').length
+        var n = BigInt(0)
+        s.foreach { c =>
+          val i = alpha.indexOf(c)
+          require(i >= 0, s"invalid base58 char $c")
+          n = n * 58 + i
+        }
+        val body = if (n == 0) Array.empty[Byte]
+          else n.toByteArray.dropWhile(_ == 0)
+        new String(Array.fill[Byte](zeros)(0) ++ body, "UTF-8")
+      })
+    }
+
     f2("sumMap")(mapAgg((ps, _) =>
       aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))(_, _))
     f2("minMap")(mapAgg((ps, _) =>

@@ -163,6 +163,40 @@ class Wave3Spec extends SparkSpec {
     assert(mx.getSeq[Double](1) === Seq(10.0, 2.0, 5.0))
   }
 
+  test("wave 3c: string/format/digit helpers") {
+    val r = one(
+      """SELECT isNaN(CAST('NaN' AS DOUBLE)) AS nan, isNaN(1.0d) AS notnan,
+        |       char(72, 105) AS hi,
+        |       concatWithSeparator('-', 'a', 'b', 'c') AS cws,
+        |       format('{} and {}', 'x', 'y') AS fmt,
+        |       format('100% of {}', 'z') AS pct,
+        |       countDigits(-123.45d) AS cd,
+        |       normalizeQuery(
+        |         "SELECT id FROM t WHERE x = 42 AND s = 'abc'") AS nq
+        |""".stripMargin)
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+    assert(r.getString(2) === "Hi")
+    assert(r.getString(3) === "a-b-c")
+    assert(r.getString(4) === "x and y")
+    assert(r.getString(5) === "100% of z")
+    assert(r.getInt(6) === 5)
+    assert(r.getString(7) === "SELECT id FROM t WHERE x = ? AND s = ?")
+  }
+
+  test("wave 3c: base58 round-trip and hash names") {
+    val r = one(
+      """SELECT base58Encode('Hello') AS enc,
+        |       base58Decode(base58Encode('encode me')) AS rt,
+        |       murmurHash3_32('abc') IS NOT NULL AS m32,
+        |       murmurHash3_64('abc') IS NOT NULL AS m64,
+        |       intHash32(42) IS NOT NULL AS ih""".stripMargin)
+    // 'Hello' in bitcoin-alphabet base58 (ref FunctionBase58Conversion.h)
+    assert(r.getString(0) === "9Ajdvzr")
+    assert(r.getString(1) === "encode me")
+    assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+  }
+
   test("sub-second date arithmetic and TimeDiff") {
     val r = one(
       """SELECT addMilliseconds(TIMESTAMP '2024-01-01 00:00:00', 1500) AS a,
