@@ -51,20 +51,29 @@ object ChSql {
       s"(s, e) -> slice($vals, s, e - s)), g -> g))"
   }
 
+  /** CH predicate lambdas return UInt8 — cast the body for Spark's
+    * boolean-typed HOF slots (0/nonzero truthiness, like CH). */
+  private def boolL(l: String): String = {
+    val arrow = l.indexOf("->")
+    if (arrow < 0) l
+    else s"${l.substring(0, arrow)} -> " +
+      s"cast((${l.substring(arrow + 2)}) AS boolean)"
+  }
+
   private val hofRewrites: Map[String, (String, Seq[String]) => String] = Map(
-    "arrayCount" -> ((l, as) => s"size(filter(${as.head}, $l))"),
-    "arrayFirst" -> ((l, as) => s"get(filter(${as.head}, $l), 0)"),
+    "arrayCount" -> ((l, as) => s"size(filter(${as.head}, ${boolL(l)}))"),
+    "arrayFirst" -> ((l, as) => s"get(filter(${as.head}, ${boolL(l)}), 0)"),
     "arrayFirstIndex" -> ((l, as) =>
-      s"coalesce(array_position(transform(${as.head}, $l), true), 0L)"),
-    "arrayFirstOrNull" -> ((l, as) => s"get(filter(${as.head}, $l), 0)"),
+      s"coalesce(array_position(transform(${as.head}, ${boolL(l)}), true), 0L)"),
+    "arrayFirstOrNull" -> ((l, as) => s"get(filter(${as.head}, ${boolL(l)}), 0)"),
     "arrayLast" -> ((l, as) =>
-      s"get(filter(${as.head}, $l), size(filter(${as.head}, $l)) - 1)"),
+      s"get(filter(${as.head}, ${boolL(l)}), size(filter(${as.head}, ${boolL(l)})) - 1)"),
     "arrayLastOrNull" -> ((l, as) =>
-      s"get(filter(${as.head}, $l), size(filter(${as.head}, $l)) - 1)"),
+      s"get(filter(${as.head}, ${boolL(l)}), size(filter(${as.head}, ${boolL(l)})) - 1)"),
     // last matching 1-based index, 0 when none: max over masked indices
     "arrayLastIndex" -> ((l, as) =>
       s"if(size(${as.head}) = 0, 0, coalesce(array_max(zip_with(" +
-        s"transform(${as.head}, $l), sequence(1, size(${as.head})), " +
+        s"transform(${as.head}, ${boolL(l)}), sequence(1, size(${as.head})), " +
         s"(p, i) -> if(p, i, 0))), 0))"),
     "arrayFill" -> ((l, as) => fillExpr(as.head, predArr(l, as))),
     "arrayReverseFill" -> ((l, as) =>
@@ -181,6 +190,232 @@ object ChSql {
     * 0-based for arrays; element_at matches CH's 1-based convention).
     * Char-scan with string-literal awareness; a `[` after an identifier,
     * `)`, or `]` is a subscript, otherwise a literal. */
+  /** Decode CH string-literal escapes to the literal's actual BYTES and
+    * re-emit as a Spark-safe literal. CH literals are byte strings (ref
+    * src/IO/ReadHelpers.h parseComplexEscapeSequence): \a \b \f \n \r
+    * \t \v \0 \xHH plus self-escapes for \\ \' \" \` \/ \=; any OTHER
+    * escape keeps the backslash AND the char (CH prints '\?' as two
+    * chars). \xD0\xA0 is the UTF-8 encoding of 'Р', so decoding goes
+    * through a byte buffer, then re-reads as UTF-8. Spark's lexer would
+    * instead drop the backslash of unknown escapes and has no \xHH. */
+  private def isValidUtf8(bytes: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  private[graft] def rewriteStringEscapes(sql: String): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val out = new StringBuilder
+    var i = 0
+    def hexVal(c: Char): Int = Character.digit(c, 16)
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c != '\'') { out.append(c); i += 1 }
+      else {
+        val bytes = new java.io.ByteArrayOutputStream
+        var j = i + 1
+        var closed = false
+        def putChar(k: Int): Int = { // UTF-8 bytes of the codepoint at k
+          val cp = sql.codePointAt(k)
+          bytes.write(new String(Character.toChars(cp)).getBytes(utf8))
+          k + Character.charCount(cp)
+        }
+        while (!closed && j < sql.length) {
+          sql.charAt(j) match {
+            case '\\' if j + 1 < sql.length =>
+              sql.charAt(j + 1) match {
+                case 'a' => bytes.write(0x07); j += 2
+                case 'b' => bytes.write(0x08); j += 2
+                case 'f' => bytes.write(0x0c); j += 2
+                case 'n' => bytes.write(0x0a); j += 2
+                case 'r' => bytes.write(0x0d); j += 2
+                case 't' => bytes.write(0x09); j += 2
+                case 'v' => bytes.write(0x0b); j += 2
+                case '0' => bytes.write(0x00); j += 2
+                case e @ ('\\' | '\'' | '"' | '`' | '/' | '=') =>
+                  bytes.write(e.toInt); j += 2
+                case 'x' if j + 3 < sql.length &&
+                    hexVal(sql.charAt(j + 2)) >= 0 &&
+                    hexVal(sql.charAt(j + 3)) >= 0 =>
+                  bytes.write(hexVal(sql.charAt(j + 2)) * 16 +
+                    hexVal(sql.charAt(j + 3)))
+                  j += 4
+                case _ => // unknown escape: backslash survives
+                  bytes.write('\\'.toInt); j = putChar(j + 1)
+              }
+            case '\'' => closed = true; j += 1
+            case _ => j = putChar(j)
+          }
+        }
+        val raw = bytes.toByteArray
+        if (!isValidUtf8(raw)) {
+          // CH strings are byte strings; bytes that aren't UTF-8 (e.g.
+          // '\xAA') survive only as a binary literal
+          out.append("X'")
+          raw.foreach(b => out.append(f"${b & 0xff}%02X"))
+          out.append('\'')
+        } else {
+          val decoded = new String(raw, utf8)
+          out.append('\'')
+          decoded.foreach {
+            case '\\' => out.append("\\\\")
+            case '\'' => out.append("\\'")
+            case '\n' => out.append("\\n")
+            case '\r' => out.append("\\r")
+            case '\t' => out.append("\\t")
+            case ch => out.append(ch)
+          }
+          out.append('\'')
+        }
+        i = j
+      }
+    }
+    out.toString
+  }
+
+  /** Apply a regex replacement only OUTSIDE single-quoted literals. */
+  private def replaceOutsideStrings(sql: String, re: String,
+      repl: String): String = {
+    val parts = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    var i = 0
+    def flushSeg(): Unit = { parts.append(seg.toString.replaceAll(re, repl)); seg.clear() }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '\'') { flushSeg(); parts.append(c); inStr = true }
+      else if (inStr) {
+        parts.append(c)
+        if (c == '\\' && i + 1 < sql.length) { parts.append(sql.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inStr = false
+      } else seg.append(c)
+      i += 1
+    }
+    flushSeg()
+    parts.toString
+  }
+
+  /** Hoist `arrayJoin(x)` calls out of expressions into the enclosing
+    * SELECT's row source (ref src/Functions/array/arrayJoin.cpp — CH's
+    * only row-multiplying "function"; Spark only allows a generator at
+    * the top level of a projection). `SELECT f(arrayJoin(a)) FROM t` →
+    * `SELECT f(__aj0) FROM t LATERAL VIEW explode(a) __ajv0 AS __aj0`;
+    * a FROM-less SELECT gets `FROM (SELECT explode(a) AS __aj0)`.
+    * Textually identical arrayJoin calls in one SELECT share one alias
+    * (CH collapses common subexpressions, so they step in lockstep). */
+  private[graft] def rewriteArrayJoin(sql: String): String = {
+    var s = sql
+    var n = 0
+    var guard = 0
+    def inString(str: String, pos: Int): Boolean = {
+      var inStr = false
+      var i = 0
+      while (i < pos) {
+        val c = str.charAt(i)
+        if (c == '\\' && inStr) i += 1
+        else if (c == '\'') inStr = !inStr
+        i += 1
+      }
+      inStr
+    }
+    def findCall(str: String): Int = {
+      var from = 0
+      while (from >= 0) {
+        val p = str.indexOf("arrayJoin", from)
+        if (p < 0) return -1
+        val pre = if (p == 0) ' ' else str.charAt(p - 1)
+        var q = p + "arrayJoin".length
+        while (q < str.length && str.charAt(q).isWhitespace) q += 1
+        if (!pre.isLetterOrDigit && pre != '_' && pre != '.' &&
+          q < str.length && str.charAt(q) == '(' && !inString(str, p)) return p
+        from = p + 1
+      }
+      -1
+    }
+    var p = findCall(s)
+    while (p >= 0 && guard < 8) {
+      guard += 1
+      val open = s.indexOf('(', p)
+      var depth = 0
+      var e = open
+      var inStr = false
+      while (e < s.length && (depth > 0 || e == open || inStr)) {
+        val c = s.charAt(e)
+        if (inStr) { if (c == '\\') e += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        e += 1
+      } // e = index after closing ')'
+      val arg = s.substring(open + 1, e - 1)
+      val callText = s.substring(p, e)
+      // enclosing SELECT: nearest preceding SELECT token, skipping
+      // balanced paren groups. An unmatched '(' passed on the way back is
+      // a function-call or grouping paren WRAPPING this arrayJoin (a
+      // subquery paren would have its SELECT between it and us) — step
+      // over it and keep looking at the outer level.
+      var selStart = 0
+      var d = 0
+      var k = p - 1
+      var found = false
+      while (!found && k >= 0) {
+        val c = s.charAt(k)
+        if (c == ')') d += 1
+        else if (c == '(') { if (d > 0) d -= 1 }
+        else if (d == 0 && (c == 's' || c == 'S') &&
+          s.regionMatches(true, k, "select", 0, 6) &&
+          (k == 0 || !s.charAt(k - 1).isLetterOrDigit)) {
+          selStart = k; found = true
+        }
+        k -= 1
+      }
+      // block end + clause positions at depth 0 within this SELECT
+      d = 0
+      var q = selStart
+      var blockEnd = s.length
+      var fromPos = -1
+      var insertAt = -1
+      inStr = false
+      while (q < s.length && blockEnd == s.length) {
+        val c = s.charAt(q)
+        if (inStr) { if (c == '\\') q += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') d += 1
+        else if (c == ')') { if (d == 0) blockEnd = q else d -= 1 }
+        else if (d == 0 && c.isLetter && (q == 0 || !s.charAt(q - 1).isLetterOrDigit)) {
+          def at(w: String) = s.regionMatches(true, q, w, 0, w.length) &&
+            (q + w.length >= s.length || !s.charAt(q + w.length).isLetterOrDigit)
+          if (at("UNION") || at("EXCEPT") || at("INTERSECT")) blockEnd = q
+          else if (at("FROM")) fromPos = q
+          else if (insertAt < 0 && (at("WHERE") || at("GROUP") ||
+            at("HAVING") || at("ORDER") || at("LIMIT") || at("SETTINGS") ||
+            at("LATERAL"))) insertAt = q
+        }
+        q += 1
+      }
+      if (insertAt < 0 || insertAt > blockEnd) insertAt = blockEnd
+      val alias = s"__aj$n"
+      val hoist =
+        if (fromPos >= 0 && fromPos < blockEnd)
+          s" LATERAL VIEW explode($arg) __ajv$n AS $alias "
+        else s" FROM (SELECT explode($arg) AS $alias) "
+      n += 1
+      // swap every identical call in this SELECT for the shared alias,
+      // then add the row source at the insertion point
+      val block = s.substring(selStart, blockEnd)
+      val newBlock = block.replace(callText, alias)
+      val shift = insertAt + (newBlock.length - block.length)
+      s = s.substring(0, selStart) + newBlock + s.substring(blockEnd)
+      s = s.substring(0, shift) + hoist + s.substring(shift)
+      p = findCall(s)
+    }
+    s
+  }
+
   private[graft] def rewriteBrackets(sql: String): String = {
     val out = new StringBuilder
     // for each open bracket: ")" to emit at its close
@@ -238,12 +473,12 @@ object ChSql {
               var f = k - 1
               while (f >= 0 && (out.charAt(f).isLetterOrDigit ||
                 out.charAt(f) == '_' || out.charAt(f) == '.')) f -= 1
-              out.insert(f + 1, "element_at(")
+              out.insert(f + 1, "chElementAt(")
             } else {
               var k = j
               while (k >= 0 && (out.charAt(k).isLetterOrDigit ||
                 out.charAt(k) == '_' || out.charAt(k) == '.')) k -= 1
-              out.insert(k + 1, "element_at(")
+              out.insert(k + 1, "chElementAt(")
             }
             out.append(", ")
             stack.push(')')
@@ -316,9 +551,9 @@ object ChSql {
 
   def translate(chSql: String): String = {
     // tuple access runs AFTER brackets so `t[1].1` sees the rewritten
-    // `element_at(t, 1)` and wraps it positionally
+    // `chElementAt(t, 1)` and wraps it positionally
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
-      rewriteParamAggs(chSql))))
+      rewriteParamAggs(rewriteStringEscapes(chSql)))))
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
     // PREWHERE behaves as WHERE once pushdown applies
@@ -359,12 +594,37 @@ object ChSql {
     s = s.replaceAll(
       "(?i)\\bARRAY\\s+JOIN\\s+([\\w.]+(?:\\([^()]*\\))?)\\s+AS\\s+(\\w+)",
       "LATERAL VIEW explode($1) __aj AS $2")
-    // WITH TOTALS (ref TotalsHavingTransform.h): the totals row is the
-    // empty grouping set; Spark's GROUPING SETS computes both in one
-    // aggregation pass (totals row carries NULL group keys)
+    // WITH TOTALS is handled in sqlSplit (the totals row is a separate
+    // output stream in CH); inside translate it reduces to the plain
+    // grouping for the regular-rows result
     s = s.replaceAll(
-      "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b",
-      "GROUP BY GROUPING SETS (($1), ())")
+      "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b", "GROUP BY $1")
+    // CH LIKE treats a backslash before anything but % _ \ as a literal
+    // backslash; Spark rejects the pattern. Double lone backslashes in
+    // literal patterns that directly follow [NOT] [I]LIKE.
+    s = "(?i)\\b(I?LIKE)\\s+('(?:[^'\\\\]|\\\\.)*')".r
+      .replaceAllIn(s, mm => java.util.regex.Matcher.quoteReplacement(
+        mm.group(1) + " " + mm.group(2).replaceAll(
+          "\\\\\\\\(?![%_\\\\])", "\\\\\\\\\\\\\\\\")))
+    // Spark's parser reads `IN (SELECT 'lit' ...)` as a typed literal
+    // (identifier+string); an identity call restores the subquery parse
+    s = s.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
+      "(SELECT materialize($1)")
+    // CH's implicit source table system.one has a single UInt8 column
+    // `dummy` = 0 (ref src/Storages/System/StorageSystemOne.cpp); a CAST
+    // keeps GROUP BY from reading the 0 as a column ordinal
+    s = replaceOutsideStrings(s, "(?i)(?<![\\w.`])dummy(?![\\w`])",
+      "(CAST(0 AS TINYINT))")
+    // CH allows an unparenthesized USING column list
+    s = replaceOutsideStrings(s,
+      "(?i)\\bUSING\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)",
+      "USING ($1)")
+    // CH numbers are truthy: NOT 1 = 0. Guarded against a following
+    // comparison (NOT 1 = 1 parses as NOT (1 = 1) in both dialects).
+    s = replaceOutsideStrings(s,
+      "(?i)\\bNOT\\s+(\\d+)(?!\\s*[=<>!.\\d])", "(($1) = 0)")
+    // arrayJoin in expression position → hoisted lateral view
+    s = rewriteArrayJoin(s)
     // CH allows trailing semicolon
     s = s.replaceAll(";\\s*$", "")
     if (s.matches("(?is).*\\bLIMIT\\s+\\d+\\s+BY\\b.*"))
@@ -409,6 +669,75 @@ object ChSql {
         graft.operators.WithFill.fillLong(spark, casted, key, from, to, step)
           .orderBy(key)
       case None => spark.sql(translate(chQuery))
+    }
+  }
+
+  private val TotalsRe =
+    "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b".r
+
+  /** CH default value per type, for the totals row's group-key columns
+    * (CH fills them with defaults, not NULLs). */
+  private def defaultLit(dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, array}
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | _: DecimalType => Some(lit(0).cast(dt))
+      case StringType => Some(lit(""))
+      case BooleanType => Some(lit(false))
+      case DateType | TimestampType => Some(lit(0).cast(dt))
+      case ArrayType(_, _) => Some(array().cast(dt))
+      case _ => None
+    }
+  }
+
+  /** Run a CH query that may carry WITH TOTALS: returns (regular rows,
+    * optional totals row). CH emits totals as a SEPARATE stream (ref
+    * src/Processors/Transforms/TotalsHavingTransform.h) that propagates
+    * through non-aggregating parents; here the regular result strips the
+    * clause and the totals row re-runs the query with the empty grouping
+    * set only. Propagation is supported for a top-level WITH TOTALS or a
+    * plain `SELECT * FROM (…)` around it; an outer query that
+    * re-aggregates consumes the totals (they're dropped), matching the
+    * visible CH behavior. */
+  def sqlSplit(spark: SparkSession, chQuery: String,
+      sfDir: String): (DataFrame, Option[DataFrame]) = {
+    val q = chQuery.trim.stripSuffix(";")
+    val m = TotalsRe.findFirstMatchIn(q)
+    if (m.isEmpty) (sql(spark, chQuery, sfDir), None)
+    else {
+      val base = sql(spark, chQuery, sfDir) // translate strips the clause
+      // paren depth of the clause: 0 = top level
+      val depth = q.substring(0, m.get.start)
+        .foldLeft(0)((d, c) => if (c == '(') d + 1
+          else if (c == ')') d - 1 else d)
+      val selectStar =
+        q.matches("(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s*\\(.*")
+      if (depth > 0 && !selectStar) (base, None)
+      else {
+        // totals-only run: empty grouping set, keyed rows filtered out.
+        // A following HAVING gets the grouping-set guard merged in.
+        val afterTotals = q.substring(m.get.end)
+        val gs = s"GROUP BY GROUPING SETS ((${m.get.group(1)}), ())"
+        val totQ =
+          if (afterTotals.matches("(?is)\\s*HAVING\\b.*"))
+            q.substring(0, m.get.start) + gs + afterTotals.replaceFirst(
+              "(?is)\\s*HAVING\\b", " HAVING grouping_id() <> 0 AND ")
+          else q.substring(0, m.get.start) + gs +
+            " HAVING grouping_id() <> 0" + afterTotals
+        val tot =
+          try {
+            val df = sql(spark, totQ, sfDir)
+            Some(df.select(df.schema.fields.map { f =>
+              import org.apache.spark.sql.functions.{coalesce, col}
+              defaultLit(f.dataType)
+                .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name))
+                .getOrElse(col(s"`${f.name}`"))
+            }.toSeq: _*))
+          } catch { case _: Exception => None }
+        (base, tot)
+      }
     }
   }
 }

@@ -26,7 +26,11 @@ object ch {
   def toUInt64(c: Column): Column = c.cast("bigint")
   def toFloat32(c: Column): Column = c.cast("float")
   def toFloat64(c: Column): Column = c.cast("double")
-  def toStringCh(c: Column): Column = c.cast("string")
+  // FixedString -> String conversion cuts the \0 padding back off (ref
+  // src/Functions/FunctionsConversion.h fixed-string path); harmless for
+  // ordinary strings, which never carry trailing NULs
+  def toStringCh(c: Column): Column =
+    rtrim(c.cast("string"), "\u0000")
   def toDateCh(c: Column): Column = c.cast("date")
   def toDateTime(c: Column): Column = c.cast("timestamp")
   def toInt64OrNull(c: Column): Column = c.try_cast("bigint")

@@ -196,12 +196,20 @@ object ChRegistry {
     // CH lambda-first higher-order functions → Spark HOF expressions
     reg.createOrReplaceTempFunction("arrayMap",
       { case Seq(l, a) => ArrayTransform(a, l) }, "scala_udf")
+    // CH predicates return UInt8; Spark wants Boolean — cast the lambda
+    // body (int→bool is 0/nonzero, CH's truthiness)
+    def boolLambda(l: Expression): Expression = l match {
+      case lf: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+        lf.copy(function =
+          Cast(lf.function, org.apache.spark.sql.types.BooleanType))
+      case other => other
+    }
     reg.createOrReplaceTempFunction("arrayFilter",
-      { case Seq(l, a) => ArrayFilter(a, l) }, "scala_udf")
+      { case Seq(l, a) => ArrayFilter(a, boolLambda(l)) }, "scala_udf")
     reg.createOrReplaceTempFunction("arrayExists",
-      { case Seq(l, a) => ArrayExists(a, l) }, "scala_udf")
+      { case Seq(l, a) => ArrayExists(a, boolLambda(l)) }, "scala_udf")
     reg.createOrReplaceTempFunction("arrayAll",
-      { case Seq(l, a) => ArrayForAll(a, l) }, "scala_udf")
+      { case Seq(l, a) => ArrayForAll(a, boolLambda(l)) }, "scala_udf")
     reg.createOrReplaceTempFunction("arrayFold",
       { case Seq(l, a, z) =>
         org.apache.spark.sql.catalyst.expressions.ArrayAggregate(
@@ -610,13 +618,21 @@ object ChRegistry {
     // exact interpolated percentile; TDigest keeps the sketch form.
     f2("quantile")((x, p) => call_function("percentile", x, p))
     f2("quantileExact")((x, p) => call_function("percentile", x, p))
-    f2("quantileTiming")((x, p) => call_function("percentile", x, p))
+    // Timing tier keeps CH's value discretization (ref QuantileTiming.h:
+    // exact below 1024, 16-wide buckets to BIG_THRESHOLD=30000, clamped
+    // above), with Spark's exact percentile over the discretized values
+    def timingBucket(x: Column): Column =
+      when(x > 30000, lit(30000))
+        .when(x < 1024, floor(x))
+        .otherwise(lit(1024) + floor((x - 1024) / 16) * 16)
+    f2("quantileTiming")((x, p) =>
+      call_function("percentile", timingBucket(x), p))
     f("quantiles") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesExact") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesTiming") { case x +: ps =>
-      call_function("percentile", C(x), array(ps.map(C): _*)) }
+      call_function("percentile", timingBucket(C(x)), array(ps.map(C): _*)) }
     f3("quantileExactWeighted")((x, w, p) =>
       call_function("percentile", x, p, w.cast("bigint")))
     f("quantileTDigest") {
@@ -646,6 +662,17 @@ object ChRegistry {
       else math.abs(a / BigInt(a).gcd(BigInt(b)).toLong * b))
     // javaHash = java.lang.String.hashCode (ref FunctionsHashing.h)
     spark.udf.register("javaHash", (s: String) => s.hashCode)
+
+    // CH subscript / arrayElement: 1-based, negative-from-end, type
+    // default on out-of-range (ChSql's bracket rewrite emits this name)
+    f("chElementAt") { case Seq(a, i) => C(ChElementAt(a, i)) }
+    f("arrayElement") { case Seq(a, i) => C(ChElementAt(a, i)) }
+    // FixedString(n) = \0-padded bytes; String conversion trims the
+    // padding back off (ref src/Columns/ColumnFixedString.h)
+    f2("toFixedString")((s, n) => call_function("rpad", s, n, lit("\u0000")))
+    // UUID keeps its canonical lowercase-hex text form; comparisons on
+    // the 36-char fixed-width string order identically to CH's u128
+    f1("toUUID")(c => lower(trim(c)))
 
     // wave 3c: §2.8 sweep-up
     // shadows builtin isnan (case-insensitive) — build the node directly

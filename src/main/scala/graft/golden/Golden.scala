@@ -156,27 +156,51 @@ object Golden {
     val expected = Files.readString(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
     var echo = false
-    val actual = splitRaw(text).flatMap { chunk =>
+    val chunks = splitRaw(text)
+    // `stmt; -- { serverError N }` splits the annotation into the NEXT
+    // chunk's leading line — it still marks the statement BEFORE the `;`
+    // (clickhouse-test reads the whole line). Detect a chunk whose first
+    // line is only the annotation comment and credit its predecessor.
+    val annotatesPrev = chunks.map { chunk =>
+      chunk.linesIterator.nextOption().exists(
+        _.matches("\\s*--\\s*\\{\\s*(server|client)Error.*"))
+    }
+    val actual = chunks.zipWithIndex.flatMap { case (chunk, ci) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      // peel marker/comment lines, toggling echo state in order
+      // peel marker/comment lines, toggling echo state in order; a
+      // leading line that only annotates the PREVIOUS statement is
+      // dropped so it doesn't read as this statement's own marker
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-      chunk.linesIterator.foreach {
-        case line @ EchoMarker(kind) =>
-          echo = kind != "echoOff"
-          if (echo) out += line.trim
-        case line => kept += line
+      var first = true
+      chunk.linesIterator.foreach { line =>
+        line match {
+          case l @ EchoMarker(kind) =>
+            echo = kind != "echoOff"
+            if (echo) out += l.trim
+          case l =>
+            if (!(first && annotatesPrev(ci))) kept += l
+        }
+        first = false
       }
       val stmtText = kept.mkString("\n")
         .dropWhile(_ == '\n').reverse.dropWhile(_ == '\n').reverse
       val expectsError =
-        stmtText.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*")
+        stmtText.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*") ||
+          (ci + 1 < chunks.length && annotatesPrev(ci + 1))
       val clean = stripComments(stmtText).trim
       if (clean.nonEmpty && echo)
         out ++= (stmtText + ";").linesIterator
-      if (clean.nonEmpty && !expectsError)
-        out ++= formatDf(graft.ChSql.sql(spark, clean, sfDir))
+      if (clean.nonEmpty && !expectsError) {
+        val (base, totals) = graft.ChSql.sqlSplit(spark, clean, sfDir)
+        out ++= formatDf(base)
+        totals.foreach { t => out += ""; out ++= formatDf(t) } // CH prints
+        // the totals row after an empty separator line (TSV contract)
+      }
       out.toSeq
     }
-    (actual, expected)
+    // CH's runner compares whole files; trailing empty lines (e.g. an
+    // empty-string result at EOF) are normalized away on BOTH sides the
+    // same way `expected` is above
+    (actual.reverse.dropWhile(_.isEmpty).reverse, expected)
   }
 }

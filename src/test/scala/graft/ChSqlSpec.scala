@@ -5,15 +5,16 @@ package graft
   * keyword-adjacent array literals, join strictness stripping. */
 class ChSqlSpec extends SparkSpec {
 
-  test("WITH TOTALS translates to an empty grouping set") {
-    val rows = ChSql.sql(spark,
+  test("WITH TOTALS yields a separate totals stream with default keys") {
+    val (base, totals) = ChSql.sqlSplit(spark,
       """SELECT n_regionkey, count() AS c FROM nation
         |GROUP BY n_regionkey WITH TOTALS ORDER BY n_regionkey NULLS LAST
-        |""".stripMargin, SparkSpec.tiny).collect()
-    assert(rows.length === 6) // 5 regions + totals
-    val totals = rows.last
-    assert(totals.isNullAt(0))
-    assert(totals.getLong(1) === 25L)
+        |""".stripMargin, SparkSpec.tiny)
+    assert(base.collect().length === 5) // regular rows only
+    val tot = totals.get.collect()
+    assert(tot.length === 1)
+    assert(tot(0).getInt(0) === 0) // CH fills keys with type defaults
+    assert(tot(0).getLong(1) === 25L)
   }
 
   test("ORDER BY WITH FILL FROM/TO/STEP generates the missing rows") {
