@@ -62,12 +62,15 @@ object ChSql {
 
   private val hofRewrites: Map[String, (String, Seq[String]) => String] = Map(
     "arrayCount" -> ((l, as) => s"size(filter(${as.head}, ${boolL(l)}))"),
-    "arrayFirst" -> ((l, as) => s"get(filter(${as.head}, ${boolL(l)}), 0)"),
+    // no-match yields the element type's DEFAULT (ref arrayFirstLast.cpp),
+    // which is exactly chElementAt's out-of-range contract
+    "arrayFirst" -> ((l, as) =>
+      s"chElementAt(filter(${as.head}, ${boolL(l)}), 1)"),
     "arrayFirstIndex" -> ((l, as) =>
       s"coalesce(array_position(transform(${as.head}, ${boolL(l)}), true), 0L)"),
     "arrayFirstOrNull" -> ((l, as) => s"get(filter(${as.head}, ${boolL(l)}), 0)"),
     "arrayLast" -> ((l, as) =>
-      s"get(filter(${as.head}, ${boolL(l)}), size(filter(${as.head}, ${boolL(l)})) - 1)"),
+      s"chElementAt(filter(${as.head}, ${boolL(l)}), -1)"),
     "arrayLastOrNull" -> ((l, as) =>
       s"get(filter(${as.head}, ${boolL(l)}), size(filter(${as.head}, ${boolL(l)})) - 1)"),
     // last matching 1-based index, 0 when none: max over masked indices
@@ -275,6 +278,263 @@ object ChSql {
       }
     }
     out.toString
+  }
+
+  /** CH type names → Spark SQL types, applied before other rewrites so
+    * CAST targets parse (ref src/DataTypes/): unsigned tiers widen one
+    * step (UInt8→SMALLINT … UInt64→BIGINT, the documented width policy),
+    * Nullable/LowCardinality unwrap (Spark types are nullable; dictionary
+    * encoding is a storage property), Array/Tuple/Map map to
+    * ARRAY/STRUCT/MAP syntax, Enum CASTs become ChEnum value mapping. */
+  private[graft] def rewriteChTypes(sql: String): String = {
+    var s = sql
+    // Enum casts first, while the spec is intact: CAST(x AS Enum8('a'=1))
+    var from = 0
+    var m = s.indexOf("Enum", from)
+    while (m >= 0) {
+      val after = s.substring(m + 4).dropWhile(_.isDigit)
+      val parenAt = m + 4 + (s.substring(m + 4).length - after.length)
+      if (after.startsWith("(") &&
+        s.substring(0, m).matches("(?is).*\\bAS\\s*$")) {
+        // balanced spec
+        var depth = 0; var e = parenAt
+        var inStr = false
+        while (e < s.length && (depth > 0 || e == parenAt || inStr)) {
+          val c = s.charAt(e)
+          if (inStr) { if (c == '\\') e += 1 else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          e += 1
+        }
+        val spec = s.substring(parenAt + 1, e - 1)
+        // enclosing CAST( … AS <here> ) — find CAST open before the AS
+        val castIdx = s.substring(0, m).toLowerCase.lastIndexOf("cast")
+        if (castIdx >= 0) {
+          val castOpen = s.indexOf('(', castIdx)
+          val asIdx = s.substring(0, m).toLowerCase.lastIndexOf(" as ")
+          val expr = s.substring(castOpen + 1, asIdx)
+          val pairs = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map { p =>
+              val i = p.lastIndexOf('=')
+              (p.substring(0, i).trim, p.substring(i + 1).trim)
+            }
+          val flat = pairs.map(p => s"${p._1}, ${p._2}").mkString(", ")
+          // e-1 is the spec's ')'; e should be CAST's ')'
+          var close = e
+          while (close < s.length && s.charAt(close).isWhitespace) close += 1
+          if (close < s.length && s.charAt(close) == ')') {
+            s = s.substring(0, castIdx) +
+              s"chEnum($expr, $flat)" + s.substring(close + 1)
+            from = castIdx
+          } else from = m + 4
+        } else from = m + 4
+      } else from = m + 4
+      m = s.indexOf("Enum", from)
+    }
+    // unwrap single-argument wrappers (one nesting level per pass)
+    var prev: String = null
+    while (prev != s) {
+      prev = s
+      s = s.replaceAll("\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)", "$1")
+    }
+    val words = Seq(
+      "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
+      "UInt64" -> "BIGINT", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
+      "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
+      "Float64" -> "DOUBLE", "Date32" -> "DATE", "UUID" -> "STRING")
+    for ((a, b) <- words)
+      s = replaceOutsideStrings(s, s"(?<![\\w])$a\\b", b)
+    s = replaceOutsideStrings(s,
+      "\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,[^)]*)?\\)", "TIMESTAMP")
+    s = replaceOutsideStrings(s,
+      "\\bDateTime(?:\\('[^']*'\\))?\\b", "TIMESTAMP")
+    s = replaceOutsideStrings(s, "\\bFixedString\\(\\s*\\d+\\s*\\)", "STRING")
+    s = replaceOutsideStrings(s,
+      "\\bDecimal32\\s*\\(\\s*(\\d+)\\s*\\)", "DECIMAL(9, $1)")
+    s = replaceOutsideStrings(s,
+      "\\bDecimal64\\s*\\(\\s*(\\d+)\\s*\\)", "DECIMAL(18, $1)")
+    s = replaceOutsideStrings(s,
+      "\\bDecimal128\\s*\\(\\s*(\\d+)\\s*\\)", "DECIMAL(38, $1)")
+    // Array(T) → ARRAY<T>, Map(K,V) → MAP<K,V> (capital-A CH type syntax
+    // only; the array() literal function is lowercase), inner-out
+    prev = null
+    while (prev != s) {
+      prev = s
+      s = s.replaceAll("\\bArray\\(([^()]*)\\)", "ARRAY<$1>")
+      s = s.replaceAll("\\bMap\\(([^()]*)\\)", "MAP<$1>")
+      // Tuple(a T, b U) / Tuple(T, U) → STRUCT<a: T, b: U>
+      val tup = "\\bTuple\\(([^()]*)\\)".r
+      s = tup.replaceAllIn(s, mm => {
+        val items = mm.group(1).split(",").toSeq.map(_.trim).zipWithIndex
+          .map { case (it, i) =>
+            val parts = it.split("\\s+", 2)
+            if (parts.length == 2) s"${parts(0)}: ${parts(1)}"
+            else s"_${i + 1}: $it"
+          }
+        java.util.regex.Matcher.quoteReplacement(
+          s"STRUCT<${items.mkString(", ")}>")
+      })
+    }
+    s
+  }
+
+  /** CH ternary `cond ? a : b` → if(cond, a, b) (ref
+    * src/Parsers/ExpressionListParsers.cpp ternary operator). Rightmost
+    * `?` first, so nested conditionals keep CH's right associativity. */
+  private[graft] def rewriteTernary(sql: String): String = {
+    var s = sql
+    def strMask(str: String): Array[Boolean] = {
+      val mask = new Array[Boolean](str.length)
+      var inStr = false
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (inStr && c == '\\') { mask(i) = true; if (i + 1 < str.length) mask(i + 1) = true; i += 2 }
+        else {
+          if (c == '\'') inStr = !inStr
+          mask(i) = inStr || c == '\''
+          i += 1
+        }
+      }
+      mask
+    }
+    var guard = 0
+    var qPos = -1
+    def findQ(): Int = {
+      val mask = strMask(s)
+      var i = s.length - 1
+      while (i >= 0) {
+        if (s.charAt(i) == '?' && !mask(i)) return i
+        i -= 1
+      }
+      -1
+    }
+    qPos = findQ()
+    while (qPos >= 0 && guard < 16) {
+      guard += 1
+      val mask = strMask(s)
+      // cond: scan back to a depth-0 boundary (comma, open paren, or a
+      // clause keyword)
+      var d = 0
+      var i = qPos - 1
+      var condStart = 0
+      var stop = false
+      while (!stop && i >= 0) {
+        val c = s.charAt(i)
+        if (!mask(i)) {
+          if (c == ')') d += 1
+          else if (c == '(') { if (d == 0) { condStart = i + 1; stop = true } else d -= 1 }
+          else if (d == 0 && c == ',') { condStart = i + 1; stop = true }
+          else if (d == 0 && c.isLetter) {
+            val w = "(?i)\\b(select|where|when|then|else|and|or|by|having|as)\\s*$"
+            val tail = s.substring(0, i + 1)
+            if (tail.matches("(?is).*" + w)) {
+              // keyword just before: boundary right after it
+              condStart = i + 1; stop = true
+            }
+          }
+        }
+        if (!stop) i -= 1
+      }
+      // a: forward to matching ':' at depth 0 (skip '::' casts if any)
+      d = 0
+      i = qPos + 1
+      var colon = -1
+      while (colon < 0 && i < s.length) {
+        val c = s.charAt(i)
+        if (!mask(i)) {
+          if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (c == ':' && d == 0) colon = i
+        }
+        i += 1
+      }
+      if (colon < 0) return s
+      // b: forward to a depth-0 boundary
+      d = 0
+      i = colon + 1
+      var bEnd = s.length
+      while (bEnd == s.length && i < s.length) {
+        val c = s.charAt(i)
+        if (!mask(i)) {
+          if (c == '(') d += 1
+          else if (c == ')') { if (d == 0) bEnd = i else d -= 1 }
+          else if (d == 0 && c == ',') bEnd = i
+          else if (d == 0 && c.isLetter &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+            "(?i)(from|where|group|having|order|limit|union|settings|as)\\b".r
+              .findPrefixOf(s.substring(i).toLowerCase).isDefined) bEnd = i
+        }
+        i += 1
+      }
+      val cond = s.substring(condStart, qPos).trim
+      val a = s.substring(qPos + 1, colon).trim
+      val b = s.substring(colon + 1, bEnd).trim
+      s = s.substring(0, condStart) +
+        s" if(cast(($cond) AS boolean), $a, $b)" + s.substring(bEnd)
+      qPos = findQ()
+    }
+    s
+  }
+
+  /** CH scalar WITH: `WITH <expr> AS <name>, … SELECT …` — the aliases
+    * are macros substituted into the query (ref
+    * src/Interpreters/QueryAliasesVisitor.cpp). Standard `name AS
+    * (subquery)` CTEs pass through to Spark untouched. */
+  private[graft] def rewriteScalarWith(sql: String): String = {
+    val t = sql
+    val m = "(?is)^\\s*WITH\\b".r.findFirstMatchIn(t)
+    if (m.isEmpty) return t
+    // find SELECT at depth 0 = end of the WITH clause
+    var d = 0
+    var i = m.get.end
+    var selAt = -1
+    var inStr = false
+    while (selAt < 0 && i < t.length) {
+      val c = t.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && (c == 's' || c == 'S') &&
+        t.regionMatches(true, i, "select", 0, 6) &&
+        !t.charAt(i - 1).isLetterOrDigit) selAt = i
+      i += 1
+    }
+    if (selAt < 0) return t
+    val clause = t.substring(m.get.end, selAt)
+    // split top-level commas
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    d = 0; inStr = false
+    for (j <- 0 until clause.length) {
+      val c = clause.charAt(j)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ',' && d == 0) { items += clause.substring(start, j); start = j + 1 }
+    }
+    items += clause.substring(start)
+    val CteRe = "(?is)^\\s*[A-Za-z_]\\w*\\s+AS\\s*\\(.*\\)\\s*$".r
+    val MacroRe = "(?is)^\\s*(.*\\S)\\s+AS\\s+([A-Za-z_]\\w*)\\s*$".r
+    val scalars = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    items.foreach { item =>
+      if (CteRe.findFirstIn(item).isDefined) keep += item.trim
+      else item match {
+        case MacroRe(expr, name) => scalars += ((expr, name))
+        case _ => keep += item.trim
+      }
+    }
+    if (scalars.isEmpty) return t
+    var body = t.substring(selAt)
+    for ((expr, name) <- scalars)
+      body = replaceOutsideStrings(body,
+        s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(name)}(?![\\w`])",
+        java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+    (if (keep.nonEmpty) s"WITH ${keep.mkString(", ")} " else "") + body
   }
 
   /** Apply a regex replacement only OUTSIDE single-quoted literals. */
@@ -553,7 +813,8 @@ object ChSql {
     // tuple access runs AFTER brackets so `t[1].1` sees the rewritten
     // `chElementAt(t, 1)` and wraps it positionally
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
-      rewriteParamAggs(rewriteStringEscapes(chSql)))))
+      rewriteParamAggs(rewriteTernary(rewriteScalarWith(
+        rewriteChTypes(rewriteStringEscapes(chSql))))))))
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
     // PREWHERE behaves as WHERE once pushdown applies
@@ -610,10 +871,15 @@ object ChSql {
     // (identifier+string); an identity call restores the subquery parse
     s = s.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
       "(SELECT materialize($1)")
+    // session-tuning SETTINGS at statement end don't change results here
+    // (result-shaping ones like extremes produce diffs the golden check
+    // catches); strip them
+    s = replaceOutsideStrings(s, "(?is)\\bSETTINGS\\s+\\w+\\s*=[^;)]*$", "")
     // CH's implicit source table system.one has a single UInt8 column
     // `dummy` = 0 (ref src/Storages/System/StorageSystemOne.cpp); a CAST
-    // keeps GROUP BY from reading the 0 as a column ordinal
-    s = replaceOutsideStrings(s, "(?i)(?<![\\w.`])dummy(?![\\w`])",
+    // keeps GROUP BY from reading the 0 as a column ordinal. Guarded so
+    // an ALIAS named dummy (… AS dummy) keeps its name.
+    s = replaceOutsideStrings(s, "(?i)(?<!\\bAS\\s)(?<![\\w.`])dummy(?![\\w`])",
       "(CAST(0 AS TINYINT))")
     // CH allows an unparenthesized USING column list
     s = replaceOutsideStrings(s,

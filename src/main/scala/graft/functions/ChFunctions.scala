@@ -509,8 +509,11 @@ object ch {
   def bitShiftLeft(a: Column, n: Column): Column = call_function("shiftleft", a, n)
   def bitShiftRight(a: Column, n: Column): Column = call_function("shiftright", a, n)
   def bitCountCh(a: Column): Column = bit_count(a)
+  // bit index past the 64-bit register is 0, not a wrapped shift (ref
+  // bitTest.cpp — CH errors/zeroes past the type width; Java shifts mod 64)
   def bitTest(a: Column, n: Column): Column =
-    call_function("shiftright", a, n).bitwiseAND(lit(1)) === 1
+    when(n >= 64, lit(false)).otherwise(
+      call_function("shiftright", a, n).bitwiseAND(lit(1)) === 1)
   def bitHammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ---- random (ref rand.cpp; CH rand() is UInt32) ----
@@ -770,11 +773,11 @@ object ch {
         call_function("shiftleft", x.cast("bigint"), lit(64) - k)))
   }
   def bitTestAll(x: Column, bits: Seq[Column]): Column =
-    bits.map(b => x.cast("bigint")
+    bits.map(b => b.cast("int") < 64 && x.cast("bigint")
         .bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)
       .reduce(_ && _)
   def bitTestAny(x: Column, bits: Seq[Column]): Column =
-    bits.map(b => x.cast("bigint")
+    bits.map(b => b.cast("int") < 64 && x.cast("bigint")
         .bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)
       .reduce(_ || _)
   def bitPositionsToArray(x: Column): Column =
@@ -900,7 +903,8 @@ object ch {
     // bare time first: Spark's default parser would accept '01:01:01'
     // too, but stamps it onto TODAY's date instead of CH's 2000-01-01
     val bareTime = c.rlike("^\\s*\\d{1,2}:\\d{2}:\\d{2}\\s*$")
-    when(bareTime, try_to_timestamp(concat(lit("2000-01-01 "), trim(c)),
+    when(trim(c) === "", lit(null).cast("timestamp"))
+      .when(bareTime, try_to_timestamp(concat(lit("2000-01-01 "), trim(c)),
         lit("yyyy-MM-dd HH:mm:ss")))
       .otherwise(coalesce(
         try_to_timestamp(c),

