@@ -537,6 +537,90 @@ object ChSql {
     (if (keep.nonEmpty) s"WITH ${keep.mkString(", ")} " else "") + body
   }
 
+  /** CH select-list aliases resolve anywhere in the statement, including
+    * WHERE (ref src/Interpreters/QueryAliasesVisitor.cpp); Spark's WHERE
+    * runs before the projection. Substitute `(expr)` for alias references
+    * in each SELECT block's WHERE clause. */
+  private[graft] def rewriteAliasRefs(sql: String): String = {
+    var s = sql
+    val AliasRe = "(?is)^(.*\\S)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 16) {
+      guard += 1
+      val selIdx = s.toLowerCase.indexOf("select", searchFrom)
+      if (selIdx < 0) return s
+      // select-list span and WHERE span at depth 0
+      var d = 0
+      var i = selIdx + 6
+      var listEnd = -1
+      var whereAt = -1
+      var whereEnd = -1
+      var blockEnd = s.length
+      var inStr = false
+      while (i < s.length && blockEnd == s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') d += 1
+        else if (c == ')') { if (d == 0) blockEnd = i else d -= 1 }
+        else if (d == 0 && c.isLetter && !s.charAt(i - 1).isLetterOrDigit) {
+          def at(w: String) = s.regionMatches(true, i, w, 0, w.length) &&
+            (i + w.length >= s.length || !s.charAt(i + w.length).isLetterOrDigit)
+          if (listEnd < 0 && (at("FROM") || at("WHERE") || at("GROUP") ||
+            at("HAVING") || at("ORDER") || at("LIMIT") || at("UNION") ||
+            at("LATERAL"))) listEnd = i
+          if (whereAt < 0 && at("WHERE")) whereAt = i
+          else if (whereAt >= 0 && whereEnd < 0 && (at("GROUP") ||
+            at("HAVING") || at("ORDER") || at("LIMIT") || at("UNION")))
+            whereEnd = i
+          if (at("UNION")) blockEnd = i
+        }
+        i += 1
+      }
+      if (listEnd < 0) listEnd = blockEnd
+      if (whereAt >= 0 && whereEnd < 0) whereEnd = blockEnd
+      if (whereAt >= 0 && whereAt < blockEnd) {
+        // split the select list on top-level commas
+        val list = s.substring(selIdx + 6, listEnd)
+        val items = scala.collection.mutable.ArrayBuffer.empty[String]
+        var st = 0
+        d = 0; inStr = false
+        for (j <- 0 until list.length) {
+          val c = list.charAt(j)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (c == ',' && d == 0) { items += list.substring(st, j); st = j + 1 }
+        }
+        items += list.substring(st)
+        var where = s.substring(whereAt, whereEnd)
+        var changed = false
+        items.foreach {
+          case AliasRe(expr, name) =>
+            val q = java.util.regex.Pattern.quote(name)
+            val re = s"(?i)(?<![\\w.`])$q(?![\\w`])"
+            // a name that is also a lambda parameter in this WHERE is the
+            // lambda's, not the select alias's (CH scoping)
+            val isLambdaParam =
+              s"(?i)(?:\\($q(?:\\s*,|\\s*\\))|(?<![\\w.`])$q\\s*(?:,\\s*\\w+\\s*)*->)".r
+                .findFirstIn(where).isDefined
+            if (!isLambdaParam && re.r.findFirstIn(where).isDefined) {
+              where = replaceOutsideStrings(where, re,
+                java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+              changed = true
+            }
+          case _ =>
+        }
+        if (changed)
+          s = s.substring(0, whereAt) + where + s.substring(whereEnd)
+      }
+      searchFrom = selIdx + 6
+    }
+    s
+  }
+
   /** Apply a regex replacement only OUTSIDE single-quoted literals. */
   private def replaceOutsideStrings(sql: String, re: String,
       repl: String): String = {
@@ -889,6 +973,23 @@ object ChSql {
     // comparison (NOT 1 = 1 parses as NOT (1 = 1) in both dialects).
     s = replaceOutsideStrings(s,
       "(?i)\\bNOT\\s+(\\d+)(?!\\s*[=<>!.\\d])", "(($1) = 0)")
+    // CH float literals nan/inf/-inf (ref Lexer number parsing)
+    s = replaceOutsideStrings(s,
+      "(?i)(?<![\\w.`'])nan(?![\\w`'])", "(CAST('NaN' AS DOUBLE))")
+    s = replaceOutsideStrings(s,
+      "(?i)(?<![\\w.`'])inf(?![\\w`'])", "(CAST('Infinity' AS DOUBLE))")
+    // hex integer literals (CH UInt64); beyond signed-long range the
+    // unsigned print form can't be reproduced, so leave those alone
+    s = replaceOutsideStrings(s, "\\b0x([0-9A-Fa-f]+)\\b", "0x$1") match {
+      case t =>
+        "\\b0x([0-9A-Fa-f]+)\\b".r.replaceAllIn(t, mm => {
+          val v = BigInt(mm.group(1), 16)
+          if (v.isValidLong) v.toString else mm.matched
+        })
+    }
+    // select-list aliases are visible in WHERE in CH (ref
+    // QueryAliasesVisitor) — substitute the aliased expression
+    s = rewriteAliasRefs(s)
     // arrayJoin in expression position → hoisted lateral view
     s = rewriteArrayJoin(s)
     // CH allows trailing semicolon

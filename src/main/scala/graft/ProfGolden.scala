@@ -28,6 +28,7 @@ object ProfGolden {
           val m = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replace('\n', ' ').trim
           res.println(s"ERR  $path ${clean(m)}")
+          if (list.length <= 3) e.printStackTrace()
       }
       res.flush()
     }

@@ -8,6 +8,32 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, Generic
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
 
+/** CH toDate accepts days-since-epoch numbers, strings, and timestamps
+  * (ref FunctionsConversion.h) — the numeric form has no ANSI Spark cast,
+  * so the dispatch is type-directed here. */
+case class ChToDate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | _: DecimalType =>
+      input.asInstanceOf[java.lang.Number].intValue() // epoch days
+    case StringType =>
+      try org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToDate(input.asInstanceOf[UTF8String])
+        .map(Integer.valueOf).orNull
+      catch { case _: Exception => null }
+    case TimestampType | TimestampNTZType =>
+      Math.floorDiv(input.asInstanceOf[java.lang.Long], 86400000000L).toInt
+    case _ => input
+  }
+  override protected def withNewChildInternal(c: Expression): ChToDate =
+    copy(child = c)
+  override def prettyName: String = "toDate"
+}
+
 /** CH subscript semantics for `arr[i]` / `map[k]` (ref
   * src/Functions/array/arrayElement.cpp): 1-based, negative indexes count
   * from the end, and an out-of-range index / missing map key yields the

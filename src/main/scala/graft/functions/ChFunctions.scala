@@ -219,10 +219,21 @@ object ch {
   def rightPad(c: Column, len: Int, pad: String): Column = rpad(c, len, pad)
   def reverseUTF8(c: Column): Column = reverse(c)
   def repeatCh(c: Column, n: Column): Column = call_function("repeat", c, n)
-  def startsWith(c: Column, p: Column): Column = c.startsWith(p)
-  def endsWith(c: Column, p: Column): Column = c.endsWith(p)
+  // direct Catalyst nodes: the registered CH names shadow Spark's
+  // startswith/endswith (case-insensitive), so Column.startsWith would
+  // resolve back into this registration forever
+  def startsWith(c: Column, p: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.StartsWith(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(p)))
+  def endsWith(c: Column, p: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.EndsWith(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(p)))
   def appendTrailingCharIfAbsent(c: Column, ch: String): Column =
-    when(c.endsWith(lit(ch)), c).otherwise(concat(c, lit(ch)))
+    when(endsWith(c, lit(ch)), c).otherwise(concat(c, lit(ch)))
   def asciiCh(c: Column): Column = ascii(c)
   def emptyCh(c: Column): Column = length(c) === 0
   def notEmptyCh(c: Column): Column = length(c) > 0

@@ -56,29 +56,46 @@ object ChRegistry {
     f1("toUInt8")(ch.toUInt8); f1("toUInt16")(ch.toUInt16)
     f1("toUInt32")(ch.toUInt32); f1("toUInt64")(ch.toUInt64)
     f1("toFloat32")(ch.toFloat32); f1("toFloat64")(ch.toFloat64)
-    f1("toString")(ch.toStringCh); f1("toDate")(ch.toDateCh)
-    f1("toDateTime")(ch.toDateTime)
+    f1("toString")(ch.toStringCh)
+    // type-directed toDate (numbers are epoch DAYS — no ANSI cast path);
+    // optional tz shifts the instant to that zone's calendar day
+    f("toDate") {
+      case Seq(a) => C(ChToDate(a))
+      case Seq(a, t) =>
+        C(ChToDate(E(from_utc_timestamp(C(a).cast("timestamp"), C(t)))))
+    }
+    f("toDateTime") {
+      case Seq(a) => ch.toDateTime(C(a))
+      case Seq(a, t) => from_utc_timestamp(ch.toDateTime(C(a)), C(t))
+    }
     f1("toInt64OrNull")(ch.toInt64OrNull); f1("toInt32OrNull")(ch.toInt32OrNull)
     f1("toFloat64OrNull")(ch.toFloat64OrNull)
     f1("toInt64OrZero")(ch.toInt64OrZero); f1("toInt32OrZero")(ch.toInt32OrZero)
     f1("toFloat64OrZero")(ch.toFloat64OrZero)
 
-    // date/time
-    f1("toYear")(ch.toYear); f1("toQuarter")(ch.toQuarter)
-    f1("toMonth")(ch.toMonth); f1("toDayOfMonth")(ch.toDayOfMonth)
-    f1("toDayOfWeek")(ch.toDayOfWeek); f1("toDayOfYear")(ch.toDayOfYear)
-    f1("toHour")(ch.toHour); f1("toMinute")(ch.toMinute)
-    f1("toSecond")(ch.toSecond)
-    f1("toStartOfYear")(ch.toStartOfYear)
-    f1("toStartOfQuarter")(ch.toStartOfQuarter)
-    f1("toStartOfMonth")(ch.toStartOfMonth)
-    f1("toStartOfWeek")(ch.toStartOfWeek); f1("toMonday")(ch.toMonday)
-    f1("toStartOfDay")(ch.toStartOfDay); f1("toStartOfHour")(ch.toStartOfHour)
-    f1("toStartOfMinute")(ch.toStartOfMinute)
-    f1("toStartOfFiveMinutes")(ch.toStartOfFiveMinutes)
-    f1("toStartOfTenMinutes")(ch.toStartOfTenMinutes)
-    f1("toStartOfFifteenMinutes")(ch.toStartOfFifteenMinutes)
-    f1("toYYYYMM")(ch.toYYYYMM); f1("toYYYYMMDD")(ch.toYYYYMMDD)
+    // date/time — CH's forms take an optional trailing timezone name;
+    // the session runs UTC, so a tz argument shifts to that zone's wall
+    // clock first (the CH DateTimeTransforms time_zone parameter)
+    def tzf(name: String)(b: Column => Column): Unit = f(name) {
+      case Seq(a) => b(C(a))
+      case Seq(a, t) =>
+        b(from_utc_timestamp(C(a).cast("timestamp"), C(t)))
+    }
+    tzf("toYear")(ch.toYear); tzf("toQuarter")(ch.toQuarter)
+    tzf("toMonth")(ch.toMonth); tzf("toDayOfMonth")(ch.toDayOfMonth)
+    tzf("toDayOfWeek")(ch.toDayOfWeek); tzf("toDayOfYear")(ch.toDayOfYear)
+    tzf("toHour")(ch.toHour); tzf("toMinute")(ch.toMinute)
+    tzf("toSecond")(ch.toSecond)
+    tzf("toStartOfYear")(ch.toStartOfYear)
+    tzf("toStartOfQuarter")(ch.toStartOfQuarter)
+    tzf("toStartOfMonth")(ch.toStartOfMonth)
+    tzf("toStartOfWeek")(ch.toStartOfWeek); tzf("toMonday")(ch.toMonday)
+    tzf("toStartOfDay")(ch.toStartOfDay); tzf("toStartOfHour")(ch.toStartOfHour)
+    tzf("toStartOfMinute")(ch.toStartOfMinute)
+    tzf("toStartOfFiveMinutes")(ch.toStartOfFiveMinutes)
+    tzf("toStartOfTenMinutes")(ch.toStartOfTenMinutes)
+    tzf("toStartOfFifteenMinutes")(ch.toStartOfFifteenMinutes)
+    tzf("toYYYYMM")(ch.toYYYYMM); tzf("toYYYYMMDD")(ch.toYYYYMMDD)
     f2("addSeconds")(ch.addSeconds); f2("addMinutes")(ch.addMinutes)
     f2("addHours")(ch.addHours); f2("addDays")(ch.addDays)
     f2("addWeeks")(ch.addWeeks); f2("addMonths")(ch.addMonths)
@@ -183,7 +200,9 @@ object ChRegistry {
     f1("arrayReverse")(ch.arrayReverse); f1("arrayDistinct")(ch.arrayDistinct)
     f1("arrayUniq")(ch.arrayUniq); f1("arrayCompact")(ch.arrayCompact)
     f1("arrayFlatten")(ch.arrayFlatten)
-    f2("arrayIntersect")(ch.arrayIntersect); f2("arrayZip")(ch.arrayZip)
+    // variadic: intersection across all argument arrays
+    f("arrayIntersect")(es => es.map(C).reduce(ch.arrayIntersect))
+    f2("arrayZip")(ch.arrayZip)
     f1("arrayDifference")(ch.arrayDifference); f1("arrayCumSum")(ch.arrayCumSum)
     f1("arraySum")(ch.arraySum); f1("arrayMin")(ch.arrayMin)
     f1("arrayMax")(ch.arrayMax); f1("arrayAvg")(ch.arrayAvg)
@@ -364,6 +383,15 @@ object ChRegistry {
     // CH uniq is adaptive-sampling "almost exact" and exact at golden
     // cardinalities; the explicitly-approximate tiers keep their sketches
     f1("uniq")(c => count_distinct(c))
+    // -Array combinator over uniq: distinct ELEMENTS across all array
+    // arguments and all rows of the group (ref Combinators -Array)
+    f("uniqArray")(es =>
+      size(array_distinct(flatten(collect_list(concat(es.map(C): _*))))))
+    f("uniqExactArray")(es =>
+      size(array_distinct(flatten(collect_list(concat(es.map(C): _*))))))
+    f("uniqUpToArray") { case es :+ n =>
+      least(size(array_distinct(flatten(collect_list(
+        concat(es.map(C): _*))))).cast("bigint"), lit(litInt(n).toLong + 1)) }
     f1("uniqState")(UniqState.uniqState)
     f1("uniqMerge")(UniqState.uniqMerge)
     f1("uniqMergeState")(UniqState.uniqMergeState)
@@ -657,7 +685,9 @@ object ChRegistry {
               v.as("v")))),
           s => s.getField("v")),
         lit(1), C(k).cast("int")) }
-    f2("uniqUpTo")((x, k) => least(count_distinct(x), k.cast("bigint")))
+    // exact up to N, N+1 past it (ref AggregateFunctionUniqUpTo.h)
+    f2("uniqUpTo")((x, k) =>
+      least(count_distinct(x), k.cast("bigint") + 1L))
     f1("extractURLParameters")(ch.extractURLParameters)
     f1("sumForEach")(ch.sumForEach)
     f1("identity")(c => c)
