@@ -1039,12 +1039,27 @@ object ChSql {
     }
   }
 
+  /** Replace NULLs with CH type defaults in every column — the CH
+    * join_use_nulls=0 contract: non-matched outer-join columns carry the
+    * type's default value, not NULL (ref Settings.h join_use_nulls). */
+  private[graft] def fillJoinDefaults(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    // positional attribute refs — SELECT * over a self-join produces
+    // duplicate column NAMES that name-based refs can't address
+    val attrs = df.queryExecution.analyzed.output
+    df.select(attrs.map { a =>
+      val base = org.apache.spark.sql.graftbridge.ColumnBridge.column(a)
+      defaultLit(a.dataType)
+        .map(d => coalesce(base, d).as(a.name)).getOrElse(base)
+    }.toSeq: _*)
+  }
+
   private val TotalsRe =
     "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b".r
 
   /** CH default value per type, for the totals row's group-key columns
     * (CH fills them with defaults, not NULLs). */
-  private def defaultLit(dt: org.apache.spark.sql.types.DataType)
+  private[graft] def defaultLit(dt: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{lit, array}
     import org.apache.spark.sql.types._
@@ -1053,7 +1068,8 @@ object ChSql {
           DoubleType | _: DecimalType => Some(lit(0).cast(dt))
       case StringType => Some(lit(""))
       case BooleanType => Some(lit(false))
-      case DateType | TimestampType => Some(lit(0).cast(dt))
+      case DateType => Some(lit("1970-01-01").cast(dt))
+      case TimestampType => Some(lit("1970-01-01 00:00:00").cast(dt))
       case ArrayType(_, _) => Some(array().cast(dt))
       case _ => None
     }

@@ -232,8 +232,11 @@ object ch {
       org.apache.spark.sql.catalyst.expressions.EndsWith(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(p)))
+  // empty input stays empty (ref appendTrailingCharIfAbsent.cpp checks
+  // size() before the trailing-byte compare)
   def appendTrailingCharIfAbsent(c: Column, ch: String): Column =
-    when(endsWith(c, lit(ch)), c).otherwise(concat(c, lit(ch)))
+    when(length(c) === 0 || endsWith(c, lit(ch)), c)
+      .otherwise(concat(c, lit(ch)))
   def asciiCh(c: Column): Column = ascii(c)
   def emptyCh(c: Column): Column = length(c) === 0
   def notEmptyCh(c: Column): Column = length(c) > 0
@@ -558,7 +561,13 @@ object ch {
     when(lit(offset) >= 0, lead(c, math.max(offset, 0)).over(over))
       .otherwise(lag(c, math.max(-offset, 0)).over(over))
   def ignoreCh(xs: Seq[Column]): Column = lit(0)
-  def materialize(c: Column): Column = c
+  // a real no-op node that DEFEATS constant folding — CH materialize
+  // turns a constant column into a full one (ref materialize.cpp), which
+  // isConstant() then reports as non-constant
+  def materialize(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MaterializeExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
   def identityCh(c: Column): Column = c
   def versionCh(): Column = lit("23.3.19.32-graft")
   def hostName(): Column = lit("localhost")

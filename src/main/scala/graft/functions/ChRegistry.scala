@@ -762,7 +762,10 @@ object ChRegistry {
     f1("toInt128")(c => c.cast("decimal(38,0)"))
     f1("toInt256")(c => c.cast("decimal(38,0)"))
     f1("toUInt128")(c => c.cast("decimal(38,0)"))
-    f("isConstant") { case Seq(e) => lit(if (e.foldable) 1 else 0) }
+    f("isConstant") { case Seq(e) => C(IsConstantExpr(e)) }
+    // finalizeAggregation: our -State columns already carry final-typed
+    // values for the simple tiers (sketch states go through UniqState)
+    f1("finalizeAggregation")(c => c)
     // FixedString(n) = \0-padded bytes; String conversion trims the
     // padding back off (ref src/Columns/ColumnFixedString.h)
     f2("toFixedString")((s, n) => call_function("rpad", s, n, lit("\u0000")))

@@ -33,6 +33,17 @@ object QueryNormalization {
           !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
         i = math.min(i + 2, s.length)
         Insig
+      } else if (c == '$' && i + 1 < s.length &&
+        (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '$')) {
+        // heredoc $tag$...$tag$ is a string literal (ref Lexer.cpp HereDoc)
+        val tagEnd = s.indexOf('$', i + 1)
+        if (tagEnd < 0) { i += 1; Other("$") }
+        else {
+          val tag = s.substring(i, tagEnd + 1)
+          val close = s.indexOf(tag, tagEnd + 1)
+          if (close < 0) { i += 1; Other("$") }
+          else { i = close + tag.length; Lit }
+        }
       } else if (c == '\'') {
         i += 1
         while (i < s.length && s.charAt(i) != '\'') {

@@ -191,7 +191,16 @@ object Golden {
       if (clean.nonEmpty && echo)
         out ++= (stmtText + ";").linesIterator
       if (clean.nonEmpty && !expectsError) {
-        val (base, totals) = graft.ChSql.sqlSplit(spark, clean, sfDir)
+        val (base0, totals) = graft.ChSql.sqlSplit(spark, clean, sfDir)
+        // CH outer joins fill non-matched columns with type DEFAULTS
+        // (join_use_nulls=0 default). The curated tests' columns are
+        // non-Nullable, so in a statement with an outer join and no
+        // NULL-producing constructs, every NULL is a join gap.
+        val outerJoin = clean.matches(
+          "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?JOIN\\b.*") &&
+          !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*")
+        val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0)
+          else base0
         out ++= formatDf(base)
         totals.foreach { t => out += ""; out ++= formatDf(t) } // CH prints
         // the totals row after an empty separator line (TSV contract)
