@@ -66,6 +66,8 @@ object ChRegistry {
     }
     f("toDateTime") {
       case Seq(a) => ch.toDateTime(C(a))
+      // 2nd arg: DateTime64 scale (numeric) or timezone name (string)
+      case Seq(a, Literal(_: Number, _)) => ch.toDateTime(C(a))
       case Seq(a, t) => from_utc_timestamp(ch.toDateTime(C(a)), C(t))
     }
     f1("toInt64OrNull")(ch.toInt64OrNull); f1("toInt32OrNull")(ch.toInt32OrNull)
@@ -763,6 +765,59 @@ object ChRegistry {
     f1("toInt256")(c => c.cast("decimal(38,0)"))
     f1("toUInt128")(c => c.cast("decimal(38,0)"))
     f("isConstant") { case Seq(e) => C(IsConstantExpr(e)) }
+    // humanized duration (ref formatReadableTimeDelta.cpp: year=365d,
+    // month=30.5d, ", " separators with " and " before the final part)
+    locally {
+      def fmtDelta(value0: Double, maxUnit: String): String = {
+        if (value0.isNaN) return "nan"
+        if (value0.isInfinite) return if (value0 > 0) "inf" else "-inf"
+        val sb = new StringBuilder
+        var value = value0
+        if (value < 0) { sb.append('-'); value = -value }
+        val units = Seq(("year", 365L * 24 * 3600),
+          ("month", (30.5 * 24 * 3600).toLong), ("day", 24L * 3600),
+          ("hour", 3600L), ("minute", 60L), ("second", 1L))
+        val start = maxUnit match {
+          case "years" => 0; case "months" => 1; case "days" => 2
+          case "hours" => 3; case "minutes" => 4; case _ => 5
+        }
+        var hasOutput = false
+        for ((name, size) <- units.drop(start)) {
+          val num = (value / size).toLong
+          if (!(num == 0 && (size > 1 || hasOutput))) {
+            value -= num * size
+            if (hasOutput) sb.append(if (value < 1) " and " else ", ")
+            sb.append(num).append(' ').append(name)
+            if (num != 1) sb.append('s')
+            hasOutput = true
+          }
+        }
+        sb.toString
+      }
+      // internal names — registering the CH name over a UDF of the same
+      // name would make the dispatcher call itself
+      spark.udf.register("chFmtTimeDelta1", (v: Double) => fmtDelta(v, "years"))
+      spark.udf.register("chFmtTimeDelta2",
+        (v: Double, u: String) => fmtDelta(v, u))
+    }
+    f("formatReadableTimeDelta") {
+      case Seq(v) => call_function("chFmtTimeDelta1", C(v).cast("double"))
+      case Seq(v, u) =>
+        call_function("chFmtTimeDelta2", C(v).cast("double"), C(u))
+    }
+    // toTime: keep the time of day, move the date to 1970-01-02 (ref
+    // DateTimeTransforms.h ToTimeImpl)
+    f1("toTime")(c => to_timestamp(
+      concat(lit("1970-01-02 "), date_format(c, "HH:mm:ss"))))
+    f1("toUnixTimestamp64Milli")(c => (unix_micros(c) / 1000L).cast("bigint"))
+    f1("toUnixTimestamp64Micro")(c => unix_micros(c))
+    f1("toUnixTimestamp64Nano")(c => unix_micros(c) * 1000L)
+    f("fromUnixTimestamp64Milli") { case c +: _ => timestamp_millis(C(c)) }
+    f("fromUnixTimestamp64Micro") { case c +: _ => timestamp_micros(C(c)) }
+    f("fromUnixTimestamp64Nano") { case c +: _ =>
+      timestamp_micros((C(c) / 1000L).cast("bigint")) }
+    // tuple element-wise inequality count (ref tupleHammingDistance.cpp)
+    f2("tupleHammingDistance")((a, b) => C(TupleHamming(E(a), E(b))))
     // finalizeAggregation: our -State columns already carry final-typed
     // values for the simple tiers (sketch states go through UniqState)
     f1("finalizeAggregation")(c => c)
