@@ -190,7 +190,11 @@ object Golden {
       val clean = stripComments(stmtText).trim
       if (clean.nonEmpty && echo)
         out ++= (stmtText + ";").linesIterator
-      if (clean.nonEmpty && !expectsError) {
+      // CH session `SET name = value` statements configure the server and
+      // print nothing; Spark's own SET command would echo a key/value row,
+      // so swallow them here (clickhouse-test contract: no output).
+      val isSessionSet = clean.matches("(?is)^SET\\s+\\w+\\s*=.*")
+      if (clean.nonEmpty && !expectsError && !isSessionSet) {
         val (base0, totals) = graft.ChSql.sqlSplit(spark, clean, sfDir)
         // CH outer joins fill non-matched columns with type DEFAULTS
         // (join_use_nulls=0 default). The curated tests' columns are
