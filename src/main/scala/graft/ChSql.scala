@@ -286,6 +286,172 @@ object ChSql {
     * Nullable/LowCardinality unwrap (Spark types are nullable; dictionary
     * encoding is a storage property), Array/Tuple/Map map to
     * ARRAY/STRUCT/MAP syntax, Enum CASTs become ChEnum value mapping. */
+  /** CH's function-call cast forms (ref src/Functions/CastOverloadResolver.h):
+    * `cast(e, 'T')` / `CAST(e, 'T')` / `accurateCast(e, 'T')` → `CAST(e AS T)`
+    * and `accurateCastOrNull(e, 'T')` → `TRY_CAST(e AS T)`. Runs before
+    * rewriteChTypes so the unquoted type name gets the normal CH→Spark
+    * type mapping. */
+  private[graft] def rewriteCastCall(sql: String): String = {
+    var s = sql
+    val names = Seq("accurateCastOrNull" -> "TRY_CAST",
+      "accurateCast" -> "CAST", "cast" -> "CAST")
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((nm, target) <- names if !changed) {
+        val re = ("(?i)(?<![\\w.])" + nm + "\\s*\\(").r
+        val ms = re.findAllMatchIn(s).toSeq
+        // innermost-last: rewrite the LAST match first so nested casts
+        // resolve without re-scanning positions
+        ms.reverseIterator.find { m =>
+          // balanced scan from the open paren, tracking top-level commas
+          val open = m.end - 1
+          var depth = 0; var i = open; var inStr = false
+          var comma = -1
+          var end = -1
+          while (end < 0 && i < s.length) {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+            else if (c == ',' && depth == 1 && comma < 0) comma = i
+            i += 1
+          }
+          if (end < 0 || comma < 0) false
+          else {
+            val arg2 = s.substring(comma + 1, end).trim
+            if (arg2.length >= 2 && arg2.head == '\'' && arg2.last == '\'' &&
+              !arg2.substring(1, arg2.length - 1).contains('\'')) {
+              val tpe = arg2.substring(1, arg2.length - 1)
+              val expr = s.substring(open + 1, comma)
+              s = s.substring(0, m.start) +
+                s"$target(($expr) AS $tpe)" + s.substring(end + 1)
+              changed = true
+              true
+            } else false
+          }
+        }
+      }
+    }
+    s
+  }
+
+  /** Fold `toTypeName(expr)` to a string literal when the CH type of
+    * `expr` is statically inferable (ChTypes; ref
+    * src/Functions/toTypeName.cpp — the function is compile-time in the
+    * reference too). Select-list aliases are resolved by scanning the
+    * statement's `<expr> AS <name>` bindings; `number` (the numbers()
+    * table function column) is UInt64. Inference failure leaves the call
+    * untouched — the statement then fails analysis rather than risking a
+    * wrong name. */
+  private[graft] def rewriteTypeIntrospection(sql: String): String = {
+    if (!sql.contains("toTypeName")) return sql
+    import graft.functions.ChTypes
+    // alias bindings: backward balanced scan from each ` AS name`
+    val aliasRe = "(?i)\\bAS\\s+([A-Za-z_]\\w*)".r
+    val boundary = Set(',', '(', ';')
+    val stopWords = Seq("select", "where", "from", "union", "all", "by",
+      "having", "order", "group", "with", "settings", "limit", "array",
+      "join", "on", "using", "prewhere")
+    def exprBefore(asIdx: Int): Option[String] = {
+      var i = asIdx - 1
+      var depth = 0
+      var inStr = false
+      var start = 0
+      var found = false
+      while (i >= 0 && !found) {
+        val c = sql.charAt(i)
+        if (inStr) { if (c == '\'' && (i == 0 || sql.charAt(i - 1) != '\\'))
+          inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == ')') depth += 1
+        else if (c == '(') {
+          if (depth == 0) { start = i + 1; found = true } else depth -= 1
+        } else if (depth == 0 && boundary(c)) { start = i + 1; found = true }
+        else if (depth == 0 && (c.isLetter || c == '_')) {
+          // keyword boundary: scan the word this letter ends
+          val we = i + 1
+          var ws = i
+          while (ws > 0 && (sql.charAt(ws - 1).isLetterOrDigit ||
+            sql.charAt(ws - 1) == '_')) ws -= 1
+          val w = sql.substring(ws, we).toLowerCase
+          if (stopWords.contains(w)) { start = we; found = true }
+          else i = ws // skip over the identifier as a unit
+        }
+        i -= 1
+      }
+      val text = sql.substring(start, asIdx).trim
+      // CAST(x AS T): the "alias" is really a type target — skip
+      var j = start - 1
+      while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+      if (j >= 0 && sql.charAt(j) == '(') {
+        var ws = j
+        while (ws > 0 && sql.charAt(ws - 1).isLetterOrDigit) ws -= 1
+        if (sql.substring(ws, j).equalsIgnoreCase("cast")) return None
+      }
+      if (text.isEmpty) None else Some(text)
+    }
+    val bindings: Map[String, String] = aliasRe.findAllMatchIn(sql)
+      .flatMap(m => exprBefore(m.start).map(e => m.group(1) -> e))
+      .toList.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+    val resolving = scala.collection.mutable.Set.empty[String]
+    val memo = scala.collection.mutable.Map.empty[String, Option[ChTypes.T]]
+    def lookup(name: String): Option[ChTypes.T] = {
+      if (name == "number") return Some(ChTypes.UInt64)
+      if (name == "dummy") return Some(ChTypes.UInt8)
+      memo.getOrElseUpdate(name, {
+        if (resolving(name)) None
+        else bindings.get(name).flatMap { expr =>
+          resolving += name
+          val r = ChTypes.parse(expr).flatMap(
+            ChTypes.infer(_, EnvMap))
+          resolving -= name
+          r
+        }
+      })
+    }
+    object EnvMap extends Map[String, ChTypes.T] {
+      def get(k: String): Option[ChTypes.T] = lookup(k)
+      def iterator = Iterator.empty
+      def removed(key: String) = this
+      def updated[V1 >: ChTypes.T](k: String, v: V1) = this
+    }
+    // fold each toTypeName(...) call, innermost-last
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val re = "(?i)\\btoTypeName\\s*\\(".r
+      re.findAllMatchIn(s).toSeq.reverseIterator.find { m =>
+        val open = m.end - 1
+        var depth = 0; var i = open; var inStr = false; var end = -1
+        while (end < 0 && i < s.length) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end < 0) false
+        else {
+          val arg = s.substring(open + 1, end)
+          ChTypes.parse(arg).flatMap(ChTypes.infer(_, EnvMap)) match {
+            case Some(t) =>
+              s = s.substring(0, m.start) +
+                "'" + t.name.replace("'", "\\'") + "'" +
+                s.substring(end + 1)
+              changed = true
+              true
+            case None => false
+          }
+        }
+      }
+    }
+    s
+  }
+
   private[graft] def rewriteChTypes(sql: String): String = {
     var s = sql
     // Enum casts first, while the spec is intact: CAST(x AS Enum8('a'=1))
@@ -898,7 +1064,41 @@ object ChSql {
     // `chElementAt(t, 1)` and wraps it positionally
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(rewriteScalarWith(
-        rewriteChTypes(rewriteStringEscapes(chSql))))))))
+        rewriteChTypes(rewriteTypeIntrospection(
+          rewriteCastCall(rewriteStringEscapes(chSql))))))))))
+    // CH transform(x, from, to[, default]) value mapping: rename the
+    // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's
+    // builtin (ref src/Functions/transform.cpp)
+    s = {
+      var t = s
+      var changed = true
+      while (changed) {
+        changed = false
+        "(?i)(?<![\\w.])transform\\s*\\(".r.findAllMatchIn(t).toSeq
+          .reverseIterator.find { m =>
+            val open = m.end - 1
+            var depth = 0; var i = open; var inStr = false
+            var commas = 0; var end = -1
+            while (end < 0 && i < t.length) {
+              val c = t.charAt(i)
+              if (inStr) { if (c == '\\') i += 1
+                else if (c == '\'') inStr = false }
+              else if (c == '\'') inStr = true
+              else if (c == '(') depth += 1
+              else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+              else if (c == ',' && depth == 1) commas += 1
+              i += 1
+            }
+            if (end >= 0 && commas >= 2) {
+              t = t.substring(0, m.start) + "chTransform" +
+                t.substring(m.end - 1)
+              changed = true
+              true
+            } else false
+          }
+      }
+      t
+    }
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
     // PREWHERE behaves as WHERE once pushdown applies

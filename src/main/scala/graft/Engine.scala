@@ -13,6 +13,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(app)
+      .withExtensions(new graft.plans.ChExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -306,6 +306,9 @@ object ch {
   def splitByWhitespace(c: Column): Column = split(c, "\\s+")
   def alphaTokens(c: Column): Column =
     array_remove(split(c, "[^A-Za-z]+"), "")
+  // whitespace AND punctuation separators (ref FunctionsStringArray.h:40)
+  def splitByNonAlpha(c: Column): Column =
+    array_remove(split(c, "[\\s\\p{Punct}]+"), "")
   def arrayStringConcat(a: Column, sep: String = ""): Column = array_join(a, sep)
 
   // ---- arrays (ref src/Functions/array/) ----

@@ -1,0 +1,341 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Bit-exact ClickHouse hash functions (ref src/Functions/FunctionsHashing.h).
+  *
+  * cityHash64 = CityHash v1.0.2 (the frozen pre-1.1 variant the reference
+  * vendors precisely because its values are part of the public API) with
+  * CH's per-type element rule: POD integers go through
+  * `intHash64(x ^ seed)` on the zero-extended value, Decimals and big ints
+  * hash their little-endian scaled bytes, strings hash raw bytes; multiple
+  * arguments (and tuple elements, recursively — flat args and tuples are
+  * interchangeable, pinned by 00259_hashing_tuples) chain through
+  * Hash128to64. sipHash64 = SipHash-2-4 with a zero key over the same
+  * byte views, combining via sipHash64 of the two previous hashes.
+  *
+  * Results are CH UInt64; surfaced as Decimal(20,0) so values above
+  * Long.MaxValue print unsigned, as the reference does.
+  */
+object ChHash {
+
+  // ---- primitives ----
+
+  /** ref src/Common/HashTable/Hash.h:26 (murmur-style finalizer). */
+  def intHash64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** ref FunctionsHashing.h IntHash64Impl: fixed-seed xor before mixing. */
+  def intHash64Impl(x: Long): Long = intHash64(x ^ 0x4cf2d2baae6da887L)
+
+  /** CityHash's 128→64 fold (ref contrib/cityhash102 Hash128to64). */
+  def hash128to64(lo: Long, hi: Long): Long = {
+    val kMul = 0x9ddfea08eb382d69L
+    var a = (lo ^ hi) * kMul
+    a ^= a >>> 47
+    var b = (hi ^ a) * kMul
+    b ^= b >>> 47
+    b * kMul
+  }
+
+  // ---- CityHash v1.0.2 (64-bit) ----
+
+  private final val k0 = 0xc3a5c85c97cb3127L
+  private final val k1 = 0xb492b66fbe98f273L
+  private final val k2 = 0x9ae16a3b2f90404fL
+  private final val k3 = 0xc949d7c7509e6557L
+
+  private def fetch64(b: Array[Byte], i: Int): Long = {
+    var r = 0L
+    var j = 7
+    while (j >= 0) { r = (r << 8) | (b(i + j) & 0xffL); j -= 1 }
+    r
+  }
+  private def fetch32(b: Array[Byte], i: Int): Long = {
+    var r = 0L
+    var j = 3
+    while (j >= 0) { r = (r << 8) | (b(i + j) & 0xffL); j -= 1 }
+    r
+  }
+  private def rotate(v: Long, s: Int): Long =
+    if (s == 0) v else (v >>> s) | (v << (64 - s))
+  private def rotateByAtLeast1(v: Long, s0: Int): Long = {
+    val s = s0 & 63
+    (v >>> s) | (v << (64 - s))
+  }
+  private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+  private def hashLen16(u: Long, v: Long): Long = hash128to64(u, v)
+
+  private def hashLen0to16(b: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 8) {
+      val a = fetch64(b, off)
+      val bb = fetch64(b, off + len - 8)
+      hashLen16(a, rotateByAtLeast1(bb + len, len)) ^ bb
+    } else if (len >= 4) {
+      val a = fetch32(b, off)
+      hashLen16(len + (a << 3), fetch32(b, off + len - 4))
+    } else if (len > 0) {
+      val a = b(off) & 0xff
+      val bb = b(off + (len >> 1)) & 0xff
+      val c = b(off + len - 1) & 0xff
+      val y = (a + (bb << 8)).toLong
+      val z = (len + (c << 2)).toLong
+      shiftMix(y * k2 ^ z * k3) * k2
+    } else k2
+  }
+
+  private def hashLen17to32(b: Array[Byte], off: Int, len: Int): Long = {
+    val a = fetch64(b, off) * k1
+    val bb = fetch64(b, off + 8)
+    val c = fetch64(b, off + len - 8) * k2
+    val d = fetch64(b, off + len - 16) * k0
+    hashLen16(rotate(a - bb, 43) + rotate(c, 30) + d,
+      a + rotate(bb ^ k3, 20) - c + len)
+  }
+
+  private def weakHashLen32WithSeeds(w: Long, x: Long, y: Long, z: Long,
+      a0: Long, b0: Long): (Long, Long) = {
+    var a = a0 + w
+    var b = rotate(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rotate(a, 44)
+    (a + z, b + c)
+  }
+  private def weakHashLen32WithSeeds(s: Array[Byte], off: Int,
+      a: Long, b: Long): (Long, Long) =
+    weakHashLen32WithSeeds(fetch64(s, off), fetch64(s, off + 8),
+      fetch64(s, off + 16), fetch64(s, off + 24), a, b)
+
+  private def hashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    var z = fetch64(s, off + 24)
+    var a = fetch64(s, off) + (len + fetch64(s, off + len - 16)) * k0
+    var b = rotate(a + z, 52)
+    var c = rotate(a, 37)
+    a += fetch64(s, off + 8)
+    c += rotate(a, 7)
+    a += fetch64(s, off + 16)
+    val vf = a + z
+    val vs = b + rotate(a, 31) + c
+    a = fetch64(s, off + 16) + fetch64(s, off + len - 32)
+    z = fetch64(s, off + len - 8)
+    b = rotate(a + z, 52)
+    c = rotate(a, 37)
+    a += fetch64(s, off + len - 24)
+    c += rotate(a, 7)
+    a += fetch64(s, off + len - 16)
+    val wf = a + z
+    val ws = b + rotate(a, 31) + c
+    val r = shiftMix((vf + ws) * k2 + (wf + vs) * k0)
+    shiftMix(r * k0 + vs) * k2
+  }
+
+  def cityHash64(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len <= 32) {
+      if (len <= 16) hashLen0to16(s, 0, len) else hashLen17to32(s, 0, len)
+    } else if (len <= 64) {
+      hashLen33to64(s, 0, len)
+    } else {
+      var x = fetch64(s, 0)
+      var y = fetch64(s, len - 16) ^ k1
+      var z = fetch64(s, len - 56) ^ k0
+      var v = weakHashLen32WithSeeds(s, len - 64, len.toLong, y)
+      var w = weakHashLen32WithSeeds(s, len - 32, len.toLong * k1, k0)
+      z += shiftMix(v._2) * k1
+      x = rotate(z + x, 39) * k1
+      y = rotate(y, 33) * k1
+      var rem = (len - 1) & ~63
+      var off = 0
+      while (rem != 0) {
+        x = rotate(x + y + v._1 + fetch64(s, off + 16), 37) * k1
+        y = rotate(y + v._2 + fetch64(s, off + 48), 42) * k1
+        x ^= w._2
+        y ^= v._1
+        z = rotate(z ^ w._1, 33)
+        v = weakHashLen32WithSeeds(s, off, v._2 * k1, x + w._1)
+        w = weakHashLen32WithSeeds(s, off + 32, z + w._2, y)
+        val t = z; z = x; x = t
+        off += 64
+        rem -= 64
+      }
+      hashLen16(hashLen16(v._1, w._1) + shiftMix(y) * k1 + z,
+        hashLen16(v._2, w._2) + x)
+    }
+  }
+
+  // ---- SipHash-2-4, zero key (ref src/Common/SipHash.h) ----
+
+  def sipHash64(data: Array[Byte]): Long = {
+    var v0 = 0x736f6d6570736575L
+    var v1 = 0x646f72616e646f6dL
+    var v2 = 0x6c7967656e657261L
+    var v3 = 0x7465646279746573L
+    val len = data.length
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotate64(v1, 13); v1 ^= v0; v0 = rotate64(v0, 32)
+      v2 += v3; v3 = rotate64(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotate64(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotate64(v1, 17); v1 ^= v2; v2 = rotate64(v2, 32)
+    }
+
+    var i = 0
+    while (i + 8 <= len) {
+      val m = fetch64(data, i)
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    // tail word: low bytes from remaining input, MSB = total length mod 256
+    var tail = (len.toLong & 0xff) << 56
+    var j = len - i - 1
+    while (j >= 0) {
+      tail |= (data(i + j) & 0xffL) << (8 * j)
+      j -= 1
+    }
+    v3 ^= tail; round(); round(); v0 ^= tail
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    v0 ^ v1 ^ v2 ^ v3
+  }
+
+  private def rotate64(v: Long, s: Int): Long = (v << s) | (v >>> (64 - s))
+
+  /** sipHash64 combine: hash of the 16-byte little-endian (h1, h2) pair. */
+  def sipCombine(h1: Long, h2: Long): Long = {
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      b(i) = ((h1 >>> (8 * i)) & 0xff).toByte
+      b(8 + i) = ((h2 >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    sipHash64(b)
+  }
+
+  def toUnsignedDecimal(h: Long): Decimal =
+    Decimal(new java.math.BigDecimal(
+      new java.math.BigInteger(java.lang.Long.toUnsignedString(h))), 20, 0)
+}
+
+/** cityHash64 / sipHash64 over any argument list, CH semantics (ref
+  * FunctionsHashing.h FunctionAnyHash): per-element hash by type, tuples
+  * flattened recursively, chained combine. `city = true` selects the
+  * CityHash combine + int-hash-for-PODs rule; false = SipHash byte rule.
+  */
+case class ChAnyHash(city: Boolean, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = DecimalType(20, 0)
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    var h = 0L
+    var first = true
+    var sawNull = false
+
+    def combine(e: Long): Unit = {
+      h = if (first) { first = false; e }
+      else if (city) ChHash.hash128to64(h, e)
+      else ChHash.sipCombine(h, e)
+    }
+
+    def leBytes(v: java.math.BigInteger, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      val src = v.toByteArray // big-endian two's-complement
+      val neg = v.signum < 0
+      java.util.Arrays.fill(out, if (neg) (-1).toByte else 0.toByte)
+      var i = 0
+      while (i < src.length && i < n) {
+        out(i) = src(src.length - 1 - i)
+        i += 1
+      }
+      out
+    }
+
+    def intElem(value: Long, width: Int): Long = {
+      val masked = width match {
+        case 1 => value & 0xffL
+        case 2 => value & 0xffffL
+        case 4 => value & 0xffffffffL
+        case _ => value
+      }
+      if (city) ChHash.intHash64Impl(masked)
+      else {
+        val b = new Array[Byte](width)
+        var i = 0
+        while (i < width) { b(i) = ((value >>> (8 * i)) & 0xff).toByte; i += 1 }
+        ChHash.sipHash64(b)
+      }
+    }
+
+    def bytesElem(b: Array[Byte]): Long =
+      if (city) ChHash.cityHash64(b) else ChHash.sipHash64(b)
+
+    def walk(v: Any, dt: DataType): Unit = {
+      if (v == null) { sawNull = true; return }
+      dt match {
+        case st: StructType =>
+          val row = v.asInstanceOf[InternalRow]
+          var i = 0
+          while (i < st.length) {
+            walk(row.get(i, st(i).dataType), st(i).dataType)
+            i += 1
+          }
+        case ByteType => combine(intElem(v.asInstanceOf[Byte].toLong, 1))
+        case ShortType => combine(intElem(v.asInstanceOf[Short].toLong, 2))
+        case IntegerType => combine(intElem(v.asInstanceOf[Int].toLong, 4))
+        case LongType => combine(intElem(v.asInstanceOf[Long], 8))
+        case BooleanType =>
+          combine(intElem(if (v.asInstanceOf[Boolean]) 1L else 0L, 1))
+        case DateType => // CH Date = UInt16 days
+          combine(intElem(v.asInstanceOf[Int].toLong, 2))
+        case TimestampType => // CH DateTime = UInt32 epoch seconds
+          combine(intElem(
+            Math.floorDiv(v.asInstanceOf[Long], 1000000L), 4))
+        case FloatType =>
+          combine(intElem(
+            java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+              .toLong, 4))
+        case DoubleType =>
+          combine(intElem(
+            java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8))
+        case d: DecimalType =>
+          // scaled value's little-endian bytes at the CH storage width;
+          // Decimal32/64/128 all hash bytes (pinned by 01032)
+          val unscaled = v.asInstanceOf[Decimal].toJavaBigDecimal
+            .unscaledValue
+          val width = if (d.precision <= 9) 4
+            else if (d.precision <= 18) 8 else 16
+          combine(bytesElem(leBytes(unscaled, width)))
+        case StringType =>
+          combine(bytesElem(
+            v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .getBytes))
+        case BinaryType => combine(bytesElem(v.asInstanceOf[Array[Byte]]))
+        case other => throw new UnsupportedOperationException(
+          s"${if (city) "cityHash64" else "sipHash64"}: unsupported type $other")
+      }
+    }
+
+    children.foreach(c => walk(c.eval(input), c.dataType))
+    if (sawNull) null
+    else if (first) null // zero args
+    else ChHash.toUnsignedDecimal(h)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}

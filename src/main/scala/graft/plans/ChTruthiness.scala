@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
+
+/** ClickHouse numeric truthiness for logical contexts (ref
+  * src/Functions/FunctionsLogical.cpp: UInt8/numeric operands of
+  * AND/OR/NOT and WHERE are true when non-zero). Spark's And/Or/Not and
+  * Filter require BOOLEAN, so `SELECT 1 AND 2` or `WHERE 3` fail to
+  * analyze; this resolution rule rewrites a resolved numeric operand in
+  * those positions to `operand <> 0`. Runs in the analyzer's fixed
+  * point; the rewrite result is boolean, so it applies at most once per
+  * operand.
+  */
+object ChTruthinessRule extends Rule[LogicalPlan] {
+
+  private def toBool(e: Expression): Expression = e match {
+    case _ if !e.resolved => e
+    case _ if e.dataType == BooleanType => e
+    case _ if e.dataType.isInstanceOf[NumericType] =>
+      Not(EqualTo(Cast(e, DoubleType), Literal(0.0d)))
+    case _ => e
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case a @ And(l, r)
+          if (isNum(l) || isNum(r)) && l.resolved && r.resolved =>
+        And(toBool(l), toBool(r))
+      case o @ Or(l, r)
+          if (isNum(l) || isNum(r)) && l.resolved && r.resolved =>
+        Or(toBool(l), toBool(r))
+      case n @ Not(c) if isNum(c) => Not(toBool(c))
+    } match {
+      case p =>
+        p.transformWithPruning(_ => true) {
+          case f @ Filter(cond, child) if isNum(cond) =>
+            Filter(toBool(cond), child)
+        }
+    }
+
+  private def isNum(e: Expression): Boolean =
+    e.resolved && e.dataType.isInstanceOf[NumericType]
+}
+
+/** SparkSessionExtensions installer (wired in Engine.session). */
+class ChExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => ChTruthinessRule)
+}
