@@ -94,7 +94,7 @@ object ChSql {
   private val paramAggs = Set("quantile", "quantileExact", "quantiles",
     "quantilesExact", "quantileTiming", "quantilesTiming",
     "quantileTDigest", "quantileExactWeighted", "topK", "uniqUpTo",
-    "histogram")
+    "uniqUpToArray", "histogram")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql
@@ -498,11 +498,15 @@ object ChSql {
       } else from = m + 4
       m = s.indexOf("Enum", from)
     }
-    // unwrap single-argument wrappers (one nesting level per pass)
+    // unwrap single-argument wrappers (one nesting level per pass);
+    // string-aware so folded type names like 'Nullable(Nothing)' from
+    // rewriteTypeIntrospection keep their literal text
     var prev: String = null
     while (prev != s) {
       prev = s
-      s = s.replaceAll("\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)", "$1")
+      s = replaceOutsideStrings(s,
+        "\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)",
+        "$1")
     }
     val words = Seq(
       "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
@@ -527,11 +531,10 @@ object ChSql {
     prev = null
     while (prev != s) {
       prev = s
-      s = s.replaceAll("\\bArray\\(([^()]*)\\)", "ARRAY<$1>")
-      s = s.replaceAll("\\bMap\\(([^()]*)\\)", "MAP<$1>")
+      s = replaceOutsideStrings(s, "\\bArray\\(([^()]*)\\)", "ARRAY<$1>")
+      s = replaceOutsideStrings(s, "\\bMap\\(([^()]*)\\)", "MAP<$1>")
       // Tuple(a T, b U) / Tuple(T, U) → STRUCT<a: T, b: U>
-      val tup = "\\bTuple\\(([^()]*)\\)".r
-      s = tup.replaceAllIn(s, mm => {
+      s = replaceFnOutsideStrings(s, "\\bTuple\\(([^()]*)\\)") { mm =>
         val items = mm.group(1).split(",").toSeq.map(_.trim).zipWithIndex
           .map { case (it, i) =>
             val parts = it.split("\\s+", 2)
@@ -540,7 +543,7 @@ object ChSql {
           }
         java.util.regex.Matcher.quoteReplacement(
           s"STRUCT<${items.mkString(", ")}>")
-      })
+      }
     }
     s
   }
@@ -695,8 +698,19 @@ object ChSql {
       }
     }
     if (scalars.isEmpty) return t
+    // macros may reference earlier macros (WITH a AS x, a || 'y' AS b):
+    // expand each definition with the ones before it first
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for ((expr0, name) <- scalars) {
+      var expr = expr0
+      for ((pExpr, pName) <- resolved)
+        expr = replaceOutsideStrings(expr,
+          s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(pName)}(?![\\w`])",
+          java.util.regex.Matcher.quoteReplacement(s"($pExpr)"))
+      resolved += ((expr, name))
+    }
     var body = t.substring(selAt)
-    for ((expr, name) <- scalars)
+    for ((expr, name) <- resolved)
       body = replaceOutsideStrings(body,
         s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(name)}(?![\\w`])",
         java.util.regex.Matcher.quoteReplacement(s"($expr)"))
@@ -788,6 +802,32 @@ object ChSql {
   }
 
   /** Apply a regex replacement only OUTSIDE single-quoted literals. */
+  /** Like [[replaceOutsideStrings]] but with a Match→String function. */
+  private def replaceFnOutsideStrings(sql: String, re: String)(
+      fn: scala.util.matching.Regex.Match => String): String = {
+    val rx = re.r
+    val parts = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    var i = 0
+    def flushSeg(): Unit = {
+      parts.append(rx.replaceAllIn(seg.toString, fn)); seg.clear()
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '\'') { flushSeg(); parts.append(c); inStr = true }
+      else if (inStr) {
+        parts.append(c)
+        if (c == '\\' && i + 1 < sql.length) {
+          parts.append(sql.charAt(i + 1)); i += 1
+        } else if (c == '\'') inStr = false
+      } else seg.append(c)
+      i += 1
+    }
+    flushSeg()
+    parts.toString
+  }
+
   private def replaceOutsideStrings(sql: String, re: String,
       repl: String): String = {
     val parts = new StringBuilder
@@ -1117,6 +1157,9 @@ object ChSql {
     s = s.replaceAll("(?i)\\b(ALL|ANY)\\s+JOIN\\b", "JOIN")
     // == is valid CH equality
     s = s.replaceAll("==", "=")
+    // infix MOD keyword (MySQL-compat operator; the MOD(a,b) call form
+    // parses fine and is untouched — no '(' directly after)
+    s = replaceOutsideStrings(s, "(?i)(?<=[\\w)\\]'])\\s+MOD\\s+", " % ")
     // dateDiff('day', a, b) — Spark's parser special-cases dateDiff with an
     // unquoted unit identifier, so unquote+uppercase and use timestampdiff
     s = s.replaceAll("(?i)\\bdateDiff\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
@@ -1129,6 +1172,59 @@ object ChSql {
       "(SELECT id AS number FROM range($1, $1 + $2))")
     s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\((\\d+)\\)",
       "(SELECT id AS number FROM range($1))")
+    // scientific-notation count (numbers(1e6)) — CH accepts a Float64
+    // literal and truncates it
+    s = replaceFnOutsideStrings(s,
+      "(?i)\\bnumbers(?:_mt)?\\((\\d+(?:\\.\\d+)?[eE]\\d+)\\)") { mm =>
+      val n = mm.group(1).toDouble.toLong
+      s"(SELECT id AS number FROM range($n))"
+    }
+    // values('c1 T1, c2 T2', (r1c1, r1c2), …) table function (ref
+    // src/TableFunctions/TableFunctionValues.cpp) → Spark inline table
+    // `VALUES (…), (…) AS __v(c1, c2)`; CH types in the schema string
+    // are dropped (Spark infers from the literals, and every pinned
+    // golden hash-checks the result)
+    s = {
+      var t = s
+      val re = "(?i)\\bvalues\\s*\\(\\s*'".r
+      var m = re.findFirstMatchIn(t)
+      var guard = 0
+      while (m.isDefined && guard < 20) {
+        guard += 1
+        val open = t.indexOf('(', m.get.start)
+        var depth = 0; var i = open; var inStr = false; var end = -1
+        val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (end < 0 && i < t.length) {
+          val c = t.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          else if (c == ',' && depth == 1) commas += i
+          i += 1
+        }
+        if (end < 0 || commas.isEmpty) m = None
+        else {
+          val schema = t.substring(open + 1, commas.head).trim
+            .stripPrefix("'").stripSuffix("'")
+          val names = schema.split(",").toSeq.map(_.trim.split("\\s+")(0))
+          val hasAlias = schema.toUpperCase.contains(" ALIAS ")
+          if (hasAlias) m = None // computed columns: not translated
+          else {
+            val bounds = commas.toSeq :+ end
+            val rows = bounds.sliding(2).map { case Seq(a, b) =>
+              val r = t.substring(a + 1, b).trim
+              if (r.startsWith("(")) r else s"($r)"
+            }.mkString(", ")
+            t = t.substring(0, m.get.start) +
+              s"(SELECT * FROM VALUES $rows AS __v(${names.mkString(", ")}))" +
+              t.substring(end + 1)
+            m = re.findFirstMatchIn(t)
+          }
+        }
+      }
+      t
+    }
     // ARRAY JOIN clause (ref src/Interpreters/ArrayJoinAction.h): the
     // aliased single-array form maps to LATERAL VIEW explode; LEFT ARRAY
     // JOIN keeps empty-array rows → explode_outer. (The alias-less form
@@ -1206,8 +1302,11 @@ object ChSql {
   // operator (it MAKES rows), so it can't stay in the SQL string: strip
   // it, run the base query, and apply operators/WithFill on the result.
   private val FillRe =
-    ("(?is)\\bORDER\\s+BY\\s+(\\w+)\\s+WITH\\s+FILL" +
-      "(?:\\s+FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(\\d+))?)?" +
+    ("(?is)\\bORDER\\s+BY\\s+(\\w+)(?:\\s+ASC)?\\s+WITH\\s+FILL" +
+      "(?:\\s+FROM\\s+(.+?))??" +
+      "(?:\\s+TO\\s+(.+?))??" +
+      "(?:\\s+STEP\\s+(.+?))??" +
+      "(?:\\s+LIMIT\\s+(\\d+)(?:\\s+WITH\\s+TIES)?)?" +
       "\\s*$").r
 
   /** Run a ClickHouse-dialect query: register CH function names + fixture
@@ -1219,22 +1318,60 @@ object ChSql {
       spark.emptyDataFrame
     else FillRe.findFirstMatchIn(chQuery.trim.stripSuffix(";")) match {
       case Some(m) =>
-        val base = spark.sql(translate(
-          FillRe.replaceFirstIn(chQuery.trim.stripSuffix(";"),
-            s"ORDER BY ${m.group(1)}")))
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
         val key = m.group(1)
-        val casted = base.withColumn(key,
-          org.apache.spark.sql.functions.col(key).cast("bigint"))
-        val (from, to) = if (m.group(2) != null)
-          (m.group(2).toLong, m.group(3).toLong)
-        else {
-          val r = casted.agg(org.apache.spark.sql.functions.min(key),
-            org.apache.spark.sql.functions.max(key)).collect()(0)
-          (r.getLong(0), r.getLong(1))
+        val base = spark.sql(ChSql.translate(
+          FillRe.replaceFirstIn(chQuery.trim.stripSuffix(";"),
+            s"ORDER BY $key")))
+        val keyType = base.schema(key).dataType
+        // numeric view of the key: timestamps in epoch seconds, dates in
+        // epoch days, numbers as themselves (Float keys fill fractionally)
+        def toNum(c: org.apache.spark.sql.Column) = keyType match {
+          case DateType => datediff(c, lit("1970-01-01")).cast("double")
+          case _ => c.cast("double")
         }
-        val step = Option(m.group(4)).map(_.toLong).getOrElse(1L)
-        graft.operators.WithFill.fillLong(spark, casted, key, from, to, step)
-          .orderBy(key)
+        def fromNum(c: org.apache.spark.sql.Column) = keyType match {
+          case DateType => date_add(lit("1970-01-01"), c.cast("int"))
+          case TimestampType => c.cast("timestamp")
+          case t => c.cast(t)
+        }
+        def evalExpr(e: String): Double =
+          toNum(expr(ChSql.translate(e).trim)) match { case c =>
+            spark.range(1).select(c.as("v")).collect()(0).getDouble(0) }
+        val bounds = base.agg(min(toNum(col(key))).as("a"),
+          max(toNum(col(key))).as("b")).collect()(0)
+        val dataMin = if (bounds.isNullAt(0)) None else Some(bounds.getDouble(0))
+        val from = Option(m.group(2)).map(evalExpr).orElse(dataMin)
+        val toGiven = Option(m.group(3)).map(evalExpr)
+        val to = toGiven.orElse(
+          if (bounds.isNullAt(1)) None else Some(bounds.getDouble(1)))
+        val step = Option(m.group(4)).map(evalExpr).getOrElse(1.0)
+        (from, to) match {
+          case (Some(f), Some(t)) if step > 0 =>
+            // TO given → exclusive bound; derived from data → inclusive
+            // (ref FillingRow::next boundary handling)
+            val n = if (toGiven.isDefined)
+              math.ceil((t - f) / step).toLong
+            else math.floor((t - f) / step).toLong + 1
+            val grid = spark.range(0, math.max(n, 0))
+              .select(fromNum(lit(f) + col("id") * lit(step)).as(key))
+            // full outer: grid points fill gaps, off-grid original rows
+            // survive (CH interleaves both)
+            val joined = grid.join(base, Seq(key), "full_outer")
+            // CH fills the non-key columns of grid rows with type
+            // defaults (same join_use_nulls=0 contract as outer joins)
+            val attrs = joined.schema.fields
+            val filled = joined.select(attrs.map { fld =>
+              if (fld.name == key) col(key)
+              else defaultLit(fld.dataType)
+                .map(d => coalesce(col(fld.name), d).as(fld.name))
+                .getOrElse(col(fld.name))
+            }.toSeq: _*).orderBy(key)
+            Option(m.group(5)).map(l => filled.limit(l.toInt))
+              .getOrElse(filled)
+          case _ => base.orderBy(key)
+        }
       case None => spark.sql(translate(chQuery))
     }
   }

@@ -346,7 +346,12 @@ object ChRegistry {
     // src/Functions/toLowCardinality.cpp, toNullable.cpp, parseDateTime.cpp)
     f1("toNullable")(c => c)
     f1("toLowCardinality")(c => c)
-    f("toDateTime64") { case Seq(c, _) => C(c).cast("timestamp") }
+    f("toDateTime64") {
+      case Seq(c, _) => C(c).cast("timestamp")
+      // optional trailing timezone (display zone; session is UTC)
+      case Seq(c, _, tz) =>
+        from_utc_timestamp(C(c).cast("timestamp"), C(tz))
+    }
     f("toDecimal32") { case Seq(c, s) =>
       C(c).cast(s"decimal(9, ${litInt(s)})") }
     f("toDecimal64") { case Seq(c, s) =>
@@ -374,9 +379,76 @@ object ChRegistry {
         case other =>
           throw new IllegalArgumentException(s"arrayReduce: unsupported $other")
       } }
-    f1("parseDateTimeBestEffort")(c =>
-      coalesce(ch.parseBestEffort(c), c.cast("timestamp")))
-    f1("parseDateTimeBestEffortOrNull")(ch.parseBestEffort)
+    // best-effort datetime family: the BestEffort state machine is a
+    // faithful port of the reference reader (see BestEffort.scala).
+    // UDF tier: per-value string scanning with data-dependent branching
+    // is exactly the case where a UDF is the honest implementation.
+    locally {
+      def micros(str: String, us: Boolean): Option[Long] =
+        BestEffort.parseMicros(str, us)
+      def ts(m: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+        t
+      }
+      // internal UDF names; the CH names dispatch below (an optional
+      // trailing timezone/scale argument needs arity flexibility a
+      // scala UDF registration alone cannot give)
+      spark.udf.register("__bestEffort", (str: String) =>
+        micros(str, us = false).map(ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"Cannot parse DateTime from '$str'")))
+      spark.udf.register("__bestEffortOrNull", (str: String) =>
+        micros(str, us = false).map(ts).orNull)
+      spark.udf.register("__bestEffortOrZero", (str: String) =>
+        micros(str, us = false).map(ts).getOrElse(ts(0L)))
+      spark.udf.register("__bestEffortUS", (str: String) =>
+        micros(str, us = true).map(ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"Cannot parse DateTime from '$str'")))
+      spark.udf.register("__bestEffortUSOrNull", (str: String) =>
+        micros(str, us = true).map(ts).orNull)
+      spark.udf.register("__bestEffortUSOrZero", (str: String) =>
+        micros(str, us = true).map(ts).getOrElse(ts(0L)))
+      // tz-aware tier: wall-time inputs stay put, instant-anchored
+      // inputs shift into the zone (BestEffort.parseMicrosTz)
+      spark.udf.register("__bestEffortTz", (str: String, tz: String) =>
+        BestEffort.parseMicrosTz(str, tz).map(ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"Cannot parse DateTime from '$str'")))
+      spark.udf.register("__bestEffortTzOrNull",
+        (str: String, tz: String) =>
+          BestEffort.parseMicrosTz(str, tz).map(ts).orNull)
+      spark.udf.register("__bestEffortTzOrZero",
+        (str: String, tz: String) =>
+          BestEffort.parseMicrosTz(str, tz).map(ts).getOrElse(ts(0L)))
+    }
+    // CH-visible names: 1-arg, with-timezone ('UTC' session: identity),
+    // and the DateTime64 tier whose scale argument only affects print
+    // width (value semantics are identical)
+    def bestEffortName(chName: String, internal: String): Unit = {
+      val tzInternal = internal.replace("__bestEffort", "__bestEffortTz")
+      f(chName) {
+        case Seq(a) => call_function(internal, C(a))
+        case Seq(a, tz) if tz.isInstanceOf[Literal] &&
+            litStr(tz).forall(_.isDigit) =>
+          call_function(internal, C(a)) // DateTime64 scale argument
+        case Seq(a, tz) => call_function(tzInternal, C(a), C(tz))
+        case Seq(a, _, tz) => call_function(tzInternal, C(a), C(tz))
+      }
+    }
+    bestEffortName("parseDateTimeBestEffort", "__bestEffort")
+    bestEffortName("parseDateTimeBestEffortOrNull", "__bestEffortOrNull")
+    bestEffortName("parseDateTimeBestEffortOrZero", "__bestEffortOrZero")
+    bestEffortName("parseDateTime32BestEffort", "__bestEffort")
+    bestEffortName("parseDateTime32BestEffortOrNull", "__bestEffortOrNull")
+    bestEffortName("parseDateTime32BestEffortOrZero", "__bestEffortOrZero")
+    bestEffortName("parseDateTime64BestEffort", "__bestEffort")
+    bestEffortName("parseDateTime64BestEffortOrNull", "__bestEffortOrNull")
+    bestEffortName("parseDateTime64BestEffortOrZero", "__bestEffortOrZero")
+    bestEffortName("parseDateTimeBestEffortUS", "__bestEffortUS")
+    bestEffortName("parseDateTimeBestEffortUSOrNull", "__bestEffortUSOrNull")
+    bestEffortName("parseDateTimeBestEffortUSOrZero", "__bestEffortUSOrZero")
     // factorial: build the Catalyst node directly — calling
     // functions.factorial inside a builder registered under the same name
     // self-recurses through the resolver (see the rand note below)
@@ -668,7 +740,6 @@ object ChRegistry {
       ch.visitParamExtractBool(C(j), litStr(k)) }
     f("visitParamExtractRaw") { case Seq(j, k) =>
       ch.visitParamExtractRaw(C(j), litStr(k)) }
-    f1("parseDateTimeBestEffortOrZero")(ch.parseDateTimeBestEffortOrZero)
     // DAYOFWEEK: CH aliases the MySQL name to toDayOfWeek (Monday=1),
     // NOT MySQL/Spark numbering (Sunday=1) — ref dateTimeFunctions
     // alias table. Shadows the builtin → direct DayOfWeek node

@@ -496,10 +496,13 @@ object ChTypes {
           case _ => None
         }
       case "%" =>
+        // ResultOfModulo: signed dividend needs the NEXT size up from
+        // the divisor (toInt32(-199) % toUInt8(200) = -199 → Int16)
         if (isFloat(a) || isFloat(b)) Some(Float64)
-        else if (isInt(a) && isInt(b))
-          Some(intOf(signed(a) || signed(b), bits(b)))
-        else None
+        else if (isInt(a) && isInt(b)) {
+          val sgn = signed(a)
+          Some(intOf(sgn, if (sgn) bits(b) * 2 else bits(b)))
+        } else None
       case _ => None
     }
     res.map(t => if (nullable) Nullable(t) else t)

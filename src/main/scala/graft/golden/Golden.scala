@@ -201,7 +201,7 @@ object Golden {
         // non-Nullable, so in a statement with an outer join and no
         // NULL-producing constructs, every NULL is a join gap.
         val outerJoin = clean.matches(
-          "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?JOIN\\b.*") &&
+          "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
           !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*")
         val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0)
           else base0

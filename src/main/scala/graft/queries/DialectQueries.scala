@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.ChSql
+
+/** Round-4 dialect-layer queries: CH-exact hashing, best-effort datetime
+  * parsing, the cast(x, 'T') call form, static toTypeName folding,
+  * numeric truthiness, and split max_substrings — each through ChSql so
+  * the SQL surface is what's verified. Hash and parse oracles are the
+  * bit-exact values the reference's own golden tests pin
+  * (00259_hashing_tuples, 01032_cityHash64_for_decimal,
+  * 00569_parse_date_time_best_effort families).
+  */
+object DialectQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // cityHash64/sipHash64/intHash64 exact values (ref
+    // FunctionsHashing.h; ChHash port). DuckDB has no CityHash twin, so
+    // the oracle carries the reference-pinned constants.
+    Q.df("q_hash_exact",
+      """SELECT n.n_nationkey,
+        |       CAST(v.h_name AS DECIMAL(20,0)) AS h_name,
+        |       CAST(v.s_name AS DECIMAL(20,0)) AS s_name,
+        |       CAST(v.ih AS DECIMAL(20,0)) AS ih
+        |FROM nation n
+        |JOIN (VALUES
+        |  (0, 2256113281631467402::HUGEINT, 5108673937383248664::HUGEINT,
+        |      4761183170873013810::HUGEINT),
+        |  (1, 6784161260036859405::HUGEINT, 12426003460781575357::HUGEINT,
+        |      10577349846663553072::HUGEINT),
+        |  (2, 10856078874879138054::HUGEINT, 15661071381772447531::HUGEINT,
+        |      18198135717204167749::HUGEINT),
+        |  (3, 10738687083553616131::HUGEINT, 18139923448219904588::HUGEINT,
+        |      9624464864560415994::HUGEINT),
+        |  (4, 13485913917329167769::HUGEINT, 10523747662110252697::HUGEINT,
+        |      7766709361750702608::HUGEINT))
+        |  v(k, h_name, s_name, ih) ON v.k = n.n_nationkey
+        |WHERE n.n_nationkey < 5
+        |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT n_nationkey, cityHash64(n_name) AS h_name,
+          |       sipHash64(n_name) AS s_name,
+          |       intHash64(n_nationkey) AS ih
+          |FROM nation WHERE n_nationkey < 5
+          |ORDER BY n_nationkey""".stripMargin, dir)
+    },
+
+    // parseDateTimeBestEffort semantics (BestEffort port of
+    // parseDateTimeBestEffort.cpp): oracle carries the reference's own
+    // expected instants
+    Q.df("q_besteffort_parse",
+      """SELECT TIMESTAMP '2017-01-01 22:02:03' AS a,
+        |       TIMESTAMP '2018-02-11 03:40:50' AS b,
+        |       CAST(NULL AS TIMESTAMP) AS c,
+        |       TIMESTAMP '2020-08-06 22:29:00' AS d,
+        |       TIMESTAMP '2017-02-01 00:00:00' AS e""".stripMargin) {
+      (s, dir) =>
+        ChSql.sql(s,
+          """SELECT parseDateTimeBestEffort('02/01/17 010203 MSK') AS a,
+            |       parseDateTimeBestEffort('11 Feb 2018 06:40:50 +0300') AS b,
+            |       parseDateTimeBestEffortOrNull('not a date') AS c,
+            |       parseDateTimeBestEffort('1596752940') AS d,
+            |       parseDateTimeBestEffortUS('02/01/17') AS e""".stripMargin,
+          dir)
+    },
+
+    // cast(x, 'Type') call form + :: + CAST AS through one query
+    Q.df("q_cast_forms",
+      """SELECT CAST(n_nationkey AS BIGINT) AS a,
+        |       CAST(n_name AS VARCHAR) AS b,
+        |       CAST(n_regionkey AS SMALLINT) AS c
+        |FROM nation ORDER BY a LIMIT 10""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT cast(n_nationkey, 'Int64') AS a,
+          |       CAST(n_name, 'String') AS b,
+          |       accurateCast(n_regionkey, 'Int16') AS c
+          |FROM nation ORDER BY a LIMIT 10""".stripMargin, dir)
+    },
+
+    // static toTypeName folding (ChTypes inference)
+    Q.df("q_typename_fold",
+      """SELECT 'UInt8' AS t1, 'Float64' AS t2, 'String' AS t3,
+        |       'Array(UInt8)' AS t4, 'Nullable(Nothing)' AS t5,
+        |       'UInt16' AS t6""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT toTypeName(1) AS t1, toTypeName(1.5) AS t2,
+          |       toTypeName('x') AS t3, toTypeName([1, 2]) AS t4,
+          |       toTypeName(NULL) AS t5, toTypeName(1 + 200) AS t6""".stripMargin,
+        dir)
+    },
+
+    // CH numeric truthiness in AND/OR/NOT/WHERE (ChTruthinessRule)
+    Q.df("q_truthiness",
+      """SELECT n_nationkey FROM nation
+        |WHERE n_regionkey <> 0 AND (n_nationkey % 2) <> 0
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT n_nationkey FROM nation
+          |WHERE n_regionkey AND n_nationkey % 2
+          |ORDER BY n_nationkey""".stripMargin, dir)
+    },
+
+    // splitBy* with max_substrings (truncation form)
+    Q.df("q_split_max",
+      """SELECT n_nationkey,
+        |       array_to_string((string_split(n_name, ' '))[1:3], '|')
+        |         AS head3
+        |FROM nation ORDER BY n_nationkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        ChSql.sql(s,
+          """SELECT n_nationkey,
+            |       arrayStringConcat(splitByChar(' ', n_name, 3), '|')
+            |         AS head3
+            |FROM nation ORDER BY n_nationkey LIMIT 10""".stripMargin, dir)
+    }
+  )
+}

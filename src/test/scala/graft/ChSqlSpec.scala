@@ -20,11 +20,14 @@ class ChSqlSpec extends SparkSpec {
   test("ORDER BY WITH FILL FROM/TO/STEP generates the missing rows") {
     val rows = ChSql.sql(spark,
       """SELECT n_regionkey * 2 AS k, count() AS c FROM nation
-        |GROUP BY k ORDER BY k WITH FILL FROM 0 TO 10 STEP 2""".stripMargin,
+        |GROUP BY k ORDER BY k WITH FILL FROM 0 TO 12 STEP 2""".stripMargin,
       SparkSpec.tiny).collect()
-    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 2L, 4L, 6L, 8L, 10L))
-    // filled rows exist with null counts; original rows keep their counts
-    assert(rows.count(_.isNullAt(1)) === 1) // k=10 is off the data grid
+    // TO is exclusive (ref FillingRow boundary): grid stops below 12
+    assert(rows.map(_.getAs[Number](0).longValue).toSeq ===
+      Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    // filled rows carry type defaults (join_use_nulls=0 contract):
+    // k=10 is off the data grid and gets c=0
+    assert(rows.count(r => r.getAs[Number](1).longValue == 0L) === 1)
   }
 
   test("ORDER BY WITH FILL without bounds spans min..max of the result") {
@@ -32,7 +35,7 @@ class ChSqlSpec extends SparkSpec {
       """SELECT n_regionkey * 3 AS k, count() AS c FROM nation
         |WHERE n_regionkey IN (0, 2) GROUP BY k ORDER BY k WITH FILL""".stripMargin,
       SparkSpec.tiny).collect()
-    assert(rows.map(_.getLong(0)).toSeq === (0L to 6L).toSeq)
+    assert(rows.map(_.getAs[Number](0).longValue).toSeq === (0L to 6L).toSeq)
   }
 
   test("tuple access t.1 maps to Spark's col1 field") {
