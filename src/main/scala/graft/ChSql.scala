@@ -454,6 +454,14 @@ object ChSql {
 
   private[graft] def rewriteChTypes(sql: String): String = {
     var s = sql
+    // CAST(x AS UIntN) keeps CH's unsigned width via the toUIntN
+    // registrations (ChUIntTag) instead of the blanket one-tier-up type
+    // map below — byte-hashing functions need the original width.
+    // One nesting level of parens/strings in the operand.
+    s = s.replaceAll(
+      "(?is)\\bCAST\\s*\\(((?:[^()']|'[^']*'|\\([^()]*\\))*?)\\s+AS\\s+" +
+        "UInt(8|16|32|64)\\s*\\)",
+      "toUInt$2($1)")
     // Enum casts first, while the spec is intact: CAST(x AS Enum8('a'=1))
     var from = 0
     var m = s.indexOf("Enum", from)
@@ -1099,6 +1107,164 @@ object ChSql {
     out.toString
   }
 
+  /** Shard fan-out of a CH remote() address pattern: `{a,b,c}` is an
+    * enumeration, `{a..b}` a numeric range; multiple brace groups
+    * multiply (ref src/Common/parseRemoteDescription.cpp). */
+  private[graft] def shardCount(addr: String): Int = {
+    var k = 1
+    val re = "\\{([^}]*)\\}".r
+    re.findAllMatchIn(addr).foreach { m =>
+      val body = m.group(1)
+      val n =
+        if (body.contains("..")) {
+          val parts = body.split("\\.\\.")
+          try parts(1).trim.toInt - parts(0).trim.toInt + 1 catch {
+            case _: Exception => 1
+          }
+        } else body.count(_ == ',') + 1
+      k *= math.max(n, 1)
+    }
+    k
+  }
+
+  /** remote('addr', system, one | numbers(...) | view(select ...)) →
+    * local subquery replicated shardCount(addr) times. Unknown target
+    * forms are left untouched (the golden check rejects them). */
+  private[graft] def rewriteRemote(sql: String): String = {
+    var s = sql
+    val re = "(?i)\\bremote(?:Secure)?\\s*\\(\\s*'([^']*)'\\s*,".r
+    var guard = 0
+    var done = false
+    while (!done && guard < 20) {
+      guard += 1
+      re.findFirstMatchIn(s) match {
+        case None => done = true
+        case Some(m) =>
+          val open = s.indexOf('(', m.start)
+          var depth = 0; var i = open; var inStr = false; var end = -1
+          while (end < 0 && i < s.length) {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\\') i += 1
+              else if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          if (end < 0) done = true
+          else {
+            val k = shardCount(m.group(1))
+            val rest = s.substring(m.end, end).trim
+            val inner: Option[String] =
+              if (rest.matches("(?is)system\\s*,\\s*one(\\s*,.*)?"))
+                Some("(SELECT CAST(0 AS TINYINT) AS __one)")
+              else if (rest.matches("(?is)numbers(?:_mt)?\\s*\\(.*"))
+                Some(rest)
+              else if (rest.matches("(?is)view\\s*\\(.*\\)")) {
+                val vopen = rest.indexOf('(')
+                Some("(" + rest.substring(vopen + 1, rest.length - 1) + ")")
+              } else None
+            inner match {
+              case None => done = true
+              case Some(t) =>
+                val body =
+                  if (k == 1) s"(SELECT __rt.* FROM $t __rt)"
+                  else s"(SELECT __rt.* FROM $t __rt CROSS JOIN range($k))"
+                s = s.substring(0, m.start) + body + s.substring(end + 1)
+            }
+          }
+      }
+    }
+    s
+  }
+
+  private val SparkTypeWords = Set(
+    "tinyint", "smallint", "int", "integer", "bigint", "float", "real",
+    "double", "string", "varchar", "char", "date", "timestamp", "decimal",
+    "boolean", "binary", "interval", "void", "long", "short", "byte")
+
+  /** CH inline parenthesized alias `(expr AS name)`: strip the alias and
+    * substitute `(expr)` for later bare references to `name`. Skips CAST
+    * type names and subquery groups. */
+  private[graft] def rewriteParenAlias(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 30) {
+      changed = false
+      guard += 1
+      val re = "(?i)\\s+AS\\s+([A-Za-z_]\\w*)\\s*\\)".r
+      val hits = re.findAllMatchIn(s).toSeq
+      val usable = hits.find { m =>
+        val name = m.group(1)
+        if (SparkTypeWords.contains(name.toLowerCase)) false
+        else if (inSingleQuoted(s, m.start)) false
+        else {
+          // matching open paren of the ')' that closes this group
+          val close = s.lastIndexOf(')', m.end - 1)
+          var depth = 0; var j = close; var open = -1
+          while (open < 0 && j >= 0) {
+            val c = s.charAt(j)
+            if (c == ')') depth += 1
+            else if (c == '(') { depth -= 1; if (depth == 0) open = j }
+            j -= 1
+          }
+          if (open < 0) false
+          else {
+            val content = s.substring(open + 1, m.start).trim
+            !content.toUpperCase.startsWith("SELECT") && content.nonEmpty
+          }
+        }
+      }
+      usable.foreach { m =>
+        val name = m.group(1)
+        val close = s.lastIndexOf(')', m.end - 1)
+        var depth = 0; var j = close; var open = -1
+        while (open < 0 && j >= 0) {
+          val c = s.charAt(j)
+          if (c == ')') depth += 1
+          else if (c == '(') { depth -= 1; if (depth == 0) open = j }
+          j -= 1
+        }
+        // the aliased element starts after the last top-level comma
+        val content = s.substring(open + 1, m.start)
+        var d = 0; var lastComma = -1; var p = 0; var inStr = false
+        while (p < content.length) {
+          val c = content.charAt(p)
+          if (inStr) { if (c == '\\') p += 1
+            else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (c == ',' && d == 0) lastComma = p
+          p += 1
+        }
+        val expr = content.substring(lastComma + 1).trim
+        // drop the ` AS name`
+        s = s.substring(0, m.start) + s.substring(m.end - 1)
+        // substitute bare references (skip self-definition sites)
+        if (!expr.equalsIgnoreCase(name))
+          s = replaceOutsideStrings(s,
+            "(?i)(?<!\\bAS\\s)(?<![\\w.`])" +
+              java.util.regex.Pattern.quote(name) + "(?![\\w`(])",
+            java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+        changed = true
+      }
+    }
+    s
+  }
+
+  private def inSingleQuoted(str: String, pos: Int): Boolean = {
+    var inStr = false; var i = 0
+    while (i < pos) {
+      val c = str.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      i += 1
+    }
+    inStr
+  }
+
   def translate(chSql: String): String = {
     // tuple access runs AFTER brackets so `t[1].1` sees the rewritten
     // `chElementAt(t, 1)` and wraps it positionally
@@ -1157,6 +1323,9 @@ object ChSql {
     s = s.replaceAll("(?i)\\b(ALL|ANY)\\s+JOIN\\b", "JOIN")
     // == is valid CH equality
     s = s.replaceAll("==", "=")
+    // single-param lambda with parenthesized head `(x) -> e` (CH allows
+    // both; Spark's parser only the bare form)
+    s = replaceOutsideStrings(s, "\\(\\s*(\\w+)\\s*\\)\\s*->", "$1 ->")
     // infix MOD keyword (MySQL-compat operator; the MOD(a,b) call form
     // parses fine and is untouched — no '(' directly after)
     s = replaceOutsideStrings(s, "(?i)(?<=[\\w)\\]'])\\s+MOD\\s+", " % ")
@@ -1165,6 +1334,11 @@ object ChSql {
     s = s.replaceAll("(?i)\\bdateDiff\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
     // zero-arg count() is valid CH (count(*) in ANSI)
     s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // remote()/remoteSecure() table function (ref
+    // src/TableFunctions/TableFunctionRemote.cpp): each shard in the
+    // address pattern runs the same local subquery here, so the result
+    // is the underlying table replicated shard-count times
+    s = rewriteRemote(s)
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`
@@ -1283,6 +1457,10 @@ object ChSql {
           if (v.isValidLong) v.toString else mm.matched
         })
     }
+    // CH inline parenthesized aliases `(expr AS name)` (ref
+    // src/Interpreters/QueryAliasesVisitor.cpp: an alias attaches to any
+    // subexpression and is visible query-wide)
+    s = rewriteParenAlias(s)
     // select-list aliases are visible in WHERE in CH (ref
     // QueryAliasesVisitor) — substitute the aliased expression
     s = rewriteAliasRefs(s)

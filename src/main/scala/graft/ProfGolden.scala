@@ -12,14 +12,14 @@ object ProfGolden {
     var pass = 0
     val res = new java.io.PrintWriter("/tmp/golden_results.txt")
     def clean(s: String): String =
-      s.filter(c => c >= ' ' && c < 127).take(300)
+      s.filter(c => c >= 32 && c < 127).take(1500)
     list.foreach { path =>
       try {
         val (actual, expected) = golden.Golden.runFile(spark, path, sfDir)
         if (actual == expected) { pass += 1; res.println(s"PASS $path") }
         else {
           val diff = actual.zipAll(expected, "<missing>", "<missing>")
-            .filter { case (a, b) => a != b }.take(2)
+            .filter { case (a, b) => a != b }.take(12)
           res.println(s"FAIL $path " + clean(
             diff.map { case (a, b) => s"got=<$a> want=<$b>" }.mkString(" | ")))
         }

@@ -474,8 +474,16 @@ object ch {
   // ---- hash/encoding (ref FunctionsHashing.h; sipHash/cityHash values
   // intentionally NOT bit-compatible — documented divergence, stable
   // within this engine) ----
-  def cityHash64(cols: Seq[Column]): Column = xxhash64(cols: _*)
-  def sipHash64(cols: Seq[Column]): Column = xxhash64(cols: _*)
+  /** Spark's builtin XXH64 (seed 42) as a direct Catalyst node: the SQL
+    * name `xxhash64` is shadowed by the CH-exact xxHash64 temp-function
+    * registration (Spark 4 resolves functions.xxhash64 BY NAME), so
+    * engine-internal hashing must not go through name resolution. */
+  def sparkXxhash64(cols: Column*): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    CC(new org.apache.spark.sql.catalyst.expressions.XxHash64(cols.map(EE)))
+  }
+  def cityHash64(cols: Seq[Column]): Column = sparkXxhash64(cols: _*)
+  def sipHash64(cols: Seq[Column]): Column = sparkXxhash64(cols: _*)
   def halfMD5(c: Column): Column =
     call_function("conv", substring(md5(c), 1, 15), lit(16), lit(10))
       .cast("bigint")
@@ -489,8 +497,36 @@ object ch {
     * the analyzer dies (same trap as rand/factorial). */
   def hexCh(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
-    val h = CC(org.apache.spark.sql.catalyst.expressions.Hex(EE(c)))
-    when(length(h) % 2 === 1, concat(lit("0"), h)).otherwise(h)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Hex, UnscaledValue}
+    import org.apache.spark.sql.types.DecimalType
+    val e = EE(c)
+    def tryLong(col: Column) =
+      CC(Cast(EE(col), org.apache.spark.sql.types.LongType, None,
+        EvalMode.TRY))
+    val dt =
+      if (e.resolved) e.dataType else org.apache.spark.sql.types.NullType
+    dt match {
+      // CH UInt64 surfaces as Decimal(20,0) here (hash results); hex of
+      // it is the unsigned 64-bit value → recover the signed-long bit
+      // pattern before Spark's Hex (which prints longs unsigned)
+      case d: DecimalType if d == DecimalType(20, 0) =>
+        val src = coalesce(tryLong(c),
+          tryLong(c - lit("18446744073709551616").cast("decimal(21,0)")))
+        CC(Hex(EE(src)))
+      // CH hex(Decimal32/64) prints the unscaled value's LITTLE-endian
+      // bytes at the type's storage width (ref
+      // src/Functions/FunctionsBinaryRepresentation.cpp hexImpl)
+      case d: DecimalType if d.precision <= 18 =>
+        val width = if (d.precision <= 9) 4 else 8
+        val u = CC(UnscaledValue(e))
+        val parts = (0 until width).map { i =>
+          lpad(CC(Hex(EE(shiftright(u, 8 * i).bitwiseAND(lit(255L))))), 2, "0")
+        }
+        upper(concat(parts: _*))
+      case _ =>
+        val h = CC(Hex(e))
+        when(length(h) % 2 === 1, concat(lit("0"), h)).otherwise(h)
+    }
   }
   /** CH factorial: 1 for anything below 2 (tests 02478_factorial). */
   def factorialCh(c: Column): Column =
@@ -501,7 +537,7 @@ object ch {
   }
   def base64Encode(c: Column): Column = base64(c.cast("binary"))
   def base64Decode(c: Column): Column = unbase64(c).cast("string")
-  def intHash64(c: Column): Column = xxhash64(c)
+  def intHash64(c: Column): Column = sparkXxhash64(c)
   def hiveHash(c: Column): Column = hash(c)
 
   // IP coding (ref FunctionsCodingIP.cpp)
@@ -535,7 +571,7 @@ object ch {
 
   // ---- random (ref rand.cpp; CH rand() is UInt32) ----
   def randCh(): Column = (rand() * 4294967296L).cast("bigint")
-  def rand64(): Column = xxhash64(rand())
+  def rand64(): Column = sparkXxhash64(rand())
   def canonicalRand(): Column = rand()
   def generateUUIDv4(): Column = expr("uuid()")
 

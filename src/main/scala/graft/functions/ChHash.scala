@@ -227,6 +227,111 @@ object ChHash {
   def toUnsignedDecimal(h: Long): Decimal =
     Decimal(new java.math.BigDecimal(
       new java.math.BigInteger(java.lang.Long.toUnsignedString(h))), 20, 0)
+
+  // ---- xxHash (ref FunctionsHashing.h ImplXxHash64/ImplXxHash32; the
+  // XXH32/XXH64 algorithms are the public spec, seed 0) ----
+
+  private val X64P1 = 0x9E3779B185EBCA87L
+  private val X64P2 = 0xC2B2AE3D27D4EB4FL
+  private val X64P3 = 0x165667B19E3779F9L
+  private val X64P4 = 0x85EBCA77C2B2AE63L
+  private val X64P5 = 0x27D4EB2F165667C5L
+
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L; var k = 0
+    while (k < 8) { v |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+  private def le32(b: Array[Byte], i: Int): Int = {
+    var v = 0; var k = 0
+    while (k < 4) { v |= (b(i + k) & 0xff) << (8 * k); k += 1 }
+    v
+  }
+
+  def xxHash64(b: Array[Byte]): Long = {
+    val len = b.length
+    @inline def round(acc: Long, in: Long): Long =
+      rotate64(acc + in * X64P2, 31) * X64P1
+    @inline def merge(acc0: Long, v: Long): Long = {
+      val acc = acc0 ^ round(0L, v)
+      acc * X64P1 + X64P4
+    }
+    var i = 0
+    var h =
+      if (len >= 32) {
+        var v1 = X64P1 + X64P2; var v2 = X64P2; var v3 = 0L; var v4 = -X64P1
+        while (i <= len - 32) {
+          v1 = round(v1, le64(b, i)); v2 = round(v2, le64(b, i + 8))
+          v3 = round(v3, le64(b, i + 16)); v4 = round(v4, le64(b, i + 24))
+          i += 32
+        }
+        var acc = rotate64(v1, 1) + rotate64(v2, 7) +
+          rotate64(v3, 12) + rotate64(v4, 18)
+        acc = merge(acc, v1); acc = merge(acc, v2)
+        acc = merge(acc, v3); merge(acc, v4)
+      } else X64P5
+    h += len
+    while (i <= len - 8) {
+      h ^= round(0L, le64(b, i)); h = rotate64(h, 27) * X64P1 + X64P4; i += 8
+    }
+    if (i <= len - 4) {
+      h ^= (le32(b, i) & 0xffffffffL) * X64P1
+      h = rotate64(h, 23) * X64P2 + X64P3; i += 4
+    }
+    while (i < len) {
+      h ^= (b(i) & 0xffL) * X64P5; h = rotate64(h, 11) * X64P1; i += 1
+    }
+    h ^= h >>> 33; h *= X64P2; h ^= h >>> 29; h *= X64P3; h ^= h >>> 32
+    h
+  }
+
+  private val X32P1 = 0x9E3779B1
+  private val X32P2 = 0x85EBCA77
+  private val X32P3 = 0xC2B2AE3D
+  private val X32P4 = 0x27D4EB2F
+  private val X32P5 = 0x165667B1
+
+  private def rotl32(v: Int, s: Int): Int = (v << s) | (v >>> (32 - s))
+
+  /** XXH32 seed 0, returned zero-extended into a Long (CH UInt32). */
+  def xxHash32(b: Array[Byte]): Long = {
+    val len = b.length
+    @inline def round(acc: Int, in: Int): Int =
+      rotl32(acc + in * X32P2, 13) * X32P1
+    var i = 0
+    var h =
+      if (len >= 16) {
+        var v1 = X32P1 + X32P2; var v2 = X32P2; var v3 = 0; var v4 = -X32P1
+        while (i <= len - 16) {
+          v1 = round(v1, le32(b, i)); v2 = round(v2, le32(b, i + 4))
+          v3 = round(v3, le32(b, i + 8)); v4 = round(v4, le32(b, i + 12))
+          i += 16
+        }
+        rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18)
+      } else X32P5
+    h += len
+    while (i <= len - 4) {
+      h += le32(b, i) * X32P3; h = rotl32(h, 17) * X32P4; i += 4
+    }
+    while (i < len) {
+      h += (b(i) & 0xff) * X32P5; h = rotl32(h, 11) * X32P1; i += 1
+    }
+    h ^= h >>> 15; h *= X32P2; h ^= h >>> 13; h *= X32P3; h ^= h >>> 16
+    h & 0xffffffffL
+  }
+
+  /** ref Common/HashTable/Hash.h intHash32<0x75D9543DE018BF45> (the
+    * IntHash32Impl salt in FunctionsHashing.h:139) — xxHash32's combiner. */
+  def intHash32Impl(key0: Long): Long = {
+    var key = key0 ^ 0x75D9543DE018BF45L
+    key = (~key) + (key << 18)
+    key = key ^ ((key >>> 31) | (key << 33))
+    key = key * 21
+    key = key ^ ((key >>> 11) | (key << 53))
+    key = key + (key << 6)
+    key = key ^ ((key >>> 22) | (key << 42))
+    key & 0xffffffffL
+  }
 }
 
 /** cityHash64 / sipHash64 over any argument list, CH semantics (ref
@@ -234,10 +339,32 @@ object ChHash {
   * flattened recursively, chained combine. `city = true` selects the
   * CityHash combine + int-hash-for-PODs rule; false = SipHash byte rule.
   */
-case class ChAnyHash(city: Boolean, children: Seq[Expression])
+/** Identity wrapper marking a value as a CH UIntN: the carrier Spark
+  * type is one width tier up (UInt8 rides in SMALLINT), so byte-hashing
+  * functions need the original width. Evaluates to its child unchanged.
+  */
+case class ChUIntTag(child: Expression, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def withNewChildInternal(c: Expression): ChUIntTag =
+    copy(child = c)
+  override def prettyName: String = s"toUInt${width * 8}"
+}
+
+case class ChAnyHash(city: Boolean, children: Seq[Expression],
+    algo: String = "", widths: Seq[Int] = Nil)
     extends Expression with CodegenFallback {
 
-  override def dataType: DataType = DecimalType(20, 0)
+  // algo: "" → legacy city/sip flag; "xx64"/"xx32" → xxHash with CH's
+  // combine rule (ref ImplXxHash64/ImplXxHash32 in FunctionsHashing.h)
+  private def algoName: String =
+    if (algo.nonEmpty) algo else if (city) "city" else "sip"
+
+  override def dataType: DataType =
+    if (algoName == "xx32") LongType else DecimalType(20, 0)
   override def nullable: Boolean = children.exists(_.nullable)
 
   override def eval(input: InternalRow): Any = {
@@ -247,8 +374,11 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression])
 
     def combine(e: Long): Unit = {
       h = if (first) { first = false; e }
-      else if (city) ChHash.hash128to64(h, e)
-      else ChHash.sipCombine(h, e)
+      else algoName match {
+        case "city" | "xx64" => ChHash.hash128to64(h, e)
+        case "xx32" => ChHash.intHash32Impl(h) ^ e
+        case _ => ChHash.sipCombine(h, e)
+      }
     }
 
     def leBytes(v: java.math.BigInteger, n: Int): Array[Byte] = {
@@ -264,6 +394,13 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression])
       out
     }
 
+    def bytesElem(b: Array[Byte]): Long = algoName match {
+      case "city" => ChHash.cityHash64(b)
+      case "xx64" => ChHash.xxHash64(b)
+      case "xx32" => ChHash.xxHash32(b)
+      case _ => ChHash.sipHash64(b)
+    }
+
     def intElem(value: Long, width: Int): Long = {
       val masked = width match {
         case 1 => value & 0xffL
@@ -271,47 +408,73 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression])
         case 4 => value & 0xffffffffL
         case _ => value
       }
-      if (city) ChHash.intHash64Impl(masked)
+      if (algoName == "city") ChHash.intHash64Impl(masked)
       else {
         val b = new Array[Byte](width)
         var i = 0
         while (i < width) { b(i) = ((value >>> (8 * i)) & 0xff).toByte; i += 1 }
-        ChHash.sipHash64(b)
+        bytesElem(b)
       }
     }
 
-    def bytesElem(b: Array[Byte]): Long =
-      if (city) ChHash.cityHash64(b) else ChHash.sipHash64(b)
-
-    def walk(v: Any, dt: DataType): Unit = {
-      if (v == null) { sawNull = true; return }
+    // `widths` is a FLATTENED pre-order slot list (struct fields expand,
+    // an array is one slot applying to its elements) of CH literal-type
+    // widths — a Spark int literal may be a CH UInt8. `fixed` is set
+    // inside arrays: elements reuse the array's slot instead of consuming.
+    val slotIt = widths.iterator
+    def nextSlot(): Int = if (slotIt.hasNext) slotIt.next() else 0
+    def intW(fixed: Boolean, fw: Int, spark: Int): Int = {
+      val w = if (fixed) fw else nextSlot()
+      if (w > 0) w else spark
+    }
+    def walk(v: Any, dt: DataType, fixed: Boolean = false,
+        fw: Int = 0): Unit = {
+      if (v == null) {
+        sawNull = true
+        if (!fixed) dt match {
+          case st: StructType => // keep slot alignment for later children
+            st.foreach(f => walk(null, f.dataType, fixed = false))
+            return
+          case _ => nextSlot()
+        }
+        return
+      }
       dt match {
         case st: StructType =>
           val row = v.asInstanceOf[InternalRow]
           var i = 0
           while (i < st.length) {
-            walk(row.get(i, st(i).dataType), st(i).dataType)
+            walk(row.get(i, st(i).dataType), st(i).dataType, fixed, fw)
             i += 1
           }
-        case ByteType => combine(intElem(v.asInstanceOf[Byte].toLong, 1))
-        case ShortType => combine(intElem(v.asInstanceOf[Short].toLong, 2))
-        case IntegerType => combine(intElem(v.asInstanceOf[Int].toLong, 4))
-        case LongType => combine(intElem(v.asInstanceOf[Long], 8))
+        case ByteType =>
+          combine(intElem(v.asInstanceOf[Byte].toLong, intW(fixed, fw, 1)))
+        case ShortType =>
+          combine(intElem(v.asInstanceOf[Short].toLong, intW(fixed, fw, 2)))
+        case IntegerType =>
+          combine(intElem(v.asInstanceOf[Int].toLong, intW(fixed, fw, 4)))
+        case LongType =>
+          combine(intElem(v.asInstanceOf[Long], intW(fixed, fw, 8)))
         case BooleanType =>
+          if (!fixed) nextSlot()
           combine(intElem(if (v.asInstanceOf[Boolean]) 1L else 0L, 1))
         case DateType => // CH Date = UInt16 days
+          if (!fixed) nextSlot()
           combine(intElem(v.asInstanceOf[Int].toLong, 2))
         case TimestampType => // CH DateTime = UInt32 epoch seconds
           combine(intElem(
             Math.floorDiv(v.asInstanceOf[Long], 1000000L), 4))
         case FloatType =>
+          if (!fixed) nextSlot()
           combine(intElem(
             java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
               .toLong, 4))
         case DoubleType =>
+          if (!fixed) nextSlot()
           combine(intElem(
             java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8))
         case d: DecimalType =>
+          if (!fixed) nextSlot()
           // scaled value's little-endian bytes at the CH storage width;
           // Decimal32/64/128 all hash bytes (pinned by 01032)
           val unscaled = v.asInstanceOf[Decimal].toJavaBigDecimal
@@ -320,10 +483,29 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression])
             else if (d.precision <= 18) 8 else 16
           combine(bytesElem(leBytes(unscaled, width)))
         case StringType =>
+          if (!fixed) nextSlot()
           combine(bytesElem(
             v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
               .getBytes))
-        case BinaryType => combine(bytesElem(v.asInstanceOf[Array[Byte]]))
+        case BinaryType =>
+          if (!fixed) nextSlot()
+          combine(bytesElem(v.asInstanceOf[Array[Byte]]))
+        case ArrayType(et, _) =>
+          // ref FunctionsHashing.h executeArray: hash of the LENGTH
+          // (IntHash64Impl/IntHash32Impl — the unsalted finalizer),
+          // then each element's hash combined in order
+          val arr = v.asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          val n = arr.numElements()
+          combine(
+            if (algoName == "xx32") ChHash.intHash32Impl(n.toLong)
+            else ChHash.intHash64Impl(n.toLong))
+          val ew = if (fixed) fw else nextSlot()
+          var i = 0
+          while (i < n) {
+            walk(arr.get(i, et), et, fixed = true, ew)
+            i += 1
+          }
         case other => throw new UnsupportedOperationException(
           s"${if (city) "cityHash64" else "sipHash64"}: unsupported type $other")
       }
@@ -331,8 +513,12 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression])
 
     children.foreach(c => walk(c.eval(input), c.dataType))
     if (sawNull) null
-    else if (first) null // zero args
-    else ChHash.toUnsignedDecimal(h)
+    else {
+      // zero args → CH's fixed magic (FunctionsHashing.h executeImpl)
+      val out = if (first) 0xe28dbde7fe22e41cL else h
+      if (algoName == "xx32") java.lang.Long.valueOf(out & 0xffffffffL)
+      else ChHash.toUnsignedDecimal(out)
+    }
   }
 
   override protected def withNewChildrenInternal(

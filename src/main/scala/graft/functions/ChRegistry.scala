@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, ArrayFilter, ArrayExists, ArrayForAll, ArrayPosition, Cast, Coalesce, GetArrayItem, Literal => Lit, Md5, Rand, Size}
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, ByteType, DateType, DayTimeIntervalType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, YearMonthIntervalType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,14 +53,34 @@ object ChRegistry {
     // conversions
     f1("toInt8")(ch.toInt8); f1("toInt16")(ch.toInt16)
     f1("toInt32")(ch.toInt32); f1("toInt64")(ch.toInt64)
-    f1("toUInt8")(ch.toUInt8); f1("toUInt16")(ch.toUInt16)
-    f1("toUInt32")(ch.toUInt32); f1("toUInt64")(ch.toUInt64)
+    // unsigned tiers ride one signed width up; the ChUIntTag identity
+    // wrapper keeps the CH width visible to byte-hashing functions
+    f1("toUInt8")(c => C(ChUIntTag(E(ch.toUInt8(c)), 1)))
+    f1("toUInt16")(c => C(ChUIntTag(E(ch.toUInt16(c)), 2)))
+    f1("toUInt32")(c => C(ChUIntTag(E(ch.toUInt32(c)), 4)))
+    // UInt64 literals beyond Long range keep the Decimal(20,0) carrier
+    // (same unsigned surface the CH-exact hash functions use)
+    f("toUInt64") {
+      case Seq(Literal(d: org.apache.spark.sql.types.Decimal, _: DecimalType)
+          ) if d.scale == 0 &&
+            d.toJavaBigDecimal.unscaledValue.bitLength > 63 =>
+        lit(d.toJavaBigDecimal).cast("decimal(20,0)")
+      case Seq(a) => ch.toUInt64(C(a))
+    }
     f1("toFloat32")(ch.toFloat32); f1("toFloat64")(ch.toFloat64)
     f1("toString")(ch.toStringCh)
     // type-directed toDate (numbers are epoch DAYS — no ANSI cast path);
     // optional tz shifts the instant to that zone's calendar day
     f("toDate") {
       case Seq(a) => C(ChToDate(a))
+      // tz arg shifts the instant to that zone's calendar day — but a
+      // NUMERIC argument is already epoch DAYS (no instant to shift; ref
+      // FunctionsConversion.h ToDateTransform32Or64)
+      case Seq(a, t) if a.resolved && (a.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                FloatType | DoubleType | _: DecimalType => true
+            case _ => false
+          }) => C(ChToDate(a))
       case Seq(a, t) =>
         C(ChToDate(E(from_utc_timestamp(C(a).cast("timestamp"), C(t)))))
     }
@@ -305,8 +325,71 @@ object ChRegistry {
 
     // hash / encoding — cityHash64/sipHash64 are bit-exact CH values
     // (ChHash; golden-pinned by 00259/00324/01032)
-    f("cityHash64")(es => C(ChAnyHash(city = true, es)))
-    f("sipHash64")(es => C(ChAnyHash(city = false, es)))
+    // CH literal type inference for hash widths: a bare int literal is
+    // the NARROWEST unsigned (non-negative) / signed (negative) type
+    // (ref src/DataTypes/FieldToDataType.cpp), so its byte-hash width
+    // differs from the Spark literal's type width
+    def chLitWidth(e: Expression): Int = {
+      def w(v: Long): Int =
+        if (v >= 0) {
+          if (v < 256L) 1 else if (v < 65536L) 2
+          else if (v < 4294967296L) 4 else 8
+        } else {
+          if (v >= -128L) 1 else if (v >= -32768L) 2
+          else if (v >= Int.MinValue.toLong) 4 else 8
+        }
+      e match {
+        case Literal(v: Byte, _) => w(v.toLong)
+        case Literal(v: Short, _) => w(v.toLong)
+        case Literal(v: Int, _) => w(v.toLong)
+        case Literal(v: Long, _) => w(v)
+        case _ => 0
+      }
+    }
+    // flattened pre-order slot widths matching ChAnyHash's walk: struct
+    // fields expand to one slot each, an array is one slot (applied to
+    // its elements), every other leaf is one slot
+    def flatWidths(e: Expression): Seq[Int] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.catalyst.expressions.{Alias, CreateArray, CreateNamedStruct}
+      def slots(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.map(f => slots(f.dataType)).sum
+        case _ => 1
+      }
+      e match {
+        case a: Alias => flatWidths(a.child)
+        case s: CreateNamedStruct => s.valExprs.flatMap(flatWidths)
+        case uf: UnresolvedFunction
+            if Seq("struct", "tuple").contains(
+              uf.nameParts.last.toLowerCase) =>
+          uf.arguments.flatMap(flatWidths)
+        case uf: UnresolvedFunction
+            if uf.nameParts.last.equalsIgnoreCase("named_struct") =>
+          uf.arguments.zipWithIndex.collect {
+            case (a, i) if i % 2 == 1 => a
+          }.flatMap(flatWidths)
+        case ca: CreateArray =>
+          val ws = ca.children.map(chLitWidth)
+          Seq(if (ws.nonEmpty && ws.forall(_ > 0)) ws.max else 0)
+        case uf: UnresolvedFunction
+            if uf.nameParts.last.equalsIgnoreCase("array") =>
+          val ws = uf.arguments.map(chLitWidth)
+          Seq(if (ws.nonEmpty && ws.forall(_ > 0)) ws.max else 0)
+        case t: ChUIntTag => Seq(t.width)
+        case l @ Literal(_, _) => Seq(chLitWidth(l))
+        case other if other.resolved => Seq.fill(slots(other.dataType))(0)
+        case _ => Seq(0)
+      }
+    }
+    def anyHash(algo: String)(es: Seq[Expression]): Column =
+      C(ChAnyHash(city = algo == "city", es, algo = algo,
+        widths = es.flatMap(flatWidths)))
+    f("cityHash64")(anyHash("city"))
+    f("sipHash64")(anyHash("sip"))
+    // CH-exact XXH64/XXH32 (seed 0) with CH's multi-arg combine
+    f("xxHash64")(anyHash("xx64"))
+    f("xxHash32")(anyHash("xx32"))
     f1("halfMD5")(ch.halfMD5)
     f("MD5") { case Seq(c) => C(Md5(Cast(c, BinaryType))) }
     f1("SHA256")(ch.sha256Ch)
@@ -332,7 +415,7 @@ object ChRegistry {
     f("rand") {
       case Seq() => (C(new Rand()) * 4294967296L).cast("bigint")
       case Seq(seed) => C(Rand(seed)) }
-    f("rand64") { case Seq() => xxhash64(C(new Rand())) }
+    f("rand64") { case Seq() => ch.sparkXxhash64(C(new Rand())) }
     f("canonicalRand") { case Seq() => C(new Rand()) }
     f("generateUUIDv4") { case Seq() => ch.generateUUIDv4() }
     f1("formatReadableSize")(ch.formatReadableSize)
@@ -481,6 +564,19 @@ object ChRegistry {
     f1("groupUniqArray")(c => array_sort(collect_set(c)))
     f2("argMin")((a, v) => min_by(a, v))
     f2("argMax")((a, v) => max_by(a, v))
+    // -Array on argMin/argMax (ref AggregateFunctionCombinatorArray.cpp):
+    // the aggregate runs over the array ELEMENTS — pick the per-row best
+    // (value, arg) pair from the zipped arrays, then min_by/max_by rows
+    f2("argMinArray") { (a, v) =>
+      val best = array_min(zip_with(v, a, (n, i) =>
+        struct(n.as("n"), i.as("i"))))
+      min_by(best.getField("i"), best.getField("n"))
+    }
+    f2("argMaxArray") { (a, v) =>
+      val best = array_max(zip_with(v, a, (n, i) =>
+        struct(n.as("n"), i.as("i"))))
+      max_by(best.getField("i"), best.getField("n"))
+    }
     f1("anyLast")(c => last(c, ignoreNulls = true))
     f1("median")(c => percentile_approx(c, lit(0.5), lit(1000000)))
 
@@ -962,7 +1058,7 @@ object ChRegistry {
     // well-distributed, not bit-identical to CH's seed-0 variants
     // (same documented policy as cityHash64/sipHash64)
     f("murmurHash3_32")(es => hash(es.map(C): _*))
-    f("murmurHash3_64")(es => xxhash64(es.map(C): _*))
+    f("murmurHash3_64")(es => ch.sparkXxhash64(es.map(C): _*))
     f1("intHash32")(c => hash(c))
     // normalizeQuery family: token-level literal/whitespace/alias
     // normalization (ref src/Parsers/queryNormalization.h)
@@ -1073,6 +1169,18 @@ object ChRegistry {
     f1("exp10")(c => pow(lit(10.0), c))
     f1("varSamp")(var_samp)
     f1("varPop")(var_pop)
+    // CH clamps tiny negative variances from FP error to 0 (ref
+    // AggregateFunctionStatisticsSimple.h NonNegative variants); the
+    // *Stable names are the numerically-stable twins with equal results
+    f1("stddevSamp")(c => greatest(stddev_samp(c), lit(0.0)))
+    f1("stddevPop")(c => greatest(stddev_pop(c), lit(0.0)))
+    f1("stddevSampStable")(c => greatest(stddev_samp(c), lit(0.0)))
+    f1("stddevPopStable")(c => greatest(stddev_pop(c), lit(0.0)))
+    f1("varSampStable")(c => greatest(var_samp(c), lit(0.0)))
+    f1("varPopStable")(c => greatest(var_pop(c), lit(0.0)))
+    f2("covarPopStable")(covar_pop)
+    f2("covarSampStable")(covar_samp)
+    f2("corrStable")(corr)
     f1("sumKahan")(c => sum(c.cast("double")))
     f1("sumWithOverflow")(sum)
     f1("sumDistinct")(sum_distinct)
@@ -1148,6 +1256,118 @@ object ChRegistry {
     f1("toIPv4OrNull")(c =>
       when(c.rlike("^((25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}" +
         "(25[0-5]|2[0-4]\\d|1?\\d?\\d)$"), ch.ipv4StringToNum(c)))
+
+    // ---- round-4 wave: custom weeks, reinterpret, block-local fns ----
+
+    // toWeek/toYearWeek MySQL week modes (ref toCustomWeek.cpp,
+    // DateLUTImpl.h toYearWeek); optional trailing timezone ignored
+    // under the UTC session
+    f("toWeek") {
+      case Seq(a) => C(ChCustomWeek(a, 0, "week"))
+      case es => C(ChCustomWeek(es.head, litInt(es(1)), "week"))
+    }
+    f("toYearWeek") {
+      case Seq(a) => C(ChCustomWeek(a, 0, "yearweek"))
+      case es => C(ChCustomWeek(es.head, litInt(es(1)), "yearweek"))
+    }
+    // weeks since epoch; ref DateTimeTransforms.h ToRelativeWeekNumImpl:
+    // (d + 8) / 7 over epoch days
+    f1("toRelativeWeekNum")(c =>
+      ((C(ChToDate(E(c))).cast("int") + 8) / 7).cast("int"))
+
+    // reinterpret family (ref reinterpretAs.cpp)
+    def reinterp(target: String)(es: Seq[Expression]): Column =
+      C(ChReinterpret(es.head, target, chLitWidth(es.head)))
+    Seq("String", "UInt8", "Int8", "UInt16", "Int16", "UInt32", "Int32",
+      "UInt64", "Int64", "Int128", "UInt128", "Int256", "UInt256",
+      "Float32", "Float64", "Date", "DateTime").foreach { t =>
+      f(s"reinterpretAs$t")(reinterp(t))
+    }
+    f("reinterpret") { case Seq(a, t) =>
+      C(ChReinterpret(a, litStr(t), chLitWidth(a)))
+    }
+    f("reinterpretAsFixedString") { case Seq(a) =>
+      val w = chLitWidth(a) match {
+        case 0 if a.resolved => a.dataType match {
+          case ByteType => 1; case ShortType => 2; case IntegerType => 4
+          case LongType => 8; case FloatType => 4; case DoubleType => 8
+          case DateType => 2; case _ => 0
+        }
+        case x => x
+      }
+      C(ChReinterpret(a, s"FixedString($w)", w))
+    }
+
+    // block-local functions (ref src/Functions/neighbor.cpp,
+    // runningDifference.h): CH computes within the processing block; a
+    // single ordered window reproduces that on a small/sorted frame. The
+    // whole-frame window is the documented CH semantics divergence
+    // anyway (the reference itself warns block boundaries are arbitrary).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(monotonically_increasing_id())
+      f("neighbor") {
+        case Seq(a, off) =>
+          val n = litInt(off)
+          if (n >= 0) lead(C(a), n).over(w) else lag(C(a), -n).over(w)
+        case Seq(a, off, dflt) =>
+          val n = litInt(off)
+          coalesce(
+            if (n >= 0) lead(C(a), n).over(w) else lag(C(a), -n).over(w),
+            C(dflt))
+      }
+      f1("runningDifference")(c =>
+        c - coalesce(lag(c, 1).over(w), c))
+      f1("runningDifferenceStartingWithFirstValue")(c =>
+        c - coalesce(lag(c, 1).over(w), c))
+    }
+
+    // toStartOfInterval(t, INTERVAL n unit) (ref toStartOfInterval.cpp)
+    f("toStartOfInterval") { case es if es.length >= 2 =>
+      val t = C(es.head)
+      es(1) match {
+        case Literal(v: Long, _: DayTimeIntervalType) =>
+          val secs = v / 1000000L
+          timestamp_seconds(floor(unix_timestamp(t.cast("timestamp")) /
+            secs) * secs)
+        case Literal(m: Int, _: YearMonthIntervalType) =>
+          val base = months_between(t.cast("timestamp"), lit("1970-01-01"))
+          add_months(lit("1970-01-01").cast("date"),
+            (floor(base / m) * m).cast("int"))
+        case other =>
+          timestamp_seconds(floor(unix_timestamp(t.cast("timestamp")) /
+            C(other)) * C(other))
+      }
+    }
+    // timeSlots(start, duration[, size]) (ref FunctionsTimeWindow)
+    f("timeSlots") { case es =>
+      val start = C(es.head).cast("timestamp")
+      val dur = C(es(1))
+      val size = if (es.length > 2) litInt(es(2)).toLong else 1800L
+      transform(
+        sequence(floor(unix_timestamp(start) / size),
+          floor((unix_timestamp(start) + dur) / size)),
+        x => timestamp_seconds(x * size))
+    }
+
+    // misc quick names
+    f1("toDateTimeOrNull")(c => c.try_cast("timestamp"))
+    f1("toDateOrNull")(c => c.try_cast("date"))
+    f("truncate") {
+      case Seq(a) => signum(C(a)) * floor(abs(C(a)))
+      case Seq(a, n) =>
+        val p = pow(lit(10.0), litInt(n))
+        signum(C(a)) * floor(abs(C(a)) * p) / p
+    }
+    f1("uniqCombined64")(c => count_distinct(c))
+    f("tupleMultiply") { case Seq(a, b) if a.resolved =>
+      val st = a.dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType]
+      struct(st.fields.zipWithIndex.map { case (fd, i) =>
+        (C(a).getField(fd.name) * C(b).getField(fd.name))
+          .as(s"col${i + 1}")
+      }.toSeq: _*)
+    }
   }
 
 }

@@ -83,5 +83,5 @@ object TextAnalysis {
     * a polynomial accumulator would hit). */
   def rollingHash(text: Column): Column =
     aggregate(split(text, "\\s+"), lit(0L),
-      (acc, t) => xxhash64(acc, t))
+      (acc, t) => ch.sparkXxhash64(acc, t))
 }

@@ -30,13 +30,17 @@ object Golden {
   /** Nested (inside arrays/tuples) formatting: strings get quoted. */
   private def fmtNested(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'")
+      .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+      .replace("\u0000", "\\0").replace("\b", "\\b")
+      .replace("\f", "\\f") + "'"
     case other => fmt(other)
   }
 
   private def escapeTsv(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
-      .replace("\r", "\\r")
+      .replace("\r", "\\r").replace("\u0000", "\\0")
+      .replace("\b", "\\b").replace("\f", "\\f")
 
   /** CH float formatting: shortest round-trip digits, plain decimal for
     * moderate exponents, `e` notation beyond — matches the reference's
@@ -156,6 +160,7 @@ object Golden {
     val expected = Files.readString(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
     var echo = false
+    val settings = scala.collection.mutable.Map.empty[String, String]
     val chunks = splitRaw(text)
     // `stmt; -- { serverError N }` splits the annotation into the NEXT
     // chunk's leading line — it still marks the statement BEFORE the `;`
@@ -192,9 +197,21 @@ object Golden {
         out ++= (stmtText + ";").linesIterator
       // CH session `SET name = value` statements configure the server and
       // print nothing; Spark's own SET command would echo a key/value row,
-      // so swallow them here (clickhouse-test contract: no output).
+      // so swallow them here (clickhouse-test contract: no output) —
+      // result-shaping ones (join_use_nulls) are tracked in `settings`.
       val isSessionSet = clean.matches("(?is)^SET\\s+\\w+\\s*=.*")
+      if (isSessionSet) {
+        val kv = "(?is)^SET\\s+(\\w+)\\s*=\\s*(.+)$".r
+        clean match {
+          case kv(k, v) => settings(k.toLowerCase) = v.trim.stripSuffix(";")
+          case _ =>
+        }
+      }
       if (clean.nonEmpty && !expectsError && !isSessionSet) {
+        // FORMAT TSVWithNames: the output carries a header row of column
+        // names (ref src/Processors/Formats/Impl/TabSeparatedRowOutputFormat)
+        val withNames = clean.matches(
+          "(?is).*\\bFORMAT\\s+(TSVWithNames|TabSeparatedWithNames)\\s*;?\\s*$")
         val (base0, totals) = graft.ChSql.sqlSplit(spark, clean, sfDir)
         // CH outer joins fill non-matched columns with type DEFAULTS
         // (join_use_nulls=0 default). The curated tests' columns are
@@ -202,9 +219,11 @@ object Golden {
         // NULL-producing constructs, every NULL is a join gap.
         val outerJoin = clean.matches(
           "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
-          !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*")
+          !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*") &&
+          !settings.get("join_use_nulls").exists(_ == "1")
         val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0)
           else base0
+        if (withNames) out += base.columns.mkString("\t")
         out ++= formatDf(base)
         totals.foreach { t => out += ""; out ++= formatDf(t) } // CH prints
         // the totals row after an empty separator line (TSV contract)

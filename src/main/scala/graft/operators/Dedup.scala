@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.ch
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -36,9 +37,9 @@ object Dedup {
     * each of the numHashes functions is a cheap long re-hash — 64 string
     * hashes per shingle would dominate the pipeline otherwise. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val base = transform(shingles, s => xxhash64(s))
+    val base = transform(shingles, s => ch.sparkXxhash64(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(base, h => xxhash64(h, j))))
+      j => array_min(transform(base, h => ch.sparkXxhash64(h, j))))
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */
@@ -132,7 +133,7 @@ object Dedup {
     * in few bits (compare with Hamming distance via bit_count(a ^ b)).
     * Composed from built-ins: per-token hashes → per-bit vote → bits. */
   def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hashes = transform(tokens, t => ch.sparkXxhash64(t))
     // vote(b) = sum over hashes of (bit b set ? 1 : -1); dynamic shift
     // amounts need the SQL shiftright/shiftleft (column shift operand)
     def shr(v: Column, b: Column) = call_function("shiftright", v, b)

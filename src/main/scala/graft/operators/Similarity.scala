@@ -103,7 +103,7 @@ object Similarity {
     // approximate) pathological bucket instead of the job dying. The window
     // partitions on the join key, so no extra exchange.
     val cw = Window.partitionBy(col("table_id"), col("bucket"))
-      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .orderBy(graft.functions.ch.sparkXxhash64(col("neighbor_id")), col("neighbor_id"))
     val c = withBuckets(corpus.select(col(corpusId), col(vecCol)),
       corpusId, "neighbor_id", "__cv")
       .withColumn("__rn", row_number().over(cw))

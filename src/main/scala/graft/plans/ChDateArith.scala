@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** ClickHouse date/time integer arithmetic (ref
+  * src/Functions/FunctionDateOrDateTimeAddInterval.h and plus.cpp's
+  * DataTypeDateTime + integral overloads): `DateTime + N` adds N
+  * SECONDS, `Date + N` adds N DAYS, symmetrically for `N + t` and
+  * `t - N`. Spark's Add/Subtract reject TIMESTAMP ± INT outright, so a
+  * resolution rule rewrites them to the CH semantics: timestamps go
+  * through an epoch-seconds round-trip (`CAST(ts AS BIGINT)` is epoch
+  * seconds in Spark SQL), dates through DateAdd/DateSub.
+  */
+object ChDateArithRule extends Rule[LogicalPlan] {
+
+  private def isTs(e: Expression) =
+    e.resolved && e.dataType == TimestampType
+  private def isDate(e: Expression) =
+    e.resolved && e.dataType == DateType
+  private def isInt(e: Expression) = e.resolved && (e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  })
+
+  private def tsPlus(ts: Expression, n: Expression): Expression =
+    Cast(Add(Cast(ts, LongType), Cast(n, LongType)), TimestampType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case Add(l, r, _) if isTs(l) && isInt(r) => tsPlus(l, r)
+      case Add(l, r, _) if isInt(l) && isTs(r) => tsPlus(r, l)
+      case Subtract(l, r, _) if isTs(l) && isInt(r) =>
+        tsPlus(l, UnaryMinus(r))
+      case Add(l, r, _) if isDate(l) && isInt(r) => DateAdd(l, Cast(r, IntegerType))
+      case Add(l, r, _) if isInt(l) && isDate(r) => DateAdd(r, Cast(l, IntegerType))
+      case Subtract(l, r, _) if isDate(l) && isInt(r) =>
+        DateSub(l, Cast(r, IntegerType))
+    }
+}

@@ -48,6 +48,8 @@ object ChTruthinessRule extends Rule[LogicalPlan] {
 
 /** SparkSessionExtensions installer (wired in Engine.session). */
 class ChExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChTruthinessRule)
+    ext.injectResolutionRule(_ => ChDateArithRule)
+  }
 }
