@@ -768,7 +768,7 @@ object ChSql {
       }
       if (listEnd < 0) listEnd = blockEnd
       if (whereAt >= 0 && whereEnd < 0) whereEnd = blockEnd
-      if (whereAt >= 0 && whereAt < blockEnd) {
+      locally {
         // split the select list on top-level commas
         val list = s.substring(selIdx + 6, listEnd)
         val items = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -783,26 +783,56 @@ object ChSql {
           else if (c == ',' && d == 0) { items += list.substring(st, j); st = j + 1 }
         }
         items += list.substring(st)
-        var where = s.substring(whereAt, whereEnd)
-        var changed = false
-        items.foreach {
-          case AliasRe(expr, name) =>
+        val bindings = items.zipWithIndex.collect {
+          case (AliasRe(expr, name), k) if expr.trim != name => (k, expr, name)
+        }
+        // WHERE clause substitution
+        if (whereAt >= 0 && whereAt < blockEnd) {
+          var where = s.substring(whereAt, whereEnd)
+          var changed = false
+          bindings.foreach { case (_, expr, name) =>
             val q = java.util.regex.Pattern.quote(name)
             val re = s"(?i)(?<![\\w.`])$q(?![\\w`])"
             // a name that is also a lambda parameter in this WHERE is the
             // lambda's, not the select alias's (CH scoping)
             val isLambdaParam =
-              s"(?i)(?:\\($q(?:\\s*,|\\s*\\))|(?<![\\w.`])$q\\s*(?:,\\s*\\w+\\s*)*->)".r
+              s"(?i)(?:\\(\\s*$q\\s*(?:,\\s*\\w+\\s*)*\\)\\s*->|(?<![\\w.`])$q\\s*(?:,\\s*\\w+\\s*)*->)".r
                 .findFirstIn(where).isDefined
             if (!isLambdaParam && re.r.findFirstIn(where).isDefined) {
               where = replaceOutsideStrings(where, re,
                 java.util.regex.Matcher.quoteReplacement(s"($expr)"))
               changed = true
             }
-          case _ =>
+          }
+          if (changed)
+            s = s.substring(0, whereAt) + where + s.substring(whereEnd)
         }
-        if (changed)
-          s = s.substring(0, whereAt) + where + s.substring(whereEnd)
+        // other select-list items may reference an alias too (CH
+        // QueryAliasesVisitor scope is the whole statement)
+        if (bindings.nonEmpty) {
+          var changedList = false
+          val newItems = items.zipWithIndex.map { case (item, k) =>
+            var it = item
+            bindings.foreach { case (j, expr, name) =>
+              if (j != k) {
+                val q = java.util.regex.Pattern.quote(name)
+                val re = s"(?i)(?<!\\bAS\\s)(?<![\\w.`])$q(?![\\w`])"
+                val isLambdaParam =
+                  s"(?i)(?:\\(\\s*$q\\s*(?:,\\s*\\w+\\s*)*\\)\\s*->|(?<![\\w.`])$q\\s*(?:,\\s*\\w+\\s*)*->)".r
+                    .findFirstIn(it).isDefined
+                if (!isLambdaParam && re.r.findFirstIn(it).isDefined) {
+                  it = replaceOutsideStrings(it, re,
+                    java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+                }
+              }
+            }
+            if (it != item) changedList = true
+            it
+          }
+          if (changedList)
+            s = s.substring(0, selIdx + 6) + newItems.mkString(",") +
+              s.substring(listEnd)
+        }
       }
       searchFrom = selIdx + 6
     }
@@ -1107,6 +1137,86 @@ object ChSql {
     out.toString
   }
 
+  /** CH postfix cast operator `expr::Type` (ref src/Parsers/
+    * ExpressionListParsers.cpp castOperator) → CAST(expr AS Type). Runs
+    * before rewriteChTypes so the type name gets the normal mapping.
+    * Operand extent: a preceding literal, identifier, call, paren/
+    * bracket group, or string. */
+  private[graft] def rewriteColonCast(sql: String): String = {
+    var s = sql
+    var guard = 0
+    def findCC(str: String): Int = {
+      var i = 0; var inStr = false
+      while (i < str.length - 1) {
+        val c = str.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == ':' && str.charAt(i + 1) == ':') return i
+        i += 1
+      }
+      -1
+    }
+    var idx = findCC(s)
+    while (idx >= 0 && guard < 50) {
+      guard += 1
+      // ---- type (identifier + optional balanced parens) ----
+      var j = idx + 2
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      val tStart = j
+      while (j < s.length &&
+        (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+      if (j < s.length && s.charAt(j) == '(') {
+        var depth = 0
+        var done = false
+        while (j < s.length && !done) {
+          val c = s.charAt(j)
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) done = true }
+          j += 1
+        }
+      }
+      val tEnd = j
+      // ---- operand (walk backwards) ----
+      var i = idx - 1
+      while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+      val opEnd = i + 1
+      var opStart = -1
+      if (i >= 0) s.charAt(i) match {
+        case ')' | ']' =>
+          val close = s.charAt(i)
+          val open = if (close == ')') '(' else '['
+          var depth = 0
+          while (i >= 0 && opStart < 0) {
+            val c = s.charAt(i)
+            if (c == close) depth += 1
+            else if (c == open) { depth -= 1; if (depth == 0) opStart = i }
+            i -= 1
+          }
+          // call form: include a preceding identifier
+          while (opStart > 0 && (s.charAt(opStart - 1).isLetterOrDigit ||
+            s.charAt(opStart - 1) == '_')) opStart -= 1
+        case '\'' =>
+          i -= 1
+          while (i >= 0 && opStart < 0) {
+            if (s.charAt(i) == '\'' && (i == 0 || s.charAt(i - 1) != '\\'))
+              opStart = i
+            else i -= 1
+          }
+        case c if c.isLetterOrDigit || c == '_' =>
+          while (i >= 0 && (s.charAt(i).isLetterOrDigit ||
+            s.charAt(i) == '_' || s.charAt(i) == '.')) i -= 1
+          opStart = i + 1
+        case _ => // unsupported operand shape: leave untouched
+      }
+      if (opStart < 0 || tEnd <= tStart) return s
+      s = s.substring(0, opStart) +
+        s"CAST(${s.substring(opStart, opEnd)} AS ${s.substring(tStart, tEnd)})" +
+        s.substring(tEnd)
+      idx = findCC(s)
+    }
+    s
+  }
+
   /** Shard fan-out of a CH remote() address pattern: `{a,b,c}` is an
     * enumeration, `{a..b}` a numeric range; multiple brace groups
     * multiply (ref src/Common/parseRemoteDescription.cpp). */
@@ -1270,8 +1380,8 @@ object ChSql {
     // `chElementAt(t, 1)` and wraps it positionally
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(rewriteScalarWith(
-        rewriteChTypes(rewriteTypeIntrospection(
-          rewriteCastCall(rewriteStringEscapes(chSql))))))))))
+        rewriteChTypes(rewriteTypeIntrospection(rewriteCastCall(
+          rewriteColonCast(rewriteStringEscapes(chSql)))))))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
     // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's
     // builtin (ref src/Functions/transform.cpp)
@@ -1323,9 +1433,24 @@ object ChSql {
     s = s.replaceAll("(?i)\\b(ALL|ANY)\\s+JOIN\\b", "JOIN")
     // == is valid CH equality
     s = s.replaceAll("==", "=")
+    // SQL-standard `position(needle IN haystack)` → CH position(h, n)
+    // (Spark's native POSITION(x IN y) misses CH's empty-needle=1 rule)
+    s = s.replaceAll(
+      "(?i)\\bposition\\s*\\(\\s*('(?:[^'\\\\]|\\\\.)*'|[\\w.]+)\\s+IN\\s+" +
+        "('(?:[^'\\\\]|\\\\.)*'|[\\w.]+)\\s*\\)",
+      "position($2, $1)")
     // single-param lambda with parenthesized head `(x) -> e` (CH allows
     // both; Spark's parser only the bare form)
     s = replaceOutsideStrings(s, "\\(\\s*(\\w+)\\s*\\)\\s*->", "$1 ->")
+    // INTERVAL <expr> UNIT with a non-literal quantity (CH allows any
+    // expression) → unit interval scaled by the expression
+    s = replaceFnOutsideStrings(s,
+      "(?i)\\bINTERVAL\\s+([^'()][^()]*?)\\s+" +
+        "(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\\b") { mm =>
+      val q = mm.group(1).trim
+      if (q.matches("-?\\d+")) mm.matched
+      else s"(INTERVAL 1 ${mm.group(2)} * ($q))"
+    }
     // infix MOD keyword (MySQL-compat operator; the MOD(a,b) call form
     // parses fine and is untouched — no '(' directly after)
     s = replaceOutsideStrings(s, "(?i)(?<=[\\w)\\]'])\\s+MOD\\s+", " % ")

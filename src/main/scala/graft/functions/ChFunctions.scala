@@ -242,7 +242,15 @@ object ch {
   def notEmptyCh(c: Column): Column = length(c) > 0
 
   // search/replace (ref position.cpp, match.cpp, replaceAll.cpp)
-  def position(h: Column, n: Column): Column = call_function("locate", n, h)
+  // CH position: BYTE offsets (UTF-8), empty needle found at 1 (ref
+  // src/Functions/PositionImpl.h); Spark's locate is character-based,
+  // so convert the found prefix back to its byte length
+  def position(h: Column, n: Column): Column = {
+    val at = call_function("locate", n, h)
+    when(length(n) === 0, lit(1))
+      .otherwise(when(at === 0, lit(0))
+        .otherwise(octet_length(substring(h, lit(1), at - 1)) + 1))
+  }
   def positionCaseInsensitive(h: Column, n: Column): Column =
     call_function("locate", lower(n), lower(h))
   def matchCh(c: Column, re: String): Column = c.rlike(re)

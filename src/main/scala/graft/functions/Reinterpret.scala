@@ -15,7 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ChReinterpret(child: Expression, target: String, srcWidth: Int)
     extends UnaryExpression with CodegenFallback {
 
-  private val t = target.trim
+  private val t = {
+    val raw = target.trim
+    // DateTime('Asia/...') → DateTime (rendered in the UTC session)
+    if (raw.startsWith("DateTime")) "DateTime" else raw
+  }
   private val fixedLen: Int =
     if (t.startsWith("FixedString("))
       t.stripPrefix("FixedString(").stripSuffix(")").trim.toInt
@@ -63,6 +67,24 @@ case class ChReinterpret(child: Expression, target: String, srcWidth: Int)
     case StringType =>
       input.asInstanceOf[UTF8String].getBytes
     case BinaryType => input.asInstanceOf[Array[Byte]]
+    case d: DecimalType =>
+      // unscaled LE bytes at the CH storage width (Decimal(20,0) is this
+      // engine's UInt64 carrier → 8 bytes)
+      val width =
+        if (d == DecimalType(20, 0)) 8
+        else if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16
+      val unscaled =
+        input.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue
+      val out = new Array[Byte](width)
+      val src = unscaled.toByteArray
+      val neg = unscaled.signum < 0
+      java.util.Arrays.fill(out, if (neg) (-1).toByte else 0.toByte)
+      var i = 0
+      while (i < src.length && i < width) {
+        out(i) = src(src.length - 1 - i)
+        i += 1
+      }
+      out
     case other => throw new UnsupportedOperationException(
       s"reinterpret source $other")
   }

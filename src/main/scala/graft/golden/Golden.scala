@@ -30,6 +30,8 @@ object Golden {
   /** Nested (inside arrays/tuples) formatting: strings get quoted. */
   private def fmtNested(v: Any): String = v match {
     case null => "NULL"
+    case d: java.sql.Date => "'" + d.toString + "'"
+    case t: java.sql.Timestamp => "'" + fmt(t) + "'"
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'")
       .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
       .replace("\u0000", "\\0").replace("\b", "\\b")

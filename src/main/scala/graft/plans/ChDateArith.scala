@@ -38,5 +38,12 @@ object ChDateArithRule extends Rule[LogicalPlan] {
       case Add(l, r, _) if isInt(l) && isDate(r) => DateAdd(r, Cast(l, IntegerType))
       case Subtract(l, r, _) if isDate(l) && isInt(r) =>
         DateSub(l, Cast(r, IntegerType))
+      // Spark's own ResolveBinaryArithmetic already turns date+int into
+      // DateAdd but leaves a BIGINT operand to fail the type check — CH
+      // allows UInt64 day counts (ref FunctionDateOrDateTimeAddInterval)
+      case DateAdd(l, r) if r.resolved && r.dataType == LongType =>
+        DateAdd(l, Cast(r, IntegerType))
+      case DateSub(l, r) if r.resolved && r.dataType == LongType =>
+        DateSub(l, Cast(r, IntegerType))
     }
 }
