@@ -1431,8 +1431,12 @@ object ChSql {
       "(?i)\\b(ALL|ANY)\\s+((?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?JOIN)",
       "$2")
     s = s.replaceAll("(?i)\\b(ALL|ANY)\\s+JOIN\\b", "JOIN")
-    // == is valid CH equality
-    s = s.replaceAll("==", "=")
+    // == is valid CH equality (string-literal-safe: '===' must survive)
+    s = replaceOutsideStrings(s, "==", "=")
+    // CH length() is bytes for strings / element count for arrays (ref
+    // src/Functions/length.cpp); Spark's is chars — dialect-only rename.
+    // \b keeps lengthUTF8( and char_length( (underscore = word char) out
+    s = replaceOutsideStrings(s, "(?i)\\blength\\s*\\(", "chLength(")
     // SQL-standard `position(needle IN haystack)` → CH position(h, n)
     // (Spark's native POSITION(x IN y) misses CH's empty-needle=1 rule)
     s = s.replaceAll(
@@ -1464,6 +1468,11 @@ object ChSql {
     // address pattern runs the same local subquery here, so the result
     // is the underlying table replicated shard-count times
     s = rewriteRemote(s)
+    // explicit system.one (the implicit one-row source; ref
+    // src/Storages/System/StorageSystemOne.cpp), bare or backquoted
+    s = replaceOutsideStrings(s,
+      "(?i)\\bFROM\\s+`?system`?\\.`?one`?(?![\\w`])",
+      "FROM (SELECT CAST(0 AS TINYINT) AS dummy0)")
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`
@@ -1624,9 +1633,9 @@ object ChSql {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.types._
         val key = m.group(1)
-        val base = spark.sql(ChSql.translate(
+        val base = chNullOrder(spark.sql(ChSql.translate(
           FillRe.replaceFirstIn(chQuery.trim.stripSuffix(";"),
-            s"ORDER BY $key")))
+            s"ORDER BY $key"))))
         val keyType = base.schema(key).dataType
         // numeric view of the key: timestamps in epoch seconds, dates in
         // epoch days, numbers as themselves (Float keys fill fractionally)
@@ -1675,8 +1684,27 @@ object ChSql {
               .getOrElse(filled)
           case _ => base.orderBy(key)
         }
-      case None => spark.sql(translate(chQuery))
+      case None => chNullOrder(spark.sql(translate(chQuery)))
     }
+  }
+
+  /** CH's default ORDER BY places NULLs as if greatest: last on ASC,
+    * first on DESC (ref src/Core/SortDescription.h nulls_direction
+    * default = direction). Spark's default is nulls-as-smallest, so flip
+    * every defaulted SortOrder in the dialect-parsed plan. */
+  private def chNullOrder(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+    val plan = df.queryExecution.logical
+    val fixed = plan.transformAllExpressions {
+      case SortOrder(c, Ascending, NullsFirst, se) =>
+        SortOrder(c, Ascending, NullsLast, se)
+      case SortOrder(c, Descending, NullsLast, se) =>
+        SortOrder(c, Descending, NullsFirst, se)
+    }
+    if (fixed eq plan) df
+    else org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
+      df.sparkSession, fixed)
   }
 
   /** Replace NULLs with CH type defaults in every column — the CH

@@ -146,3 +146,96 @@ case class ChElementAt(left: Expression, right: Expression)
 
   override def prettyName: String = "chElementAt"
 }
+
+/** CH length() is polymorphic: BYTE count for String/FixedString (ref
+  * src/Functions/lengthUTF8.cpp's sibling length.cpp — String is a byte
+  * blob; lengthUTF8 is the code-point variant), element count for
+  * Array/Map. Spark's `length` is char-count for strings and rejects
+  * arrays, so the dispatch needs its own expression.
+  */
+case class ChLength(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | ArrayType(_, _) | MapType(_, _, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"length needs a string, array or map, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType => input.asInstanceOf[UTF8String].numBytes().toLong
+    case BinaryType => input.asInstanceOf[Array[Byte]].length.toLong
+    case ArrayType(_, _) => input.asInstanceOf[ArrayData].numElements().toLong
+    case MapType(_, _, _) => input.asInstanceOf[MapData].numElements().toLong
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): ChLength =
+    copy(child = c)
+  override def prettyName: String = "length"
+}
+
+/** CH bitCount counts set bits WITHIN the operand's type width (ref
+  * src/Functions/bitCount.cpp: __builtin_popcount on the native-width
+  * value); Spark's bit_count sign-extends narrow ints to 64 bits, so
+  * bitCount(toInt8(-1)) must be 8, not 64.
+  */
+case class ChBitCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case BooleanType => if (input.asInstanceOf[Boolean]) 1 else 0
+    case ByteType => Integer.bitCount(input.asInstanceOf[Byte] & 0xFF)
+    case ShortType => Integer.bitCount(input.asInstanceOf[Short] & 0xFFFF)
+    case IntegerType => Integer.bitCount(input.asInstanceOf[Int])
+    case LongType => java.lang.Long.bitCount(input.asInstanceOf[Long])
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): ChBitCount =
+    copy(child = c)
+  override def prettyName: String = "bitCount"
+}
+
+/** arrayAUC(scores, labels) exact port of the reference algorithm (ref
+  * src/Functions/array/arrayAUC.cpp ArrayAUCImpl::apply): stable sort
+  * descending by score (equal scores keep ARRAY order — no ½ tie
+  * credit), step-walk accumulating count_positive per negative, NaN
+  * when all labels are one class.
+  */
+case class ChArrayAUC(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, _), ArrayType(_, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"arrayAUC needs two arrays, got $other")
+    }
+  private def num(a: ArrayData, et: DataType, i: Int): Double =
+    a.get(i, et) match {
+      case n: java.lang.Number => n.doubleValue()
+      case b: java.lang.Boolean => if (b) 1.0 else 0.0
+      case d: Decimal => d.toDouble
+      case _ => Double.NaN
+    }
+  override def nullSafeEval(s: Any, l: Any): Any = {
+    val (sa, la) = (s.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+    val (set, let) = (left.dataType.asInstanceOf[ArrayType].elementType,
+      right.dataType.asInstanceOf[ArrayType].elementType)
+    val n = sa.numElements()
+    if (n != la.numElements() || n == 0) return null // ref throws; null here
+    val idx = (0 until n).sortBy(i => -num(sa, set, i)) // stable in Scala
+    var area = 0L
+    var pos = 0L
+    idx.foreach { i =>
+      if (num(la, let, i) > 0) pos += 1 else area += pos
+    }
+    if (pos == 0 || pos == n) Double.NaN
+    else area.toDouble / pos / (n - pos)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ChArrayAUC = copy(left = l, right = r)
+  override def prettyName: String = "arrayAUC"
+}

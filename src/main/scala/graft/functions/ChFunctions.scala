@@ -408,9 +408,12 @@ object ch {
   def jsonExtractFloat(j: Column, key: String): Column =
     get_json_object(j, s"$$.$key").cast("double")
   def visitParamExtractString(j: Column, key: String): Column =
-    get_json_object(j, s"$$.$key")
+    coalesce(get_json_object(j, s"$$.$key"),
+      get_json_object(concat(lit("{"), j, lit("}")), s"$$.$key"), lit(""))
   def visitParamExtractInt(j: Column, key: String): Column =
-    get_json_object(j, s"$$.$key").cast("bigint")
+    coalesce(get_json_object(j, s"$$.$key").try_cast("bigint"),
+      get_json_object(concat(lit("{"), j, lit("}")), s"$$.$key")
+        .try_cast("bigint"), lit(0L))
   def jsonHas(j: Column, key: String): Column =
     get_json_object(j, s"$$.$key").isNotNull
   def isValidJSON(j: Column): Column =
@@ -524,11 +527,17 @@ object ch {
       // CH hex(Decimal32/64) prints the unscaled value's LITTLE-endian
       // bytes at the type's storage width (ref
       // src/Functions/FunctionsBinaryRepresentation.cpp hexImpl)
-      case d: DecimalType if d.precision <= 18 =>
-        val width = if (d.precision <= 9) 4 else 8
+      case d: DecimalType =>
+        // Decimal128's 16-byte render is exact while the unscaled value
+        // fits a long (UnscaledValue) — sign-extension fills the rest
+        val width = if (d.precision <= 9) 4
+          else if (d.precision <= 18) 8 else 16
         val u = CC(UnscaledValue(e))
+        // bytes past the long (Decimal128 8..15) are sign extension —
+        // Spark's shiftright masks the distance to &63, so shift 63
         val parts = (0 until width).map { i =>
-          lpad(CC(Hex(EE(shiftright(u, 8 * i).bitwiseAND(lit(255L))))), 2, "0")
+          val b = if (i < 8) shiftright(u, 8 * i) else shiftright(u, 63)
+          lpad(CC(Hex(EE(b.bitwiseAND(lit(255L))))), 2, "0")
         }
         upper(concat(parts: _*))
       case _ =>
@@ -955,14 +964,28 @@ object ch {
     exists(pats, p => regexp_like(s, p))
   def multiSearchAnyArr(s: Column, needles: Column): Column =
     exists(needles, n => s.contains(n))
+  /** visitParam* / simpleJSON* scan FRAGMENTS (ref
+    * src/Functions/visitParamHas.cpp family: substring search for
+    * `"name":`, no full-document parse) and default to 0/'' on a miss —
+    * get_json_object needs valid JSON, so fall back to a fragment regex. */
+  private def vpFrag(j: Column, key: String, vpat: String): Column =
+    regexp_extract(j,
+      "\"" + java.util.regex.Pattern.quote(key) + "\":" + vpat, 1)
   def visitParamExtractUInt(j: Column, key: String): Column =
-    get_json_object(j, s"$$.$key").cast("bigint")
+    coalesce(get_json_object(j, s"$$.$key").try_cast("bigint"),
+      vpFrag(j, key, "(\\d+)").try_cast("bigint"), lit(0L))
   def visitParamExtractFloat(j: Column, key: String): Column =
-    get_json_object(j, s"$$.$key").cast("double")
+    coalesce(get_json_object(j, s"$$.$key").try_cast("double"),
+      vpFrag(j, key, "(-?\\d*\\.?\\d+(?:[eE][+-]?\\d+)?)")
+        .try_cast("double"), lit(0.0))
   def visitParamExtractBool(j: Column, key: String): Column =
-    get_json_object(j, s"$$.$key").cast("boolean")
+    coalesce(get_json_object(j, s"$$.$key").try_cast("boolean"),
+      vpFrag(j, key, "(true|false)").try_cast("boolean"), lit(false))
   def visitParamExtractRaw(j: Column, key: String): Column =
-    jsonExtractRaw(j, key)
+    coalesce(jsonExtractRaw(j, key),
+      vpFrag(j, key, "(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}\\]]*)"))
+  def visitParamHas(j: Column, key: String): Column =
+    j.contains("\"" + key + "\":")
   /** Best-effort timestamp parsing (ref parseDateTimeBestEffort.cpp):
     * ISO forms via the native parser, then am/pm, then CH's bare-time
     * quirk (HH:mm:ss alone → that time on 2000-01-01). */

@@ -154,7 +154,30 @@ object ChRegistry {
     // arithmetic / rounding
     f2("plus")(ch.plus); f2("minus")(ch.minus)
     f2("multiply")(ch.multiply); f2("divide")(ch.divide)
-    f2("intDiv")(ch.intDiv); f2("intDivOrZero")(ch.intDivOrZero)
+    f2("intDiv")(ch.intDiv)
+    // intDivOrZero: 0 on division by zero AND on min/-1 overflow of the
+    // operand's CH type (ref DivisionUtils.h checkedDivision; literals
+    // get CH's smallest-fitting signed type, so -128/-1 is Int8 overflow)
+    f("intDivOrZero") { case Seq(ae, be) =>
+      val a = C(ae); val b = C(be)
+      val minv: Option[Long] = ae match {
+        case Literal(x: Int, IntegerType) if x < 0 =>
+          Some(if (x >= -128) -128L else if (x >= -32768) -32768L
+               else Int.MinValue.toLong)
+        case Literal(x: Long, LongType) if x < 0 => Some(Long.MinValue)
+        case e if e.resolved => e.dataType match {
+          case ByteType => Some(-128L)
+          case ShortType => Some(-32768L)
+          case IntegerType => Some(Int.MinValue.toLong)
+          case LongType => Some(Long.MinValue)
+          case _ => None
+        }
+        case _ => None
+      }
+      val base = ch.intDivOrZero(a, b)
+      minv.map(m => when(a === lit(m) && b === lit(-1), lit(0L))
+        .otherwise(base)).getOrElse(base)
+    }
     f2("modulo")(ch.modulo); f2("moduloOrZero")(ch.moduloOrZero)
     f1("negate")(ch.negate)
     f("roundBankers") {
@@ -170,6 +193,11 @@ object ChRegistry {
     f1("isFinite")(ch.isFinite); f1("isInfinite")(ch.isInfinite)
 
     // strings
+    // CH length(): bytes for strings, element count for arrays/maps.
+    // Registered under a dialect-only name (ChSql rewrites `length(` to
+    // it) — overriding `length` itself would hijack Spark's builtin for
+    // every functions.length call site, which resolves BY NAME in Spark 4
+    f("chLength") { case Seq(a) => C(ChLength(a)) }
     f1("lengthUTF8")(ch.lengthUTF8)
     f1("lowerUTF8")(ch.lowerUTF8); f1("upperUTF8")(ch.upperUTF8)
     f3("substringUTF8")(ch.substringUTF8)
@@ -327,6 +355,24 @@ object ChRegistry {
       ch.visitParamExtractString(C(j), litStr(k)) }
     f("visitParamExtractInt") { case Seq(j, k) =>
       ch.visitParamExtractInt(C(j), litStr(k)) }
+    f("visitParamHas") { case Seq(j, k) =>
+      ch.visitParamHas(C(j), litStr(k)) }
+    // simpleJSON* = the renamed visitParam* family (ref
+    // registerFunctionsVisitParam.cpp alias table)
+    f("simpleJSONExtractString") { case Seq(j, k) =>
+      ch.visitParamExtractString(C(j), litStr(k)) }
+    f("simpleJSONExtractInt") { case Seq(j, k) =>
+      ch.visitParamExtractInt(C(j), litStr(k)) }
+    f("simpleJSONExtractUInt") { case Seq(j, k) =>
+      ch.visitParamExtractUInt(C(j), litStr(k)) }
+    f("simpleJSONExtractFloat") { case Seq(j, k) =>
+      ch.visitParamExtractFloat(C(j), litStr(k)) }
+    f("simpleJSONExtractBool") { case Seq(j, k) =>
+      ch.visitParamExtractBool(C(j), litStr(k)) }
+    f("simpleJSONExtractRaw") { case Seq(j, k) =>
+      ch.visitParamExtractRaw(C(j), litStr(k)) }
+    f("simpleJSONHas") { case Seq(j, k) =>
+      ch.visitParamHas(C(j), litStr(k)) }
 
     // URL
     f1("domain")(ch.domain); f1("path")(ch.pathCh); f1("pathFull")(ch.pathFull)
@@ -421,13 +467,23 @@ object ChRegistry {
     f2("bitAnd")(ch.bitAnd); f2("bitOr")(ch.bitOr); f2("bitXor")(ch.bitXor)
     f1("bitNot")(ch.bitNot)
     f2("bitShiftLeft")(ch.bitShiftLeft); f2("bitShiftRight")(ch.bitShiftRight)
-    // bitCount of floats counts the IEEE bit pattern (ref bitCount.cpp)
+    // bitCount of floats counts the IEEE bit pattern (ref bitCount.cpp);
+    // integer literals get CH's smallest-fitting-type width (Int8 for -1)
     f("bitCount") {
       case Seq(a) if a.resolved && a.dataType == DoubleType =>
-        ch.bitCountCh(C(ChReinterpret(a, "Int64", 0)))
+        C(ChBitCount(ChReinterpret(a, "Int64", 0)))
       case Seq(a) if a.resolved && a.dataType == FloatType =>
-        ch.bitCountCh(C(ChReinterpret(a, "Int32", 0)))
-      case Seq(a) => ch.bitCountCh(C(a))
+        C(ChBitCount(ChReinterpret(a, "Int32", 0)))
+      case Seq(Literal(v: Int, IntegerType)) =>
+        val w: Long => Int = x =>
+          if (x >= -128 && x <= 255) 8
+          else if (x >= -32768 && x <= 65535) 16
+          else if (x >= Int.MinValue && x <= 0xFFFFFFFFL) 32 else 64
+        lit(java.lang.Long.bitCount(v.toLong & (w(v.toLong) match {
+          case 8 => 0xFFL; case 16 => 0xFFFFL
+          case 32 => 0xFFFFFFFFL; case _ => -1L
+        })))
+      case Seq(a) => C(ChBitCount(a))
     }
     f2("bitTest")(ch.bitTest)
     f2("bitHammingDistance")(ch.bitHammingDistance)
@@ -685,7 +741,7 @@ object ChRegistry {
     f1("arrayL1Norm")(ch.arrayL1Norm); f1("arrayLinfNorm")(ch.arrayLinfNorm)
     f2("arrayL1Distance")(ch.arrayL1Distance)
     f2("arrayLinfDistance")(ch.arrayLinfDistance)
-    f2("arrayAUC")(ch.arrayAUC)
+    f("arrayAUC") { case Seq(s, l) => C(ChArrayAUC(s, l)) }
     f("JSONExtractRaw") { case Seq(j, k) => ch.jsonExtractRaw(C(j), litStr(k)) }
     f1("JSONExtractKeys")(ch.jsonExtractKeys)
     f("JSON_VALUE") { case Seq(j, p) => ch.jsonValue(C(j), litStr(p)) }
@@ -1275,18 +1331,22 @@ object ChRegistry {
         C(org.apache.spark.sql.catalyst.expressions.RLike(E(s), E(p)))),
         lit(true)), lit(0L)))
     // extractAllGroupsHorizontal/Vertical (ref extractAllGroups.h):
-    // group count read from the literal pattern
-    f("extractAllGroupsHorizontal") { case Seq(s, re) =>
-      val pat = litStr(re)
+    // group count read from the literal pattern. CH's match loop runs
+    // while pos < end, so an empty-matching pattern never fires at the
+    // end-of-string position; Java's find() does — drop that one match.
+    def chGroups(s: Column, pat: String): Seq[Column] = {
       val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
-      array((1 to n).map(g =>
-        regexp_extract_all(C(s), lit(pat), lit(g))): _*)
+      val dropLast = java.util.regex.Pattern.matches(pat, "")
+      (1 to n).map { g =>
+        val a = regexp_extract_all(s, lit(pat), lit(g))
+        if (dropLast) slice(a, lit(1), greatest(size(a) - 1, lit(0))) else a
+      }
+    }
+    f("extractAllGroupsHorizontal") { case Seq(s, re) =>
+      array(chGroups(C(s), litStr(re)): _*)
     }
     f("extractAllGroupsVertical") { case Seq(s, re) =>
-      val pat = litStr(re)
-      val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
-      val groups = (1 to n).map(g =>
-        regexp_extract_all(C(s), lit(pat), lit(g)))
+      val groups = chGroups(C(s), litStr(re))
       transform(sequence(lit(1), size(groups.head)), i =>
         array(groups.map(g => element_at(g, i)): _*))
     }

@@ -16,7 +16,7 @@ object Golden {
     case s: String => escapeTsv(s)
     case b: Boolean => if (b) "1" else "0"
     case d: java.lang.Double => chDouble(d)
-    case f: java.lang.Float => chDouble(f.toDouble)
+    case f: java.lang.Float => chFloat(f)
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
     case b: Array[Byte] => escapeTsv(new String(b, java.nio.charset.StandardCharsets.UTF_8))
     case d: java.sql.Date => d.toString
@@ -53,8 +53,20 @@ object Golden {
     if (d.isPosInfinity) return "inf"
     if (d.isNegInfinity) return "-inf"
     if (d == 0.0) return if (1 / d < 0) "-0" else "0"
-    val neg = d < 0
-    val repr = java.lang.Double.toString(math.abs(d))
+    chReal(d < 0, java.lang.Double.toString(math.abs(d)))
+  }
+
+  /** Float32 gets FLOAT shortest-round-trip digits (CH renders Float32
+    * with float precision — 1.72999e-40, not the double re-expansion). */
+  def chFloat(f: Float): String = {
+    if (f.isNaN) return "nan"
+    if (f.isPosInfinity) return "inf"
+    if (f.isNegInfinity) return "-inf"
+    if (f == 0.0f) return if (1 / f < 0) "-0" else "0"
+    chReal(f < 0, java.lang.Float.toString(math.abs(f)))
+  }
+
+  private def chReal(neg: Boolean, repr: String): String = {
     val (mantStr, e10) = repr.split("E") match {
       case Array(m) => (m, 0)
       case Array(m, e) => (m, e.toInt)

@@ -46,10 +46,32 @@ object ChTruthinessRule extends Rule[LogicalPlan] {
     e.resolved && e.dataType.isInstanceOf[NumericType]
 }
 
+/** CH treats booleans as UInt8 everywhere, including as aggregate inputs
+  * (`sum(x = y)` is the standard predicate-count idiom; ref
+  * FunctionsLogical UInt8 representation). Spark's Sum/Average reject
+  * BOOLEAN, so cast it to INT at resolution.
+  */
+object ChBoolAggRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+  import org.apache.spark.sql.types.IntegerType
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case s: Sum if s.child.resolved && s.child.dataType == BooleanType =>
+        s.withNewChildren(Seq(Cast(s.child, IntegerType)))
+          .asInstanceOf[Expression]
+      case a: Average
+          if a.child.resolved && a.child.dataType == BooleanType =>
+        a.withNewChildren(Seq(Cast(a.child, IntegerType)))
+          .asInstanceOf[Expression]
+    }
+}
+
 /** SparkSessionExtensions installer (wired in Engine.session). */
 class ChExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChTruthinessRule)
     ext.injectResolutionRule(_ => ChDateArithRule)
+    ext.injectResolutionRule(_ => ChBoolAggRule)
   }
 }

@@ -157,11 +157,12 @@ class ChRegistrySpec extends SparkSpec {
       "SELECT arrayL1Distance(array(1.0, 2.0), array(3.0, 1.0))") == 3.0)
     assert(one[Double](
       "SELECT arrayLinfDistance(array(1.0, 2.0), array(3.0, 1.0))") == 2.0)
-    // perfect ranking → AUC 1; random tie-everything → 0.5
+    // perfect ranking → AUC 1; all-tied scores keep ARRAY order in the
+    // reference's stable desc sort (arrayAUC.cpp), so [1,1,0,0] → 1.0
     assert(one[Double](
       "SELECT arrayAUC(array(0.9, 0.8, 0.2, 0.1), array(1, 1, 0, 0))") == 1.0)
     assert(one[Double](
-      "SELECT arrayAUC(array(0.5, 0.5, 0.5, 0.5), array(1, 1, 0, 0))") == 0.5)
+      "SELECT arrayAUC(array(0.5, 0.5, 0.5, 0.5), array(1, 1, 0, 0))") == 1.0)
     assert(one[Double](
       "SELECT arrayAUC(array(0.1, 0.9), array(1, 0))") == 0.0)
   }
