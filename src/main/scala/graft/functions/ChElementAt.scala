@@ -239,3 +239,49 @@ case class ChArrayAUC(left: Expression, right: Expression)
       l: Expression, r: Expression): ChArrayAUC = copy(left = l, right = r)
   override def prettyName: String = "arrayAUC"
 }
+
+/** visitParamExtractRaw / simpleJSONExtractRaw (ref
+  * src/Functions/visitParamExtractRaw.cpp): substring-search `"key":`,
+  * then copy the VERBATIM source text of the value — leading whitespace
+  * and string escapes preserved, quoted strings skipped opaquely,
+  * brace/bracket depth balanced, stop at `,` `}` `]` at depth 0.
+  * '' when the key is absent.
+  */
+case class ChVisitParamRaw(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(js: Any, key: Any): Any = {
+    val s = js.asInstanceOf[UTF8String].toString
+    val k = "\"" + key.asInstanceOf[UTF8String].toString + "\":"
+    val at = s.indexOf(k)
+    if (at < 0) return UTF8String.EMPTY_UTF8
+    val sb = new StringBuilder
+    var p = at + k.length
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var done = false
+    while (!done && p < s.length) {
+      val c = s.charAt(p)
+      if (inStr) {
+        sb.append(c)
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true; sb.append(c)
+        case '{' | '[' => depth += 1; sb.append(c)
+        case '}' | ']' =>
+          if (depth == 0) done = true else { depth -= 1; sb.append(c) }
+        case ',' => if (depth == 0) done = true else sb.append(c)
+        case other => sb.append(other)
+      }
+      if (!done) p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ChVisitParamRaw =
+    copy(left = l, right = r)
+  override def prettyName: String = "visitParamExtractRaw"
+}

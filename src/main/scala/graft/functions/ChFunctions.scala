@@ -971,9 +971,10 @@ object ch {
   private def vpFrag(j: Column, key: String, vpat: String): Column =
     regexp_extract(j,
       "\"" + java.util.regex.Pattern.quote(key) + "\":" + vpat, 1)
+  // UInt mirrors readUIntText: a leading '-' fails the parse → 0, so no
+  // get_json_object branch (it would accept -1)
   def visitParamExtractUInt(j: Column, key: String): Column =
-    coalesce(get_json_object(j, s"$$.$key").try_cast("bigint"),
-      vpFrag(j, key, "(\\d+)").try_cast("bigint"), lit(0L))
+    coalesce(vpFrag(j, key, "(\\d+)").try_cast("bigint"), lit(0L))
   def visitParamExtractFloat(j: Column, key: String): Column =
     coalesce(get_json_object(j, s"$$.$key").try_cast("double"),
       vpFrag(j, key, "(-?\\d*\\.?\\d+(?:[eE][+-]?\\d+)?)")
@@ -981,9 +982,10 @@ object ch {
   def visitParamExtractBool(j: Column, key: String): Column =
     coalesce(get_json_object(j, s"$$.$key").try_cast("boolean"),
       vpFrag(j, key, "(true|false)").try_cast("boolean"), lit(false))
-  def visitParamExtractRaw(j: Column, key: String): Column =
-    coalesce(jsonExtractRaw(j, key),
-      vpFrag(j, key, "(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}\\]]*)"))
+  def visitParamExtractRaw(j: Column, key: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    CC(ChVisitParamRaw(EE(j), EE(lit(key))))
+  }
   def visitParamHas(j: Column, key: String): Column =
     j.contains("\"" + key + "\":")
   /** Best-effort timestamp parsing (ref parseDateTimeBestEffort.cpp):
