@@ -1245,12 +1245,15 @@ object ChSql {
     val re = "(?i)\\bremote(?:Secure)?\\s*\\(\\s*'([^']*)'\\s*,".r
     var guard = 0
     var done = false
+    var from = 0 // resume past unhandled matches, don't abort the scan
     while (!done && guard < 20) {
       guard += 1
-      re.findFirstMatchIn(s) match {
+      re.findFirstMatchIn(s.substring(from)) match {
         case None => done = true
-        case Some(m) =>
-          val open = s.indexOf('(', m.start)
+        case Some(m0) =>
+          val mStart = from + m0.start
+          val mEnd = from + m0.end
+          val open = s.indexOf('(', mStart)
           var depth = 0; var i = open; var inStr = false; var end = -1
           while (end < 0 && i < s.length) {
             val c = s.charAt(i)
@@ -1261,10 +1264,10 @@ object ChSql {
             else if (c == ')') { depth -= 1; if (depth == 0) end = i }
             i += 1
           }
-          if (end < 0) done = true
+          if (end < 0) from = mEnd
           else {
-            val k = shardCount(m.group(1))
-            val rest = s.substring(m.end, end).trim
+            val k = shardCount(m0.group(1))
+            val rest = s.substring(mEnd, end).trim
             val inner: Option[String] =
               if (rest.matches("(?is)system\\s*,\\s*one(\\s*,.*)?"))
                 Some("(SELECT CAST(0 AS TINYINT) AS __one)")
@@ -1275,12 +1278,12 @@ object ChSql {
                 Some("(" + rest.substring(vopen + 1, rest.length - 1) + ")")
               } else None
             inner match {
-              case None => done = true
+              case None => from = mEnd
               case Some(t) =>
                 val body =
                   if (k == 1) s"(SELECT __rt.* FROM $t __rt)"
                   else s"(SELECT __rt.* FROM $t __rt CROSS JOIN range($k))"
-                s = s.substring(0, m.start) + body + s.substring(end + 1)
+                s = s.substring(0, mStart) + body + s.substring(end + 1)
             }
           }
       }
@@ -1635,7 +1638,7 @@ object ChSql {
         val key = m.group(1)
         val base = chNullOrder(spark.sql(ChSql.translate(
           FillRe.replaceFirstIn(chQuery.trim.stripSuffix(";"),
-            s"ORDER BY $key"))))
+            s"ORDER BY $key"))), chQuery)
         val keyType = base.schema(key).dataType
         // numeric view of the key: timestamps in epoch seconds, dates in
         // epoch days, numbers as themselves (Float keys fill fractionally)
@@ -1684,14 +1687,23 @@ object ChSql {
               .getOrElse(filled)
           case _ => base.orderBy(key)
         }
-      case None => chNullOrder(spark.sql(translate(chQuery)))
+      case None => chNullOrder(spark.sql(translate(chQuery)), chQuery)
     }
   }
+
+  private val ExplicitNullsRe = "(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r
 
   /** CH's default ORDER BY places NULLs as if greatest: last on ASC,
     * first on DESC (ref src/Core/SortDescription.h nulls_direction
     * default = direction). Spark's default is nulls-as-smallest, so flip
-    * every defaulted SortOrder in the dialect-parsed plan. */
+    * every defaulted SortOrder in the dialect-parsed plan. The logical
+    * plan can't distinguish Spark's default null placement from an
+    * explicit `NULLS FIRST/LAST` the user wrote, so a query carrying the
+    * keyword skips the flip entirely — explicit placement wins. */
+  private def chNullOrder(df: DataFrame, chQuery: String): DataFrame =
+    if (ExplicitNullsRe.findFirstIn(chQuery).isDefined) df
+    else chNullOrder(df)
+
   private def chNullOrder(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{
       Ascending, Descending, NullsFirst, NullsLast, SortOrder}

@@ -462,6 +462,7 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
           if (!fixed) nextSlot()
           combine(intElem(v.asInstanceOf[Int].toLong, 2))
         case TimestampType => // CH DateTime = UInt32 epoch seconds
+          if (!fixed) nextSlot()
           combine(intElem(
             Math.floorDiv(v.asInstanceOf[Long], 1000000L), 4))
         case FloatType =>

@@ -118,8 +118,21 @@ case class ChReinterpret(child: Expression, target: String, srcWidth: Int)
       case "Int64" => java.lang.Long.valueOf(leLong(b, 8))
       case "UInt64" => ChHash.toUnsignedDecimal(leLong(b, 8))
       case "Int128" | "UInt128" | "Int256" | "UInt256" =>
-        // small values only (Decimal38 carrier) — bytes beyond 8 ignored
-        Decimal(new java.math.BigDecimal(leLong(b, 8)), 38, 0)
+        // full-width little-endian read: zero-extended for UInt targets,
+        // two's-complement sign-extended for Int. The Decimal(38,0)
+        // carrier holds < 10^38; values beyond it return NULL rather
+        // than a silently truncated number.
+        val width = if (t.endsWith("128")) 16 else 32
+        val n = math.min(width, b.length)
+        val be = new Array[Byte](n)
+        var i = 0
+        while (i < n) { be(i) = b(n - 1 - i); i += 1 }
+        val big =
+          if (n == 0) java.math.BigInteger.ZERO
+          else if (t.startsWith("U")) new java.math.BigInteger(1, be)
+          else new java.math.BigInteger(be)
+        val dec = new java.math.BigDecimal(big)
+        if (dec.precision > 38) null else Decimal(dec, 38, 0)
       case "Float32" => java.lang.Float.valueOf(
         java.lang.Float.intBitsToFloat(leLong(b, 4).toInt))
       case "Float64" => java.lang.Double.valueOf(

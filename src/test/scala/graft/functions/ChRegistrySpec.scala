@@ -221,4 +221,23 @@ class ChRegistrySpec extends SparkSpec {
     assert(one[String]("SELECT detectLanguage('the cat is on the mat and it is here')") == "en")
     assert(one[Double]("SELECT ngramSearch('hello world', 'hello world')") == 1.0)
   }
+
+  test("sipHash64 timestamp arg consumes its width slot (alignment)") {
+    // Regression: TimestampType must call nextSlot() like every other
+    // leaf, else a following small-int literal reads the timestamp's
+    // (empty) slot and hashes at Spark width 4 instead of CH UInt16 2.
+    def le(v: Long, n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    val ts = 1577934245L // 2020-01-02 03:04:05 UTC, CH DateTime = UInt32
+    val expected = ChHash.sipCombine(
+      ChHash.sipHash64(le(ts, 4)), ChHash.sipHash64(le(300L, 2)))
+    val got = ChSql.sql(spark,
+      "SELECT sipHash64(toDateTime('2020-01-02 03:04:05'), 300) AS h",
+      SparkSpec.tiny).collect()(0).getDecimal(0)
+    assert(got.toPlainString == java.lang.Long.toUnsignedString(expected))
+  }
 }
