@@ -39,18 +39,25 @@ object Bench {
 
     force("q_prewhere") // warmup: JVM + codegen + parquet footer caches
 
+    // Median-of-3 per query: one noisy run (GC pause, box load) must not
+    // cost a round of perf signal. `value`/`queries` carry the medians;
+    // `queries_min` records the per-query floor for reference.
+    val runs = 3
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try force(name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try force(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(runs / 2), times.head)
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def obj(f: ((String, Double, Double)) => Double): String = results
+      .map { r => "\"" + r._1 + f"\":${f(r)}%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

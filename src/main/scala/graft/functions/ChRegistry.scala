@@ -886,9 +886,20 @@ object ChRegistry {
         flatten(collect_list(zip_with(k, v,
           (a, b) => struct(a.as("k"), b.as("v"))))),
         p => p.getField("v").isNotNull)
-      val ks = array_sort(array_distinct(transform(pairs, _.getField("k"))))
+      // per-group state is the collected pair list, so a skewed group
+      // would OOM the buffer; fail past the cap and name the scalable
+      // explode+groupBy formulation instead of dying in the aggregator
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.mapAgg.maxPairs", "1000000").toLong
+      val checked = when(
+        assert_true(size(pairs) <= lit(cap), lit(
+          s"sumMap/minMap/maxMap group exceeded graft.mapAgg.maxPairs=" +
+            s"$cap pairs; explode the arrays and GROUP BY (key, map key) " +
+            "instead (see q_sum_map)")).isNull,
+        pairs)
+      val ks = array_sort(array_distinct(transform(checked, _.getField("k"))))
       val sums = transform(ks, key =>
-        red(filter(pairs, p => p.getField("k") === key), key))
+        red(filter(checked, p => p.getField("k") === key), key))
       struct(ks.as("keys"), sums.as("values"))
     }
     // CH substring semantics: a NEGATIVE size means "up to size chars
@@ -1406,20 +1417,35 @@ object ChRegistry {
     locally {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(monotonically_increasing_id())
+      // the single-task frame is guarded: beyond graft.blockLocal.maxRows
+      // the task fails with a message naming the partitioned alternative.
+      // The guard wraps the window OUTPUT (not its input): window inputs
+      // get extracted into a pre-exchange Project where each task still
+      // sees only its own slice, while the post-window projection runs
+      // inside the one collapsed partition this guard must measure.
+      def guarded(fn: String, c: Column): Column = {
+        val limit = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.blockLocal.maxRows", "10000000").toLong
+        C(BlockLocalGuard(E(c), limit, fn))
+      }
       f("neighbor") {
         case Seq(a, off) =>
           val n = litInt(off)
-          if (n >= 0) lead(C(a), n).over(w) else lag(C(a), -n).over(w)
+          guarded("neighbor",
+            if (n >= 0) lead(C(a), n).over(w) else lag(C(a), -n).over(w))
         case Seq(a, off, dflt) =>
           val n = litInt(off)
           coalesce(
-            if (n >= 0) lead(C(a), n).over(w) else lag(C(a), -n).over(w),
+            guarded("neighbor",
+              if (n >= 0) lead(C(a), n).over(w) else lag(C(a), -n).over(w)),
             C(dflt))
       }
       f1("runningDifference")(c =>
-        c - coalesce(lag(c, 1).over(w), c))
+        c - coalesce(guarded("runningDifference",
+          lag(c, 1).over(w)), c))
       f1("runningDifferenceStartingWithFirstValue")(c =>
-        c - coalesce(lag(c, 1).over(w), c))
+        c - coalesce(guarded("runningDifferenceStartingWithFirstValue",
+          lag(c, 1).over(w)), c))
     }
 
     // toStartOfInterval(t, INTERVAL n unit) (ref toStartOfInterval.cpp):

@@ -24,11 +24,20 @@ object Dictionaries {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Column]]()
 
+  /** Hard cap on dictionary size: the collected map is baked into the
+    * expression tree, so it must stay broadcast-sized. Beyond this, the
+    * right tool is [[dictGet]] — a broadcast join that never collects. */
+  val MaxDictRows = 1000000
+
   /** Register `dict` under `name`: collects one key→value map literal per
     * attribute column. Call once per session per dictionary. */
   def createDictionary(name: String, dict: DataFrame, keyCol: String): Unit = {
     val attrs = dict.columns.filter(_ != keyCol)
-    val rows = dict.select(keyCol, attrs: _*).collect()
+    val rows = dict.select(keyCol, attrs: _*).limit(MaxDictRows + 1).collect()
+    require(rows.length <= MaxDictRows,
+      s"dictionary '$name' exceeds $MaxDictRows rows; a map literal this " +
+        "size cannot be baked into the plan — use Dictionaries.dictGet " +
+        "(broadcast join) for large dimension tables")
     val maps = attrs.zipWithIndex.map { case (a, i) =>
       val pairs = rows.iterator.flatMap { r =>
         if (r.isNullAt(i + 1)) Iterator.empty
