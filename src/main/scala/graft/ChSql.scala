@@ -516,11 +516,54 @@ object ChSql {
         "\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)",
         "$1")
     }
+    // CAST to the IP display types is a parse conversion, not a storage
+    // cast — route through the typed constructors (TRY_CAST → OrNull)
+    locally {
+      var changed = true
+      while (changed) {
+        changed = false
+        "(?i)(?<![\\w])(TRY_CAST|CAST)\\s*\\(".r.findAllMatchIn(s).toSeq
+          .reverseIterator.find { m =>
+            val open = m.end - 1
+            var depth = 0; var i = open; var inStr = false; var end = -1
+            var lastAs = -1
+            while (end < 0 && i < s.length) {
+              val c = s.charAt(i)
+              if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+              else if (c == '\'') inStr = true
+              else if (c == '(') depth += 1
+              else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+              else if (depth == 1 && (c == 'A' || c == 'a') && i + 2 < s.length &&
+                  s.substring(i, i + 2).equalsIgnoreCase("AS") &&
+                  !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' &&
+                  !s.charAt(i + 2).isLetterOrDigit && s.charAt(i + 2) != '_')
+                lastAs = i
+              i += 1
+            }
+            if (end < 0 || lastAs < 0) false
+            else s.substring(lastAs + 2, end).trim.toLowerCase match {
+              case t @ ("ipv4" | "ipv6" | "bool") =>
+                val isTry = m.group(1).equalsIgnoreCase("TRY_CAST")
+                val fn = (t match {
+                  case "ipv4" => "toIPv4"
+                  case "ipv6" => "toIPv6"
+                  case _ => "toBool"
+                }) + (if (isTry && t != "bool") "OrNull" else "")
+                val expr = s.substring(open + 1, lastAs)
+                s = s.substring(0, m.start) + fn + "(" + expr + ")" +
+                  s.substring(end + 1)
+                changed = true; true
+              case _ => false
+            }
+          }
+      }
+    }
     val words = Seq(
       "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
       "UInt64" -> "BIGINT", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
       "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
-      "Float64" -> "DOUBLE", "Date32" -> "DATE", "UUID" -> "STRING")
+      "Float64" -> "DOUBLE", "Date32" -> "DATE", "UUID" -> "STRING",
+      "Bool" -> "BOOLEAN")
     for ((a, b) <- words)
       s = replaceOutsideStrings(s, s"(?<![\\w])$a\\b", b)
     s = replaceOutsideStrings(s,

@@ -238,8 +238,22 @@ object ch {
     when(length(c) === 0 || endsWith(c, lit(ch)), c)
       .otherwise(concat(c, lit(ch)))
   def asciiCh(c: Column): Column = ascii(c)
-  def emptyCh(c: Column): Column = length(c) === 0
-  def notEmptyCh(c: Column): Column = length(c) > 0
+  // empty(IP) means "the zero address" (ref FunctionsCodingIP /
+  // FunctionEmpty on IPv4/IPv6); strings/arrays use length
+  private def isZeroIp(c: Column): Option[Column] = {
+    val e = org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+    if (e.resolved && ChIp.isIpType(e.dataType))
+      Some(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        IpUnwrap(e)) === (e.dataType match {
+          case _: IPv6UDT => lit(new Array[Byte](16))
+          case _ => lit(0L)
+        }))
+    else None
+  }
+  def emptyCh(c: Column): Column =
+    isZeroIp(c).getOrElse(length(c) === 0)
+  def notEmptyCh(c: Column): Column =
+    isZeroIp(c).map(!_).getOrElse(length(c) > 0)
 
   // search/replace (ref position.cpp, match.cpp, replaceAll.cpp)
   // CH position: BYTE offsets (UTF-8), empty needle found at 1 (ref

@@ -460,8 +460,97 @@ object ChRegistry {
     f1("hiveHash")(ch.hiveHash)
     f1("base64Encode")(ch.base64Encode); f1("base64Decode")(ch.base64Decode)
     f1("IPv4NumToString")(ch.ipv4NumToString)
-    f1("IPv4StringToNum")(ch.ipv4StringToNum)
     f1("isIPv4String")(ch.isIPv4String)
+
+    // ---- IP coding family (ref src/Functions/FunctionsCodingIP.cpp,
+    // src/Common/formatIPv6.{h,cpp}). IPv4/IPv6 are UDT-typed values:
+    // display text at the surface, UInt32 / FixedString(16) underneath
+    // (lowered by ChIpCoercionRule in relational contexts). The
+    // conversion-error default mode mirrors CH's
+    // cast_ipv4_ipv6_default_on_conversion_error session setting, which
+    // the golden harness propagates as a graft.ch.* conf.
+    locally {
+      def baseMode: Int =
+        if (org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "graft.ch.cast_ipv4_ipv6_default_on_conversion_error", "0") == "1")
+          IpMode.Default
+        else IpMode.Throw
+      f("toIPv4") { case Seq(a) => C(ToIPv4(a, baseMode)) }
+      f("toIPv4OrNull") { case Seq(a) => C(ToIPv4(a, IpMode.Null)) }
+      f("toIPv4OrDefault") { case Seq(a) => C(ToIPv4(a, IpMode.Default)) }
+      f("toIPv6") { case Seq(a) => C(ToIPv6(a, baseMode)) }
+      f("toIPv6OrNull") { case Seq(a) => C(ToIPv6(a, IpMode.Null)) }
+      f("toIPv6OrDefault") { case Seq(a) => C(ToIPv6(a, IpMode.Default)) }
+      // IPv4StringToNum returns the plain UInt32, not the typed value
+      f("IPv4StringToNum") { case Seq(a) =>
+        C(IpUnwrap(ToIPv4(a, baseMode))) }
+      f("IPv4StringToNumOrNull") { case Seq(a) =>
+        C(IpUnwrap(ToIPv4(a, IpMode.Null))) }
+      f("IPv4StringToNumOrDefault") { case Seq(a) =>
+        C(IpUnwrap(ToIPv4(a, IpMode.Default))) }
+      f("IPv6StringToNum") { case Seq(a) => C(Ipv6StringToNum(a, baseMode)) }
+      f("IPv6StringToNumOrNull") { case Seq(a) =>
+        C(Ipv6StringToNum(a, IpMode.Null)) }
+      f("IPv6StringToNumOrDefault") { case Seq(a) =>
+        C(Ipv6StringToNum(a, IpMode.Default)) }
+      f("IPv6NumToString") { case Seq(a) => C(Ipv6NumToString(a)) }
+      f("IPv4ToIPv6") { case Seq(a) => C(Ipv4ToIpv6(a)) }
+      f("cutIPv6") { case Seq(a, b6, b4) => C(CutIPv6(a, b6, b4)) }
+      f("IPv4CIDRToRange") { case Seq(a, c) =>
+        C(Ipv4CidrToRange(IpUnwrap(a), c)) }
+      f("IPv6CIDRToRange") { case Seq(a, c) => C(Ipv6CidrToRange(a, c)) }
+      f("isIPv6String") { case Seq(a) => C(IsIpString(a, v6 = true)) }
+      // OrZero = OrDefault for IP types (the default IS the zero address)
+      f("toIPv4OrZero") { case Seq(a) => C(ToIPv4(a, IpMode.Default)) }
+      f("toIPv6OrZero") { case Seq(a) => C(ToIPv6(a, IpMode.Default)) }
+    }
+
+    // defaultValueOfTypeName (ref src/Functions/defaultValueOfTypeName.cpp):
+    // the type's zero value, built from the parsed CH type text
+    locally {
+      def dflt(t: ChTypes.T): Column = t match {
+        case ChTypes.Nullable(_) => lit(null)
+        case ChTypes.LowCard(i) => dflt(i)
+        case ChTypes.Arr(_) => array()
+        case ChTypes.Tup(el) => struct(el.map(dflt): _*)
+        case ChTypes.MapT(_, _) => map()
+        case ChTypes.Scalar(n) =>
+          if (n.startsWith("UInt") || n.startsWith("Int")) lit(0)
+          else if (n.startsWith("Float")) lit(0.0)
+          else if (n.startsWith("Decimal")) lit(java.math.BigDecimal.ZERO)
+          else n match {
+            case "String" => lit("")
+            case "UUID" => lit("00000000-0000-0000-0000-000000000000")
+            case "IPv4" => C(ToIPv4(Literal("0.0.0.0"), IpMode.Throw))
+            case "IPv6" => C(ToIPv6(Literal("::"), IpMode.Throw))
+            case "Bool" => C(ChBoolWrap(Literal(false)))
+            case "Date" | "Date32" => lit(java.sql.Date.valueOf("1970-01-01"))
+            case s if s.startsWith("DateTime") =>
+              lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+            case s if s.startsWith("FixedString") => lit("")
+            case _ => lit(null)
+          }
+      }
+      f("defaultValueOfTypeName") { case Seq(t) =>
+        ChTypes.parseTypeText(litStr(t)).map(dflt).getOrElse(lit(null)) }
+      f("isIPAddressInRange") { case Seq(a, cidr) =>
+        // string CIDR 'net/prefix' containment (ref isIPAddressContainedIn)
+        val parts = split(C(cidr), "/")
+        val net = element_at(parts, 1); val pfx = element_at(parts, 2).cast("int")
+        when(C(a).contains(":"),
+          {
+            val r = C(Ipv6CidrToRange(ToIPv6(E(net), IpMode.Default), E(pfx)))
+            val ip = C(Ipv6StringToNum(a, IpMode.Default))
+            ip >= C(IpUnwrap(E(r.getField("_1")))) &&
+              ip <= C(IpUnwrap(E(r.getField("_2"))))
+          }).otherwise {
+            val r = C(Ipv4CidrToRange(IpUnwrap(ToIPv4(E(net), IpMode.Default)), E(pfx)))
+            val ip = C(IpUnwrap(ToIPv4(a, IpMode.Default)))
+            ip >= C(IpUnwrap(E(r.getField("_1")))) &&
+              ip <= C(IpUnwrap(E(r.getField("_2"))))
+          }
+      }
+    }
 
     // bits
     f2("bitAnd")(ch.bitAnd); f2("bitOr")(ch.bitOr); f2("bitXor")(ch.bitXor)
@@ -522,6 +611,9 @@ object ChRegistry {
     // type-annotation no-ops + remaining conversions (ref
     // src/Functions/toLowCardinality.cpp, toNullable.cpp, parseDateTime.cpp)
     f1("toNullable")(c => c)
+    // CH Bool renders true/false (unlike UInt8 comparison results) —
+    // the ChBool UDT carries the display distinction
+    f1("toBool")(c => C(ChBoolWrap(E(c.cast("boolean")))))
     f1("toLowCardinality")(c => c)
     f("toDateTime64") {
       case Seq(c, _) => C(c).cast("timestamp")
@@ -1361,12 +1453,7 @@ object ChRegistry {
       transform(sequence(lit(1), size(groups.head)), i =>
         array(groups.map(g => element_at(g, i)): _*))
     }
-    // IPv4 as its numeric value (CH stores IPv4 as UInt32; the dotted
-    // rendering is a display-type concern these comparisons don't need)
-    f1("toIPv4")(c => ch.ipv4StringToNum(c))
-    f1("toIPv4OrNull")(c =>
-      when(c.rlike("^((25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}" +
-        "(25[0-5]|2[0-4]\\d|1?\\d?\\d)$"), ch.ipv4StringToNum(c)))
+    // (toIPv4/toIPv4OrNull live in the typed IP-coding block above)
 
     // ---- round-4 wave: custom weeks, reinterpret, block-local fns ----
 

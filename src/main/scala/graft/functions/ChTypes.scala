@@ -600,6 +600,14 @@ object ChTypes {
       "toFloat32" -> Float32, "toFloat64" -> Float64,
       "toString" -> Str, "toDate" -> DateT, "toDate32" -> Date32T,
       "toDateTime" -> DateTimeT,
+      "toIPv4" -> Scalar("IPv4"), "toIPv6" -> Scalar("IPv6"),
+      "toIPv4OrDefault" -> Scalar("IPv4"), "toIPv6OrDefault" -> Scalar("IPv6"),
+      "toIPv4OrNull" -> Nullable(Scalar("IPv4")),
+      "toIPv6OrNull" -> Nullable(Scalar("IPv6")),
+      "IPv4ToIPv6" -> Scalar("IPv6"), "cutIPv6" -> Str, "toBool" -> BoolT,
+      "IPv4StringToNum" -> UInt32, "IPv6StringToNum" -> Scalar("FixedString(16)"),
+      "IPv4NumToString" -> Str, "IPv6NumToString" -> Str,
+      "isIPv4String" -> UInt8, "isIPv6String" -> UInt8,
       "length" -> UInt64, "count" -> UInt64, "uniq" -> UInt64,
       "uniqExact" -> UInt64,
       "cityHash64" -> UInt64, "sipHash64" -> UInt64, "intHash64" -> UInt64,

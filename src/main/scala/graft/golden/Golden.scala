@@ -13,12 +13,14 @@ object Golden {
   /** CH TabSeparated formatting of one value (top level). */
   def fmt(v: Any): String = v match {
     case null => "\\N"
+    case ip: graft.functions.ChIPv4 => ip.toString
+    case ip: graft.functions.ChIPv6 => ip.toString
     case s: String => escapeTsv(s)
     case b: Boolean => if (b) "1" else "0"
     case d: java.lang.Double => chDouble(d)
     case f: java.lang.Float => chFloat(f)
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
-    case b: Array[Byte] => escapeTsv(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    case b: Array[Byte] => escapeTsv(decodeBytes(b))
     case d: java.sql.Date => d.toString
     case t: java.sql.Timestamp => t.toString.takeWhile(_ != '.')
     case a: scala.collection.Seq[_] =>
@@ -30,6 +32,8 @@ object Golden {
   /** Nested (inside arrays/tuples) formatting: strings get quoted. */
   private def fmtNested(v: Any): String = v match {
     case null => "NULL"
+    case ip: graft.functions.ChIPv4 => "'" + ip.toString + "'"
+    case ip: graft.functions.ChIPv6 => "'" + ip.toString + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
     case t: java.sql.Timestamp => "'" + fmt(t) + "'"
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'")
@@ -37,6 +41,23 @@ object Golden {
       .replace("\u0000", "\\0").replace("\b", "\\b")
       .replace("\f", "\\f") + "'"
     case other => fmt(other)
+  }
+
+  /** Binary values print as raw bytes in CH's TSV. Valid UTF-8 decodes
+    * normally; malformed bytes (e.g. IPv6StringToNum's 0xff pairs) fall
+    * back to Latin-1 so each byte maps to one char — mirroring how
+    * [[readRef]] reads a .reference file that carries raw bytes. */
+  private def decodeBytes(b: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1) }
+  }
+
+  /** Read a text file as UTF-8, Latin-1 on malformed content. */
+  def readRef(p: java.nio.file.Path): String = {
+    val bytes = Files.readAllBytes(p)
+    decodeBytes(bytes)
   }
 
   private def escapeTsv(s: String): String =
@@ -171,9 +192,8 @@ object Golden {
       sfDir: String): (Seq[String], Seq[String]) = {
     val text = Files.readString(Paths.get(sqlPath))
     val refPath = sqlPath.stripSuffix(".sql") + ".reference"
-    val expected = Files.readString(Paths.get(refPath))
+    val expected = readRef(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
-    var echo = false
     val settings = scala.collection.mutable.Map.empty[String, String]
     val chunks = splitRaw(text)
     // `stmt; -- { serverError N }` splits the annotation into the NEXT
@@ -184,7 +204,19 @@ object Golden {
       chunk.linesIterator.nextOption().exists(
         _.matches("\\s*--\\s*\\{\\s*(server|client)Error.*"))
     }
-    val actual = chunks.zipWithIndex.flatMap { case (chunk, ci) =>
+    val actual = try runChunks(spark, sfDir, chunks, annotatesPrev, settings)
+    finally settings.keys.foreach(k => spark.conf.unset("graft.ch." + k))
+    // CH's runner compares whole files; trailing empty lines (e.g. an
+    // empty-string result at EOF) are normalized away on BOTH sides the
+    // same way `expected` is above
+    (actual.reverse.dropWhile(_.isEmpty).reverse, expected)
+  }
+
+  private def runChunks(spark: SparkSession, sfDir: String,
+      chunks: Seq[String], annotatesPrev: Seq[Boolean],
+      settings: scala.collection.mutable.Map[String, String]): Seq[String] = {
+    var echo = false
+    chunks.zipWithIndex.flatMap { case (chunk, ci) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       // peel marker/comment lines, toggling echo state in order; a
       // leading line that only annotates the PREVIOUS statement is
@@ -217,7 +249,12 @@ object Golden {
       if (isSessionSet) {
         val kv = "(?is)^SET\\s+(\\w+)\\s*=\\s*(.+)$".r
         clean match {
-          case kv(k, v) => settings(k.toLowerCase) = v.trim.stripSuffix(";")
+          case kv(k, v) =>
+            settings(k.toLowerCase) = v.trim.stripSuffix(";")
+            // surface the CH setting to function builders (they read
+            // graft.ch.<name> from SQLConf); cleared in the finally below
+            spark.conf.set("graft.ch." + k.toLowerCase,
+              v.trim.stripSuffix(";").stripPrefix("'").stripSuffix("'"))
           case _ =>
         }
       }
@@ -244,9 +281,5 @@ object Golden {
       }
       out.toSeq
     }
-    // CH's runner compares whole files; trailing empty lines (e.g. an
-    // empty-string result at EOF) are normalized away on BOTH sides the
-    // same way `expected` is above
-    (actual.reverse.dropWhile(_.isEmpty).reverse, expected)
   }
 }

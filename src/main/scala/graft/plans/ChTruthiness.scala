@@ -73,5 +73,6 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChTruthinessRule)
     ext.injectResolutionRule(_ => ChDateArithRule)
     ext.injectResolutionRule(_ => ChBoolAggRule)
+    ext.injectResolutionRule(_ => ChIpCoercionRule)
   }
 }
