@@ -541,19 +541,32 @@ object ChSql {
               i += 1
             }
             if (end < 0 || lastAs < 0) false
-            else s.substring(lastAs + 2, end).trim.toLowerCase match {
-              case t @ ("ipv4" | "ipv6" | "bool") =>
-                val isTry = m.group(1).equalsIgnoreCase("TRY_CAST")
-                val fn = (t match {
-                  case "ipv4" => "toIPv4"
-                  case "ipv6" => "toIPv6"
-                  case _ => "toBool"
-                }) + (if (isTry && t != "bool") "OrNull" else "")
-                val expr = s.substring(open + 1, lastAs)
-                s = s.substring(0, m.start) + fn + "(" + expr + ")" +
-                  s.substring(end + 1)
-                changed = true; true
-              case _ => false
+            else {
+              val target = s.substring(lastAs + 2, end).trim
+              val expr = s.substring(open + 1, lastAs)
+              val isTry = m.group(1).equalsIgnoreCase("TRY_CAST")
+              val Dt64Re =
+                "(?i)^DateTime64\\s*\\(\\s*(\\d+)\\s*(?:,\\s*('[^']*'))?\\s*\\)$".r
+              target.toLowerCase match {
+                case t @ ("ipv4" | "ipv6" | "bool") =>
+                  val fn = (t match {
+                    case "ipv4" => "toIPv4"
+                    case "ipv6" => "toIPv6"
+                    case _ => "toBool"
+                  }) + (if (isTry && t != "bool") "OrNull" else "")
+                  s = s.substring(0, m.start) + fn + "(" + expr + ")" +
+                    s.substring(end + 1)
+                  changed = true; true
+                case _ => target match {
+                  case Dt64Re(scale, tz) =>
+                    val args = expr + ", " + scale +
+                      (if (tz != null) ", " + tz else "")
+                    s = s.substring(0, m.start) + "toDateTime64(" + args +
+                      ")" + s.substring(end + 1)
+                    changed = true; true
+                  case _ => false
+                }
+              }
             }
           }
       }

@@ -27,6 +27,13 @@ case class ChToDate(child: Expression)
       catch { case _: Exception => null }
     case TimestampType | TimestampNTZType =>
       Math.floorDiv(input.asInstanceOf[java.lang.Long], 86400000000L).toInt
+    case u: DateTime64UDT =>
+      // the value's own timezone governs its calendar day
+      val v = u.deserialize(input)
+      val secs = Math.floorDiv(v.ticks, ChDT64.pow10(v.scale))
+      java.time.Instant.ofEpochSecond(secs)
+        .atZone(java.time.ZoneId.of(v.tz.getOrElse("UTC")))
+        .toLocalDate.toEpochDay.toInt
     case _ => input
   }
   override protected def withNewChildInternal(c: Expression): ChToDate =

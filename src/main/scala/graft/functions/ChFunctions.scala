@@ -653,6 +653,11 @@ object ch {
     * "bin" and loop). */
   def binCh(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    val e = EE(c)
+    // strings render per byte (8 bits each); numbers via Catalyst Bin
+    if (e.resolved && (e.dataType == org.apache.spark.sql.types.StringType ||
+        e.dataType == org.apache.spark.sql.types.BinaryType))
+      return CC(ChBinString(e))
     val b = CC(org.apache.spark.sql.catalyst.expressions.Bin(EE(c)))
     val pad = (lit(8) - length(b) % 8) % 8
     concat(call_function("repeat", lit("0"), pad), b)

@@ -484,14 +484,22 @@ case class IsIpString(child: Expression, v6: Boolean)
   * the underlying value — so comparisons and shuffles lowered through
   * this stay codegen'd primitives. */
 case class IpUnwrap(child: Expression) extends UnaryExpression {
+  private def isDt64 = child.dataType.isInstanceOf[DateTime64UDT]
   override def dataType: DataType = child.dataType match {
+    case _: DateTime64UDT => TimestampType // instant field of the carrier
     case u: UserDefinedType[_] => u.sqlType
     case dt => dt
   }
   override def prettyName: String = "ip_unwrap"
-  override protected def nullSafeEval(v: Any): Any = v
+  override protected def nullSafeEval(v: Any): Any =
+    if (isDt64) {
+      val r = v.asInstanceOf[InternalRow]
+      ChDT64.toMicros(r.getLong(0), r.getInt(1))
+    } else v
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => c)
+    if (isDt64) defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ChDT64$$.MODULE$$.toMicros($c.getLong(0), $c.getInt(1))")
+    else defineCodeGen(ctx, ev, c => c)
   override protected def withNewChildInternal(c: Expression): IpUnwrap = copy(child = c)
 }
 
@@ -504,6 +512,8 @@ case class IpToString(child: Expression)
     case _: IPv4UDT => UTF8String.fromString(ChIp.formatIPv4(v.asInstanceOf[Long]))
     case _: IPv6UDT =>
       UTF8String.fromString(ChIp.formatIPv6(v.asInstanceOf[Array[Byte]]))
+    case u: DateTime64UDT =>
+      UTF8String.fromString(u.deserialize(v).toString)
     case _ => UTF8String.fromString(v.toString)
   }
   override protected def withNewChildInternal(c: Expression): IpToString = copy(child = c)

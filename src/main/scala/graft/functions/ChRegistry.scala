@@ -86,8 +86,12 @@ object ChRegistry {
     }
     f("toDateTime") {
       case Seq(a) => ch.toDateTime(C(a))
-      // 2nd arg: DateTime64 scale (numeric) or timezone name (string)
-      case Seq(a, Literal(_: Number, _)) => ch.toDateTime(C(a))
+      // 2nd arg: DateTime64 scale (numeric) → the DateTime64 tier
+      // (ref FunctionsConversion.h toDateTime(x, scale)); or a timezone
+      case Seq(a, sc @ Literal(_: Number, _)) =>
+        C(ToDateTime64(a, litInt(sc), None))
+      case Seq(a, sc @ Literal(_: Number, _), tz) =>
+        C(ToDateTime64(a, litInt(sc), Some(litStr(tz))))
       // a DATE is a wall-clock midnight in the TARGET zone: rendering in
       // that same zone keeps midnight — no instant shift (ref
       // FunctionsConversion.h ToDateTimeImpl on DayNum)
@@ -227,6 +231,23 @@ object ChRegistry {
       case Seq(c, arr) if !arr.isInstanceOf[Literal] =>
         ch.multiSearchAnyArr(C(c), C(arr))
       case Seq(c, ns @ _*) => ch.multiSearchAny(C(c), ns.map(litStr)) }
+    // multiSearch position/index family (ref FunctionsMultiStringSearch.h):
+    // per-needle byte positions (0 = absent), 1-based index of the first
+    // needle found, and the smallest nonzero position
+    locally {
+      def positions(h: Column, arr: Column): Column =
+        transform(arr, n => ch.position(h, n).cast("bigint"))
+      f2("multiSearchAllPositions")((h, arr) => positions(h, arr))
+      f2("multiSearchFirstIndex") { (h, arr) =>
+        val hits = filter(sequence(lit(1), size(arr)),
+          i => h.contains(element_at(arr, i)))
+        when(size(hits) > 0, element_at(hits, 1)).otherwise(lit(0))
+      }
+      f2("multiSearchFirstPosition") { (h, arr) =>
+        val ps = filter(positions(h, arr), p => p > 0)
+        when(size(ps) > 0, array_min(ps)).otherwise(lit(0))
+      }
+    }
     f("hasToken") { case Seq(c, t) => ch.hasToken(C(c), litStr(t)) }
     // optional trailing max_substrings: n > 0 keeps the first n pieces,
     // n <= 0 keeps all (ref FunctionsStringArray.h max_substrings;
@@ -615,11 +636,44 @@ object ChRegistry {
     // the ChBool UDT carries the display distinction
     f1("toBool")(c => C(ChBoolWrap(E(c.cast("boolean")))))
     f1("toLowCardinality")(c => c)
-    f("toDateTime64") {
-      case Seq(c, _) => C(c).cast("timestamp")
-      // optional trailing timezone (display zone; session is UTC)
-      case Seq(c, _, tz) =>
-        from_utc_timestamp(C(c).cast("timestamp"), C(tz))
+    locally {
+      def dt64(name: String, mode: Int): Unit = f(name) {
+        case Seq(c, sc) => C(ToDateTime64(c, litInt(sc), None, mode))
+        case Seq(c, sc, tz) =>
+          C(ToDateTime64(c, litInt(sc), Some(litStr(tz)), mode))
+        // OrDefault may carry a trailing default value — parse failure
+        // falls back to it
+        case Seq(c, sc, tz, dflt) if mode == IpMode.Default =>
+          coalesce(C(ToDateTime64(c, litInt(sc), Some(litStr(tz)), IpMode.Null)),
+            C(dflt))
+      }
+      dt64("toDateTime64", IpMode.Throw)
+      dt64("toDateTime64OrNull", IpMode.Null)
+      dt64("toDateTime64OrZero", IpMode.Default)
+      dt64("toDateTime64OrDefault", IpMode.Default)
+      f("makeDateTime64")(es => C(MakeDateTime64(es)))
+      f("now64") {
+        case Seq() => C(ToDateTime64(
+          org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(), 3, None))
+        case Seq(sc) => C(ToDateTime64(
+          org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(),
+          litInt(sc), None))
+        case Seq(sc, tz) => C(ToDateTime64(
+          org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(),
+          litInt(sc), Some(litStr(tz))))
+      }
+      def dt64be(name: String, mode: Int, us: Boolean): Unit = f(name) {
+        case Seq(c) => C(Dt64BestEffort(c, 3, None, mode, us))
+        case Seq(c, sc) => C(Dt64BestEffort(c, litInt(sc), None, mode, us))
+        case Seq(c, sc, tz) =>
+          C(Dt64BestEffort(c, litInt(sc), Some(litStr(tz)), mode, us))
+      }
+      dt64be("parseDateTime64BestEffort", IpMode.Throw, us = false)
+      dt64be("parseDateTime64BestEffortOrNull", IpMode.Null, us = false)
+      dt64be("parseDateTime64BestEffortOrZero", IpMode.Default, us = false)
+      dt64be("parseDateTime64BestEffortUS", IpMode.Throw, us = true)
+      dt64be("parseDateTime64BestEffortUSOrNull", IpMode.Null, us = true)
+      dt64be("parseDateTime64BestEffortUSOrZero", IpMode.Default, us = true)
     }
     f("toDecimal32") { case Seq(c, s) =>
       C(c).cast(s"decimal(9, ${litInt(s)})") }
@@ -627,7 +681,14 @@ object ChRegistry {
       C(c).cast(s"decimal(18, ${litInt(s)})") }
     f("toDecimal128") { case Seq(c, s) =>
       C(c).cast(s"decimal(38, ${litInt(s)})") }
-    f("toTimeZone") { case Seq(c, tz) => ch.toTimeZone(C(c), litStr(tz)) }
+    f("toTimeZone") {
+      // DateTime64 keeps its instant and re-tags the display zone
+      case Seq(c, tz) if c.resolved &&
+          c.dataType.isInstanceOf[DateTime64UDT] =>
+        C(ToDateTime64(c,
+          c.dataType.asInstanceOf[DateTime64UDT].scale, Some(litStr(tz))))
+      case Seq(c, tz) => ch.toTimeZone(C(c), litStr(tz))
+    }
     f1("toDate32")(c => c.cast("date"))
     f1("toYYYYMMDDhhmmss")(c =>
       date_format(c, "yyyyMMddHHmmss").cast("bigint"))
@@ -712,9 +773,7 @@ object ChRegistry {
     bestEffortName("parseDateTime32BestEffort", "__bestEffort")
     bestEffortName("parseDateTime32BestEffortOrNull", "__bestEffortOrNull")
     bestEffortName("parseDateTime32BestEffortOrZero", "__bestEffortOrZero")
-    bestEffortName("parseDateTime64BestEffort", "__bestEffort")
-    bestEffortName("parseDateTime64BestEffortOrNull", "__bestEffortOrNull")
-    bestEffortName("parseDateTime64BestEffortOrZero", "__bestEffortOrZero")
+    // (parseDateTime64BestEffort* live in the typed DateTime64 block)
     bestEffortName("parseDateTimeBestEffortUS", "__bestEffortUS")
     bestEffortName("parseDateTimeBestEffortUSOrNull", "__bestEffortUSOrNull")
     bestEffortName("parseDateTimeBestEffortUSOrZero", "__bestEffortUSOrZero")
@@ -798,6 +857,34 @@ object ChRegistry {
     f1("cutToFirstSignificantSubdomain")(ch.cutToFirstSignificantSubdomain)
     f1("encodeURLComponent")(ch.encodeURLComponent)
     f1("decodeURLComponent")(ch.decodeURLComponent)
+    f("URLHierarchy") { case Seq(u) => C(UrlHierarchy(u, pathOnly = false)) }
+    f("URLPathHierarchy") { case Seq(u) => C(UrlHierarchy(u, pathOnly = true)) }
+    // Modified Julian Day (ref src/Functions/toModifiedJulianDay.cpp:
+    // MJD 0 = 1858-11-17; conversion is pure date arithmetic)
+    locally {
+      val mjdEpoch = lit("1858-11-17").cast("date")
+      f1("toModifiedJulianDay")(c => datediff(c.cast("date"), mjdEpoch))
+      f1("toModifiedJulianDayOrNull")(c =>
+        datediff(c.try_cast("date"), mjdEpoch))
+      f1("fromModifiedJulianDay")(n =>
+        date_format(date_add(mjdEpoch, n.cast("int")), "yyyy-MM-dd"))
+      f1("fromModifiedJulianDayOrNull")(n =>
+        date_format(date_add(mjdEpoch, n.try_cast("int")), "yyyy-MM-dd"))
+    }
+    // runningAccumulate (ref src/Functions/runningAccumulate.cpp) over
+    // the simple additive -State tiers (sumState/countState — the
+    // finalized value IS the state here): a guarded running sum, same
+    // single-task contract as the neighbor/runningDifference block
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f1("runningAccumulate") { c =>
+        val limit = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.blockLocal.maxRows", "10000000").toLong
+        C(BlockLocalGuard(E(sum(c).over(w)), limit, "runningAccumulate"))
+      }
+    }
     // pads + intervals (ref padString.cpp, FunctionsConversion.h)
     // pad default is a space (ref padString.cpp); UTF8 twins share the
     // impl — Spark lpad/rpad are already codepoint-based
@@ -836,6 +923,33 @@ object ChRegistry {
     f("arrayAUC") { case Seq(s, l) => C(ChArrayAUC(s, l)) }
     f("JSONExtractRaw") { case Seq(j, k) => ch.jsonExtractRaw(C(j), litStr(k)) }
     f1("JSONExtractKeys")(ch.jsonExtractKeys)
+    // JSONExtractKeysAndValues(json[, keys…], 'Type') → array of
+    // (key, typed value) tuples; entries that don't convert are dropped
+    // (ref src/Functions/FunctionsJSON.cpp JSONExtractKeysAndValuesImpl)
+    f("JSONExtractKeysAndValues") { case es if es.size >= 2 =>
+      val obj =
+        if (es.size == 2) C(es.head)
+        else get_json_object(C(es.head), "$" + es.tail.dropRight(1).map {
+          case Literal(s: UTF8String, _) => s".${s.toString}"
+          case Literal(n: Number, _) => s"[${n.intValue - 1}]"
+          case other => s".${litStr(other)}"
+        }.mkString)
+      val valueSchema = litStr(es.last) match {
+        case "Int8" | "Int16" | "Int32" | "Int64" | "UInt8" | "UInt16" |
+            "UInt32" | "UInt64" => "bigint"
+        case "Float32" | "Float64" => "double"
+        case "Bool" => "boolean"
+        case t if t.startsWith("Array(Float") => "array<double>"
+        case t if t.startsWith("Array(Int") || t.startsWith("Array(UInt") =>
+          "array<bigint>"
+        case t if t.startsWith("Array") => "array<string>"
+        case _ => "string"
+      }
+      val entries = map_entries(
+        from_json(obj, s"map<string,$valueSchema>",
+          Map("mode" -> "PERMISSIVE")))
+      filter(entries, e => e.getField("value").isNotNull)
+    }
     f("JSON_VALUE") { case Seq(j, p) => ch.jsonValue(C(j), litStr(p)) }
     f("JSON_QUERY") { case Seq(j, p) => ch.jsonQuery(C(j), litStr(p)) }
     f("JSONLength") {
@@ -1007,14 +1121,30 @@ object ChRegistry {
         case Seq(s, p, l) =>
           val len = C(Length(s)).cast("int")
           val pc = C(p).cast("int"); val lc = C(l).cast("int")
-          val start = when(pc >= 0, pc).otherwise(len + pc + 1)
-          val size0 = when(lc >= 0, lc).otherwise(len + lc - start + 1)
-          val size = greatest(size0, lit(0))
-          C(Substring(s, E(start), E(size)))
+          // virtual start may fall before the string (negative offset
+          // past the beginning): the window is clamped to position 1 and
+          // the requested length absorbs the out-of-range prefix (ref
+          // GatherUtils getSliceFromRight; exercised by 02154 bitSlice).
+          // An explicit zero offset yields empty; NULL offset/length
+          // propagate NULL (the when-chains preserve them).
+          val start0 = when(pc >= 0, pc).otherwise(len + pc + 1)
+          val effStart = greatest(start0, lit(1))
+          val size0 = when(lc >= 0, lc).otherwise(len + lc - start0 + 1)
+          val effLen = size0 - (effStart - start0)
+          val size = when(effLen < 0, lit(0)).otherwise(effLen)
+          when(pc === 0, lit(""))
+            .otherwise(C(Substring(s, E(effStart), E(size))))
       }
       Seq("substring", "substr", "mid").foreach(n =>
         reg.createOrReplaceTempFunction(n,
           es => E(chSubstring(es)), "scala_udf"))
+      // bitSlice(s, offset[, length]) — CH substring selection applied
+      // to the bin() bit rendering, repacked into zero-padded bytes
+      // (ref src/Functions/bitSlice.cpp; invariant asserted by 02154:
+      // bin(bitSlice(s, o, l)) = rpadToByte(substring(bin(s), o, l)))
+      f("bitSlice") { case Seq(s, rest @ _*) =>
+        C(PackBits(E(chSubstring(ChBinString(s) +: rest.toSeq))))
+      }
     }
 
     // wave 3b: long-tail scalars surfaced by the golden-test sweep
@@ -1053,6 +1183,10 @@ object ChRegistry {
       C(c).try_cast(s"decimal(18,${litInt(s)})") }
     f1("uniqExact")(c => count_distinct(c))
     f1("uniqCombined")(c => approx_count_distinct(c))
+    // uniqTheta (ref registerAggregateFunctions.cpp:27): theta-sketch
+    // estimate — same approximate contract as uniqCombined here, with
+    // the documented sketch-internals divergence (SURVEY §7.3)
+    f1("uniqTheta")(c => approx_count_distinct(c))
     f1("medianExact")(c => call_function("percentile", c, lit(0.5)))
     // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
     // quantile(p)(x) into quantile(x, p) before these resolve (ref

@@ -659,6 +659,21 @@ object ChTypes {
         case n: Nullable => n
         case t => Nullable(t)
       }
+      case "toDateTime64" | "makeDateTime64" =>
+        // scale/tz arg positions: toDateTime64(x, s[, tz]);
+        // makeDateTime64(y,M,d,h,m,s[,frac[,scale[,tz]]]) default scale 3
+        val (scaleIdx, tzIdx) =
+          if (name == "toDateTime64") (1, 2) else (7, 8)
+        val scale = args.lift(scaleIdx) match {
+          case Some(IntL(v)) => v.toInt
+          case _ => if (name == "makeDateTime64") 3
+            else return None
+        }
+        val tz = args.lift(tzIdx) match {
+          case Some(StrL(z)) => s", '$z'"
+          case _ => ""
+        }
+        Some(Scalar(s"DateTime64($scale$tz)"))
       case "toLowCardinality" => argT(0).map {
         case l: LowCard => l
         case t => LowCard(t)

@@ -15,6 +15,7 @@ object Golden {
     case null => "\\N"
     case ip: graft.functions.ChIPv4 => ip.toString
     case ip: graft.functions.ChIPv6 => ip.toString
+    case t: graft.functions.ChDT64 => t.toString
     case s: String => escapeTsv(s)
     case b: Boolean => if (b) "1" else "0"
     case d: java.lang.Double => chDouble(d)
@@ -34,6 +35,7 @@ object Golden {
     case null => "NULL"
     case ip: graft.functions.ChIPv4 => "'" + ip.toString + "'"
     case ip: graft.functions.ChIPv6 => "'" + ip.toString + "'"
+    case t: graft.functions.ChDT64 => "'" + t.toString + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
     case t: java.sql.Timestamp => "'" + fmt(t) + "'"
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'")
@@ -64,6 +66,7 @@ object Golden {
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
       .replace("\r", "\\r").replace("\u0000", "\\0")
       .replace("\b", "\\b").replace("\f", "\\f")
+      .replace("'", "\\'") // CH TSV escapes single quotes (TabSeparated)
 
   /** CH float formatting: shortest round-trip digits, plain decimal for
     * moderate exponents, `e` notation beyond — matches the reference's
@@ -223,12 +226,17 @@ object Golden {
       // dropped so it doesn't read as this statement's own marker
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
       var first = true
+      var afterMarker = false
       chunk.linesIterator.foreach { line =>
         line match {
           case l @ EchoMarker(kind) =>
             echo = kind != "echoOff"
-            if (echo) out += l.trim
+            if (echo) { out += l.trim; afterMarker = true }
           case l =>
+            // blank lines directly after an { echo } marker are echoed
+            // (clickhouse-test prints the marker chunk's text verbatim)
+            if (afterMarker && l.isBlank && kept.isEmpty) out += ""
+            else afterMarker = false
             if (!(first && annotatesPrev(ci))) kept += l
         }
         first = false
@@ -258,7 +266,10 @@ object Golden {
           case _ =>
         }
       }
-      if (clean.nonEmpty && !expectsError && !isSessionSet) {
+      // FORMAT Null: the statement runs but its result is discarded
+      // (clickhouse-test uses it for error-only statements)
+      val formatNull = clean.matches("(?is).*\\bFORMAT\\s+Null\\s*;?\\s*$")
+      if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull) {
         // FORMAT TSVWithNames: the output carries a header row of column
         // names (ref src/Processors/Formats/Impl/TabSeparatedRowOutputFormat)
         val withNames = clean.matches(

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{DataType, NumericType, StringType, UserDefine
 object ChIpCoercionRule extends Rule[LogicalPlan] {
 
   private def isIp(e: Expression): Boolean = e.resolved &&
-    (ChIp.isIpType(e.dataType) || e.dataType.isInstanceOf[BoolUDT])
+    (ChIp.isIpType(e.dataType) || e.dataType.isInstanceOf[BoolUDT] ||
+      e.dataType.isInstanceOf[graft.functions.DateTime64UDT])
   private def lower(e: Expression): Expression =
     if (isIp(e)) IpUnwrap(e) else e
   private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
@@ -36,7 +37,17 @@ object ChIpCoercionRule extends Rule[LogicalPlan] {
       case c: BinaryComparison
           if (isIp(c.left) || isIp(c.right)) &&
             c.left.resolved && c.right.resolved =>
-        c.withNewChildren(Seq(lower(c.left), lower(c.right)))
+        // a plain Date compared against a zoned DateTime64 converts at
+        // the DateTime64's timezone (CH compares in the column's zone)
+        def adapt(side: Expression, other: Expression): Expression =
+          if (isIp(side)) lower(side)
+          else (side.dataType, other.dataType) match {
+            case (org.apache.spark.sql.types.DateType,
+                d: graft.functions.DateTime64UDT) if d.tz.isDefined =>
+              Cast(side, org.apache.spark.sql.types.TimestampType, d.tz)
+            case _ => side
+          }
+        c.withNewChildren(Seq(adapt(c.left, c.right), adapt(c.right, c.left)))
       case a: BinaryArithmetic
           if (isIp(a.left) || isIp(a.right)) &&
             a.left.resolved && a.right.resolved =>
@@ -48,8 +59,24 @@ object ChIpCoercionRule extends Rule[LogicalPlan] {
       case c @ Cast(child, StringType, _, _) if isIp(child) =>
         IpToString(child)
       case c @ Cast(child, dt, _, _)
-          if isIp(child) && isNum(dt) =>
-        Cast(IpUnwrap(child), dt, c.timeZoneId, c.evalMode)
+          if isIp(child) && (isNum(dt) || dt == org.apache.spark.sql.types
+            .DateType || dt == org.apache.spark.sql.types.TimestampType) =>
+        // a DateTime64's own timezone governs its date conversion
+        val tzId = child.dataType match {
+          case d: graft.functions.DateTime64UDT if d.tz.isDefined => d.tz
+          case _ => c.timeZoneId
+        }
+        Cast(IpUnwrap(child), dt, tzId, c.evalMode)
+      // timestamp-consuming functions take the DateTime64's instant
+      case e @ (_: TimestampDiff | _: TimestampAdd | _: SubtractTimestamps |
+          _: UnixTimestamp | _: ToUnixTimestamp | _: TimestampAddInterval |
+          _: TimestampAddYMInterval |
+          _: DateFormatClass | _: TruncTimestamp | _: TruncDate |
+          _: GetDateField | _: GetTimeField | _: Least | _: Greatest |
+          _: MonthsBetween | _: DateDiff | _: LastDay | _: NextDay |
+          _: AddMonthsBase)
+          if e.children.exists(isIp) && e.children.forall(_.resolved) =>
+        e.withNewChildren(e.children.map(lower))
       // boolean contexts unwrap the CH Bool display type
       case And(l, r) if isIp(l) || isIp(r) => And(lower(l), lower(r))
       case Or(l, r) if isIp(l) || isIp(r) => Or(lower(l), lower(r))

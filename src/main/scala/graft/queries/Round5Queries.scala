@@ -41,6 +41,32 @@ object Round5Queries {
           |  IPv4StringToNum(concat('10.0.0.', toString(n_nationkey))) AS v4num
           |FROM nation WHERE n_nationkey < 8
           |ORDER BY n_nationkey""".stripMargin, dir)
+    },
+
+    // DateTime64 sub-second surface: scale-exact rendering (3 and 6
+    // digits), wall-clock parsing, and tick-level comparison — the
+    // oracle recomputes the same renderings with string arithmetic
+    Q.df("q_datetime64",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') || ' 12:34:56.' ||
+        |    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS dt3,
+        |  strftime(o_orderdate, '%Y-%m-%d') || ' 12:34:56.' ||
+        |    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '000' AS dt6,
+        |  CAST(o_orderkey % 1000 < 500 AS BIGINT) AS before_half
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT o_orderkey,
+          |  toString(toDateTime64(concat(toString(toDate(o_orderdate)), ' 12:34:56.',
+          |    leftPad(toString(o_orderkey % 1000), 3, '0')), 3)) AS dt3,
+          |  toString(toDateTime64(concat(toString(toDate(o_orderdate)), ' 12:34:56.',
+          |    leftPad(toString(o_orderkey % 1000), 3, '0')), 6)) AS dt6,
+          |  if(toDateTime64(concat(toString(toDate(o_orderdate)), ' 12:34:56.',
+          |       leftPad(toString(o_orderkey % 1000), 3, '0')), 3) <
+          |     toDateTime64(concat(toString(toDate(o_orderdate)), ' 12:34:56.500'), 3),
+          |     1, 0) AS before_half
+          |FROM orders WHERE o_orderkey < 200
+          |ORDER BY o_orderkey""".stripMargin, dir)
     }
   )
 }

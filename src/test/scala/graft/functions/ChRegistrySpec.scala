@@ -222,6 +222,40 @@ class ChRegistrySpec extends SparkSpec {
     assert(one[Double]("SELECT ngramSearch('hello world', 'hello world')") == 1.0)
   }
 
+  test("registry wave r5: multiSearch, julian day, URL hierarchy, JSON pairs") {
+    assert(oneSeq(
+      "SELECT multiSearchAllPositions('Hello, World!', ['hello', '!', 'world'])")
+      == Seq(0L, 13L, 0L))
+    assert(one[Number](
+      "SELECT multiSearchFirstIndex('Hello World', ['xyz', 'World', 'Hello'])")
+      .longValue == 2L)
+    assert(one[Long](
+      "SELECT multiSearchFirstPosition('Hello World', ['xyz', 'World', 'o'])") == 5L)
+    assert(one[Int]("SELECT toModifiedJulianDay('2020-11-01')") == 59154)
+    assert(one[Int]("SELECT toModifiedJulianDay('1858-11-16')") == -1)
+    assert(one[String]("SELECT fromModifiedJulianDay(59154)") == "2020-11-01")
+    assert(spark.sql("SELECT toModifiedJulianDayOrNull('unparsable')")
+      .collect()(0).isNullAt(0))
+    assert(oneSeq(
+      "SELECT URLHierarchy('https://example.com/browse/CONV-6788?a=b')")
+      == Seq("https://example.com/", "https://example.com/browse/",
+        "https://example.com/browse/CONV-6788?", "https://example.com/browse/CONV-6788?a=b"))
+    assert(oneSeq(
+      "SELECT URLPathHierarchy('https://example.com/browse/x')")
+      == Seq("/browse/", "/browse/x"))
+    assert(oneSeq("SELECT URLHierarchy('no-protocol')")
+      == Seq("no-protocol"))
+    val kv = ChSql.sql(spark,
+      """SELECT JSONExtractKeysAndValues('{"x": {"a": 5, "b": 7}}', 'x', 'Int8') AS p""",
+      SparkSpec.tiny).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(kv.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 5L), ("b", 7L)))
+    val theta = one[Long]("SELECT uniqTheta(number) FROM numbers(100)")
+    assert(theta > 90L && theta < 110L) // sketch estimate, ±10%
+    assert(ChSql.sql(spark,
+      "SELECT runningAccumulate(number) AS r FROM numbers(4)",
+      SparkSpec.tiny).collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L, 6L))
+  }
+
   test("sipHash64 timestamp arg consumes its width slot (alignment)") {
     // Regression: TimestampType must call nextSlot() like every other
     // leaf, else a following small-int literal reads the timestamp's
