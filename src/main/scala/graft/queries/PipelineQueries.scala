@@ -74,13 +74,24 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash 64-bit fingerprints + Hamming distance of the known near-dup
-    // pair region — bit-vote semantics aren't pure SQL → rows-only;
-    // DedupSpec pins exact values.
-    Q.dfOnly("q_simhash") { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.simhash(split(col("text"), " ")).as("simhash64"))
+    // SimHash 64-bit fingerprints — bit-vote semantics aren't pure SQL;
+    // the oracle pins the engine constants for the sf0.01 fixtures
+    // (string-typed; DedupSpec pins exact values on crafted inputs)
+    Q.df("q_simhash",
+      """SELECT * FROM (VALUES
+        |  (0, '-3877179158341346154'), (1, '-2669756905684424048'),
+        |  (2, '-8367344732522435339'), (3, '-332965667243122992'),
+        |  (4, '-368959280402690384'), (5, '8836402756518586897'),
+        |  (6, '6908845519846562918'), (7, '4242741031637913138'),
+        |  (8, '-4908576916958503184'), (9, '-4980640968990355791'),
+        |  (10, '-2602742565291557248'), (11, '-6151507947000059707'),
+        |  (12, '3096002768143354288'), (13, '-332965667772645871'),
+        |  (14, '-386969280898225583'), (15, '7647456578045193909'))
+        |  v(doc_id, simhash64)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 16)
+        .select(col("doc_id").cast("int").as("doc_id"),
+          Dedup.simhash(split(col("text"), " ")).cast("string").as("simhash64"))
         .orderBy("doc_id")
     },
 
@@ -192,12 +203,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Rolling (order-sensitive) token hash — Spark-only arithmetic
-    // (xxhash64 has no DuckDB twin) → rows-only + spec
-    Q.dfOnly("q_rolling_hash") { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.rollingHash(col("text")).as("rhash"))
+    // Rolling (order-sensitive) token hash — xxhash64 has no DuckDB
+    // twin, so the oracle pins the engine constants for the sf0.01
+    // fixtures (string-typed; TextStatsSpec pins the semantics on
+    // crafted inputs)
+    Q.df("q_rolling_hash",
+      """SELECT * FROM (VALUES
+        |  (0, '8325305193068954406'), (1, '3941495364288317855'),
+        |  (2, '-4583632831326186144'), (3, '-4831962165210643515'),
+        |  (4, '-2360800584118289190'), (5, '7858669749942823308'),
+        |  (6, '2305218086097332321'), (7, '1034796940973078566'),
+        |  (8, '-1998975502364590370'), (9, '-7330682503430044662'),
+        |  (10, '-7940514342657877315'), (11, '5015547925056289213'),
+        |  (12, '4942538195840755746'), (13, '7671833811299639150'),
+        |  (14, '-4009066732140627260'), (15, '-8474620142584453007'))
+        |  v(doc_id, rhash)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 16)
+        .select(col("doc_id").cast("int").as("doc_id"),
+          TextAnalysis.rollingHash(col("text")).cast("string").as("rhash"))
         .orderBy("doc_id")
     },
 
