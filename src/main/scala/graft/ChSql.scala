@@ -547,6 +547,7 @@ object ChSql {
               val isTry = m.group(1).equalsIgnoreCase("TRY_CAST")
               val Dt64Re =
                 "(?i)^DateTime64\\s*\\(\\s*(\\d+)\\s*(?:,\\s*('[^']*'))?\\s*\\)$".r
+              val DtTzRe = "(?i)^DateTime\\s*\\(\\s*('[^']*')\\s*\\)$".r
               target.toLowerCase match {
                 case t @ ("ipv4" | "ipv6" | "bool") =>
                   val fn = (t match {
@@ -563,6 +564,12 @@ object ChSql {
                       (if (tz != null) ", " + tz else "")
                     s = s.substring(0, m.start) + "toDateTime64(" + args +
                       ")" + s.substring(end + 1)
+                    changed = true; true
+                  case DtTzRe(tz) =>
+                    // CAST(x AS DateTime('tz')) keeps the instant and
+                    // re-tags the display zone — exactly toDateTime(x, tz)
+                    s = s.substring(0, m.start) + "toDateTime(" + expr +
+                      ", " + tz + ")" + s.substring(end + 1)
                     changed = true; true
                   case _ => false
                 }
@@ -1437,10 +1444,13 @@ object ChSql {
   def translate(chSql: String): String = {
     // tuple access runs AFTER brackets so `t[1].1` sees the rewritten
     // `chElementAt(t, 1)` and wraps it positionally
+    // scalar WITH macros expand FIRST so later passes (toTypeName
+    // folding especially) see literal values instead of alias names
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
-      rewriteParamAggs(rewriteTernary(rewriteScalarWith(
+      rewriteParamAggs(rewriteTernary(
         rewriteChTypes(rewriteTypeIntrospection(rewriteCastCall(
-          rewriteColonCast(rewriteStringEscapes(chSql)))))))))))
+          rewriteColonCast(rewriteScalarWith(
+            rewriteStringEscapes(chSql)))))))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
     // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's
     // builtin (ref src/Functions/transform.cpp)
@@ -1496,6 +1506,12 @@ object ChSql {
     // src/Functions/length.cpp); Spark's is chars — dialect-only rename.
     // \b keeps lengthUTF8( and char_length( (underscore = word char) out
     s = replaceOutsideStrings(s, "(?i)\\blength\\s*\\(", "chLength(")
+    // CH round() is banker's on floats; left/right are byte-based with
+    // negative-length forms. Dialect-only renames keep Spark's builtins
+    // (and our own DataFrame-API queries) untouched.
+    s = replaceOutsideStrings(s, "(?i)\\bround\\s*\\(", "chRound(")
+    s = replaceOutsideStrings(s, "(?i)\\bleft\\s*\\(", "chLeft(")
+    s = replaceOutsideStrings(s, "(?i)\\bright\\s*\\(", "chRight(")
     // SQL-standard `position(needle IN haystack)` → CH position(h, n)
     // (Spark's native POSITION(x IN y) misses CH's empty-needle=1 rule)
     s = s.replaceAll(
@@ -1518,8 +1534,39 @@ object ChSql {
     // parses fine and is untouched — no '(' directly after)
     s = replaceOutsideStrings(s, "(?i)(?<=[\\w)\\]'])\\s+MOD\\s+", " % ")
     // dateDiff('day', a, b) — Spark's parser special-cases dateDiff with an
-    // unquoted unit identifier, so unquote+uppercase and use timestampdiff
-    s = s.replaceAll("(?i)\\bdateDiff\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
+    // unquoted unit identifier, so unquote (normalizing CH's short unit
+    // aliases, ref src/Functions/dateDiff.cpp) and use timestampdiff
+    locally {
+      val unitAlias = Map(
+        "yy" -> "year", "yyyy" -> "year",
+        "qq" -> "quarter", "q" -> "quarter",
+        "mm" -> "month", "m" -> "month",
+        "wk" -> "week", "ww" -> "week",
+        "dd" -> "day", "d" -> "day",
+        "hh" -> "hour", "h" -> "hour",
+        "mi" -> "minute", "n" -> "minute",
+        "ss" -> "second", "s" -> "second",
+        "ms" -> "millisecond", "us" -> "microsecond",
+        "mcs" -> "microsecond", "ns" -> "nanosecond")
+      // plain regex (not outside-strings): the quoted unit IS a string
+      s = "(?i)\\bdateDiff\\(\\s*'(\\w+)'\\s*,".r.replaceAllIn(s, mm => {
+        val u = mm.group(1).toLowerCase
+        java.util.regex.Matcher.quoteReplacement(
+          s"timestampdiff(${unitAlias.getOrElse(u, u)},")
+      })
+      // INTERVAL 4 h — the same short aliases after an interval count
+      s = replaceFnOutsideStrings(s,
+        "(?i)\\bINTERVAL\\s+(\\d+)\\s+(yyyy|yy|qq|q|mm|wk|ww|dd|hh|mi|ss|mcs|ms|ns)\\b") { mm =>
+        s"INTERVAL ${mm.group(1)} ${unitAlias(mm.group(2).toLowerCase)}"
+      }
+      s = replaceFnOutsideStrings(s,
+        "(?i)\\bINTERVAL\\s+(\\d+)\\s+(h|d|w|m|n|s|q)(?![\\w])") { mm =>
+        val u = mm.group(2).toLowerCase match {
+          case "w" => "week"; case other => unitAlias(other)
+        }
+        s"INTERVAL ${mm.group(1)} $u"
+      }
+    }
     // zero-arg count() is valid CH (count(*) in ANSI)
     s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
     // remote()/remoteSecure() table function (ref
@@ -1647,7 +1694,11 @@ object ChSql {
       case t =>
         "\\b0x([0-9A-Fa-f]+)\\b".r.replaceAllIn(t, mm => {
           val v = BigInt(mm.group(1), 16)
-          if (v.isValidLong) v.toString else mm.matched
+          // past UInt16, CH's Int32 literal would promote to Int64 in
+          // arithmetic — pre-widen so ANSI int32 math can't overflow
+          if (v <= 0xFFFF) v.toString
+          else if (v < (BigInt(1) << 62)) s"CAST(${v.toString} AS BIGINT)"
+          else s"CAST('${v.toString}' AS DECIMAL(20,0))"
         })
     }
     // CH inline parenthesized aliases `(expr AS name)` (ref

@@ -104,9 +104,16 @@ object ChDT64 {
 /** toDateTime64(x, scale[, tz]) (ref FunctionsConversion.h). Accepts
   * String (parsed in tz), DateTime/Date, DateTime64 (rescaled), numeric
   * (epoch seconds with fractional part). */
-case class ToDateTime64(child: Expression, scale: Int, tz: Option[String],
+case class ToDateTime64(child: Expression, scale: Int, tz0: Option[String],
     mode: Int = IpMode.Throw)
     extends UnaryExpression with CodegenFallback {
+  // no explicit zone: a zoned input keeps its zone through the rescale
+  // (ref FunctionsConversion.h: DateTime64 conversions inherit the
+  // source column's timezone when none is given)
+  def tz: Option[String] = tz0.orElse(child.dataType match {
+    case d: DateTime64UDT => d.tz
+    case _ => None
+  })
   override def dataType: DataType = new DateTime64UDT(scale, tz)
   override def nullable: Boolean = child.nullable || mode == IpMode.Null
   override def prettyName: String = "toDateTime64"
@@ -275,4 +282,87 @@ case class MakeDateTime64(children: Seq[Expression])
   }
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): MakeDateTime64 = copy(children = cs)
+}
+
+/** makeDate / makeDate32 (ref src/Functions/makeDate.cpp FunctionMakeDate
+  * with DateTraits / Date32Traits): args cast through Float32; out-of-
+  * domain components yield the epoch default; in-domain day counts roll
+  * through month ends the way the reference's date LUT index does. */
+case class MakeChDate(children: Seq[Expression], wide: Boolean)
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = if (wide) "makeDate32" else "makeDate"
+  private val minYear = if (wide) 1900 else 1970
+  private val maxYear = if (wide) 2299 else 2149
+  private val maxPacked =
+    if (wide) 2299L * 512 + 12 * 32 + 31 else 2149L * 512 + 6 * 32 + 6
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    // the reference converts every argument through Float32 first
+    val fs = vs.map {
+      case n: java.lang.Number => n.floatValue
+      case d: org.apache.spark.sql.types.Decimal => d.toFloat
+      case b: java.lang.Boolean => if (b) 1f else 0f
+      case other => throw new IllegalArgumentException(
+        s"$prettyName: argument must be a number, got $other")
+    }
+    val bad = fs.exists(f => f.isNaN || f.isInfinite)
+    val y = fs(0).toLong; val m = fs(1).toLong; val d = fs(2).toLong
+    if (bad || y < minYear || y > maxYear || m < 1 || m > 12 ||
+      d < 1 || d > 31 || y * 512 + m * 32 + d > maxPacked) return 0
+    java.time.LocalDate.of(y.toInt, m.toInt, 1).plusDays(d - 1)
+      .toEpochDay.toInt
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MakeChDate = copy(children = cs)
+}
+
+/** makeDateTime (ref src/Functions/makeDate.cpp FunctionMakeDateTime):
+  * hour/minute/second accepted up to 99 and rolled arithmetically, the
+  * result saturating to the DateTime (UInt32) range; a timezone argument
+  * tags the result so it renders in that zone's wall clock. */
+case class MakeChDateTime(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  private val tz: Option[String] = children.lift(6) match {
+    case Some(org.apache.spark.sql.catalyst.expressions.Literal(s, _))
+        if s != null => Some(s.toString)
+    case _ => None
+  }
+  override def dataType: DataType =
+    if (tz.isEmpty) TimestampType else new DateTime64UDT(0, tz)
+  override def nullable: Boolean = children.take(6).exists(_.nullable)
+  override def prettyName: String = "makeDateTime"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.take(6).map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val fs = vs.map {
+      case n: java.lang.Number => n.floatValue
+      case d: org.apache.spark.sql.types.Decimal => d.toFloat
+      case b: java.lang.Boolean => if (b) 1f else 0f
+      case other => throw new IllegalArgumentException(
+        s"makeDateTime: argument must be a number, got $other")
+    }
+    val zone = java.time.ZoneId.of(tz.getOrElse("UTC"))
+    val bad = fs.exists(f => f.isNaN || f.isInfinite)
+    val y = fs(0).toLong; val mo = fs(1).toLong; val d = fs(2).toLong
+    val h = fs(3).toLong; val mi = fs(4).toLong; val s = fs(5).toLong
+    val secs: Long =
+      if (bad || y < 1900 || mo < 1 || mo > 12 || d < 1 || d > 31 ||
+        h < 0 || h > 99 || mi < 0 || mi > 99 || s < 0 || s > 99) -1L
+      else if (y > 2299) 0xffffffffL
+      else {
+        val day = java.time.LocalDate.of(y.toInt, mo.toInt, 1)
+          .plusDays(d - 1)
+        val base = day.atStartOfDay(zone).toInstant.getEpochSecond
+        val t = base + h * 3600 + mi * 60 + s
+        if (t < 0) 0L else if (t > 0xffffffffL) 0xffffffffL else t
+      }
+    val clamped = if (secs < 0) 0L else secs
+    if (tz.isEmpty) clamped * 1000000L
+    else ChDT64.pack(clamped, 0, tz)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MakeChDateTime = copy(children = cs)
 }

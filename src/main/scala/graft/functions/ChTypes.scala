@@ -623,8 +623,6 @@ object ChTypes {
       "toDayOfWeek" -> UInt8, "toHour" -> UInt8, "toMinute" -> UInt8,
       "toSecond" -> UInt8, "toQuarter" -> UInt8, "toDayOfYear" -> UInt16,
       "toUnixTimestamp" -> UInt32,
-      "makeDate" -> DateT, "makeDate32" -> Date32T,
-      "makeDateTime" -> DateTimeT,
       "concat" -> Str, "substring" -> Str, "upper" -> Str, "lower" -> Str,
       "reverse" -> Str, "trimBoth" -> Str, "repeat" -> Str,
       "replaceAll" -> Str, "replaceOne" -> Str, "hex" -> Str,
@@ -674,6 +672,28 @@ object ChTypes {
           case _ => ""
         }
         Some(Scalar(s"DateTime64($scale$tz)"))
+      case "makeDate" => allT.map(ts => nullIfAny(ts, Scalar("Date")))
+      case "makeDate32" => allT.map(ts => nullIfAny(ts, Scalar("Date32")))
+      case "makeDateTime" =>
+        val tz = args.lift(6) match {
+          case Some(StrL(z)) => s"('$z')"
+          case _ => ""
+        }
+        allT.map(ts => nullIfAny(ts.take(6), Scalar(s"DateTime$tz")))
+      case "snowflakeToDateTime" =>
+        val tz = args.lift(1) match {
+          case Some(StrL(z)) => s"('$z')"
+          case _ => ""
+        }
+        argT(0).map(t => nullIfAny(Seq(t), Scalar(s"DateTime$tz")))
+      case "snowflakeToDateTime64" =>
+        val tz = args.lift(1) match {
+          case Some(StrL(z)) => s", '$z'"
+          case _ => ""
+        }
+        argT(0).map(t => nullIfAny(Seq(t), Scalar(s"DateTime64(3$tz)")))
+      case "dateTimeToSnowflake" | "dateTime64ToSnowflake" =>
+        argT(0).map(t => nullIfAny(Seq(t), Int64))
       case "toLowCardinality" => argT(0).map {
         case l: LowCard => l
         case t => LowCard(t)

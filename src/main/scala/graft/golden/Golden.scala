@@ -247,8 +247,16 @@ object Golden {
         stmtText.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*") ||
           (ci + 1 < chunks.length && annotatesPrev(ci + 1))
       val clean = stripComments(stmtText).trim
-      if (clean.nonEmpty && echo)
-        out ++= (stmtText + ";").linesIterator
+      if (clean.nonEmpty && echo) {
+        // a `stmt; -- { serverError N }` annotation was split into the
+        // next chunk's first line — clickhouse-test echoes the whole
+        // source line, so splice it back after the semicolon
+        val trailer =
+          if (ci + 1 < chunks.length && annotatesPrev(ci + 1))
+            chunks(ci + 1).linesIterator.nextOption().getOrElse("")
+          else ""
+        out ++= (stmtText + ";" + trailer).linesIterator
+      }
       // CH session `SET name = value` statements configure the server and
       // print nothing; Spark's own SET command would echo a key/value row,
       // so swallow them here (clickhouse-test contract: no output) —

@@ -55,7 +55,50 @@ object ChDateArithRule extends Rule[LogicalPlan] {
       // throws).
       case Divide(l, r, _) if isFloatish(l) && isFloatish(r) =>
         graft.functions.IeeeDivide(Cast(l, DoubleType), Cast(r, DoubleType))
+      // UInt64 (Decimal(20,0) carrier) ± integer wraps modulo 2^64, the
+      // CH unsigned overflow contract (ref src/Functions/plus.cpp on
+      // UInt64: two's-complement wrap, always non-negative)
+      case a @ Add(l, r, _)
+          if a.resolved && a.dataType != DecimalType(38, 0) &&
+            ((isU64(l) && isIntegral(r)) || (isIntegral(l) && isU64(r))) =>
+        u64Wrap(Add(wide(l), wide(r)))
+      case a @ Subtract(l, r, _)
+          if a.resolved && a.dataType != DecimalType(38, 0) &&
+            ((isU64(l) && isIntegral(r)) || (isIntegral(l) && isU64(r))) =>
+        u64Wrap(Subtract(wide(l), wide(r)))
     }
+
+  private val two64 = Literal(Decimal(
+    new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)), 38, 0),
+    DecimalType(38, 0))
+  // ONLY foldable top-half literals: Decimal(20,0) is also Spark's
+  // sum(BIGINT) type, whose signed values must never be pmod-wrapped
+  private def isU64(e: Expression) = e.resolved && e.foldable &&
+    (e.dataType match {
+      case d: DecimalType => d.scale == 0 && d.precision >= 20
+      case _ => false
+    }) &&
+    (try {
+      e.eval(null) match {
+        case d: Decimal =>
+          d.toJavaBigDecimal.unscaledValue.bitLength == 64
+        case _ => false
+      }
+    } catch { case _: Exception => false })
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+  private def isIntegral(e0: Expression) = {
+    val e = stripCasts(e0)
+    e.resolved && (e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+  private def wide(e: Expression) = Cast(e, DecimalType(38, 0))
+  private def u64Wrap(e: Expression): Expression =
+    Cast(Pmod(e, two64), DecimalType(20, 0))
 
   private def isFloatish(e: Expression) = e.resolved && (e.dataType match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
