@@ -398,9 +398,9 @@ object ChSql {
     val resolving = scala.collection.mutable.Set.empty[String]
     val memo = scala.collection.mutable.Map.empty[String, Option[ChTypes.T]]
     def lookup(name: String): Option[ChTypes.T] = {
-      if (name == "number") return Some(ChTypes.UInt64)
-      if (name == "dummy") return Some(ChTypes.UInt8)
-      memo.getOrElseUpdate(name, {
+      // alias bindings FIRST: a subquery may redefine `number`
+      // (01455: CAST(number, 'Nullable(UInt8)') AS number)
+      val bound = memo.getOrElseUpdate(name, {
         if (resolving(name)) None
         else bindings.get(name).flatMap { expr =>
           resolving += name
@@ -410,6 +410,11 @@ object ChSql {
           r
         }
       })
+      bound.orElse {
+        if (name == "number") Some(ChTypes.UInt64)
+        else if (name == "dummy") Some(ChTypes.UInt8)
+        else None
+      }
     }
     object EnvMap extends Map[String, ChTypes.T] {
       def get(k: String): Option[ChTypes.T] = lookup(k)
@@ -506,16 +511,6 @@ object ChSql {
       } else from = m + 4
       m = s.indexOf("Enum", from)
     }
-    // unwrap single-argument wrappers (one nesting level per pass);
-    // string-aware so folded type names like 'Nullable(Nothing)' from
-    // rewriteTypeIntrospection keep their literal text
-    var prev: String = null
-    while (prev != s) {
-      prev = s
-      s = replaceOutsideStrings(s,
-        "\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)",
-        "$1")
-    }
     // CAST to the IP display types is a parse conversion, not a storage
     // cast — route through the typed constructors (TRY_CAST → OrNull)
     locally {
@@ -548,6 +543,7 @@ object ChSql {
               val Dt64Re =
                 "(?i)^DateTime64\\s*\\(\\s*(\\d+)\\s*(?:,\\s*('[^']*'))?\\s*\\)$".r
               val DtTzRe = "(?i)^DateTime\\s*\\(\\s*('[^']*')\\s*\\)$".r
+              val NullableRe = "(?i)^Nullable\\s*\\((.*)\\)$".r
               target.toLowerCase match {
                 case t @ ("ipv4" | "ipv6" | "bool") =>
                   val fn = (t match {
@@ -559,6 +555,14 @@ object ChSql {
                     s.substring(end + 1)
                   changed = true; true
                 case _ => target match {
+                  case NullableRe(inner) =>
+                    // CAST(x AS Nullable(T)): nullability is real in CH
+                    // (empty-set aggregates return NULL, not the type
+                    // default) — keep it via KnownNullable
+                    s = s.substring(0, m.start) + "toNullable(" +
+                      m.group(1) + "(" + expr + " AS " + inner + "))" +
+                      s.substring(end + 1)
+                    changed = true; true
                   case Dt64Re(scale, tz) =>
                     val args = expr + ", " + scale +
                       (if (tz != null) ", " + tz else "")
@@ -577,6 +581,16 @@ object ChSql {
             }
           }
       }
+    }
+    // unwrap single-argument wrappers (one nesting level per pass);
+    // string-aware so folded type names like 'Nullable(Nothing)' from
+    // rewriteTypeIntrospection keep their literal text
+    var prev: String = null
+    while (prev != s) {
+      prev = s
+      s = replaceOutsideStrings(s,
+        "\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)",
+        "$1")
     }
     val words = Seq(
       "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
@@ -1735,6 +1749,7 @@ object ChSql {
     * views, translate, execute. */
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame = {
     ChRegistry.register(spark)
+    ChRegistry.ensureSynthesized(spark, chQuery)
     Tables.register(spark, sfDir)
     if (graft.functions.UserDefinedSqlFunctions.maybeExecute(spark, chQuery))
       spark.emptyDataFrame

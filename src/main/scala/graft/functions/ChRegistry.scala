@@ -38,6 +38,21 @@ object ChRegistry {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** Register combinator-chain aggregates appearing in `chQuery` whose
+    * names aren't otherwise known (ref
+    * AggregateFunctionCombinatorFactory.cpp suffix peeling). */
+  def ensureSynthesized(spark: SparkSession, chQuery: String): Unit = {
+    val re = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+    val reg = spark.sessionState.functionRegistry
+    re.findAllMatchIn(chQuery).map(_.group(1)).toSet.foreach { n: String =>
+      val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(
+        n.toLowerCase)
+      if (!reg.functionExists(fid) && CombinatorChain.supports(n))
+        reg.createOrReplaceTempFunction(n,
+          es => E(CombinatorChain.build(n, es.map(C))), "scala_udf")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     if (!registeredSessions.add(spark)) return
     val reg = spark.sessionState.functionRegistry
@@ -1027,13 +1042,20 @@ object ChRegistry {
     // countIf(cond) and the -If-on-count(x) form countIf(x, cond): rows
     // where cond holds AND x is not NULL (ref Combinators -If on count)
     f("countIf") {
-      case Seq(c) => count(when(C(c), lit(1)))
-      case Seq(x, c) => count(when(C(c) && C(x).isNotNull, lit(1)))
+      case Seq(c) => count(when(C(c).cast("boolean"), lit(1)))
+      case Seq(x, c) =>
+        count(when(C(c).cast("boolean") && C(x).isNotNull, lit(1)))
     }
-    f2("sumIf")((v, c) => sum(when(c, v)))
-    f2("avgIf")((v, c) => avg(when(c, v)))
-    f2("minIf")((v, c) => min(when(c, v)))
-    f2("maxIf")((v, c) => max(when(c, v)))
+    f2("sumIf") { (v, c) =>
+      val base = sum(when(c.cast("boolean"), v))
+      if (org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.ch.aggregate_functions_null_for_empty", "0").trim == "1")
+        base
+      else coalesce(base, lit(0))
+    }
+    f2("avgIf")((v, c) => avg(when(c.cast("boolean"), v)))
+    f2("minIf")((v, c) => min(when(c.cast("boolean"), v)))
+    f2("maxIf")((v, c) => max(when(c.cast("boolean"), v)))
     f1("groupArray")(collect_list)
     f1("groupUniqArray")(c => array_sort(collect_set(c)))
     f2("argMin")((a, v) => min_by(a, v))
@@ -1682,6 +1704,15 @@ object ChRegistry {
       }
     mapAggF("sumMap", (ps, _) =>
       aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))
+    // -If on the map family: mask both arrays on the condition row-wise
+    f("sumMapIf") { case Seq(k, v, c) =>
+      val p = C(c).cast("boolean")
+      mapAgg((ps, _) =>
+        aggregate(ps, lit(0.0), (acc, q) => acc + q.getField("v")))(
+        when(p, C(k)), when(p, C(v)))
+    }
+    f("min2") { case Seq(a, b) => least(C(a).cast("double"), C(b).cast("double")) }
+    f("max2") { case Seq(a, b) => greatest(C(a).cast("double"), C(b).cast("double")) }
     mapAggF("sumMapWithOverflow", (ps, _) =>
       aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))
     mapAggF("minMap", (ps, _) => array_min(transform(ps, _.getField("v"))))

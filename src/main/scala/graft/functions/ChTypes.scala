@@ -850,6 +850,21 @@ object ChTypes {
         Some(Scalar("DateTime64(6)"))
       case "fromUnixTimestamp64Nano" =>
         Some(Scalar("DateTime64(9)"))
+      // aggregate-combinator chains (ref
+      // AggregateFunctionCombinatorFactory.cpp suffix peel): -If drops
+      // its trailing condition, -OrNull wraps Nullable, -State/-Merge
+      // keep the value type under the value-is-the-state model
+      case n if n.endsWith("If") && n.length > 2 =>
+        fnType(n.dropRight(2), args.dropRight(1), scope, go)
+      case n if n.endsWith("OrNull") && n.length > 6 =>
+        fnType(n.dropRight(6), args, scope, go).map {
+          case nl: Nullable => nl
+          case t => Nullable(t)
+        }
+      case n if n.endsWith("Merge") && n.length > 5 =>
+        fnType(n.dropRight(5), args, scope, go)
+      case n if n.endsWith("State") && n.length > 5 =>
+        fnType(n.dropRight(5), args, scope, go)
       case _ => None
     }
   }

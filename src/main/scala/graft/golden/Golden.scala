@@ -146,10 +146,15 @@ object Golden {
     val raw = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
+    var inComment = false // a quote inside `-- …` must not open a string
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'' && (i == 0 || text.charAt(i - 1) != '\\')) inStr = !inStr
+      if (c == '\n') inComment = false
+      else if (!inStr && !inComment && c == '-' && i + 1 < text.length &&
+        text.charAt(i + 1) == '-') inComment = true
+      if (c == '\'' && !inComment &&
+        (i == 0 || text.charAt(i - 1) != '\\')) inStr = !inStr
       if (c == ';' && !inStr) { raw += sb.toString; sb.clear() }
       else sb.append(c)
       i += 1
@@ -171,10 +176,15 @@ object Golden {
     val raw = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
+    var inComment = false
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'' && (i == 0 || text.charAt(i - 1) != '\\')) inStr = !inStr
+      if (c == '\n') inComment = false
+      else if (!inStr && !inComment && c == '-' && i + 1 < text.length &&
+        text.charAt(i + 1) == '-') inComment = true
+      if (c == '\'' && !inComment &&
+        (i == 0 || text.charAt(i - 1) != '\\')) inStr = !inStr
       if (c == ';' && !inStr) { raw += sb.toString; sb.clear() }
       else sb.append(c)
       i += 1

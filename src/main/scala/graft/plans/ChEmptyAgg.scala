@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+/** CH aggregates over an EMPTY set return the type default, not NULL:
+  * `SELECT sum(x) FROM t WHERE 0` is 0 (ref
+  * src/AggregateFunctions/AggregateFunctionSum.h insertResultInto on an
+  * untouched state). Spark's Sum yields NULL. Only a global aggregate
+  * (no grouping keys) can see an empty set — groups exist only with
+  * rows — so wrap global sums in a default-valued coalesce. The -OrNull
+  * combinator builds `when(count > 0, sum)` on top, which still yields
+  * NULL on the empty set. */
+object ChEmptyAggRule extends Rule[LogicalPlan] {
+  private val tag = TreeNodeTag[Boolean]("graft.sumDefaulted")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case agg: Aggregate
+        if agg.resolved && agg.groupingExpressions.isEmpty &&
+          conf.getConfString(
+            "graft.ch.aggregate_functions_null_for_empty", "0").trim
+            != "1" =>
+      var changed = false
+      val rewritten = agg.aggregateExpressions.map { ne =>
+        ne.transform {
+          case ae @ AggregateExpression(f, _, false, None, _)
+              if ae.getTagValue(tag).isEmpty && defaultable(f) =>
+            ae.setTagValue(tag, true)
+            changed = true
+            Coalesce(Seq(ae, Literal.default(ae.dataType)))
+        }.asInstanceOf[NamedExpression]
+      }
+      if (changed) agg.copy(aggregateExpressions = rewritten) else agg
+  }
+
+  /** Sums always default; min/max/first/last default only when the
+    * VALUE is non-Nullable in CH terms — a when(cond, v) mask from the
+    * -If combinator doesn't make it Nullable, an explicit
+    * Nullable(T) cast (KnownNullable) does. */
+  private def defaultable(
+      f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    def chNonNullable(e: Expression): Boolean = e match {
+      case CaseWhen(branches, None) =>
+        branches.forall(b => chNonNullable(b._2))
+      case _: KnownNullable => false
+      // CH CAST (cast_keep_nullable = 0 default) strips nullability —
+      // an explicitly Nullable target arrives as KnownNullable above
+      case _: Cast => true
+      case t: graft.functions.ChUIntTag => chNonNullable(t.child)
+      case other => !other.nullable
+    }
+    f match {
+      // a CH-Nullable input makes sum Nullable too: all-NULL input
+      // yields NULL, not 0 (01281_sum_nullable)
+      case s: Sum => chNonNullable(s.child)
+      case Min(c) => chNonNullable(c)
+      case Max(c) => chNonNullable(c)
+      case First(c, _) => chNonNullable(c)
+      case Last(c, _) => chNonNullable(c)
+      case _ => false
+    }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, NumericType}
 
 /** ClickHouse numeric truthiness for logical contexts (ref
   * src/Functions/FunctionsLogical.cpp: UInt8/numeric operands of
@@ -34,6 +34,20 @@ object ChTruthinessRule extends Rule[LogicalPlan] {
           if (isNum(l) || isNum(r)) && l.resolved && r.resolved =>
         Or(toBool(l), toBool(r))
       case n @ Not(c) if isNum(c) => Not(toBool(c))
+      // CH booleans are UInt8 in comparisons too: `x >= (expr IS NOT
+      // NULL)` compares against 0/1 (ref FunctionsComparison.cpp)
+      case c: BinaryComparison
+          if c.left.resolved && c.right.resolved &&
+            c.left.dataType == BooleanType &&
+            c.right.dataType.isInstanceOf[NumericType] =>
+        c.withNewChildren(Seq(
+          Cast(c.left, IntegerType), c.right)).asInstanceOf[Expression]
+      case c: BinaryComparison
+          if c.left.resolved && c.right.resolved &&
+            c.right.dataType == BooleanType &&
+            c.left.dataType.isInstanceOf[NumericType] =>
+        c.withNewChildren(Seq(
+          c.left, Cast(c.right, IntegerType))).asInstanceOf[Expression]
     } match {
       case p =>
         p.transformWithPruning(_ => true) {
@@ -60,6 +74,11 @@ object ChBoolAggRule extends Rule[LogicalPlan] {
       case s: Sum if s.child.resolved && s.child.dataType == BooleanType =>
         s.withNewChildren(Seq(Cast(s.child, IntegerType)))
           .asInstanceOf[Expression]
+      // math functions take UInt8 booleans in CH (sin(x >= y))
+      case m: UnaryMathExpression
+          if m.child.resolved && m.child.dataType == BooleanType =>
+        m.withNewChildren(Seq(Cast(m.child, DoubleType)))
+          .asInstanceOf[Expression]
       case a: Average
           if a.child.resolved && a.child.dataType == BooleanType =>
         a.withNewChildren(Seq(Cast(a.child, IntegerType)))
@@ -74,5 +93,6 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChDateArithRule)
     ext.injectResolutionRule(_ => ChBoolAggRule)
     ext.injectResolutionRule(_ => ChIpCoercionRule)
+    ext.injectResolutionRule(_ => ChEmptyAggRule)
   }
 }
