@@ -1704,16 +1704,74 @@ object ChSql {
       "(?i)(?<![\\w.`'])inf(?![\\w`'])", "(CAST('Infinity' AS DOUBLE))")
     // hex integer literals (CH UInt64); beyond signed-long range the
     // unsigned print form can't be reproduced, so leave those alone
-    s = replaceOutsideStrings(s, "\\b0x([0-9A-Fa-f]+)\\b", "0x$1") match {
-      case t =>
-        "\\b0x([0-9A-Fa-f]+)\\b".r.replaceAllIn(t, mm => {
-          val v = BigInt(mm.group(1), 16)
-          // past UInt16, CH's Int32 literal would promote to Int64 in
-          // arithmetic — pre-widen so ANSI int32 math can't overflow
-          if (v <= 0xFFFF) v.toString
-          else if (v < (BigInt(1) << 62)) s"CAST(${v.toString} AS BIGINT)"
-          else s"CAST('${v.toString}' AS DECIMAL(20,0))"
-        })
+    // trailing/leading-dot float literals (-0. / -.0 / 0.): Spark has
+    // no such decimal forms and CH types them Float64 (negative zero
+    // must survive)
+    s = replaceOutsideStrings(s,
+      "(?<![\\w.)\\]])(\\d+)\\.(?![\\w.])", "CAST('$1' AS DOUBLE)")
+    s = replaceOutsideStrings(s,
+      "(?<![\\w.)\\]])\\.(\\d+)(?![\\w.])", "CAST('0.$1' AS DOUBLE)")
+    // plain numeric literals beyond Decimal(38) precision: the CH
+    // parser falls back to Float64; Spark would reject the decimal
+    s = replaceFnOutsideStrings(s,
+      "(?<![\\w.])(\\d{20,}(?:\\.\\d+)?|\\d+\\.\\d{30,})(?![\\w.])") { mm =>
+      val txt = mm.group(1)
+      val digits = txt.replace(".", "").length
+      if (digits <= 38 && !txt.contains(".")) txt
+      else if (digits <= 38) txt
+      else java.util.regex.Matcher.quoteReplacement(
+        s"CAST('${txt.toDouble}' AS DOUBLE)")
+    }
+    locally {
+      // 0x… integer literals and 0x…p… hex floats (the CH parser reads
+      // over-UInt64 integers as Float64 and a leading unary minus folds
+      // into the literal, so -0xFFFFFFFFFFFFFFFF is a DOUBLE)
+      val hexRe = "(-?)\\b0[xX]([0-9A-Fa-f]+)([pP][+-]?\\d+)?".r
+      def unaryMinusAt(str: String, i0: Int): Boolean = {
+        var i = i0 - 1
+        while (i >= 0 && str.charAt(i).isWhitespace) i -= 1
+        if (i < 0) return true
+        val c = str.charAt(i)
+        "(,=<>+-*/%[?:".indexOf(c) >= 0 || {
+          // a keyword boundary (SELECT -0x…); identifiers/digits/) mean
+          // binary subtraction
+          !c.isLetterOrDigit && c != ')' && c != '_'
+        } || {
+          var ws = i
+          while (ws > 0 && (str.charAt(ws - 1).isLetterOrDigit ||
+            str.charAt(ws - 1) == '_')) ws -= 1
+          Seq("select", "when", "then", "else", "and", "or", "not", "in",
+            "by", "as", "where", "having", "return").contains(
+            str.substring(ws, i + 1).toLowerCase)
+        }
+      }
+      s = hexRe.replaceAllIn(s, mm => {
+        val neg = mm.group(1) == "-" &&
+          unaryMinusAt(s, mm.start) // NOTE: positions refer to input s
+        java.util.regex.Matcher.quoteReplacement {
+          if (mm.group(3) != null) {
+            val d = java.lang.Double.parseDouble(
+              "0x" + mm.group(2) + mm.group(3))
+            (if (mm.group(1) == "-") "-" else "") +
+              s"CAST('$d' AS DOUBLE)"
+          } else {
+            val v = BigInt(mm.group(2), 16)
+            val sign = mm.group(1)
+            // past UInt16, CH's Int32 literal promotes to Int64 in
+            // arithmetic — pre-widen so ANSI int32 math can't overflow
+            if (v <= 0xFFFF) sign + v.toString
+            else if (v < (BigInt(1) << 62))
+              sign + s"CAST(${v.toString} AS BIGINT)"
+            else if (v <= (BigInt(1) << 63) && neg && sign == "-")
+              s"CAST(${(-v).toString} AS BIGINT)"
+            else if (neg && sign == "-")
+              s"CAST('${(-v).toString.toDouble}' AS DOUBLE)"
+            else if (v < (BigInt(1) << 64))
+              sign + s"CAST('${v.toString}' AS DECIMAL(20,0))"
+            else sign + s"CAST('${v.toString.toDouble}' AS DOUBLE)"
+          }
+        }
+      })
     }
     // CH inline parenthesized aliases `(expr AS name)` (ref
     // src/Interpreters/QueryAliasesVisitor.cpp: an alias attaches to any

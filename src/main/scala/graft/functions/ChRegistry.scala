@@ -38,26 +38,43 @@ object ChRegistry {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** Name → builder for every f()-registered CH function (feeds the
+    * -SimpleState alias path in [[ensureSynthesized]]). */
+  private val builders = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Expression] => Column]
+
   /** Register combinator-chain aggregates appearing in `chQuery` whose
     * names aren't otherwise known (ref
-    * AggregateFunctionCombinatorFactory.cpp suffix peeling). */
+    * AggregateFunctionCombinatorFactory.cpp suffix peeling).
+    * -SimpleState over an already-registered aggregate reuses that
+    * aggregate's builder: the simple-state IS the finalized value (ref
+    * DataTypeCustomSimpleAggregateFunction.cpp). */
   def ensureSynthesized(spark: SparkSession, chQuery: String): Unit = {
     val re = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
     val reg = spark.sessionState.functionRegistry
     re.findAllMatchIn(chQuery).map(_.group(1)).toSet.foreach { n: String =>
       val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(
         n.toLowerCase)
-      if (!reg.functionExists(fid) && CombinatorChain.supports(n))
-        reg.createOrReplaceTempFunction(n,
-          es => E(CombinatorChain.build(n, es.map(C))), "scala_udf")
+      if (!reg.functionExists(fid)) {
+        if (CombinatorChain.supports(n))
+          reg.createOrReplaceTempFunction(n,
+            es => E(CombinatorChain.build(n, es.map(C))), "scala_udf")
+        else if (n.endsWith("SimpleState")) {
+          builders.get(n.dropRight(11).toLowerCase).foreach { b =>
+            reg.createOrReplaceTempFunction(n, es => E(b(es)), "scala_udf")
+          }
+        }
+      }
     }
   }
 
   def register(spark: SparkSession): Unit = {
     if (!registeredSessions.add(spark)) return
     val reg = spark.sessionState.functionRegistry
-    def f(name: String)(b: Seq[Expression] => Column): Unit =
+    def f(name: String)(b: Seq[Expression] => Column): Unit = {
+      builders(name.toLowerCase) = b
       reg.createOrReplaceTempFunction(name, es => E(b(es)), "scala_udf")
+    }
     def f1(name: String)(b: Column => Column): Unit =
       f(name) { case Seq(a) => b(C(a)) }
     def f2(name: String)(b: (Column, Column) => Column): Unit =
@@ -649,6 +666,8 @@ object ChRegistry {
       case Seq(a) => C(ChBitCount(a))
     }
     f2("bitTest")(ch.bitTest)
+    f1("groupBitAnd")(bit_and); f1("groupBitOr")(bit_or)
+    f1("groupBitXor")(bit_xor)
     f2("bitHammingDistance")(ch.bitHammingDistance)
 
     // random / misc
@@ -844,8 +863,29 @@ object ChRegistry {
     f1("toNullable")(c => C(
       org.apache.spark.sql.catalyst.expressions.KnownNullable(E(c))))
     // CH Bool renders true/false (unlike UInt8 comparison results) —
-    // the ChBool UDT carries the display distinction
-    f1("toBool")(c => C(ChBoolWrap(E(c.cast("boolean")))))
+    // the ChBool UDT carries the display distinction. The text form
+    // accepts CH's full vocabulary (ref DataTypeBool serialization:
+    // true/false, 1/0, enabled/disabled, on/off, yes/no, t/f, y/n)
+    f("toBool") { case Seq(a) =>
+      val isStr = a.resolved && (a.dataType match {
+        case org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+      val b =
+        if (isStr) {
+          val l = lower(trim(C(a)))
+          when(l.isin("true", "1", "enabled", "enable", "on", "yes",
+            "y", "t"), lit(true))
+            .when(l.isin("false", "0", "disabled", "disable", "off",
+              "no", "n", "f"), lit(false))
+            .otherwise(C(a).cast("boolean"))
+        } else if (a.resolved && (a.dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        })) C(a) =!= lit(0)
+        else C(a).cast("boolean")
+      C(ChBoolWrap(E(b)))
+    }
     f1("toLowCardinality")(c => c)
     locally {
       def dt64(name: String, mode: Int): Unit = f(name) {
@@ -1359,6 +1399,16 @@ object ChRegistry {
         red(filter(checked, p => p.getField("k") === key), key))
       struct(ks.as("keys"), sums.as("values"))
     }
+    // sumMap COMPACTS zero sums away (ref AggregateFunctionSumMap.h
+    // compact(): "values with zero sum are removed"); min/max keep them
+    def dropZeros(t: Column): Column = {
+      val ks = t.getField("keys"); val vs = t.getField("values")
+      val kept = filter(zip_with(ks, vs,
+        (k, v) => struct(k.as("k"), v.as("v"))),
+        p => p.getField("v") =!= 0)
+      struct(transform(kept, _.getField("k")).as("keys"),
+        transform(kept, _.getField("v")).as("values"))
+    }
     // CH substring semantics: a NEGATIVE size means "up to size chars
     // before the end" (ref src/Functions/substring.cpp). Shadows the
     // Spark builtin, so the builder uses raw Substring/Length nodes —
@@ -1702,14 +1752,30 @@ object ChRegistry {
         case Seq(t) =>
           mapAgg(red)(C(TupleElement(t, 1)), C(TupleElement(t, 2)))
       }
-    mapAggF("sumMap", (ps, _) =>
-      aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))
+    // zero-compact applies to NON-Nullable value columns only
+    // (01634_summap_nullable: a Nullable 0 survives)
+    def nullableVals(v: Expression): Boolean = v.resolved && (v.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+      case _ => false
+    })
+    f("sumMap") {
+      case Seq(k, v) =>
+        val agg = mapAgg((ps, _) =>
+          aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))(
+          C(k), C(v))
+        if (nullableVals(v)) agg else dropZeros(agg)
+      case Seq(t) =>
+        val agg = mapAgg((ps, _) =>
+          aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))(
+          C(TupleElement(t, 1)), C(TupleElement(t, 2)))
+        dropZeros(agg)
+    }
     // -If on the map family: mask both arrays on the condition row-wise
     f("sumMapIf") { case Seq(k, v, c) =>
       val p = C(c).cast("boolean")
-      mapAgg((ps, _) =>
+      dropZeros(mapAgg((ps, _) =>
         aggregate(ps, lit(0.0), (acc, q) => acc + q.getField("v")))(
-        when(p, C(k)), when(p, C(v)))
+        when(p, C(k)), when(p, C(v))))
     }
     f("min2") { case Seq(a, b) => least(C(a).cast("double"), C(b).cast("double")) }
     f("max2") { case Seq(a, b) => greatest(C(a).cast("double"), C(b).cast("double")) }

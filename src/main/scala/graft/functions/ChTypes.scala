@@ -110,7 +110,13 @@ object ChTypes {
             (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
           i += 2
           while (i < n && Character.digit(s.charAt(i), 16) >= 0) i += 1
-          out += Tok("hex", s.substring(st + 2, i))
+          // hex FLOAT: 0x123p4 binary exponent (the CH/C form)
+          if (i < n && (s.charAt(i) == 'p' || s.charAt(i) == 'P')) {
+            i += 1
+            if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+            while (i < n && s.charAt(i).isDigit) i += 1
+            out += Tok("hexfloat", s.substring(st, i))
+          } else out += Tok("hex", s.substring(st + 2, i))
         } else {
           while (i < n && s.charAt(i).isDigit) i += 1
           if (i < n && s.charAt(i) == '.' &&
@@ -258,10 +264,16 @@ object ChTypes {
     private def parsePrimary(): Option[E] = peek match {
       case Some(Tok("int", t)) => pos += 1; Some(IntL(BigInt(t)))
       case Some(Tok("hex", t)) => pos += 1; Some(IntL(BigInt(t, 16)))
+      case Some(Tok("hexfloat", t)) => pos += 1
+        Some(FloL(java.lang.Double.parseDouble(t)))
       case Some(Tok("float", t)) => pos += 1; Some(FloL(t.toDouble))
       case Some(Tok("str", t)) => pos += 1; Some(StrL(t))
       case Some(Tok("id", t)) if t.equalsIgnoreCase("null") =>
         pos += 1; Some(NullL)
+      case Some(Tok("id", t)) if t.equalsIgnoreCase("inf") =>
+        pos += 1; Some(FloL(Double.PositiveInfinity))
+      case Some(Tok("id", t)) if t.equalsIgnoreCase("nan") =>
+        pos += 1; Some(FloL(Double.NaN))
       case Some(Tok("id", t)) if t.equalsIgnoreCase("true") =>
         pos += 1; Some(BoolL(true))
       case Some(Tok("id", t)) if t.equalsIgnoreCase("false") =>
@@ -443,6 +455,7 @@ object ChTypes {
     case (Tup(xs), Tup(ys)) if xs.length == ys.length =>
       val zs = xs.zip(ys).map { case (x, y) => superType(x, y) }
       if (zs.forall(_.isDefined)) Some(Tup(zs.map(_.get))) else None
+    case (LowCard(x), LowCard(y)) => superType(x, y).map(LowCard)
     case (LowCard(x), y) => superType(x, y)
     case (x, LowCard(y)) => superType(x, y)
     case (x, y) if isInt(x) && isInt(y) =>
@@ -475,13 +488,13 @@ object ChTypes {
       else if (v <= 65535) UInt16
       else if (v <= BigInt("4294967295")) UInt32
       else if (v <= BigInt("18446744073709551615")) UInt64
-      else Scalar("UInt128")
+      else Float64 // the CH PARSER reads over-UInt64 literals as Float64
     } else {
       if (v >= -128) Int8
       else if (v >= -32768) Int16
       else if (v >= BigInt("-2147483648")) Int32
       else if (v >= BigInt("-9223372036854775808")) Int64
-      else Scalar("Int128")
+      else Float64
     }
 
   /** Binary arithmetic promotion (ref NumberTraits.h
@@ -543,6 +556,8 @@ object ChTypes {
         val ts = items.map(go(_, scope))
         if (ts.forall(_.isDefined)) Some(Tup(ts.map(_.get))) else None
       case CastE(_, tpe) => parseTypeText(tpe)
+      case Un("-", IntL(v)) => Some(literalIntType(-v))
+      case Un("-", FloL(_)) => Some(Float64)
       case Un("-", x) => go(x, scope).flatMap {
         case t if isInt(t) && !signed(t) => Some(intOf(sgn = true, bits(t) * 2))
         case t if isInt(t) || isFloat(t) => Some(t)
@@ -706,7 +721,18 @@ object ChTypes {
             case (Some(x), Some(y)) => superType(x, y)
             case _ => None
           }.map(Arr))
-      case "map" => None
+      case "map" =>
+        if (args.isEmpty || args.length % 2 != 0) None
+        else {
+          val ks = args.grouped(2).map(p => go(p(0), scope)).toSeq
+          val vs = args.grouped(2).map(p => go(p(1), scope)).toSeq
+          for {
+            k <- ks.reduce((a, b) => for (x <- a; y <- b;
+              z <- superType(x, y)) yield z)
+            v <- vs.reduce((a, b) => for (x <- a; y <- b;
+              z <- superType(x, y)) yield z)
+          } yield MapT(k, v)
+        }
       case "arrayElement" => argT(0).flatMap {
         case Arr(t) => Some(t)
         case Nullable(Arr(t)) => Some(Nullable(t))
@@ -850,6 +876,21 @@ object ChTypes {
         Some(Scalar("DateTime64(6)"))
       case "fromUnixTimestamp64Nano" =>
         Some(Scalar("DateTime64(9)"))
+      case "reinterpretAsFixedString" =>
+        argT(0).map(t => Scalar(
+          s"FixedString(${math.max(bits(stripN(stripLC(t))) / 8, 1)})"))
+      case "xor" =>
+        allT.map(ts => if (ts.exists(t =>
+          stripLC(t).isInstanceOf[Nullable])) Nullable(UInt8) else UInt8)
+      case "groupBitAnd" | "groupBitOr" | "groupBitXor" |
+          "sumWithOverflow" | "sumMap" | "minMap" | "maxMap" => argT(0)
+      case "count" => Some(UInt64)
+      // -SimpleState wraps the base aggregate's RESULT type (ref
+      // DataTypeCustomSimpleAggregateFunction.cpp)
+      case n if n.endsWith("SimpleState") && n.length > 11 =>
+        val base = n.dropRight(11)
+        fnType(base, args, scope, go).orElse(argT(0))
+          .map(t => Scalar(s"SimpleAggregateFunction($base, ${t.name})"))
       // aggregate-combinator chains (ref
       // AggregateFunctionCombinatorFactory.cpp suffix peel): -If drops
       // its trailing condition, -OrNull wraps Nullable, -State/-Merge

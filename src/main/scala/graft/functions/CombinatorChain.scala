@@ -116,7 +116,8 @@ object CombinatorChain {
 
   private val suffixes: Seq[(String, Comb)] = Seq(
     "OrDefault" -> COrDefault, "OrNull" -> COrNull, "ForEach" -> CForEach,
-    "Array" -> CArray, "Merge" -> CMerge, "State" -> CState, "If" -> CIf)
+    "Array" -> CArray, "Merge" -> CMerge, "SimpleState" -> CState,
+    "State" -> CState, "If" -> CIf)
 
   /** name → (base, chain innermost-first). */
   private def parse(name: String): Option[(Base, List[Comb])] = {

@@ -104,7 +104,7 @@ object Golden {
     // exponent of the first digit (value = 0.digits * 10^(exp))
     val exp = e10 + dot
     val sb = new StringBuilder(if (neg) "-" else "")
-    if (exp > 15 || exp < -4) {
+    if (exp > 20 || exp < -4) {
       // 1 digit, then fraction, then e±exp (CH style: 1.5e16)
       sb.append(digits.head)
       if (digits.length > 1) sb.append('.').append(digits.tail)
