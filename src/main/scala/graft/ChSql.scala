@@ -1593,6 +1593,12 @@ object ChSql {
     s = replaceOutsideStrings(s,
       "(?i)\\bFROM\\s+`?system`?\\.`?one`?(?![\\w`])",
       "FROM (SELECT CAST(0 AS TINYINT) AS dummy0)")
+    // system.numbers: the infinite generator table — always read under
+    // a LIMIT in the tests; a wide lazy range() suffices (Spark pushes
+    // the LIMIT into the range scan)
+    s = s.replaceAll(
+      "(?i)\\bFROM\\s+`?system`?\\.`?numbers(?:_mt)?`?(?![\\w`])",
+      "FROM (SELECT id AS number FROM range(10000000))")
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`

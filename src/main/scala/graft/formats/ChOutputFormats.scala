@@ -1,0 +1,458 @@
+package graft.formats
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** CH text output formats (ref src/Processors/Formats/Impl/
+  * PrettyBlockOutputFormat.cpp, PrettyCompactBlockOutputFormat.cpp,
+  * PrettySpaceBlockOutputFormat.cpp, VerticalRowOutputFormat.cpp,
+  * CSVRowOutputFormat.cpp, ValuesRowOutputFormat.cpp,
+  * JSONEachRowRowOutputFormat.cpp).
+  *
+  * The engine's results are DataFrames; these renderers reproduce the
+  * reference's terminal/wire text so clients (and the reference's own
+  * golden tests) see byte-identical output. Each renderer takes the
+  * result pre-chunked into blocks — CH's Pretty family draws one table
+  * per block (ref IOutputFormat::write is per-Chunk).
+  */
+object ChOutputFormats {
+
+  /** Pretty-format settings (ref Core/Settings.h defaults in 23.3). */
+  final case class Ctx(get: String => Option[String]) {
+    def int(name: String, default: Long): Long =
+      get(name).flatMap(v => scala.util.Try(v.trim.stripPrefix("'")
+        .stripSuffix("'").toLong).toOption).getOrElse(default)
+    def maxRows: Long = int("output_format_pretty_max_rows", 10000L)
+    def maxValueWidth: Long =
+      int("output_format_pretty_max_value_width", 10000L)
+    def rowNumbers: Boolean =
+      int("output_format_pretty_row_numbers", 0L) != 0L
+    def ascii: Boolean = get("output_format_pretty_grid_charset")
+      .exists(_.toUpperCase.contains("ASCII"))
+    def color: Boolean = int("output_format_pretty_color", 1L) != 0L
+  }
+
+  private val prettyFamilies = Set(
+    "pretty", "prettynoescapes", "prettymonoblock",
+    "prettynoescapesmonoblock", "prettycompact",
+    "prettycompactnoescapes", "prettycompactmonoblock",
+    "prettycompactnoescapesmonoblock", "prettyspace",
+    "prettyspacenoescapes", "prettyspacemonoblock",
+    "prettyspacenoescapesmonoblock")
+
+  private val others = Set("vertical", "values", "csv", "csvwithnames",
+    "tsvraw", "tabseparatedraw", "jsoneachrow")
+
+  def supports(fmt: String): Boolean = {
+    val f = fmt.toLowerCase
+    prettyFamilies.contains(f) || others.contains(f)
+  }
+
+  /** MonoBlock (and every non-Pretty row format) collapses blocks. */
+  def isMonoBlock(fmt: String): Boolean = {
+    val f = fmt.toLowerCase
+    f.endsWith("monoblock") || !prettyFamilies.contains(f)
+  }
+
+  def render(fmt: String, schema: StructType, blocks: Seq[Seq[Row]],
+      ctx: Ctx): Seq[String] = {
+    val f = fmt.toLowerCase
+    val bs = if (isMonoBlock(fmt)) Seq(blocks.flatten).filter(_.nonEmpty)
+      else blocks
+    f match {
+      case _ if f.startsWith("prettyspace") => prettySpace(schema, bs, ctx,
+        color = ctx.color && !f.contains("noescapes"))
+      case _ if f.startsWith("prettycompact") => prettyCompact(schema, bs,
+        ctx, color = ctx.color && !f.contains("noescapes"))
+      case _ if f.startsWith("pretty") => prettyFull(schema, bs, ctx,
+        color = ctx.color && !f.contains("noescapes"))
+      case "vertical" => vertical(schema, bs.flatten, ctx)
+      case "values" => values(bs.flatten)
+      case "csv" | "csvwithnames" =>
+        csv(schema, bs.flatten, withNames = f.endsWith("withnames"))
+      case "tsvraw" | "tabseparatedraw" =>
+        bs.flatten.map(r => r.toSeq.map {
+          case null => "\\N"
+          case v => cell(v)
+        }.mkString("\t"))
+      case "jsoneachrow" => bs.flatten.map(jsonEachRow(schema, _))
+      case other => sys.error(s"unsupported format $other")
+    }
+  }
+
+  // ---------------------------------------------------------------- values
+
+  private val NullMarker = "ᴺᵁᴸᴸ" // ᴺᵁᴸᴸ
+
+  private def cell(v: Any): String = v match {
+    case null => NullMarker
+    case s: String => s
+    case b: Array[Byte] => new String(b,
+      java.nio.charset.StandardCharsets.UTF_8)
+    case other => graft.golden.Golden.fmt(other)
+  }
+
+  /** Visible width ≈ code points, with zero width for combining marks
+    * (ref Common/UTF8Helpers computeWidth approximation). */
+  private def displayWidth(s: String): Int = {
+    var w = 0; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.ENCLOSING_MARK
+        && t != Character.FORMAT && cp != 0x200B)
+        w += (if (isWide(cp)) 2 else 1)
+      i += Character.charCount(cp)
+    }
+    w
+  }
+
+  private def isWide(cp: Int): Boolean = {
+    // East-Asian wide/fullwidth principal blocks
+    (cp >= 0x1100 && cp <= 0x115F) || (cp >= 0x2E80 && cp <= 0xA4CF) ||
+    (cp >= 0xAC00 && cp <= 0xD7A3) || (cp >= 0xF900 && cp <= 0xFAFF) ||
+    (cp >= 0xFE30 && cp <= 0xFE4F) || (cp >= 0xFF00 && cp <= 0xFF60) ||
+    (cp >= 0xFFE0 && cp <= 0xFFE6) || (cp >= 0x20000 && cp <= 0x3FFFD)
+  }
+
+  private def alignRight(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false // String/Date/Timestamp/Bool/IP/UUID/Enum: custom
+    // serializations align left (ref DataTypeNumberBase.h:39)
+  }
+
+  private case class Grid(
+    boldLT: String, boldRT: String, lb: String, rb: String,
+    boldLS: String, ls: String, boldRS: String, rs: String,
+    boldTS: String, boldMS: String, ms: String, bot: String,
+    boldDash: String, dash: String, boldBar: String, bar: String)
+
+  private val utf8Grid = Grid("┏", "┓", "└", "┘", "┡", "├", "┩", "┤",
+    "┳", "╇", "┼", "┴", "━", "─", "┃", "│")
+  private val asciiGrid = Grid("+", "+", "+", "+", "+", "+", "+", "+",
+    "+", "+", "+", "+", "-", "-", "|", "|")
+
+  private case class Widths(max: Array[Int], name: Array[Int],
+    cells: Array[Array[String]], rowNumWidth: Int)
+
+  private def widthsOf(schema: StructType, rows: Seq[Row], ctx: Ctx,
+      totalRows: Long): Widths = {
+    val n = schema.fields.length
+    val shown = rows.take(
+      math.max(0, (ctx.maxRows - totalRows).min(rows.size)).toInt)
+    val cells = Array.tabulate(shown.size, n)((r, c) => cell(shown(r)(c)))
+    val max = new Array[Int](n); val name = new Array[Int](n)
+    var c = 0
+    while (c < n) {
+      name(c) = displayWidth(schema.fields(c).name)
+      max(c) = name(c)
+      var r = 0
+      while (r < shown.size) {
+        val w = displayWidth(cells(r)(c)).min(ctx.maxValueWidth.toInt)
+        if (w > max(c)) max(c) = w
+        r += 1
+      }
+      c += 1
+    }
+    // len(num_rows + total_rows) + len(". ")
+    val rnw = (math.floor(math.log10(
+      math.max(1, shown.size + totalRows).toDouble)) + 3).toInt
+    Widths(max, name, cells, rnw)
+  }
+
+  private def bold(s: String, color: Boolean): String =
+    if (color) "[1m" + s + "[0m" else s
+
+  /** " value " padded to width; mirrors writeValueWithPadding. */
+  private def padded(value: String, width: Int, right: Boolean,
+      ctx: Ctx): String = {
+    val vw = displayWidth(value)
+    if (vw > ctx.maxValueWidth) {
+      // truncate to max width + ellipsis
+      val sb = new StringBuilder(" ")
+      var w = 0; var i = 0
+      while (i < value.length && w < ctx.maxValueWidth) {
+        val cp = value.codePointAt(i)
+        sb.appendAll(Character.toChars(cp))
+        w += (if (isWide(cp)) 2 else 1)
+        i += Character.charCount(cp)
+      }
+      val ell = if (ctx.ascii) "~" else "⋯"
+      sb.append(if (ctx.color) "[31;1m" + ell + "[0m" else ell)
+      sb.toString
+    } else {
+      val pad = " " * (width - vw)
+      if (right) pad + " " + value + " " else " " + value + " " + pad
+    }
+  }
+
+  private def prettyFull(schema: StructType, blocks: Seq[Seq[Row]],
+      ctx: Ctx, color: Boolean): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0L
+    blocks.foreach { rows =>
+      if (total < ctx.maxRows) {
+        val g = if (ctx.ascii) asciiGrid else utf8Grid
+        val w = widthsOf(schema, rows, ctx, total)
+        val blank = if (ctx.rowNumbers) " " * w.rowNumWidth else ""
+        def sep(l: String, m: String, r: String, d: String): String =
+          blank + l + w.max.map(x => d * (x + 2)).mkString(m) + r
+        out += sep(g.boldLT, g.boldTS, g.boldRT, g.boldDash)
+        val hdr = new StringBuilder(blank + g.boldBar + " ")
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (i != 0) hdr.append(" ").append(g.boldBar).append(" ")
+          val pad = " " * (w.max(i) - w.name(i))
+          // color wraps name AND padding here (ref
+          // PrettyBlockOutputFormat.cpp:246 — escapes around the whole
+          // aligned cell), unlike Compact/Space where only the name is
+          if (alignRight(f.dataType))
+            hdr.append(bold(pad + f.name, color))
+          else hdr.append(bold(f.name + pad, color))
+        }
+        hdr.append(" ").append(g.boldBar)
+        out += hdr.toString
+        out += sep(g.boldLS, g.boldMS, g.boldRS, g.boldDash)
+        var r = 0
+        while (r < w.cells.length) {
+          if (r != 0) out += sep(g.ls, g.ms, g.rs, g.dash)
+          val sb = new StringBuilder
+          if (ctx.rowNumbers) {
+            val rn = (r + 1 + total).toString + ". "
+            sb.append(" " * (w.rowNumWidth - rn.length)).append(rn)
+          }
+          sb.append(g.bar)
+          var c = 0
+          while (c < w.max.length) {
+            if (c != 0) sb.append(g.bar)
+            sb.append(padded(w.cells(r)(c), w.max(c),
+              alignRight(schema.fields(c).dataType), ctx))
+            c += 1
+          }
+          sb.append(g.bar)
+          out += sb.toString
+          r += 1
+        }
+        out += sep(g.lb, g.bot, g.rb, g.dash)
+      }
+      total += rows.size
+    }
+    if (total >= ctx.maxRows) out += s"  Showed first ${ctx.maxRows}."
+    out.toSeq
+  }
+
+  private def prettyCompact(schema: StructType, blocks: Seq[Seq[Row]],
+      ctx: Ctx, color: Boolean): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0L
+    blocks.foreach { rows =>
+      if (total < ctx.maxRows) {
+        val g = if (ctx.ascii) asciiGrid else utf8Grid
+        val w = widthsOf(schema, rows, ctx, total)
+        val blank = if (ctx.rowNumbers) " " * w.rowNumWidth else ""
+        // header row: names embedded in the top border (ref
+        // PrettyCompactBlockOutputFormat::writeHeader)
+        val (lt, rt, ts) = if (ctx.ascii) ("+", "+", "+")
+          else ("┌", "┐", "┬")
+        val hdr = new StringBuilder(blank + lt + g.dash)
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (i != 0) hdr.append(g.dash).append(ts).append(g.dash)
+          val pad = g.dash * (w.max(i) - w.name(i))
+          if (alignRight(f.dataType)) hdr.append(pad).append(bold(f.name, color))
+          else hdr.append(bold(f.name, color)).append(pad)
+        }
+        hdr.append(g.dash).append(rt)
+        out += hdr.toString
+        var r = 0
+        while (r < w.cells.length) {
+          val sb = new StringBuilder
+          if (ctx.rowNumbers) {
+            val rn = (r + 1 + total).toString + ". "
+            sb.append(" " * (w.rowNumWidth - rn.length)).append(rn)
+          }
+          sb.append(g.bar)
+          var c = 0
+          while (c < w.max.length) {
+            if (c != 0) sb.append(g.bar)
+            sb.append(padded(w.cells(r)(c), w.max(c),
+              alignRight(schema.fields(c).dataType), ctx))
+            c += 1
+          }
+          sb.append(g.bar)
+          out += sb.toString
+          r += 1
+        }
+        out += blank + g.lb + w.max.map(x => g.dash * (x + 2))
+          .mkString(g.bot) + g.rb
+      }
+      total += rows.size
+    }
+    if (total >= ctx.maxRows) out += s"  Showed first ${ctx.maxRows}."
+    out.toSeq
+  }
+
+  private def prettySpace(schema: StructType, blocks: Seq[Seq[Row]],
+      ctx: Ctx, color: Boolean): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0L
+    blocks.foreach { rows =>
+      if (total < ctx.maxRows) {
+        val w = widthsOf(schema, rows, ctx, total)
+        val hdr = new StringBuilder(
+          if (ctx.rowNumbers) " " * w.rowNumWidth else "")
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          hdr.append(if (i != 0) "   " else " ")
+          val pad = " " * (w.max(i) - w.name(i))
+          if (alignRight(f.dataType)) hdr.append(pad).append(bold(f.name, color))
+          else hdr.append(bold(f.name, color)).append(pad)
+        }
+        out += hdr.toString
+        out += ""
+        var r = 0
+        while (r < w.cells.length) {
+          val sb = new StringBuilder
+          if (ctx.rowNumbers) {
+            val rn = (r + 1 + total).toString + ". "
+            sb.append(" " * (w.rowNumWidth - rn.length)).append(rn)
+          }
+          var c = 0
+          while (c < w.max.length) {
+            if (c != 0) sb.append(" ")
+            sb.append(padded(w.cells(r)(c), w.max(c),
+              alignRight(schema.fields(c).dataType), ctx))
+            c += 1
+          }
+          out += sb.toString
+          r += 1
+        }
+      }
+      total += rows.size
+    }
+    if (total >= ctx.maxRows) { out += ""; out += s"Showed first ${ctx.maxRows}." }
+    out.toSeq
+  }
+
+  private def vertical(schema: StructType, rows: Seq[Row],
+      ctx: Ctx): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nameW = schema.fields.map(f => displayWidth(f.name))
+    val maxW = if (nameW.isEmpty) 0 else nameW.max
+    val labels = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name + ": " + (" " * (maxW - nameW(i)))
+    }
+    var rn = 0L
+    rows.foreach { row =>
+      rn += 1
+      if (rn <= ctx.maxRows) {
+        if (rn > 1) out += ""
+        out += s"Row $rn:"
+        val width = math.log10((rn + 1).toDouble).toInt + 1 + 5
+        out += (if (ctx.ascii) "-" else "─") * width
+        var c = 0
+        while (c < labels.length) {
+          // serializeText raw: embedded newlines flow onto new lines
+          (labels(c) + cell(row(c))).split("\n", -1).foreach(out += _)
+          c += 1
+        }
+      }
+    }
+    if (rn > ctx.maxRows) out += s"Showed first ${ctx.maxRows}."
+    out.toSeq
+  }
+
+  /** Values: one line, rows as (v1,v2) joined by commas, quoted
+    * strings (ref ValuesRowOutputFormat: serializeTextQuoted). */
+  private def values(rows: Seq[Row]): Seq[String] =
+    if (rows.isEmpty) Seq.empty
+    else Seq(rows.map(r => r.toSeq.map(quoted)
+      .mkString("(", ",", ")")).mkString(","))
+
+  private def quoted(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'"
+    case d: java.sql.Date => "'" + d.toString + "'"
+    case t: java.sql.Timestamp => "'" + graft.golden.Golden.fmt(t) + "'"
+    case other => graft.golden.Golden.fmt(other)
+  }
+
+  /** CSV: strings/dates quoted with double-quote doubling, numbers
+    * bare, NULL as \N (ref SerializationString::serializeTextCSV). */
+  private def csv(schema: StructType, rows: Seq[Row],
+      withNames: Boolean): Seq[String] = {
+    def csvCell(v: Any): String = v match {
+      case null => "\\N"
+      case s: String => "\"" + s.replace("\"", "\"\"") + "\""
+      case b: Array[Byte] => csvCell(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8))
+      case d: java.sql.Date => "\"" + d.toString + "\""
+      case t: java.sql.Timestamp =>
+        "\"" + graft.golden.Golden.fmt(t) + "\""
+      case b: Boolean => if (b) "true" else "false"
+      case a: scala.collection.Seq[_] =>
+        "\"" + graft.golden.Golden.fmt(a).replace("\"", "\"\"") + "\""
+      case r: Row => "\"" + graft.golden.Golden.fmt(r)
+        .replace("\"", "\"\"") + "\""
+      case other => graft.golden.Golden.fmt(other)
+    }
+    val hdr = if (withNames)
+      Seq(schema.fields.map(f => "\"" + f.name.replace("\"", "\"\"") +
+        "\"").mkString(",")) else Seq.empty
+    hdr ++ rows.map(r => r.toSeq.map(csvCell).mkString(","))
+  }
+
+  // ------------------------------------------------------------ JSON rows
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  /** 64-bit integers are emitted as JSON strings (ref Core/Settings.h
+    * output_format_json_quote_64bit_integers default true). */
+  private def jsonVal(v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _) => "null"
+    case (s: String, _) => jsonStr(s)
+    case (b: Boolean, _) => if (b) "true" else "false"
+    case (l: java.lang.Long, _) => "\"" + l + "\""
+    case (i: java.lang.Integer, _) => i.toString
+    case (i: java.lang.Short, _) => i.toString
+    case (i: java.lang.Byte, _) => i.toString
+    case (d: java.math.BigDecimal, t: DecimalType) if t.scale == 0 =>
+      "\"" + d.stripTrailingZeros.toPlainString + "\""
+    case (d: java.lang.Double, _) =>
+      if (d.isNaN) "nan"
+      else if (d.isInfinite) (if (d > 0) "inf" else "-inf")
+      else graft.golden.Golden.chDouble(d)
+    case (f: java.lang.Float, _) =>
+      if (f.isNaN) "nan"
+      else if (f.isInfinite) (if (f > 0) "inf" else "-inf")
+      else graft.golden.Golden.chFloat(f)
+    case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
+      a.map(jsonVal(_, et)).mkString("[", ",", "]")
+    case (r: Row, StructType(fs)) =>
+      r.toSeq.zip(fs.toSeq).map { case (x, f) => jsonVal(x, f.dataType) }
+        .mkString("[", ",", "]")
+    case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
+      m.map { case (k, x) =>
+        jsonStr(cell(k)) + ":" + jsonVal(x, vt)
+      }.mkString("{", ",", "}")
+    case (other, _) => jsonStr(cell(other))
+  }
+
+  private def jsonEachRow(schema: StructType, row: Row): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType)
+    }.mkString("{", ",", "}")
+}

@@ -104,7 +104,7 @@ object Golden {
     // exponent of the first digit (value = 0.digits * 10^(exp))
     val exp = e10 + dot
     val sb = new StringBuilder(if (neg) "-" else "")
-    if (exp > 20 || exp < -4) {
+    if (exp > 21 || exp < -5) {
       // 1 digit, then fraction, then e±exp (CH style: 1.5e16)
       sb.append(digits.head)
       if (digits.length > 1) sb.append('.').append(digits.tail)
@@ -121,6 +121,33 @@ object Golden {
 
   def formatDf(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(r => r.toSeq.map(fmt).mkString("\t"))
+
+  /** Split on top-level `UNION ALL` (outside parens/strings): each
+    * branch is a separate block for the Pretty output formats. */
+  private[golden] def splitTopLevelUnionAll(q: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    val ua = "(?is)^UNION\\s+ALL\\b".r
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'u' || c == 'U')) {
+        ua.findPrefixMatchOf(q.substring(i)) match {
+          case Some(m) =>
+            parts += q.substring(start, i)
+            i += m.end - 1
+            start = i + 1
+          case None =>
+        }
+      }
+      i += 1
+    }
+    parts += q.substring(start)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   private def stripComments(text: String): String =
     text.linesIterator
@@ -287,7 +314,66 @@ object Golden {
       // FORMAT Null: the statement runs but its result is discarded
       // (clickhouse-test uses it for error-only statements)
       val formatNull = clean.matches("(?is).*\\bFORMAT\\s+Null\\s*;?\\s*$")
-      if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull) {
+      val fmtRe = "(?is)\\bFORMAT\\s+([A-Za-z0-9]+)\\s*;?\\s*$".r
+      val fmtName = fmtRe.findFirstMatchIn(clean).map(_.group(1))
+        .filter(graft.formats.ChOutputFormats.supports)
+      if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull &&
+          fmtName.isDefined) {
+        // CH text output format: emulate the block structure (one table
+        // per block in the Pretty family) — top-level UNION ALL branches
+        // and max_block_size chunks each produce a block
+        val fmt = fmtName.get
+        val inlineBs = "(?is)\\bSETTINGS\\b[^;]*\\bmax_block_size\\s*=\\s*(\\d+)".r
+          .findFirstMatchIn(clean).map(_.group(1).toLong)
+        val blockSize = inlineBs
+          .orElse(settings.get("max_block_size").flatMap(v =>
+            scala.util.Try(v.trim.toLong).toOption))
+          .getOrElse(Long.MaxValue)
+        val bare = clean
+          .replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z0-9]+\\s*;?\\s*$", "")
+        val mono = graft.formats.ChOutputFormats.isMonoBlock(fmt)
+        val branches =
+          if (mono) Seq(bare)
+          else {
+            val parts = splitTopLevelUnionAll(bare)
+            // ORDER BY / LIMIT after the last branch applies to the whole
+            // union — don't split those
+            if (parts.length > 1 && parts.forall(p =>
+              p.matches("(?is)\\s*SELECT\\b(?s).*") &&
+                !p.matches("(?is).*\\b(ORDER\\s+BY|LIMIT)\\b.*"))) parts
+            else if (parts.length > 1 &&
+              parts.last.matches("(?is).*\\b(ORDER\\s+BY|LIMIT)\\b.*"))
+              Seq(bare)
+            else parts
+          }
+        var schema: org.apache.spark.sql.types.StructType = null
+        var totalsRows: Option[Seq[Row]] = None
+        val blocks = branches.flatMap { b =>
+          val (df0, tot) = graft.ChSql.sqlSplit(spark, b, sfDir)
+          val outerJoin = b.matches(
+            "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
+            !b.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*") &&
+            !settings.get("join_use_nulls").exists(_ == "1")
+          val df = if (outerJoin) graft.ChSql.fillJoinDefaults(df0) else df0
+          schema = df.schema
+          tot.foreach(t => totalsRows = Some(t.collect().toSeq))
+          val rows = df.collect().toSeq
+          if (blockSize == Long.MaxValue || rows.isEmpty) Seq(rows)
+          else rows.grouped(blockSize.toInt).toSeq
+        }
+        val ctx = graft.formats.ChOutputFormats.Ctx(k =>
+          settings.get(k).map(_.stripPrefix("'").stripSuffix("'")))
+        out ++= graft.formats.ChOutputFormats.render(
+          fmt, schema, blocks.filter(_.nonEmpty), ctx)
+        totalsRows.foreach { t =>
+          out += ""
+          out += "Totals:"
+          out ++= graft.formats.ChOutputFormats.render(
+            fmt, schema, Seq(t), ctx)
+        }
+      }
+      else if (clean.nonEmpty && !expectsError && !isSessionSet &&
+          !formatNull) {
         // FORMAT TSVWithNames: the output carries a header row of column
         // names (ref src/Processors/Formats/Impl/TabSeparatedRowOutputFormat)
         val withNames = clean.matches(
