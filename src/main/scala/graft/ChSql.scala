@@ -1790,6 +1790,7 @@ object ChSql {
     s = rewriteArrayJoin(s)
     // CH allows trailing semicolon
     s = s.replaceAll(";\\s*$", "")
+    s = chNullOrderText(s)
     if (s.matches("(?is).*\\bLIMIT\\s+\\d+\\s+BY\\b.*"))
       throw new IllegalArgumentException(
         "LIMIT n BY is not translated textually; use row_number() OVER " +
@@ -1822,9 +1823,9 @@ object ChSql {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.types._
         val key = m.group(1)
-        val base = chNullOrder(spark.sql(ChSql.translate(
+        val base = spark.sql(ChSql.translate(
           FillRe.replaceFirstIn(chQuery.trim.stripSuffix(";"),
-            s"ORDER BY $key"))), chQuery)
+            s"ORDER BY $key")))
         val keyType = base.schema(key).dataType
         // numeric view of the key: timestamps in epoch seconds, dates in
         // epoch days, numbers as themselves (Float keys fill fractionally)
@@ -1873,22 +1874,9 @@ object ChSql {
               .getOrElse(filled)
           case _ => base.orderBy(key)
         }
-      case None => chNullOrder(spark.sql(translate(chQuery)), chQuery)
+      case None => spark.sql(translate(chQuery))
     }
   }
-
-  private val ExplicitNullsRe = "(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r
-
-  /** CH's default ORDER BY places NULLs as if greatest: last on ASC,
-    * first on DESC (ref src/Core/SortDescription.h nulls_direction
-    * default = direction). Spark's default is nulls-as-smallest, so flip
-    * every defaulted SortOrder in the dialect-parsed plan. The logical
-    * plan can't distinguish Spark's default null placement from an
-    * explicit `NULLS FIRST/LAST` the user wrote, so a query carrying the
-    * keyword skips the flip entirely — explicit placement wins. */
-  private def chNullOrder(df: DataFrame, chQuery: String): DataFrame =
-    if (ExplicitNullsRe.findFirstIn(chQuery).isDefined) df
-    else chNullOrder(df)
 
   private def chNullOrder(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{

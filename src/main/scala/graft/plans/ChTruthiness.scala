@@ -94,5 +94,6 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChBoolAggRule)
     ext.injectResolutionRule(_ => ChIpCoercionRule)
     ext.injectResolutionRule(_ => ChEmptyAggRule)
+    ext.injectOptimizerRule(_ => ChUdtLiteralRule)
   }
 }
