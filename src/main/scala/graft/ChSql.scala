@@ -1878,19 +1878,96 @@ object ChSql {
     }
   }
 
-  private def chNullOrder(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      Ascending, Descending, NullsFirst, NullsLast, SortOrder}
-    val plan = df.queryExecution.logical
-    val fixed = plan.transformAllExpressions {
-      case SortOrder(c, Ascending, NullsFirst, se) =>
-        SortOrder(c, Ascending, NullsLast, se)
-      case SortOrder(c, Descending, NullsLast, se) =>
-        SortOrder(c, Descending, NullsFirst, se)
+  /** CH's default ORDER BY places NULLs as if greatest: last on ASC,
+    * first on DESC (ref src/Core/SortDescription.h: nulls_direction
+    * defaults to the sort direction). Spark's default is
+    * nulls-as-smallest, so make CH's default explicit per sort key in
+    * the query text — keys the user annotated with NULLS FIRST/LAST
+    * keep their explicit placement (a plan-level flip can't tell the
+    * two apart, hence the textual rewrite). */
+  private[graft] def chNullOrderText(sql: String): String = {
+    val terminators = Set("LIMIT", "OFFSET", "SETTINGS", "FORMAT",
+      "UNION", "EXCEPT", "INTERSECT", "INTO", "ROWS", "RANGE", "GROUPS",
+      "WITH", "INTERPOLATE")
+    val nullsRe = "(?is)\\bNULLS\\s+(FIRST|LAST)\\b".r
+    val descRe = "(?is)\\bDESC(ENDING)?\\s*$".r
+    // insertion point -> text, applied back-to-front at the end
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    def wordAt(i: Int): String = {
+      if (i >= sql.length || !Character.isLetter(sql(i))) return ""
+      var j = i
+      while (j < sql.length && (Character.isLetterOrDigit(sql(j)) || sql(j) == '_')) j += 1
+      sql.substring(i, j)
     }
-    if (fixed eq plan) df
-    else org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
-      df.sparkSession, fixed)
+    def isWordStart(i: Int): Boolean =
+      i == 0 || !(Character.isLetterOrDigit(sql(i - 1)) || sql(i - 1) == '_')
+    def endItem(start: Int, end: Int): Unit = {
+      val item = sql.substring(start, end)
+      if (item.trim.nonEmpty && nullsRe.findFirstIn(item).isEmpty) {
+        val placement =
+          if (descRe.findFirstIn(item.trim).isDefined) " NULLS FIRST"
+          else " NULLS LAST"
+        // trim trailing whitespace off the insertion point
+        var e = end
+        while (e > start && Character.isWhitespace(sql(e - 1))) e -= 1
+        inserts += ((e, placement))
+      }
+    }
+    var i = 0
+    var inStr = false
+    var inTick = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      } else if (inTick) { if (c == '`') inTick = false }
+      else if (c == '\'') inStr = true
+      else if (c == '`') inTick = true
+      else if (isWordStart(i) && wordAt(i).equalsIgnoreCase("ORDER")) {
+        // find the following BY
+        var j = i + 5
+        while (j < sql.length && Character.isWhitespace(sql(j))) j += 1
+        if (wordAt(j).equalsIgnoreCase("BY")) {
+          // scan the sort-item list
+          var k = j + 2
+          var depth = 0
+          var itemStart = k
+          var s2 = false; var t2 = false
+          var done = false
+          while (k < sql.length && !done) {
+            val ch = sql(k)
+            if (s2) { if (ch == '\\') k += 1 else if (ch == '\'') s2 = false }
+            else if (t2) { if (ch == '`') t2 = false }
+            else if (ch == '\'') s2 = true
+            else if (ch == '`') t2 = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') {
+              if (depth == 0) { endItem(itemStart, k); done = true }
+              else depth -= 1
+            } else if (ch == ',' && depth == 0) {
+              endItem(itemStart, k); itemStart = k + 1
+            } else if (depth == 0 && isWordStart(k)) {
+              val w = wordAt(k)
+              if (w.nonEmpty && terminators.contains(w.toUpperCase)) {
+                endItem(itemStart, k); done = true
+              }
+            }
+            if (!done) k += 1
+          }
+          if (!done) endItem(itemStart, sql.length)
+          i = j + 1 // keep scanning (nested ORDER BYs found separately)
+        }
+      }
+      i += 1
+    }
+    if (inserts.isEmpty) sql
+    else {
+      val sb = new StringBuilder(sql)
+      inserts.sortBy(-_._1).foreach { case (pos, txt) =>
+        sb.insert(pos, txt) }
+      sb.toString
+    }
   }
 
   /** Replace NULLs with CH type defaults in every column — the CH
