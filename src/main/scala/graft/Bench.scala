@@ -37,18 +37,26 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    force("q_prewhere") // warmup: JVM + codegen + parquet footer caches
+    // warmup: JVM + codegen + parquet footer caches. Guarded — a broken
+    // warmup query must degrade to a cold first headline run, not zero the
+    // round's entire perf signal (round-6 post-mortem).
+    try force("q_prewhere")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     // Median-of-3 per query: one noisy run (GC pause, box load) must not
     // cost a round of perf signal. `value`/`queries` carry the medians;
     // `queries_min` records the per-query floor for reference.
     val runs = 3
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headline.map { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try force(name)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200) }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       (name, times(runs / 2), times.head)
@@ -56,8 +64,11 @@ object Bench {
     def obj(f: ((String, Double, Double)) => Double): String = results
       .map { r => "\"" + r._1 + f"\":${f(r)}%.3f" }
       .mkString("{", ",", "}")
+    val errObj = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"errors":$errObj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

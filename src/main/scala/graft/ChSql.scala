@@ -1723,7 +1723,13 @@ object ChSql {
       "(?<![\\w.])(\\d{20,}(?:\\.\\d+)?|\\d+\\.\\d{30,})(?![\\w.])") { mm =>
       val txt = mm.group(1)
       val digits = txt.replace(".", "").length
-      if (digits <= 38 && !txt.contains(".")) txt
+      // integer literals beyond UInt64 max fall back to Float64 in the
+      // CH parser (ParserNumber): value and toTypeName must agree, so
+      // (2^64, 10^38] integers go through the DOUBLE branch too
+      if (!txt.contains(".") &&
+          BigInt(txt) > BigInt("18446744073709551615"))
+        java.util.regex.Matcher.quoteReplacement(
+          s"CAST('${txt.toDouble}' AS DOUBLE)")
       else if (digits <= 38) txt
       else java.util.regex.Matcher.quoteReplacement(
         s"CAST('${txt.toDouble}' AS DOUBLE)")

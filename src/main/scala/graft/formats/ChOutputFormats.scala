@@ -388,7 +388,9 @@ object ChOutputFormats {
       case d: java.sql.Date => "\"" + d.toString + "\""
       case t: java.sql.Timestamp =>
         "\"" + graft.golden.Golden.fmt(t) + "\""
-      case b: Boolean => if (b) "true" else "false"
+      // comparison results are UInt8 in CH: 1/0, not true/false
+      // (SerializationNumber<UInt8>::serializeTextCSV)
+      case b: Boolean => if (b) "1" else "0"
       case a: scala.collection.Seq[_] =>
         "\"" + graft.golden.Golden.fmt(a).replace("\"", "\"\"") + "\""
       case r: Row => "\"" + graft.golden.Golden.fmt(r)

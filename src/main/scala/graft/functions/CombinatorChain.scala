@@ -206,13 +206,22 @@ object CombinatorChain {
       case other => throw new IllegalArgumentException(
         s"unsupported combinator shape $other in $name")
     }
-    if (chain.contains(COrNull)) {
+    val withOrNull = if (chain.contains(COrNull)) {
       val contributed = masked.headOption match {
         case Some(v) => count(when(v.isNotNull, lit(1)))
         case None => count(when(cond.getOrElse(lit(true)), lit(1)))
       }
       when(contributed > 0, result)
     } else result
+    // -OrDefault: an empty set yields the return type's default (0, '',
+    // []) instead of NULL (ref AggregateFunctionOrFill.h kind=kDefault).
+    // The default literal depends on the RESOLVED result type, so the
+    // wrap is a RuntimeReplaceable that materializes at analysis time.
+    if (chain.contains(COrDefault))
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        ChDefaultIfNull(org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(withOrNull)))
+    else withOrNull
   }
 
   /** Positional fold of `rows` (a collected ARRAY of row-arrays):
@@ -230,4 +239,21 @@ object CombinatorChain {
     fold.finish(aggregate(rows, seed,
       (acc, row) => zip_with(acc, row, (a, x) => fold.step(a, x))))
   }
+}
+
+/** `coalesce(child, Literal.default(child.dataType))` where the default
+  * literal can only be chosen once the child's type is resolved — the
+  * -OrDefault combinator wrap (ref AggregateFunctionOrFill.h). Replacement
+  * is a plain Coalesce, so codegen sees no custom expression.
+  */
+case class ChDefaultIfNull(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[
+      org.apache.spark.sql.catalyst.expressions.Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, Literal}
+  override lazy val replacement: Expression =
+    Coalesce(Seq(child, Literal.default(child.dataType)))
+  override protected def withNewChildInternal(newChild: Expression)
+      : ChDefaultIfNull = copy(child = newChild)
 }
