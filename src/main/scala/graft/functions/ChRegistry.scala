@@ -1560,6 +1560,16 @@ object ChRegistry {
     // avgWeighted (ref AggregateFunctionAvgWeighted.h)
     f2("avgWeighted")((x, w) =>
       (sum(x.cast("double") * w.cast("double")) / sum(w.cast("double"))))
+    // long-tail niche aggregates (ref registerAggregateFunctions.cpp)
+    f1("sumCount")(NicheAggs.sumCount)
+    f1("singleValueOrNull")(NicheAggs.singleValueOrNull)
+    f1("anyHeavy")(NicheAggs.anyHeavy)
+    f2("boundingRatio")(NicheAggs.boundingRatio)
+    // Float64 result; CH's whole-number Float64 print coincides with the
+    // UInt64 print on integral input, so no type dispatch needed here
+    f2("intervalLengthSum")(NicheAggs.intervalLengthSum)
+    f2("maxIntersections")(NicheAggs.maxIntersections)
+    f2("maxIntersectionsPosition")(NicheAggs.maxIntersectionsPosition)
     // great-circle central angle in degrees (ref FunctionsGeo)
     f("greatCircleAngle") { case Seq(a, b, c, d) =>
       val (lon1, lat1, lon2, lat2) =

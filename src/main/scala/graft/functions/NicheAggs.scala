@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Long-tail aggregate functions from the reference's registry (ref
+  * src/AggregateFunctions/registerAggregateFunctions.cpp:20-94), expressed
+  * as Column builders over Spark's built-in aggregates and higher-order
+  * array functions — no UDAF state, so every one of these stays inside
+  * whole-stage codegen and partial (map-side) aggregation where the
+  * underlying collect permits.
+  *
+  * Scale notes: sumCount/singleValueOrNull/anyHeavy/boundingRatio compose
+  * plain distributive aggregates (one shuffle, partial agg on the map
+  * side). intervalLengthSum/maxIntersections collect the group's interval
+  * endpoints into an array and fold it — linear in group size, the same
+  * memory shape as the reference's PODArray state; fine for the
+  * event-per-entity groups they're meant for, same caveat as CH's own
+  * 0xFFFFFF-element cap (AggregateFunctionIntervalLengthSum.h:37).
+  */
+object NicheAggs {
+
+  /** sumCount(x) → tuple (sum, count) in one pass (ref
+    * AggregateFunctionSumCount.h). Count counts non-NULL rows, matching
+    * the Null-combinator wrap CH applies to Nullable input. */
+  def sumCount(x: Column): Column =
+    struct(sum(x).as("sum"), count(x).as("count"))
+
+  /** singleValueOrNull(x): the value if exactly one distinct non-NULL
+    * value was seen, else NULL (ref AggregateFunctionMinMaxAny.h
+    * AggregateFunctionSingleValueOrNullData::changeIfBetter). */
+  def singleValueOrNull(x: Column): Column =
+    when(count_distinct(x) === 1, first(x, ignoreNulls = true))
+
+  /** anyHeavy(x): the heavy-hitter value (ref AggregateFunctionMinMaxAny.h
+    * AggregateFunctionAnyHeavyData — Boyer-Moore majority vote). The
+    * reference guarantees the majority element only when one exists
+    * (frequency > 50%); otherwise the result is arbitrary. The exact mode
+    * is the deterministic superset of that contract. */
+  def anyHeavy(x: Column): Column = mode(x)
+
+  /** boundingRatio(x, y): slope between the leftmost and rightmost points,
+    * (y@max(x) − y@min(x)) / (max(x) − min(x)) (ref
+    * AggregateFunctionBoundingRatio.h getBoundingRatio). */
+  def boundingRatio(x: Column, y: Column): Column =
+    (max_by(y, x).cast("double") - min_by(y, x).cast("double")) /
+      (max(x).cast("double") - min(x).cast("double"))
+
+  /** intervalLengthSum(begin, end): total length of the union of the
+    * group's intervals (overlaps merged). Reversed intervals count by
+    * absolute length; zero-length intervals are skipped (ref
+    * AggregateFunctionIntervalLengthSum.h Data::add). Result is DOUBLE;
+    * callers on integral inputs cast to bigint to mirror the reference's
+    * UInt64 return tier. */
+  def intervalLengthSum(begin: Column, end: Column): Column = {
+    val seg = when(begin =!= end,
+      struct(least(begin, end).cast("double").as("b"),
+        greatest(begin, end).cast("double").as("e")))
+    // sorted segments, then one linear sweep: acc.cur = rightmost covered
+    // point so far, contribution = part of [b,e] past acc.cur
+    val sorted = array_sort(collect_list(seg))
+    aggregate(sorted,
+      struct(lit(0.0).as("total"), lit(Double.MinValue).as("cur")),
+      (acc, s) => struct(
+        (acc.getField("total") +
+          greatest(s.getField("e") -
+            greatest(s.getField("b"), acc.getField("cur")), lit(0.0)))
+          .as("total"),
+        greatest(acc.getField("cur"), s.getField("e")).as("cur")),
+      acc => acc.getField("total"))
+  }
+
+  /** maxIntersections(begin, end): maximum number of simultaneously
+    * overlapping intervals. Endpoint sweep sorted by (position, weight) —
+    * an end (−1) sorts before a begin (+1) at the same position, so
+    * touching intervals do not intersect (ref
+    * AggregateFunctionMaxIntersections.h insertResultInto). */
+  def maxIntersections(begin: Column, end: Column): Column =
+    sweep(begin, end).getField("mx").cast("bigint")
+
+  /** maxIntersectionsPosition: the position where [[maxIntersections]]
+    * first reaches its maximum (strict-improvement scan, so the FIRST
+    * position attaining the max wins). */
+  def maxIntersectionsPosition(begin: Column, end: Column): Column =
+    sweep(begin, end).getField("pos")
+
+  private def sweep(begin: Column, end: Column): Column = {
+    val pts = flatten(collect_list(array(
+      struct(begin.cast("double").as("p"), lit(1).as("d")),
+      struct(end.cast("double").as("p"), lit(-1).as("d")))))
+    aggregate(array_sort(pts),
+      struct(lit(0L).as("cur"), lit(0L).as("mx"),
+        lit(null).cast("double").as("pos")),
+      (acc, s) => {
+        val cur = acc.getField("cur") + s.getField("d")
+        struct(cur.as("cur"),
+          greatest(acc.getField("mx"), cur).as("mx"),
+          when(cur > acc.getField("mx"), s.getField("p"))
+            .otherwise(acc.getField("pos")).as("pos"))
+      })
+  }
+}

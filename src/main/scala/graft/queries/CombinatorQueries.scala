@@ -136,6 +136,151 @@ object CombinatorQueries {
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("p50_approx"))
         .orderBy("l_returnflag")
+    },
+
+    // sumCount (ref AggregateFunctionSumCount.h): (sum, count) tuple in
+    // one pass; projected to columns for the comparator
+    Q.df("q_sum_count",
+      """SELECT l_returnflag,
+        |       round(sum(l_quantity), 2)  AS sc_sum,
+        |       count(l_quantity)          AS sc_count
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(NicheAggs.sumCount(col("l_quantity")).as("sc"))
+        .select(col("l_returnflag"),
+          round(col("sc.sum"), 2).as("sc_sum"),
+          col("sc.count").as("sc_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // singleValueOrNull (ref AggregateFunctionMinMaxAny.h): the value if
+    // the group has exactly one distinct value, else NULL
+    Q.df("q_single_value",
+      """SELECT l_orderkey,
+        |       CASE WHEN count(DISTINCT l_returnflag) = 1
+        |            THEN min(l_returnflag) END AS sv
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(NicheAggs.singleValueOrNull(col("l_returnflag")).as("sv"))
+        .orderBy("l_orderkey")
+    },
+
+    // anyHeavy (ref AggregateFunctionMinMaxAny.h AnyHeavyData): heavy
+    // hitter — deterministic exactly when a true majority exists, which
+    // the 80/20 split below guarantees; both sides compute the mode
+    Q.df("q_any_heavy",
+      """SELECT l_returnflag,
+        |       mode(CASE WHEN l_quantity <= 40 THEN 'common'
+        |                 ELSE 'rare-' || CAST(l_linenumber AS VARCHAR) END)
+        |         AS heavy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(NicheAggs.anyHeavy(
+          when(col("l_quantity") <= 40, lit("common"))
+            .otherwise(concat(lit("rare-"),
+              col("l_linenumber").cast("string")))).as("heavy"))
+        .orderBy("l_returnflag")
+    },
+
+    // intervalLengthSum (ref AggregateFunctionIntervalLengthSum.h): union
+    // length of the group's intervals, overlaps merged. Integer intervals
+    // derived from event_id so both sides are exact.
+    Q.df("q_interval_sum",
+      """WITH iv AS (SELECT user_id, event_id % 1000 AS b,
+        |                   (event_id % 1000) + (event_id % 13) AS e
+        |            FROM events WHERE event_id % 13 <> 0),
+        |w AS (SELECT user_id, b, e,
+        |             max(e) OVER (PARTITION BY user_id ORDER BY b, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS pmax
+        |      FROM iv)
+        |SELECT user_id,
+        |       CAST(sum(greatest(e - greatest(b, coalesce(pmax, b)), 0))
+        |            AS BIGINT) AS ilen
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") % 13 =!= 0)
+        .select(col("user_id"), (col("event_id") % 1000).as("b"),
+          ((col("event_id") % 1000) + (col("event_id") % 13)).as("e"))
+        .groupBy("user_id")
+        .agg(NicheAggs.intervalLengthSum(col("b"), col("e"))
+          .cast("bigint").as("ilen"))
+        .orderBy("user_id")
+    },
+
+    // boundingRatio (ref AggregateFunctionBoundingRatio.h): slope between
+    // the leftmost and rightmost (x, y) points; event_id is unique per
+    // group so the endpoints are well-defined
+    Q.df("q_bounding_ratio",
+      """SELECT user_id,
+        |       round((arg_max(value, event_id) - arg_min(value, event_id)) /
+        |             (max(event_id) - min(event_id)), 6) AS br
+        |FROM events GROUP BY user_id HAVING count(*) > 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(round(NicheAggs.boundingRatio(col("event_id"), col("value")), 6)
+          .as("br"), count(lit(1)).as("n"))
+        .filter(col("n") > 1).drop("n")
+        .orderBy("user_id")
+    },
+
+    // maxIntersections (ref AggregateFunctionMaxIntersections.h): peak
+    // number of simultaneously overlapping intervals, endpoint sweep
+    // sorted by (position, weight) so touching intervals don't intersect
+    Q.df("q_max_intersections",
+      """WITH iv AS (SELECT user_id, event_id % 1000 AS b,
+        |                   (event_id % 1000) + (event_id % 13) AS e
+        |            FROM events WHERE event_id % 13 <> 0),
+        |pts AS (SELECT user_id, b AS p, 1 AS d FROM iv
+        |        UNION ALL SELECT user_id, e, -1 FROM iv),
+        |r AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id
+        |          ORDER BY p, d ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM pts)
+        |SELECT user_id, CAST(max(run) AS BIGINT) AS mi
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") % 13 =!= 0)
+        .select(col("user_id"), (col("event_id") % 1000).as("b"),
+          ((col("event_id") % 1000) + (col("event_id") % 13)).as("e"))
+        .groupBy("user_id")
+        .agg(NicheAggs.maxIntersections(col("b"), col("e")).as("mi"))
+        .orderBy("user_id")
+    },
+
+    // -OrDefault combinator through the chain synthesizer (ref
+    // AggregateFunctionOrFill.h kind=kDefault): an empty -If selection
+    // yields the return type's default, not NULL — exercises
+    // ChDefaultIfNull where plain sum's zero-coalesce doesn't apply
+    Q.df("q_or_default_chain",
+      """SELECT coalesce(min(CASE WHEN l_quantity > 100000
+        |                         THEN CAST(l_quantity AS DOUBLE) END), 0)
+        |         AS min_or_default,
+        |       coalesce(max(CASE WHEN l_quantity > 100000
+        |                         THEN CAST(l_quantity AS DOUBLE) END), 0)
+        |         AS max_or_default
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import graft.functions.CombinatorChain
+      Tables.load(s, dir, "lineitem")
+        .agg(
+          CombinatorChain.build("minIfOrDefault",
+            Seq(col("l_quantity").cast("double"),
+              col("l_quantity") > 100000)).as("min_or_default"),
+          CombinatorChain.build("maxIfOrDefault",
+            Seq(col("l_quantity").cast("double"),
+              col("l_quantity") > 100000)).as("max_or_default"))
     }
   )
 }
