@@ -60,24 +60,34 @@ object ChSql {
       s"cast((${l.substring(arrow + 2)}) AS boolean)"
   }
 
+  // 1-based index of the first/last pred-true position over the (zipped)
+  // lambda arrays, 0 when none — shared by the arrayFirst/Last family so
+  // multi-array lambdas ((x, f) -> f) work uniformly
+  private def firstIdx(l: String, as: Seq[String]): String =
+    s"cast(coalesce(array_position(${predArr(boolL(l), as)}, true), 0) AS INT)"
+  private def lastIdx(l: String, as: Seq[String]): String =
+    s"cast(if(size(${as.head}) = 0, 0, coalesce(array_max(zip_with(" +
+      s"${predArr(boolL(l), as)}, sequence(1, size(${as.head})), " +
+      s"(p, i) -> if(p, i, 0))), 0)) AS INT)"
+
   private val hofRewrites: Map[String, (String, Seq[String]) => String] = Map(
-    "arrayCount" -> ((l, as) => s"size(filter(${as.head}, ${boolL(l)}))"),
+    "arrayCount" -> ((l, as) =>
+      s"size(filter(${predArr(boolL(l), as)}, p -> p))"),
     // no-match yields the element type's DEFAULT (ref arrayFirstLast.cpp),
-    // which is exactly chElementAt's out-of-range contract
+    // which is exactly chElementAt's out-of-range contract (index 0 is
+    // out of range in the 1-based convention)
     "arrayFirst" -> ((l, as) =>
-      s"chElementAt(filter(${as.head}, ${boolL(l)}), 1)"),
-    "arrayFirstIndex" -> ((l, as) =>
-      s"coalesce(array_position(transform(${as.head}, ${boolL(l)}), true), 0L)"),
-    "arrayFirstOrNull" -> ((l, as) => s"get(filter(${as.head}, ${boolL(l)}), 0)"),
+      s"chElementAt(${as.head}, ${firstIdx(l, as)})"),
+    "arrayFirstIndex" -> ((l, as) => s"${firstIdx(l, as)}"),
+    // get() is 0-based and NULL out of range — the OrNull contract; the
+    // matched element itself may be NULL and stays NULL
+    "arrayFirstOrNull" -> ((l, as) =>
+      s"get(${as.head}, ${firstIdx(l, as)} - 1)"),
     "arrayLast" -> ((l, as) =>
-      s"chElementAt(filter(${as.head}, ${boolL(l)}), -1)"),
+      s"chElementAt(${as.head}, ${lastIdx(l, as)})"),
     "arrayLastOrNull" -> ((l, as) =>
-      s"get(filter(${as.head}, ${boolL(l)}), size(filter(${as.head}, ${boolL(l)})) - 1)"),
-    // last matching 1-based index, 0 when none: max over masked indices
-    "arrayLastIndex" -> ((l, as) =>
-      s"if(size(${as.head}) = 0, 0, coalesce(array_max(zip_with(" +
-        s"transform(${as.head}, ${boolL(l)}), sequence(1, size(${as.head})), " +
-        s"(p, i) -> if(p, i, 0))), 0))"),
+      s"get(${as.head}, ${lastIdx(l, as)} - 1)"),
+    "arrayLastIndex" -> ((l, as) => s"${lastIdx(l, as)}"),
     "arrayFill" -> ((l, as) => fillExpr(as.head, predArr(l, as))),
     "arrayReverseFill" -> ((l, as) =>
       s"reverse(${fillExpr(s"reverse(${as.head})",
@@ -1880,8 +1890,31 @@ object ChSql {
               .getOrElse(filled)
           case _ => base.orderBy(key)
         }
-      case None => spark.sql(translate(chQuery))
+      case None => fillRollupDefaults(chQuery, spark.sql(translate(chQuery)))
     }
+  }
+
+  /** CH WITH ROLLUP/CUBE subtotal rows carry the key's type DEFAULT, not
+    * NULL (group_by_use_nulls=0 default; ref
+    * src/Processors/Transforms/RollupTransform.cpp). Spark emits NULL, so
+    * coalesce the key output columns. Safe because a CH non-Nullable key
+    * can never be NULL in data rows; Nullable keys keep NULL via the
+    * Nullable default anyway. */
+  private def fillRollupDefaults(chQuery: String,
+      df: DataFrame): DataFrame = {
+    val m = "(?is)\\bGROUP\\s+BY\\s+(.*?)\\bWITH\\s+(ROLLUP|CUBE)\\b".r
+      .findFirstMatchIn(chQuery)
+    if (m.isEmpty) return df
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val keys = m.get.group(1).split(",").map(
+      _.trim.stripPrefix("`").stripSuffix("`").toLowerCase).toSet
+    df.select(df.schema.fields.map { f =>
+      if (keys.contains(f.name.toLowerCase))
+        defaultLit(f.dataType)
+          .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name))
+          .getOrElse(col(s"`${f.name}`"))
+      else col(s"`${f.name}`")
+    }.toSeq: _*)
   }
 
   /** CH's default ORDER BY places NULLs as if greatest: last on ASC,

@@ -41,7 +41,7 @@ object ChOutputFormats {
     "prettyspacenoescapesmonoblock")
 
   private val others = Set("vertical", "values", "csv", "csvwithnames",
-    "tsvraw", "tabseparatedraw", "jsoneachrow")
+    "tsvraw", "tabseparatedraw", "jsoneachrow", "lineasstring")
 
   def supports(fmt: String): Boolean = {
     val f = fmt.toLowerCase
@@ -75,7 +75,14 @@ object ChOutputFormats {
           case null => "\\N"
           case v => cell(v)
         }.mkString("\t"))
-      case "jsoneachrow" => bs.flatten.map(jsonEachRow(schema, _))
+      // raw row text, no escaping (ref LineAsStringRowOutputFormat)
+      case "lineasstring" =>
+        bs.flatten.map(r => r.toSeq.map(cell).mkString("\t"))
+      case "jsoneachrow" =>
+        // ref Core/Settings.h output_format_json_escape_forward_slashes
+        // default true
+        val esc = ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
+        bs.flatten.map(jsonEachRow(schema, _, esc))
       case other => sys.error(s"unsupported format $other")
     }
   }
@@ -405,11 +412,12 @@ object ChOutputFormats {
 
   // ------------------------------------------------------------ JSON rows
 
-  private def jsonStr(s: String): String = {
+  private def jsonStr(s: String, escSlash: Boolean = false): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")
       case '\\' => sb.append("\\\\")
+      case '/' if escSlash => sb.append("\\/")
       case '\b' => sb.append("\\b")
       case '\f' => sb.append("\\f")
       case '\n' => sb.append("\\n")
@@ -423,9 +431,10 @@ object ChOutputFormats {
 
   /** 64-bit integers are emitted as JSON strings (ref Core/Settings.h
     * output_format_json_quote_64bit_integers default true). */
-  private def jsonVal(v: Any, dt: DataType): String = (v, dt) match {
+  private def jsonVal(v: Any, dt: DataType,
+      escSlash: Boolean = false): String = (v, dt) match {
     case (null, _) => "null"
-    case (s: String, _) => jsonStr(s)
+    case (s: String, _) => jsonStr(s, escSlash)
     case (b: Boolean, _) => if (b) "true" else "false"
     case (l: java.lang.Long, _) => "\"" + l + "\""
     case (i: java.lang.Integer, _) => i.toString
@@ -442,19 +451,21 @@ object ChOutputFormats {
       else if (f.isInfinite) (if (f > 0) "inf" else "-inf")
       else graft.golden.Golden.chFloat(f)
     case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
-      a.map(jsonVal(_, et)).mkString("[", ",", "]")
+      a.map(jsonVal(_, et, escSlash)).mkString("[", ",", "]")
     case (r: Row, StructType(fs)) =>
-      r.toSeq.zip(fs.toSeq).map { case (x, f) => jsonVal(x, f.dataType) }
+      r.toSeq.zip(fs.toSeq)
+        .map { case (x, f) => jsonVal(x, f.dataType, escSlash) }
         .mkString("[", ",", "]")
     case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
       m.map { case (k, x) =>
-        jsonStr(cell(k)) + ":" + jsonVal(x, vt)
+        jsonStr(cell(k), escSlash) + ":" + jsonVal(x, vt, escSlash)
       }.mkString("{", ",", "}")
-    case (other, _) => jsonStr(cell(other))
+    case (other, _) => jsonStr(cell(other), escSlash)
   }
 
-  private def jsonEachRow(schema: StructType, row: Row): String =
+  private def jsonEachRow(schema: StructType, row: Row,
+      escSlash: Boolean): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType)
+      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType, escSlash)
     }.mkString("{", ",", "}")
 }

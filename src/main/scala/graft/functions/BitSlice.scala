@@ -17,6 +17,15 @@ case class ChBinString(child: Expression)
     val bytes = v match {
       case u: UTF8String => u.getBytes
       case b: Array[Byte] => b
+      // floats render their raw IEEE bytes in MEMORY (little-endian)
+      // order, unlike integers' trimmed big-endian print (ref
+      // src/Functions/FunctionsCodingHex: executeFloatAndDecimal)
+      case f: java.lang.Float =>
+        val bits = java.lang.Float.floatToIntBits(f)
+        Array.tabulate[Byte](4)(i => ((bits >>> (8 * i)) & 0xff).toByte)
+      case d: java.lang.Double =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        Array.tabulate[Byte](8)(i => ((bits >>> (8 * i)) & 0xff).toByte)
     }
     val sb = new java.lang.StringBuilder(bytes.length * 8)
     var i = 0

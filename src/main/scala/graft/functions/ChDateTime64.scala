@@ -366,3 +366,20 @@ case class MakeChDateTime(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): MakeChDateTime = copy(children = cs)
 }
+
+/** DateTime64 → Int64: the WHOLE seconds part, truncated toward zero
+  * (ref DataTypeDateTime64 → Int64 via DecimalUtils::getWholePart), where
+  * Spark's timestamp→long cast floors. */
+case class Dt64ToInt64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "toInt64"
+  override protected def nullSafeEval(v: Any): Any = {
+    val r = v.asInstanceOf[InternalRow]
+    val ticks = r.getLong(0)
+    val unit = ChDT64.pow10(r.getInt(1))
+    ticks / unit // Java integer division truncates toward zero
+  }
+  override protected def withNewChildInternal(c: Expression): Dt64ToInt64 =
+    copy(child = c)
+}

@@ -18,7 +18,20 @@ object ch {
   def toInt8(c: Column): Column = c.cast("tinyint")
   def toInt16(c: Column): Column = c.cast("smallint")
   def toInt32(c: Column): Column = c.cast("int")
-  def toInt64(c: Column): Column = c.cast("bigint")
+  def toInt64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    val e = EE(c)
+    // sub-second values truncate TOWARD ZERO in CH (ref
+    // DateTimeTransforms.h: DecimalUtils::getWholePart), while Spark's
+    // timestamp→long cast floors
+    if (e.resolved && e.dataType.isInstanceOf[DateTime64UDT])
+      CC(Dt64ToInt64(e))
+    else if (e.resolved && (e.dataType ==
+        org.apache.spark.sql.types.TimestampType ||
+        e.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      c.cast("double").cast("bigint")
+    else c.cast("bigint")
+  }
   // UInt64 has no Spark twin (SURVEY §1.2) — widest signed integer
   def toUInt8(c: Column): Column = c.cast("smallint")
   def toUInt16(c: Column): Column = c.cast("int")
@@ -325,7 +338,10 @@ object ch {
       when(length(c) === 0, array().cast("array<string>"))
         .otherwise(split(c, "(?!^)(?!$)"))
     else split(c, re)
-  def splitByWhitespace(c: Column): Column = split(c, "\\s+")
+  // leading/trailing whitespace produces NO boundary empties (ref
+  // FunctionsStringArray.h SplitByWhitespaceImpl skips separator runs)
+  def splitByWhitespace(c: Column): Column =
+    array_remove(split(c, "\\s+"), "")
   def alphaTokens(c: Column): Column =
     array_remove(split(c, "[^A-Za-z]+"), "")
   // whitespace AND punctuation separators (ref FunctionsStringArray.h:40)
@@ -656,7 +672,9 @@ object ch {
     val e = EE(c)
     // strings render per byte (8 bits each); numbers via Catalyst Bin
     if (e.resolved && (e.dataType == org.apache.spark.sql.types.StringType ||
-        e.dataType == org.apache.spark.sql.types.BinaryType))
+        e.dataType == org.apache.spark.sql.types.BinaryType ||
+        e.dataType == org.apache.spark.sql.types.FloatType ||
+        e.dataType == org.apache.spark.sql.types.DoubleType))
       return CC(ChBinString(e))
     val b = CC(org.apache.spark.sql.catalyst.expressions.Bin(EE(c)))
     val pad = (lit(8) - length(b) % 8) % 8

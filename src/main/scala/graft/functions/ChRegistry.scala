@@ -347,12 +347,17 @@ object ChRegistry {
     f2("has")(ch.has); f2("hasAll")(ch.hasAll); f2("hasAny")(ch.hasAny)
     f2("indexOf")(ch.indexOf); f2("countEqual")(ch.countEqual)
     f1("emptyArrayInt64")(_ => ch.emptyArrayInt64())
+    // containsNull=false: CH Array(T) elements are non-Nullable, and the
+    // arrayElement out-of-range default (vs NULL) contract depends on it
     for ((n, t) <- Seq("UInt8" -> "smallint", "UInt16" -> "int",
         "UInt32" -> "bigint", "UInt64" -> "bigint", "Int8" -> "tinyint",
         "Int16" -> "smallint", "Int32" -> "int", "Float32" -> "float",
         "Float64" -> "double", "String" -> "string", "Date" -> "date",
         "DateTime" -> "timestamp"))
-      f(s"emptyArray$n")(_ => array().cast(s"array<$t>"))
+      f(s"emptyArray$n")(_ => array().cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DataType.fromDDL(t),
+          containsNull = false)))
     f("range") {
       case Seq(n) => ch.rangeCh(C(n))
       case Seq(a, b) => sequence(C(a), C(b) - 1) }
@@ -1086,12 +1091,20 @@ object ChRegistry {
       case Seq(x, c) =>
         count(when(C(c).cast("boolean") && C(x).isNotNull, lit(1)))
     }
+    // zero-fill only for CH-non-Nullable values: sumIf(NULL, 1) is NULL,
+    // sumIf(1, NULL) is 0 (02494_combinators_with_null_argument)
     f2("sumIf") { (v, c) =>
-      val base = sum(when(c.cast("boolean"), v))
+      val masked = when(c.cast("boolean"), v)
+      val base = sum(masked)
       if (org.apache.spark.sql.internal.SQLConf.get.getConfString(
         "graft.ch.aggregate_functions_null_for_empty", "0").trim == "1")
         base
-      else coalesce(base, lit(0))
+      else {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(CombinatorChain
+          .sumZeroFill(ColumnBridge.expression(base),
+            ColumnBridge.expression(masked)))
+      }
     }
     f2("avgIf")((v, c) => avg(when(c.cast("boolean"), v)))
     f2("minIf")((v, c) => min(when(c.cast("boolean"), v)))
@@ -1266,10 +1279,12 @@ object ChRegistry {
 
     // text-analysis extras (ref FunctionsLanguageClassification.cpp)
     f1("detectLanguage")(TextAnalysis.languageId)
-    // tokens splits on NON-ALPHANUMERIC runs, not whitespace (ref
-    // src/Functions/tokens — 'a, b' → ['a','b'])
+    // tokens splits on ASCII non-alphanumeric runs only: every byte
+    // ≥ 0x80 is a token byte, so ZWNJ and combining marks stay inside
+    // their token (ref SplitTokenExtractor::nextInString —
+    // isAlphaNumericASCII || !isASCII)
     f1("tokens")(c =>
-      filter(split(c, "[^\\p{L}\\p{Nd}]+"), x => x =!= ""))
+      filter(split(c, "[\\p{ASCII}&&[^A-Za-z0-9]]+"), x => x =!= ""))
     // CH aliases REGEXP_REPLACE to replaceRegexpAll, whose replacement
     // uses \1-style backrefs; shadows Spark's builtin of the same name,
     // so build the RegExpReplace node directly (a functions.* call here

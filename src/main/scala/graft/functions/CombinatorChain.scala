@@ -23,8 +23,18 @@ object CombinatorChain {
   private def nullForEmpty: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.getConfString(
       "graft.ch.aggregate_functions_null_for_empty", "0").trim == "1"
-  private def orZero(c: Column): Column =
-    if (nullForEmpty) c else coalesce(c, lit(0))
+  /** Zero-fill for sum over an empty/all-filtered set — but ONLY when the
+    * input is CH-non-Nullable: `sumIf(NULL, 1)` stays NULL while
+    * `sumIf(1, NULL)` is 0 (02494_combinators_with_null_argument). The
+    * nullability check needs the RESOLVED input, hence the deferred
+    * [[ChSumZeroFill]] wrap. */
+  private def orZero(c: Column, probe: Column): Column =
+    if (nullForEmpty) c
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(ChSumZeroFill(
+        ColumnBridge.expression(c), ColumnBridge.expression(probe)))
+    }
 
   /** Element-level fold twin: combine an accumulator with one element.
     * A null accumulator means "nothing yet"; null elements are absent. */
@@ -48,13 +58,18 @@ object CombinatorChain {
   }
 
   private val bases: Map[String, Base] = Seq(
-    Base("sum", as => orZero(sum(as.head)),
+    Base("sum", as => orZero(sum(as.head), as.head),
       fold = Some(Fold((acc, x) =>
         when(acc.isNull, x).otherwise(
           when(x.isNull, acc).otherwise(acc + x)))),
-      mergeAgg = Some(c => orZero(sum(c))),
-      arrayAgg = Some(arr => orZero(sum(aggregate(arr, lit(0L),
-        (acc, x) => acc + coalesce(x.cast("bigint"), lit(0))))))),
+      mergeAgg = Some(c => orZero(sum(c), c)),
+      // null-skipping fold with a typed-null seed: an all-NULL (or empty)
+      // row array folds to NULL, so sumArray([NULL, NULL]) stays NULL
+      // while the zero-fill still applies for non-Nullable elements
+      arrayAgg = Some(arr => orZero(sum(aggregate(arr,
+        get(slice(arr, 1, 0), lit(0)).cast("bigint"),
+        (acc, x) => when(acc.isNull, x.cast("bigint")).otherwise(
+          when(x.isNull, acc).otherwise(acc + x.cast("bigint"))))), arr))),
     Base("count", {
       case Seq() => count(lit(1))
       case as => count(when(as.map(_.isNotNull).reduce(_ && _), lit(1)))
@@ -224,6 +239,13 @@ object CombinatorChain {
     else withOrNull
   }
 
+  /** Expression-level hook for dedicated registrations (sumIf). */
+  def sumZeroFill(
+      agg: org.apache.spark.sql.catalyst.expressions.Expression,
+      probe: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    ChSumZeroFill(agg, probe)
+
   /** Positional fold of `rows` (a collected ARRAY of row-arrays):
     * result[i] = base-fold over the i-th elements. zip_with pads the
     * shorter side with nulls, which the folds treat as absent, so the
@@ -246,6 +268,53 @@ object CombinatorChain {
   * -OrDefault combinator wrap (ref AggregateFunctionOrFill.h). Replacement
   * is a plain Coalesce, so codegen sees no custom expression.
   */
+/** Conditional empty-set zero-fill for sum-family combinators: coalesce to
+  * the type default only when the probe expression is CH-non-Nullable
+  * (ref AggregateFunctionSum.h + AggregateFunctionNull wrap: a Nullable
+  * input yields NULL when no non-NULL value was aggregated). The probe is
+  * never evaluated; [[ChSumZeroFillRule]] rewrites this node during
+  * RESOLUTION — it cannot be RuntimeReplaceable because the probe's bare
+  * attributes would trip the MISSING_GROUP_BY analysis check before the
+  * optimizer could drop them. Array-typed probes check ELEMENT
+  * nullability (-Array form).
+  */
+case class ChSumZeroFill(
+    agg: org.apache.spark.sql.catalyst.expressions.Expression,
+    probe: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Expression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, Literal}
+  override def children: Seq[Expression] = Seq(agg, probe)
+  override def dataType: org.apache.spark.sql.types.DataType = agg.dataType
+  override def nullable: Boolean = agg.nullable
+  def resolvedForm: Expression = {
+    val nonNullable = probe.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, containsNull) =>
+        !containsNull && graft.plans.ChEmptyAggRule.chNonNullable(probe)
+      case _ => graft.plans.ChEmptyAggRule.chNonNullable(probe)
+    }
+    if (nonNullable) Coalesce(Seq(agg, Literal.default(agg.dataType)))
+    else agg
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): ChSumZeroFill =
+    copy(agg = cs(0), probe = cs(1))
+}
+
+/** Resolution rule: replace [[ChSumZeroFill]] with its decided form as
+  * soon as both sides are resolved — before the analyzer's
+  * aggregate-reference checks see the probe's bare attributes. */
+object ChSumZeroFillRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case z: ChSumZeroFill if z.childrenResolved => z.resolvedForm
+    }
+}
+
 case class ChDefaultIfNull(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable

@@ -40,20 +40,26 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
     * VALUE is non-Nullable in CH terms — a when(cond, v) mask from the
     * -If combinator doesn't make it Nullable, an explicit
     * Nullable(T) cast (KnownNullable) does. */
+  /** CH-visible non-nullability of an expression: a when(cond, v) mask
+    * from -If doesn't make it Nullable, an explicit Nullable(T) cast
+    * (KnownNullable) does; CH CAST (cast_keep_nullable=0) strips it. */
+  def chNonNullable(e: Expression): Boolean = e match {
+    case CaseWhen(branches, None) =>
+      branches.forall(b => chNonNullable(b._2))
+    case _: KnownNullable => false
+    // CAST strips nullability — except of the NULL literal itself
+    // (CAST(NULL AS T) stays Nullable(T); coercion wraps bare NULL
+    // branch values this way)
+    case c: Cast =>
+      c.child.dataType != org.apache.spark.sql.types.NullType
+    case t: graft.functions.ChUIntTag => chNonNullable(t.child)
+    case other => !other.nullable
+  }
+
   private def defaultable(
       f: org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateFunction): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
-    def chNonNullable(e: Expression): Boolean = e match {
-      case CaseWhen(branches, None) =>
-        branches.forall(b => chNonNullable(b._2))
-      case _: KnownNullable => false
-      // CH CAST (cast_keep_nullable = 0 default) strips nullability —
-      // an explicitly Nullable target arrives as KnownNullable above
-      case _: Cast => true
-      case t: graft.functions.ChUIntTag => chNonNullable(t.child)
-      case other => !other.nullable
-    }
     f match {
       // a CH-Nullable input makes sum Nullable too: all-NULL input
       // yields NULL, not 0 (01281_sum_nullable)

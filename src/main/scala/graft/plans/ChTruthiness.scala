@@ -94,6 +94,7 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChBoolAggRule)
     ext.injectResolutionRule(_ => ChIpCoercionRule)
     ext.injectResolutionRule(_ => ChEmptyAggRule)
+    ext.injectResolutionRule(_ => graft.functions.ChSumZeroFillRule)
     ext.injectOptimizerRule(_ => ChUdtLiteralRule)
   }
 }

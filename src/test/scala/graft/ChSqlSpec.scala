@@ -55,6 +55,21 @@ class ChSqlSpec extends SparkSpec {
     assert(r.getDecimal(1).doubleValue === 0.5)
   }
 
+  test("over-UInt64 integer literals are Float64: value and type agree") {
+    // CH's parser reads integers beyond UInt64 max as Float64
+    // (ParserNumber fallback): 2^64 prints in float form and toTypeName
+    // must say Float64 — not an exact DECIMAL with a Float64 label
+    val r = ChSql.sql(spark,
+      "SELECT 18446744073709551616 AS v, toTypeName(18446744073709551616) AS t",
+      SparkSpec.tiny).head
+    assert(r.get(0) === 1.8446744073709552e19)
+    assert(r.getString(1) === "Float64")
+    // UInt64 max itself stays exact
+    val m = ChSql.sql(spark,
+      "SELECT toTypeName(18446744073709551615) AS t", SparkSpec.tiny).head
+    assert(m.getString(0) === "UInt64")
+  }
+
   test("ANY/ALL join strictness strips to plain joins") {
     val n = ChSql.sql(spark,
       """SELECT count() AS c FROM nation AS n
