@@ -690,6 +690,11 @@ object ChSql {
           if (c == ')') d += 1
           else if (c == '(') { if (d == 0) { condStart = i + 1; stop = true } else d -= 1 }
           else if (d == 0 && c == ',') { condStart = i + 1; stop = true }
+          // a lambda arrow bounds the condition: `x -> x = 0 ? a : b`
+          // conditions on `x = 0`, keeping the lambda head intact
+          else if (d == 0 && c == '>' && i > 0 && s.charAt(i - 1) == '-') {
+            condStart = i + 1; stop = true
+          }
           else if (d == 0 && c.isLetter) {
             val w = "(?i)\\b(select|where|when|then|else|and|or|by|having|as)\\s*$"
             val tail = s.substring(0, i + 1)
@@ -928,6 +933,102 @@ object ChSql {
 
   /** Apply a regex replacement only OUTSIDE single-quoted literals. */
   /** Like [[replaceOutsideStrings]] but with a Match→String function. */
+  /** `untuple((a, b, …))` / `untuple(tuple(a, b, …))` → `a, b, …`
+    * (ref src/Functions/untuple: expands a tuple into separate result
+    * columns). Textual splice of the literal-tuple forms, innermost
+    * first so nested untuples unfold; the named `AS x` form (columns
+    * x.1…x.N) is not expressible by splicing and stays unsupported. */
+  private[graft] def rewriteUntuple(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var idx = s.indexOf("untuple(")
+    while (idx >= 0 && guard < 64) {
+      guard += 1
+      // word boundary
+      if (idx > 0 && (Character.isLetterOrDigit(s.charAt(idx - 1)) ||
+          s.charAt(idx - 1) == '_')) {
+        idx = s.indexOf("untuple(", idx + 1)
+      } else {
+        var d = 0; var i = idx + 7; var close = -1; var inStr = false
+        while (i < s.length && close < 0) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => d += 1
+            case ')' => d -= 1; if (d == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) return s
+        val arg = s.substring(idx + 8, close).trim
+        // the outer parens must be a matching pair: `(1) + (2)` is not a
+        // tuple literal even though it starts '(' and ends ')'
+        def outerParensMatch(a: String, from: Int): Boolean = {
+          var dd = 0; var j = from; var str2 = false
+          while (j < a.length - 1) {
+            val c = a.charAt(j)
+            if (str2) { if (c == '\\') j += 1 else if (c == '\'') str2 = false }
+            else c match {
+              case '\'' => str2 = true
+              case '(' => dd += 1
+              case ')' => dd -= 1; if (dd == 0) return false
+              case _ =>
+            }
+            j += 1
+          }
+          true
+        }
+        val inner =
+          if (arg.startsWith("(") && arg.endsWith(")") &&
+              outerParensMatch(arg, 0))
+            Some(arg.substring(1, arg.length - 1))
+          else if (arg.startsWith("tuple(") && arg.endsWith(")") &&
+              outerParensMatch(arg, 5))
+            Some(arg.substring(6, arg.length - 1))
+          else None
+        inner match {
+          case Some(list) =>
+            s = s.substring(0, idx) + list + s.substring(close + 1)
+            idx = s.indexOf("untuple(")
+          case None => idx = s.indexOf("untuple(", idx + 1)
+        }
+      }
+    }
+    s
+  }
+
+  /** `IN [a, b, …]` → `IN (a, b, …)` with balanced nested brackets (the
+    * elements may themselves be array literals). */
+  private def rewriteInBrackets(sql: String): String = {
+    val re = "(?i)\\bIN\\s*\\[".r
+    var s = sql
+    var m = re.findFirstMatchIn(s)
+    var guard = 0
+    while (m.isDefined && guard < 100) {
+      guard += 1
+      val open = m.get.end - 1
+      var depth = 0; var i = open; var close = -1; var inStr = false
+      while (i < s.length && close < 0) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) return s
+      s = s.substring(0, m.get.start) + "IN (" +
+        s.substring(open + 1, close) + ")" + s.substring(close + 1)
+      m = re.findFirstMatchIn(s)
+    }
+    s
+  }
+
   private def replaceFnOutsideStrings(sql: String, re: String)(
       fn: scala.util.matching.Regex.Match => String): String = {
     val rx = re.r
@@ -1473,8 +1574,8 @@ object ChSql {
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(
         rewriteChTypes(rewriteTypeIntrospection(rewriteCastCall(
-          rewriteColonCast(rewriteScalarWith(
-            rewriteStringEscapes(chSql)))))))))))
+          rewriteColonCast(rewriteScalarWith(rewriteUntuple(
+            rewriteStringEscapes(chSql))))))))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
     // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's
     // builtin (ref src/Functions/transform.cpp)
@@ -1709,6 +1810,19 @@ object ChSql {
     s = replaceOutsideStrings(s,
       "(?i)\\bUSING\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)",
       "USING ($1)")
+    // CH IN-set sugar (ref ASTFunction in/notIn forms): `x IN tuple(a, b)`
+    // lists the set, `x IN [a, b]` is an array-literal set, `x IN 1` is a
+    // one-element set. Rewrite each to the parenthesized SQL form.
+    s = replaceOutsideStrings(s, "(?i)\\bIN\\s+tuple\\s*\\(", "IN (")
+    s = replaceOutsideStrings(s, "(?i)\\bIN\\s+array\\s*\\(", "IN (")
+    s = rewriteInBrackets(s)
+    s = replaceOutsideStrings(s,
+      "(?i)\\bIN\\s+(\\d+(?:\\.\\d+)?)(?![\\w.(\\[])", "IN ($1)")
+    // string-scalar set: the literal itself is a quote region, so this
+    // one runs on the raw text (an IN-looking sequence INSIDE a string
+    // literal is not a realistic golden shape)
+    s = s.replaceAll(
+      "(?i)\\bIN\\s+('(?:[^'\\\\]|\\\\.)*')(?![\\w.(\\[])", "IN ($1)")
     // CH numbers are truthy: NOT 1 = 0. Guarded against a following
     // comparison (NOT 1 = 1 parses as NOT (1 = 1) in both dialects).
     s = replaceOutsideStrings(s,

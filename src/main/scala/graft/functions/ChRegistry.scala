@@ -1585,6 +1585,17 @@ object ChRegistry {
     f2("intervalLengthSum")(NicheAggs.intervalLengthSum)
     f2("maxIntersections")(NicheAggs.maxIntersections)
     f2("maxIntersectionsPosition")(NicheAggs.maxIntersectionsPosition)
+    f("visibleWidth") { case Seq(e) => C(VisibleWidth(e)) }
+    f("geohashesInBox") { es => C(GeohashesInBox(es)) }
+    f("geohashEncode") { es => C(GeohashEncodeExpr(es)) }
+    f("geohashDecode") { case Seq(s) => C(GeohashDecodeExpr(s)) }
+    f("categoricalInformationValue") { es =>
+      NicheAggs.categoricalIV(es.dropRight(1).map(C), C(es.last)) }
+    locally {
+      val rc = udaf(new RankCorrAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double)]())
+      f2("rankCorr")((x, y) => rc(x.cast("double"), y.cast("double")))
+    }
     // great-circle central angle in degrees (ref FunctionsGeo)
     f("greatCircleAngle") { case Seq(a, b, c, d) =>
       val (lon1, lat1, lon2, lat2) =

@@ -84,6 +84,42 @@ object NicheAggs {
   def maxIntersectionsPosition(begin: Column, end: Column): Column =
     sweep(begin, end).getField("pos")
 
+  /** categoricalInformationValue(cat1, …, catN, tag): per-category
+    * information value (ref AggregateFunctionCategoricalIV.h):
+    * IV[i] = (a/A − b/B)·(ln(a/A) − ln(b/B)) with a = rows where cat_i≠0
+    * ∧ tag≠0, b = rows where cat_i≠0 ∧ tag=0, A/B the tag totals. Rows
+    * with any NULL argument are skipped (Null-combinator wrap); float
+    * division reproduces the reference's nan/inf edge values. */
+  def categoricalIV(cats: Seq[Column], tag: Column): Column = {
+    val valid = (cats :+ tag).map(_.isNotNull).reduce(_ && _)
+    val tagSet = tag.cast("double") =!= 0.0
+    def cnt(p: Column): Column =
+      coalesce(sum(when(valid && p, 1.0)), lit(0.0))
+    val totalTag = cnt(tagSet)
+    val totalNoTag = cnt(!tagSet)
+    // Spark's `/` and `log` return NULL on zero/non-positive input; the
+    // reference computes in IEEE floats (0/0 = nan, ln(0) = -inf), so
+    // spell the edge values out
+    def ieeeDiv(n: Column, d: Column): Column =
+      when(d =!= 0.0, n / d)
+        .otherwise(when(n === 0.0, lit(Double.NaN))
+          .otherwise(lit(Double.PositiveInfinity)))
+    def ieeeLn(c: Column): Column =
+      when(c.isNaN, lit(Double.NaN))
+        .when(c > 0.0, log(c))
+        .when(c === 0.0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    val ivs = cats.map { c =>
+      val in = c.cast("double") =!= 0.0
+      val a = ieeeDiv(cnt(in && tagSet), totalTag)
+      val b = ieeeDiv(cnt(in && !tagSet), totalNoTag)
+      (a - b) * (ieeeLn(a) - ieeeLn(b))
+    }
+    // the empty set still yields the array — 0/0 division produces the
+    // reference's [nan] (01043_categorical_iv arrayPopBack case)
+    array(ivs: _*)
+  }
+
   private def sweep(begin: Column, end: Column): Column = {
     val pts = flatten(collect_list(array(
       struct(begin.cast("double").as("p"), lit(1).as("d")),

@@ -166,3 +166,56 @@ object StatsTests {
       .select("u1", "u2", "z", "p")
   }
 }
+
+/** rankCorr as a true AGGREGATE (the DataFrame-level twin above serves
+  * the oracle query): collect (x, y) pairs, final-sort for fractional
+  * ranks (average ties), Pearson over the ranks — O(n log n), matching
+  * the reference's single-state evaluation
+  * (AggregateFunctionRankCorr.h computeRankCorrelation). */
+class RankCorrAgg extends org.apache.spark.sql.expressions.Aggregator[
+    (Double, Double),
+    scala.collection.mutable.ArrayBuffer[(Double, Double)], Double] {
+  import scala.collection.mutable.ArrayBuffer
+  override def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
+  override def reduce(b: ArrayBuffer[(Double, Double)],
+      a: (Double, Double)): ArrayBuffer[(Double, Double)] = { b += a; b }
+  override def merge(a: ArrayBuffer[(Double, Double)],
+      b: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] =
+    a ++= b
+  private def ranks(vs: Array[Double]): Array[Double] = {
+    val idx = vs.indices.toArray.sortBy(vs)
+    val r = new Array[Double](vs.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && vs(idx(j + 1)) == vs(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0 // 1-based average rank of the tie run
+      var k = i
+      while (k <= j) { r(idx(k)) = avg; k += 1 }
+      i = j + 1
+    }
+    r
+  }
+  override def finish(b: ArrayBuffer[(Double, Double)]): Double = {
+    val n = b.length
+    if (n < 2) return Double.NaN
+    // NaN input poisons the correlation (IEEE ordering has no rank)
+    if (b.exists(t => t._1.isNaN || t._2.isNaN)) return Double.NaN
+    val rx = ranks(b.map(_._1).toArray)
+    val ry = ranks(b.map(_._2).toArray)
+    val mx = rx.sum / n; val my = ry.sum / n
+    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var i = 0
+    while (i < n) {
+      val dx = rx(i) - mx; val dy = ry(i) - my
+      sxy += dx * dy; sxx += dx * dx; syy += dy * dy
+      i += 1
+    }
+    sxy / math.sqrt(sxx * syy)
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}

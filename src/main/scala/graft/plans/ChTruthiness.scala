@@ -95,6 +95,37 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChIpCoercionRule)
     ext.injectResolutionRule(_ => ChEmptyAggRule)
     ext.injectResolutionRule(_ => graft.functions.ChSumZeroFillRule)
+    ext.injectResolutionRule(_ => ChNanCompareRule)
     ext.injectOptimizerRule(_ => ChUdtLiteralRule)
   }
+}
+
+/** IEEE NaN comparison semantics for foldable nan literals (ref
+  * FunctionsComparison.cpp: CH compares floats per IEEE, so every
+  * comparison against nan is false). Spark instead orders NaN greatest
+  * and equal to itself. Only comparisons where one side is a FOLDABLE
+  * NaN literal are rewritten (00712_nan_comparison, 02480_tlp_nan) —
+  * data-dependent NaN stays on Spark's ordering, which matches the sort
+  * order the engine already documents. `!=` parses as Not(EqualTo) and
+  * flips the literal false to true automatically. */
+object ChNanCompareRule extends Rule[LogicalPlan] {
+  private def isNanLit(e: Expression): Boolean =
+    e.resolved && e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        e.eval(null) match {
+          case d: java.lang.Double => d.isNaN
+          case f: java.lang.Float => f.isNaN
+          case _ => false
+        }
+      case _ => false
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case c: BinaryComparison
+          if !c.isInstanceOf[EqualNullSafe] &&
+            (isNanLit(c.left) || isNanLit(c.right)) =>
+        Literal(false)
+    }
 }
