@@ -104,7 +104,8 @@ object ChSql {
   private val paramAggs = Set("quantile", "quantileExact", "quantiles",
     "quantilesExact", "quantileTiming", "quantilesTiming",
     "quantileTDigest", "quantileExactWeighted", "topK", "uniqUpTo",
-    "uniqUpToArray", "histogram")
+    "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
+    "groupArrayLastArray")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql
@@ -1457,7 +1458,7 @@ object ChSql {
             val k = shardCount(m0.group(1))
             val rest = s.substring(mEnd, end).trim
             val inner: Option[String] =
-              if (rest.matches("(?is)system\\s*,\\s*one(\\s*,.*)?"))
+              if (rest.matches("(?is)system\\s*[,.]\\s*one(\\s*,.*)?"))
                 Some("(SELECT CAST(0 AS TINYINT) AS __one)")
               else if (rest.matches("(?is)numbers(?:_mt)?\\s*\\(.*"))
                 Some(rest)

@@ -357,7 +357,10 @@ object ch {
   def indexOf(a: Column, v: Column): Column = array_position(a, v)
   def countEqual(a: Column, v: Column): Column =
     size(filter(a, x => x === v))
-  def rangeCh(n: Column): Column = sequence(lit(0), n - 1)
+  // range(0) is [] — Spark's sequence(0, -1) would count DOWN
+  def rangeCh(n: Column): Column =
+    when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(slice(sequence(lit(0), lit(0)), 1, 0))
   def arrayConcat(xs: Seq[Column]): Column = concat(xs: _*)
   def arraySlice(a: Column, off: Column, len: Column): Column = slice(a, off, len)
   def arrayPushBack(a: Column, v: Column): Column = concat(a, array(v))

@@ -1591,6 +1591,25 @@ object ChRegistry {
     f("geohashDecode") { case Seq(s) => C(GeohashDecodeExpr(s)) }
     f("categoricalInformationValue") { es =>
       NicheAggs.categoricalIV(es.dropRight(1).map(C), C(es.last)) }
+    // params arrive appended after the regular args (paramAggs rewrite):
+    // groupArrayInsertAt([default[, length]])(x, pos)
+    f("groupArrayInsertAt") {
+      case Seq(x, p) => NicheAggs.groupArrayInsertAt(C(x), C(p), None, None)
+      case Seq(x, p, d) =>
+        NicheAggs.groupArrayInsertAt(C(x), C(p), Some(C(d)), None)
+      case Seq(x, p, d, l) =>
+        NicheAggs.groupArrayInsertAt(C(x), C(p), Some(C(d)), Some(C(l)))
+    }
+    f2("groupArrayLast")((x, n) => NicheAggs.groupArrayLast(x, n))
+    f2("groupArrayLastArray")((a, n) => NicheAggs.groupArrayLastArray(a, n))
+    locally {
+      val an = udaf(new AnovaAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      def anova(v: Column, g: Column): Column =
+        an(v.cast("double"), g.cast("bigint"))
+      f2("analysisOfVariance")(anova)
+      f2("anova")(anova)
+    }
     locally {
       val rc = udaf(new RankCorrAgg,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double)]())

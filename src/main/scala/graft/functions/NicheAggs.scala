@@ -84,6 +84,54 @@ object NicheAggs {
   def maxIntersectionsPosition(begin: Column, end: Column): Column =
     sweep(begin, end).getField("pos")
 
+  /** groupArrayInsertAt([default[, length]])(x, pos): array with x at
+    * position pos (0-based), gaps filled with the type default or the
+    * given default, optionally padded/truncated to a fixed length (ref
+    * AggregateFunctionGroupArrayInsertAt.h). */
+  def groupArrayInsertAt(x: Column, pos: Column, dflt: Option[Column],
+      len: Option[Column]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pairs = collect_list(struct(pos.cast("int").as("p"), x.as("v")))
+    val maxN = coalesce(
+      array_max(transform(pairs, s => s.getField("p"))) + 1, lit(0))
+    val n = len.map(_.cast("int")).getOrElse(maxN)
+    val filled = transform(sequence(lit(0), n - 1, lit(1)), i => {
+      val hits = transform(filter(pairs, s => s.getField("p") === i),
+        s => s.getField("v"))
+      dflt match {
+        case Some(d) => coalesce(get(hits, lit(0)), d)
+        // no default given: the element type's default — chElementAt's
+        // out-of-range value, type-default-coalesced for Spark-nullable
+        // element columns (CH strings default to '', not NULL)
+        case None => ColumnBridge.column(ChDefaultIfNull(ChElementAt(
+          ColumnBridge.expression(hits),
+          org.apache.spark.sql.catalyst.expressions.Literal(1))))
+      }
+    })
+    when(n > 0, filled).otherwise(slice(transform(pairs,
+      s => s.getField("v")), 1, 0))
+  }
+
+  /** groupArrayLast(n)(x): ring buffer of the last n values in the
+    * reference's RAW slot order — slot j holds the latest element whose
+    * 0-based insert index ≡ j (mod n), so [1..10] into n=3 reads
+    * [10,8,9], not chronological (ref AggregateFunctionGroupArray.h
+    * GroupArrayGeneralData last semantics; 02520_group_array_last). */
+  def groupArrayLast(x: Column, n0: Column): Column =
+    lastRing(collect_list(x), n0)
+
+  /** -Array twin: elements of all row arrays feed the same ring. */
+  def groupArrayLastArray(arr: Column, n0: Column): Column =
+    lastRing(flatten(collect_list(arr)), n0)
+
+  private def lastRing(lst: Column, n0: Column): Column = {
+    val n = n0.cast("int")
+    val m = size(lst)
+    when(m <= n, lst).otherwise(
+      transform(sequence(lit(0), n - 1, lit(1)), j =>
+        get(lst, m - 1 - ((m - 1 - j) % n))))
+  }
+
   /** categoricalInformationValue(cat1, …, catN, tag): per-category
     * information value (ref AggregateFunctionCategoricalIV.h):
     * IV[i] = (a/A − b/B)·(ln(a/A) − ln(b/B)) with a = rows where cat_i≠0

@@ -219,3 +219,45 @@ class RankCorrAgg extends org.apache.spark.sql.expressions.Aggregator[
   override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
     org.apache.spark.sql.Encoders.scalaDouble
 }
+
+/** analysisOfVariance / anova(value, group): one-way ANOVA over the
+  * groups named by the second argument — tuple (f_statistic, p_value)
+  * (ref AggregateFunctionAnalysisOfVariance.h). Per-group moment state
+  * (count, sum, sum-of-squares) merges associatively, so partial
+  * aggregation holds; p-value from the F distribution. */
+class AnovaAgg extends org.apache.spark.sql.expressions.Aggregator[
+    (Double, Long), Map[Long, (Long, Double, Double)], (Double, Double)] {
+  override def zero: Map[Long, (Long, Double, Double)] = Map.empty
+  override def reduce(b: Map[Long, (Long, Double, Double)],
+      a: (Double, Long)): Map[Long, (Long, Double, Double)] = {
+    val (c, s, q) = b.getOrElse(a._2, (0L, 0.0, 0.0))
+    b.updated(a._2, (c + 1, s + a._1, q + a._1 * a._1))
+  }
+  override def merge(a: Map[Long, (Long, Double, Double)],
+      b: Map[Long, (Long, Double, Double)]): Map[Long, (Long, Double, Double)] =
+    b.foldLeft(a) { case (acc, (k, (c, s, q))) =>
+      val (c0, s0, q0) = acc.getOrElse(k, (0L, 0.0, 0.0))
+      acc.updated(k, (c0 + c, s0 + s, q0 + q))
+    }
+  override def finish(m: Map[Long, (Long, Double, Double)]): (Double, Double) = {
+    val k = m.size
+    val n = m.values.map(_._1).sum
+    if (k < 2 || n <= k) return (Double.NaN, Double.NaN)
+    val totalSum = m.values.map(_._2).sum
+    val grandMean = totalSum / n
+    val ssb = m.values.map { case (c, s, _) =>
+      val gm = s / c; c * (gm - grandMean) * (gm - grandMean) }.sum
+    val ssw = m.values.map { case (c, s, q) => q - s * s / c }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    if (!java.lang.Double.isFinite(f) || f < 0) return (f, Double.NaN)
+    val dist = new org.apache.commons.math3.distribution.FDistribution(
+      k - 1.0, (n - k).toDouble)
+    val p = math.min(1.0, math.max(0.0, 1.0 - dist.cumulativeProbability(f)))
+    (f, p)
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[
+      Map[Long, (Long, Double, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[(Double, Double)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

@@ -260,6 +260,55 @@ object CombinatorQueries {
         .orderBy("user_id")
     },
 
+    // groupArrayLast(n): ring buffer of the last n values in RAW slot
+    // order (ref AggregateFunctionGroupArray.h last semantics) — slot j
+    // holds the newest element with insert index ≡ j (mod n). Input is
+    // sorted single-partition so insertion order is deterministic.
+    Q.df("q_group_array_last",
+      """WITH e AS (SELECT user_id, event_id,
+        |            row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) - 1 AS idx,
+        |            count(*) OVER (PARTITION BY user_id) AS m
+        |     FROM events WHERE user_id < 5)
+        |SELECT user_id,
+        |       CASE WHEN max(m) <= 5
+        |            THEN list(event_id ORDER BY idx)
+        |            ELSE list(event_id ORDER BY idx % 5)
+        |       END AS ring
+        |FROM e WHERE idx >= m - 5 OR m <= 5
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.NicheAggs
+      Tables.load(s, dir, "events").filter(col("user_id") < 5)
+        .orderBy("user_id", "event_id").coalesce(1)
+        .groupBy("user_id")
+        .agg(NicheAggs.groupArrayLast(col("event_id"), lit(5)).as("ring"))
+        .orderBy("user_id")
+    },
+
+    // analysisOfVariance (ref AggregateFunctionAnalysisOfVariance.h):
+    // one-way ANOVA F statistic; DuckDB recomputes it from two-level
+    // aggregation (no F CDF there, so the p-value is spec-covered)
+    Q.df("q_anova",
+      """WITH g AS (SELECT event_id % 3 AS grp, value FROM events),
+        |per AS (SELECT grp, count(*) AS c, avg(value) AS m
+        |        FROM g GROUP BY grp),
+        |tot AS (SELECT count(*) AS n, avg(value) AS gm,
+        |               count(DISTINCT grp) AS k FROM g),
+        |b AS (SELECT sum(c * (m - gm) * (m - gm)) AS ssb,
+        |             max(k) AS k, max(n) AS n FROM per, tot),
+        |w AS (SELECT sum((value - m) * (value - m)) AS ssw
+        |      FROM g JOIN per USING (grp))
+        |SELECT round((b.ssb / (b.k - 1)) / (w.ssw / (b.n - b.k)), 4)
+        |         AS f_stat
+        |FROM b, w""".stripMargin) { (s, dir) =>
+      import graft.functions.{AnovaAgg}
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val an = udaf(new AnovaAgg, ExpressionEncoder[(Double, Long)]())
+      Tables.load(s, dir, "events")
+        .agg(an(col("value").cast("double"), col("event_id") % 3).as("a"))
+        .select(round(col("a._1"), 4).as("f_stat"))
+    },
+
     // -OrDefault combinator through the chain synthesizer (ref
     // AggregateFunctionOrFill.h kind=kDefault): an empty -If selection
     // yields the return type's default, not NULL — exercises

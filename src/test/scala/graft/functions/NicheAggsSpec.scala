@@ -64,6 +64,37 @@ class NicheAggsSpec extends SparkSpec {
       === 2.0)
   }
 
+  test("groupArrayLast keeps the raw ring slot order") {
+    // 1..10 into a ring of 3: [10, 8, 9] (ref 02520_group_array_last)
+    val df = (1 to 10).toDF("x").coalesce(1)
+    assert(df.agg(NicheAggs.groupArrayLast($"x", lit(3)))
+      .head.getSeq[Int](0) === Seq(10, 8, 9))
+    // fewer rows than the ring: chronological
+    val small = (1 to 2).toDF("x").coalesce(1)
+    assert(small.agg(NicheAggs.groupArrayLast($"x", lit(3)))
+      .head.getSeq[Int](0) === Seq(1, 2))
+  }
+
+  test("groupArrayInsertAt fills gaps with defaults and honors length") {
+    val df = Seq((0, "a"), (2, "c")).toDF("p", "v").coalesce(1)
+    assert(df.agg(NicheAggs.groupArrayInsertAt($"v", $"p", None, None))
+      .head.getSeq[String](0) === Seq("a", "", "c"))
+    assert(df.agg(NicheAggs.groupArrayInsertAt($"v", $"p",
+        Some(lit("-")), Some(lit(5))))
+      .head.getSeq[String](0) === Seq("a", "-", "c", "-", "-"))
+  }
+
+  test("anova computes the one-way F statistic and p-value") {
+    // groups with clearly different means → large F, small p
+    val rows = Seq.tabulate(30)(i => (i % 3 * 10.0 + (i % 5) * 0.1, (i % 3).toLong))
+    val df = rows.toDF("v", "g")
+    val an = udaf(new AnovaAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val r = df.agg(an($"v", $"g")).head.getStruct(0)
+    assert(r.getDouble(0) > 100.0) // F
+    assert(r.getDouble(1) < 1e-6) // p
+  }
+
   test("minIfOrDefault / maxIfOrDefault fill the type default on empty") {
     val df = Seq(1.0, 2.0, 3.0).toDF("x")
     val row = df.agg(
