@@ -1116,15 +1116,23 @@ object ChRegistry {
     // -Array on argMin/argMax (ref AggregateFunctionCombinatorArray.cpp):
     // the aggregate runs over the array ELEMENTS — pick the per-row best
     // (value, arg) pair from the zipped arrays, then min_by/max_by rows
-    f2("argMinArray") { (a, v) =>
-      val best = array_min(zip_with(v, a, (n, i) =>
-        struct(n.as("n"), i.as("i"))))
-      min_by(best.getField("i"), best.getField("n"))
-    }
-    f2("argMaxArray") { (a, v) =>
-      val best = array_max(zip_with(v, a, (n, i) =>
-        struct(n.as("n"), i.as("i"))))
-      max_by(best.getField("i"), best.getField("n"))
+    // per row: the FIRST element attaining the row's extreme; across
+    // rows: the first strict improvement in insertion order (ties keep
+    // the earlier arg, matching the reference's changeIfLess/Greater)
+    locally {
+      def build(isMin: Boolean)(a: Column, v: Column): Column = {
+        val ext = if (isMin) array_min(v) else array_max(v)
+        val i0 = get(a, array_position(v, ext).cast("int") - 1)
+        val lst = collect_list(struct(ext.as("n"), i0.as("i")))
+        val better: (Column, Column) => Column =
+          if (isMin) (x, y) => x < y else (x, y) => x > y
+        aggregate(lst, get(slice(lst, 1, 0), lit(0)),
+          (acc, s) => when(acc.isNull, s)
+            .otherwise(when(better(s.getField("n"), acc.getField("n")), s)
+              .otherwise(acc))).getField("i")
+      }
+      f2("argMinArray")(build(isMin = true))
+      f2("argMaxArray")(build(isMin = false))
     }
     f1("anyLast")(c => last(c, ignoreNulls = true))
     f1("median")(c => percentile_approx(c, lit(0.5), lit(1000000)))
@@ -1260,11 +1268,11 @@ object ChRegistry {
       case Seq(j) => ch.jsonLength(C(j))
       case Seq(j, p) => ch.jsonLength(C(j), litStr(p)) }
 
-    // geo distances (ref greatCircleDistance.cpp) — haversine, meters
-    f("greatCircleDistance") { case Seq(a, b, c, d) =>
-      ch.greatCircleDistance(C(a), C(b), C(c), C(d)) }
-    f("geoDistance") { case Seq(a, b, c, d) =>
-      ch.geoDistance(C(a), C(b), C(c), C(d)) }
+    // geo distances (ref greatCircleDistance.cpp) — the reference's
+    // LUT-based float32 kernel, bit-matched so goldens print identically
+    f("greatCircleDistance") { es =>
+      C(GeoDistExpr(es, GeoDistCh.SphereMeters)) }
+    f("geoDistance") { es => C(GeoDistExpr(es, GeoDistCh.Wgs84Meters)) }
 
     // dictionaries (ref FunctionsExternalDictionaries.h): dictionaries
     // registered via Dictionaries.createDictionary resolve as map-literal
@@ -1615,14 +1623,9 @@ object ChRegistry {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double)]())
       f2("rankCorr")((x, y) => rc(x.cast("double"), y.cast("double")))
     }
-    // great-circle central angle in degrees (ref FunctionsGeo)
-    f("greatCircleAngle") { case Seq(a, b, c, d) =>
-      val (lon1, lat1, lon2, lat2) =
-        (C(a), C(b), C(c), C(d))
-      val h = pow(sin(radians(lat2 - lat1) / 2), 2) +
-        cos(radians(lat1)) * cos(radians(lat2)) *
-          pow(sin(radians(lon2 - lon1) / 2), 2)
-      degrees(lit(2) * asin(sqrt(h))) }
+    // great-circle central angle in degrees — same LUT kernel
+    f("greatCircleAngle") { es =>
+      C(GeoDistExpr(es, GeoDistCh.SphereDegrees)) }
     // pointInPolygon via ray casting (ref PolygonUtils.h); golden-scale
     // UDF tier — polygon search at scale belongs to a spatial index
     spark.udf.register("pointInPolygon",

@@ -96,6 +96,7 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ChEmptyAggRule)
     ext.injectResolutionRule(_ => graft.functions.ChSumZeroFillRule)
     ext.injectResolutionRule(_ => ChNanCompareRule)
+    ext.injectResolutionRule(_ => graft.functions.ChIsConstantRule)
     ext.injectOptimizerRule(_ => ChUdtLiteralRule)
   }
 }

@@ -206,15 +206,16 @@ class ChRegistrySpec extends SparkSpec {
       .toString.contains("02:00:00"))
   }
 
-  test("greatCircleDistance haversine") {
+  test("greatCircleDistance LUT kernel") {
     // Paris (2.3522, 48.8566) → London (-0.1276, 51.5072) ≈ 343.5 km
-    val d = one[Double](
+    val d = one[Float](
       "SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)")
     assert(math.abs(d - 343500) < 2000, s"got $d")
-    assert(one[Double]("SELECT geoDistance(0, 0, 0, 0)") == 0.0)
-    // one degree of latitude ≈ 111.2 km
-    val dl = one[Double]("SELECT greatCircleDistance(0, 0, 0, 1)")
-    assert(math.abs(dl - 111195) < 500, s"got $dl")
+    assert(one[Float]("SELECT geoDistance(0, 0, 0, 0)") == 0.0f)
+    // one degree of latitude: the reference's flat-model value
+    // (01043_geo_distance pins 111195.055)
+    val dl = one[Float]("SELECT greatCircleDistance(0, 0, 0, 1)")
+    assert(dl === 111195.055f, s"got $dl")
   }
 
   test("text analysis extras") {
