@@ -888,12 +888,17 @@ object ch {
       call_function("shiftrightunsigned", x.cast("bigint"), k).bitwiseOR(
         call_function("shiftleft", x.cast("bigint"), lit(64) - k)))
   }
-  def bitTestAll(x: Column, bits: Seq[Column]): Column =
-    bits.map(b => b.cast("int") < 64 && x.cast("bigint")
+  /** Positions at or beyond the value's CH type width never enter the
+    * mask (ref FunctionBitTestMany.h createConstMaskIfConst: `pos <
+    * 8*sizeof(ValueType)`) — bitTestAll is vacuously true there, bitTestAny
+    * false (01082_bit_test_out_of_bound). */
+  def bitTestAll(x: Column, bits: Seq[Column], widthBits: Int = 64): Column =
+    bits.map(b => when(b.cast("int") < widthBits, x.cast("bigint")
         .bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)
+      .otherwise(lit(true)))
       .reduce(_ && _)
-  def bitTestAny(x: Column, bits: Seq[Column]): Column =
-    bits.map(b => b.cast("int") < 64 && x.cast("bigint")
+  def bitTestAny(x: Column, bits: Seq[Column], widthBits: Int = 64): Column =
+    bits.map(b => b.cast("int") < widthBits && x.cast("bigint")
         .bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)
       .reduce(_ || _)
   def bitPositionsToArray(x: Column): Column =

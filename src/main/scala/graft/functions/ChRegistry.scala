@@ -1340,10 +1340,22 @@ object ChRegistry {
     // wave 3: bit rotation / tests (ref bitRotateLeft.cpp, bitTestAll.cpp)
     f2("bitRotateLeft")(ch.bitRotateLeft)
     f2("bitRotateRight")(ch.bitRotateRight)
+    // the CH type width bounds valid bit positions: ChUIntTag carries the
+    // unsigned byte width; untagged integers use their Spark width
+    def chWidthBits(e: Expression): Int = e match {
+      case t: ChUIntTag => t.width * 8
+      case c if c.resolved => c.dataType match {
+        case org.apache.spark.sql.types.ByteType => 8
+        case org.apache.spark.sql.types.ShortType => 16
+        case org.apache.spark.sql.types.IntegerType => 32
+        case _ => 64
+      }
+      case _ => 64
+    }
     f("bitTestAll") { case x +: bits =>
-      ch.bitTestAll(C(x), bits.map(C)) }
+      ch.bitTestAll(C(x), bits.map(C), chWidthBits(x)) }
     f("bitTestAny") { case x +: bits =>
-      ch.bitTestAny(C(x), bits.map(C)) }
+      ch.bitTestAny(C(x), bits.map(C), chWidthBits(x)) }
     f1("bitPositionsToArray")(ch.bitPositionsToArray)
 
     // wave 3: sub-second date arithmetic + aliases (ref addMilliseconds.cpp)
