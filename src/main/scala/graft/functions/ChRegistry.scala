@@ -234,12 +234,17 @@ object ChRegistry {
     f1("negate")(ch.negate)
     // CH round() on floats is banker's (ties-to-even, the IEEE default
     // rounding nearbyint uses); on Decimals it rounds half away from
-    // zero, which IS Spark's Round (ref src/Functions/FunctionsRound.h)
+    // zero, which IS Spark's Round (ref src/Functions/FunctionsRound.h).
+    // The float forms preserve the SIGN of zero (round(-1e-9, 2) prints
+    // -0 like the reference; Spark's rounding normalizes it away):
+    // -abs(r) keeps r's own type for the -0 branch.
     f("chRound") {
       case Seq(c, rest @ _*) if c.resolved && (c.dataType == DoubleType ||
           c.dataType == FloatType) =>
-        C(org.apache.spark.sql.catalyst.expressions.BRound(c,
+        val r = C(org.apache.spark.sql.catalyst.expressions.BRound(c,
           rest.headOption.getOrElse(Lit(0))))
+        when(r === 0.0 && (lit(1.0) / C(c).cast("double")) < 0, -abs(r))
+          .otherwise(r)
       case Seq(c) =>
         C(org.apache.spark.sql.catalyst.expressions.Round(c, Lit(0)))
       case Seq(c, n) =>
@@ -1629,6 +1634,42 @@ object ChRegistry {
         an(v.cast("double"), g.cast("bigint"))
       f2("analysisOfVariance")(anova)
       f2("anova")(anova)
+      // deltaSumTimestamp family: real partial-state structs so the
+      // -State/-Merge forms shuffle and recombine faithfully
+      val dst = udaf(new DeltaSumTsAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val dstState = udaf(new DeltaSumTsStateAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val dstMerge = udaf(new DeltaSumTsMergeAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[DeltaTsBuf]())
+      def tsLong(t: Column): Column = {
+        // dates/timestamps order by their numeric representation
+        val e = E(t)
+        if (!e.resolved) t.cast("bigint")
+        else e.dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(t.cast("timestamp"))
+          case org.apache.spark.sql.types.DateType =>
+            call_function("unix_date", t).cast("bigint")
+          case _ => t.cast("bigint")
+        }
+      }
+      f2("deltaSumTimestamp")((v, t) => dst(v.cast("double"), tsLong(t)))
+      f2("deltaSumTimestampState")((v, t) =>
+        dstState(v.cast("double"), tsLong(t)))
+      // the case-class input encoder flattens to its fields
+      f1("deltaSumTimestampMerge")(s => dstMerge(
+        s.getField("sum"), s.getField("first"), s.getField("firstTs"),
+        s.getField("last"), s.getField("lastTs"), s.getField("seen")))
+      // cross-tab association family (ref CrossTab.h)
+      for (k <- Seq("cramersV", "cramersVBiasCorrected", "theilsU",
+          "contingency")) {
+        val agg = udaf(new CrossTabAgg(k),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(String, String)]())
+        f2(k)((a, b) => agg(a.cast("string"), b.cast("string")))
+      }
     }
     locally {
       val rc = udaf(new RankCorrAgg,

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+/** deltaSumTimestamp (ref AggregateFunctionDeltaSumTimestamp.h): sum of
+  * positive deltas in ARRIVAL order, with a timestamp-ordered state merge
+  * — partial states carry (sum, first, first_ts, last, last_ts) so two
+  * shards whose ts ranges do not interleave combine exactly like the
+  * reference (cross-boundary delta added when the later shard's first
+  * value exceeds the earlier's last). This is the real partial-aggregation
+  * contract, not the value-as-state simplification, because the merge is
+  * what the -State/-Merge golden exercises.
+  */
+case class DeltaTsBuf(sum: Double, first: Double, firstTs: Long,
+    last: Double, lastTs: Long, seen: Boolean)
+
+object DeltaSumTs {
+  def empty: DeltaTsBuf = DeltaTsBuf(0, 0, 0, 0, 0, seen = false)
+
+  def addRow(b: DeltaTsBuf, value: Double, ts: Long): DeltaTsBuf = {
+    val sum = if (b.seen && b.last < value) b.sum + (value - b.last) else b.sum
+    if (!b.seen) DeltaTsBuf(sum, value, ts, value, ts, seen = true)
+    else DeltaTsBuf(sum, b.first, b.firstTs, value, ts, seen = true)
+  }
+
+  private def before(l: DeltaTsBuf, r: DeltaTsBuf): Boolean =
+    l.lastTs < r.firstTs ||
+      (l.lastTs == r.firstTs && (l.lastTs < r.lastTs || l.firstTs < r.firstTs))
+
+  def mergeBuf(a: DeltaTsBuf, b: DeltaTsBuf): DeltaTsBuf = {
+    if (!a.seen) return b
+    if (!b.seen) return a
+    if (before(a, b)) {
+      val cross = if (b.first > a.last) b.first - a.last else 0.0
+      DeltaTsBuf(a.sum + cross + b.sum, a.first, a.firstTs,
+        b.last, b.lastTs, seen = true)
+    } else if (before(b, a)) {
+      val cross = if (a.first > b.last) a.first - b.last else 0.0
+      DeltaTsBuf(a.sum + cross + b.sum, b.first, b.firstTs,
+        a.last, a.lastTs, seen = true)
+    } else {
+      // all timestamps equal: deterministic pick (ref merge tail)
+      if (a.first < b.first)
+        DeltaTsBuf(a.sum + b.sum, b.first, a.firstTs, b.last, a.lastTs,
+          seen = true)
+      else DeltaTsBuf(a.sum + b.sum, a.first, a.firstTs, a.last, a.lastTs,
+        seen = true)
+    }
+  }
+}
+
+class DeltaSumTsAgg extends Aggregator[(Double, Long), DeltaTsBuf, Double] {
+  override def zero: DeltaTsBuf = DeltaSumTs.empty
+  override def reduce(b: DeltaTsBuf, x: (Double, Long)): DeltaTsBuf =
+    DeltaSumTs.addRow(b, x._1, x._2)
+  override def merge(a: DeltaTsBuf, b: DeltaTsBuf): DeltaTsBuf =
+    DeltaSumTs.mergeBuf(a, b)
+  override def finish(b: DeltaTsBuf): Double = b.sum
+  override def bufferEncoder: org.apache.spark.sql.Encoder[DeltaTsBuf] =
+    ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
+
+/** -State form: the finalized value IS the state struct. */
+class DeltaSumTsStateAgg
+    extends Aggregator[(Double, Long), DeltaTsBuf, DeltaTsBuf] {
+  override def zero: DeltaTsBuf = DeltaSumTs.empty
+  override def reduce(b: DeltaTsBuf, x: (Double, Long)): DeltaTsBuf =
+    DeltaSumTs.addRow(b, x._1, x._2)
+  override def merge(a: DeltaTsBuf, b: DeltaTsBuf): DeltaTsBuf =
+    DeltaSumTs.mergeBuf(a, b)
+  override def finish(b: DeltaTsBuf): DeltaTsBuf = b
+  override def bufferEncoder: org.apache.spark.sql.Encoder[DeltaTsBuf] =
+    ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[DeltaTsBuf] =
+    ExpressionEncoder()
+}
+
+/** -Merge form: re-aggregate state structs. */
+class DeltaSumTsMergeAgg extends Aggregator[DeltaTsBuf, DeltaTsBuf, Double] {
+  override def zero: DeltaTsBuf = DeltaSumTs.empty
+  override def reduce(b: DeltaTsBuf, s: DeltaTsBuf): DeltaTsBuf =
+    DeltaSumTs.mergeBuf(b, s)
+  override def merge(a: DeltaTsBuf, b: DeltaTsBuf): DeltaTsBuf =
+    DeltaSumTs.mergeBuf(a, b)
+  override def finish(b: DeltaTsBuf): Double = b.sum
+  override def bufferEncoder: org.apache.spark.sql.Encoder[DeltaTsBuf] =
+    ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
