@@ -105,7 +105,7 @@ object ChSql {
     "quantilesExact", "quantileTiming", "quantilesTiming",
     "quantileTDigest", "quantileExactWeighted", "topK", "uniqUpTo",
     "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
-    "groupArrayLastArray")
+    "groupArrayLastArray", "exponentialMovingAverage")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql

@@ -1662,6 +1662,19 @@ object ChRegistry {
       f1("deltaSumTimestampMerge")(s => dstMerge(
         s.getField("sum"), s.getField("first"), s.getField("firstTs"),
         s.getField("last"), s.getField("lastTs"), s.getField("seen")))
+      // exponentialMovingAverage(h)(value, time): param arrives appended
+      f3("exponentialMovingAverage")((v, t, h) => {
+        val hd = org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(h) match {
+          case Literal(n: Number, _) => n.doubleValue()
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case _ => 1.0
+        }
+        val ema = udaf(new EmaAgg(hd),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Double, Double)]())
+        ema(v.cast("double"), t.cast("double"))
+      })
       // cross-tab association family (ref CrossTab.h)
       for (k <- Seq("cramersV", "cramersVBiasCorrected", "theilsU",
           "contingency")) {

@@ -91,3 +91,32 @@ class DeltaSumTsMergeAgg extends Aggregator[DeltaTsBuf, DeltaTsBuf, Double] {
   override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
     org.apache.spark.sql.Encoders.scalaDouble
 }
+
+/** exponentialMovingAverage(half_decay)(value, time) (ref
+  * Common/ExponentiallySmoothedCounter.h): state is one (value, time)
+  * pair in the exponential coordinate system; merging remaps the older
+  * state to the newer reference time, so partial aggregation is exact up
+  * to float associativity. finish divides by the closed-form weight sum
+  * 1/(1-2^(-1/h)). */
+class EmaAgg(halfDecay: Double)
+    extends Aggregator[(Double, Double), (Double, Double), Double] {
+  private def scale(dt: Double): Double = math.pow(2.0, -dt / halfDecay)
+  private def merge2(a: (Double, Double), b: (Double, Double)) = {
+    if (a._2 > b._2) (a._1 + b._1 * scale(a._2 - b._2), a._2)
+    else if (a._2 < b._2) (b._1 + a._1 * scale(b._2 - a._2), b._2)
+    else (a._1 + b._1, a._2)
+  }
+  override def zero: (Double, Double) = (0.0, Double.NegativeInfinity)
+  override def reduce(b: (Double, Double), x: (Double, Double)) =
+    if (b._2 == Double.NegativeInfinity) x else merge2(b, x)
+  override def merge(a: (Double, Double), b: (Double, Double)) =
+    if (a._2 == Double.NegativeInfinity) b
+    else if (b._2 == Double.NegativeInfinity) a
+    else merge2(a, b)
+  override def finish(b: (Double, Double)): Double =
+    b._1 * (1.0 - scale(1.0))
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Double)] =
+    ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
