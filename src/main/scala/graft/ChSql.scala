@@ -105,7 +105,9 @@ object ChSql {
     "quantilesExact", "quantileTiming", "quantilesTiming",
     "quantileTDigest", "quantileExactWeighted", "topK", "uniqUpTo",
     "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
-    "groupArrayLastArray", "exponentialMovingAverage")
+    "groupArrayLastArray", "exponentialMovingAverage",
+    "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",
+    "exponentialTimeDecayedAvg", "exponentialTimeDecayedMax")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql

@@ -1675,6 +1675,27 @@ object ChRegistry {
             .ExpressionEncoder[(Double, Double)]())
         ema(v.cast("double"), t.cast("double"))
       })
+      // exponentialTimeDecayed family, SQL/window-callable (params appended)
+      locally {
+        def dlit(h: Expression): Double =
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(C(h)) match {
+            case Literal(n: Number, _) => n.doubleValue()
+            case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+            case _ => 1.0
+          }
+        def mk(kind: Int, d: Expression) = udaf(new ExpDecayAgg(dlit(d), kind),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Double, Double)]())
+        f("exponentialTimeDecayedSum") { case Seq(v, t, d) =>
+          mk(0, d)(C(v).cast("double"), C(t).cast("double")) }
+        f("exponentialTimeDecayedCount") { case Seq(t, d) =>
+          mk(1, d)(lit(0.0), C(t).cast("double")) }
+        f("exponentialTimeDecayedAvg") { case Seq(v, t, d) =>
+          mk(2, d)(C(v).cast("double"), C(t).cast("double")) }
+        f("exponentialTimeDecayedMax") { case Seq(v, t, d) =>
+          mk(3, d)(C(v).cast("double"), C(t).cast("double")) }
+      }
       // cross-tab association family (ref CrossTab.h)
       for (k <- Seq("cramersV", "cramersVBiasCorrected", "theilsU",
           "contingency")) {

@@ -120,3 +120,54 @@ class EmaAgg(halfDecay: Double)
   override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
     org.apache.spark.sql.Encoders.scalaDouble
 }
+
+/** SQL-callable exponentialTimeDecayed{Sum,Count,Avg,Max} (ref
+  * WindowTransform.cpp:1597+): state keeps decayed accumulators at a
+  * moving reference time (the max time seen), remapped on merge like
+  * [[EmaAgg]] but with natural-e decay. Window-capable: Spark evaluates
+  * udafs over ROWS frames incrementally, matching the reference's
+  * windowed use; the plain aggregate form decays to the max time.
+  * kind: 0=sum, 1=count, 2=avg, 3=max.
+  */
+class ExpDecayAgg(decay: Double, kind: Int) extends Aggregator[
+    (Double, Double), (Double, Double, Double, Double), Double] {
+  // state: (sum, count, maxTerm, refTime)
+  private def remap(s: (Double, Double, Double, Double), t: Double) = {
+    val k = math.exp((s._4 - t) / decay)
+    (s._1 * k, s._2 * k, s._3 * k, t)
+  }
+  override def zero: (Double, Double, Double, Double) =
+    (0.0, 0.0, Double.NegativeInfinity, Double.NegativeInfinity)
+  override def reduce(b0: (Double, Double, Double, Double),
+      x: (Double, Double)): (Double, Double, Double, Double) = {
+    val (v, t) = x
+    if (b0._4 == Double.NegativeInfinity) (v, 1.0, v, t)
+    else {
+      val (b, tv) = if (t >= b0._4) (remap(b0, t), v)
+        else (b0, v * math.exp((t - b0._4) / decay))
+      (b._1 + tv, b._2 + math.exp((t - b._4) / decay),
+        math.max(b._3, tv), b._4)
+    }
+  }
+  override def merge(a: (Double, Double, Double, Double),
+      b: (Double, Double, Double, Double)): (Double, Double, Double, Double) = {
+    if (a._4 == Double.NegativeInfinity) b
+    else if (b._4 == Double.NegativeInfinity) a
+    else {
+      val (hi, lo) = if (a._4 >= b._4) (a, b) else (b, a)
+      val r = remap(lo, hi._4)
+      (hi._1 + r._1, hi._2 + r._2, math.max(hi._3, r._3), hi._4)
+    }
+  }
+  override def finish(s: (Double, Double, Double, Double)): Double =
+    kind match {
+      case 0 => s._1
+      case 1 => s._2
+      case 2 => s._1 / s._2
+      case _ => s._3
+    }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[
+      (Double, Double, Double, Double)] = ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
