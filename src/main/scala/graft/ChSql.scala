@@ -1783,6 +1783,70 @@ object ChSql {
     s = s.replaceAll(
       "(?i)\\bARRAY\\s+JOIN\\s+([\\w.]+(?:\\([^()]*\\))?)\\s+AS\\s+(\\w+)",
       "LATERAL VIEW explode($1) __aj AS $2")
+    // alias-less single-column form: `ARRAY JOIN d` SHADOWS d — every
+    // other reference to d means the exploded element (ref
+    // ArrayJoinAction column replacement). Emit the lateral view with a
+    // sentinel for the source, rename the remaining references, then
+    // restore the sentinel.
+    locally {
+      // single bare column only: the multi-column / AS / function forms
+      // stay with their dedicated rewrites
+      val re = ("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_]\\w*)" +
+        "(?![\\w.])(?!\\s*,)(?!\\s+AS\\b)(?!\\s*\\()").r
+      var m = re.findFirstMatchIn(s)
+      var guard = 0
+      while (m.isDefined && guard < 8) {
+        guard += 1
+        val name = m.get.group(1)
+        s = s.substring(0, m.get.start) +
+          s"LATERAL VIEW explode(__AJSRC__) __aj AS __aj_$name" +
+          s.substring(m.get.start + m.get.matched.length)
+        // rename references within the ARRAY JOIN's OWN select scope —
+        // the innermost enclosing `(SELECT …)` span — but not inside
+        // subqueries nested deeper (their `name` is the pre-explode
+        // source column)
+        s = {
+          val pos = m.get.start
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+          var inStr = false
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') {
+              val isSub = s.substring(i + 1).matches("(?is)\\s*SELECT\\b.*")
+              stack += ((i, isSub))
+            } else if (c == ')') {
+              if (stack.nonEmpty) {
+                val (open, isSub) = stack.remove(stack.length - 1)
+                if (isSub) spans += ((open, i))
+              }
+            }
+            i += 1
+          }
+          val scope = spans.filter(sp => sp._1 < pos && pos <= sp._2)
+            .sortBy(sp => sp._2 - sp._1).headOption.getOrElse((0, s.length - 1))
+          def masked(p: Int): Boolean =
+            p < scope._1 || p > scope._2 ||
+              spans.exists(sp => sp != scope && sp._1 >= scope._1 &&
+                sp._2 <= scope._2 && p >= sp._1 && p <= sp._2)
+          val rex = s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(name)}(?![\\w`])".r
+          val sb = new StringBuilder
+          var last = 0
+          for (mm <- rex.findAllMatchIn(s)) {
+            if (!masked(mm.start)) {
+              sb.append(s.substring(last, mm.start)).append(s"__aj_$name")
+              last = mm.end
+            }
+          }
+          sb.append(s.substring(last)).toString
+        }
+        s = s.replace("__AJSRC__", name)
+        m = re.findFirstMatchIn(s)
+      }
+    }
     // WITH TOTALS is handled in sqlSplit (the totals row is a separate
     // output stream in CH); inside translate it reduces to the plain
     // grouping for the regular-rows result

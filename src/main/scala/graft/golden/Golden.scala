@@ -313,8 +313,8 @@ object Golden {
       }
       // FORMAT Null: the statement runs but its result is discarded
       // (clickhouse-test uses it for error-only statements)
-      val formatNull = clean.matches("(?is).*\\bFORMAT\\s+Null\\s*;?\\s*$")
-      val fmtRe = "(?is)\\bFORMAT\\s+([A-Za-z0-9]+)\\s*;?\\s*$".r
+      val formatNull = clean.matches("(?is).*\\bFORMAT\\s+`?Null`?\\s*;?\\s*$")
+      val fmtRe = "(?is)\\bFORMAT\\s+`?([A-Za-z0-9]+)`?\\s*;?\\s*$".r
       val fmtName = fmtRe.findFirstMatchIn(clean).map(_.group(1))
         .filter(graft.formats.ChOutputFormats.supports)
       if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull &&
@@ -330,7 +330,7 @@ object Golden {
             scala.util.Try(v.trim.toLong).toOption))
           .getOrElse(Long.MaxValue)
         val bare = clean
-          .replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z0-9]+\\s*;?\\s*$", "")
+          .replaceAll("(?is)\\s+FORMAT\\s+`?[A-Za-z0-9]+`?\\s*;?\\s*$", "")
         val mono = graft.formats.ChOutputFormats.isMonoBlock(fmt)
         val branches =
           if (mono) Seq(bare)
