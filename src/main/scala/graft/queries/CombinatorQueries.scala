@@ -271,17 +271,21 @@ object CombinatorQueries {
         |            count(*) OVER (PARTITION BY user_id) AS m
         |     FROM events WHERE user_id < 5)
         |SELECT user_id,
-        |       CASE WHEN max(m) <= 5
-        |            THEN list(event_id ORDER BY idx)
-        |            ELSE list(event_id ORDER BY idx % 5)
-        |       END AS ring
+        |       array_to_string(
+        |         CASE WHEN max(m) <= 5
+        |              THEN list(event_id ORDER BY idx)
+        |              ELSE list(event_id ORDER BY idx % 5)
+        |         END, ',') AS ring
         |FROM e WHERE idx >= m - 5 OR m <= 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import graft.functions.NicheAggs
+      // Serialized to CSV text: the driver's pandas comparator cannot
+      // sort bare array cells, so both sides emit a scalar string.
       Tables.load(s, dir, "events").filter(col("user_id") < 5)
         .orderBy("user_id", "event_id").coalesce(1)
         .groupBy("user_id")
-        .agg(NicheAggs.groupArrayLast(col("event_id"), lit(5)).as("ring"))
+        .agg(array_join(NicheAggs.groupArrayLast(col("event_id"), lit(5))
+          .cast("array<string>"), ",").as("ring"))
         .orderBy("user_id")
     },
 
