@@ -17,7 +17,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // Per-(session, dir, table) plan cache: a DataFrame is an immutable
+  // logical plan, so reuse skips repeated footer/schema inference — load()
+  // is called from every query builder, often several times per query.
+  private val loadCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = loadCache.synchronized {
+      var m = loadCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        loadCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Fixture generations have shipped events.ts both as parquet
     // TIMESTAMP(NANOS) (read as int64 under nanosAsLong; Spark has no nanos
     // timestamp) and as plain timestamp[us]. Branch on the type the read
