@@ -228,16 +228,41 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH buckets
-    * (exact verify inside the bucket). */
+    * (exact verify inside the bucket).
+    *
+    * Bucket-occupancy guard: a mass-duplicated embedding cluster hashes
+    * its N copies into one bucket and the all-pairs self-join goes O(N²).
+    * Buckets over `maxBucketSize` are star-linked instead — every member
+    * pairs with the bucket's min id only (O(N)), preserving the connected
+    * component a downstream clustering step needs while bounding work.
+    * Same pattern as `Dedup.minhashPairs`; the window partitions on the
+    * join key, so the cap costs no extra exchange. */
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nPlanes: Int = 6): DataFrame = {
+      dim: Int, threshold: Double, nPlanes: Int = 6,
+      maxBucketSize: Int = 512): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
-    l.join(r, Seq("bucket"))
+    val bw = Window.partitionBy(col("bucket"))
+    val sized = b
+      .withColumn("__bsz", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(col("id")).over(bw))
+    val small = sized.filter(col("__bsz") <= maxBucketSize)
+    val l = small.select(col("bucket"), col("id").as("id_a"),
+      col("__v").as("__va"))
+    val r = small.select(col("bucket"), col("id").as("id_b"),
+      col("__v").as("__vb"))
+    val allPairs = l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__va", "__vb")
+    val big = sized.filter(col("__bsz") > maxBucketSize)
+    val hubs = big.filter(col("id") === col("__bmin"))
+      .select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val starPairs = big.filter(col("id") =!= col("__bmin"))
+      .select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+      .join(hubs, Seq("bucket"))
+      .select("id_a", "id_b", "__va", "__vb")
+    allPairs.union(starPairs)
       .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")

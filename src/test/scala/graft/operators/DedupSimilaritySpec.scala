@@ -140,4 +140,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("nearDupPairs star-links a degenerate all-identical bucket") {
+    // 200 identical vectors land in one LSH bucket; with the cap at 16
+    // the pair count must be the star O(N), not the all-pairs O(N²).
+    val vs = (1L to 200L).map(i => (i, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vs, "vec_id", "embedding", 4, 0.999,
+      maxBucketSize = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 199, s"expected 199 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 1L), "star pairs must link to the bucket min id")
+    // connected component intact: every id reachable from the hub
+    assert(pairs.map(_._2).toSet == (2L to 200L).toSet)
+    // small-bucket path unaffected by the guard
+    val small = Similarity.nearDupPairs(vs.limit(3), "vec_id", "embedding",
+      4, 0.999, maxBucketSize = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(small == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
