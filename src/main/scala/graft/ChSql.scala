@@ -1808,13 +1808,20 @@ object ChSql {
         s = {
           val pos = m.get.start
           val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          // string-literal spans: an occurrence of the column name inside
+          // a quoted string is text, not a reference — never renamed
+          val strSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
           val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
           var inStr = false
+          var strStart = -1
           var i = 0
           while (i < s.length) {
             val c = s.charAt(i)
-            if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
-            else if (c == '\'') inStr = true
+            if (inStr) {
+              if (c == '\\') i += 1
+              else if (c == '\'') { inStr = false; strSpans += ((strStart, i)) }
+            }
+            else if (c == '\'') { inStr = true; strStart = i }
             else if (c == '(') {
               val isSub = s.substring(i + 1).matches("(?is)\\s*SELECT\\b.*")
               stack += ((i, isSub))
@@ -1831,7 +1838,8 @@ object ChSql {
           def masked(p: Int): Boolean =
             p < scope._1 || p > scope._2 ||
               spans.exists(sp => sp != scope && sp._1 >= scope._1 &&
-                sp._2 <= scope._2 && p >= sp._1 && p <= sp._2)
+                sp._2 <= scope._2 && p >= sp._1 && p <= sp._2) ||
+              strSpans.exists(sp => p >= sp._1 && p <= sp._2)
           val rex = s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(name)}(?![\\w`])".r
           val sb = new StringBuilder
           var last = 0
@@ -2071,31 +2079,115 @@ object ChSql {
               .getOrElse(filled)
           case _ => base.orderBy(key)
         }
-      case None => fillRollupDefaults(chQuery, spark.sql(translate(chQuery)))
+      case None => fillRollupDefaults(chQuery, spark)
     }
+  }
+
+  /** Split a comma list at paren depth 0, outside string literals —
+    * `a, f(b, c), d` → [a, f(b, c), d]. */
+  private[graft] def splitTopLevelCommas(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => cur.append(c); inStr = true
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq
+  }
+
+  /** Insert `, grouping_id() AS __gid` before the main SELECT's top-level
+    * FROM so subtotal rows are identifiable post-hoc. None when the query
+    * shape is unsupported (rollup inside a subquery, no top-level FROM). */
+  private def injectGroupingId(sql: String): Option[String] = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    var sawSelect = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < sql.length) i += 1
+        else if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && Character.isLetter(c) &&
+            (i == 0 || !(Character.isLetterOrDigit(sql(i - 1)) || sql(i - 1) == '_')) =>
+          var j = i
+          while (j < sql.length &&
+            (Character.isLetterOrDigit(sql(j)) || sql(j) == '_')) j += 1
+          val w = sql.substring(i, j).toUpperCase
+          if (w == "SELECT") sawSelect = true
+          else if (w == "FROM" && sawSelect)
+            return Some(sql.substring(0, i) +
+              ", grouping_id() AS __gid " + sql.substring(i))
+          i = j - 1
+        case _ =>
+      }
+      i += 1
+    }
+    None
   }
 
   /** CH WITH ROLLUP/CUBE subtotal rows carry the key's type DEFAULT, not
     * NULL (group_by_use_nulls=0 default; ref
-    * src/Processors/Transforms/RollupTransform.cpp). Spark emits NULL, so
-    * coalesce the key output columns. Safe because a CH non-Nullable key
-    * can never be NULL in data rows; Nullable keys keep NULL via the
-    * Nullable default anyway. */
+    * src/Processors/Transforms/RollupTransform.cpp). Spark emits NULL in
+    * the masked key slots, so rewrite them — targeting ONLY subtotal rows
+    * via an injected grouping_id() column (bit n-1-i set ⇔ key i masked in
+    * that row), so genuine NULL key values in data rows of Nullable
+    * columns survive untouched. Falls back to a blanket coalesce when the
+    * query shape defeats the injection (rollup in a subquery etc.). */
   private def fillRollupDefaults(chQuery: String,
-      df: DataFrame): DataFrame = {
+      spark: SparkSession): DataFrame = {
     val m = "(?is)\\bGROUP\\s+BY\\s+(.*?)\\bWITH\\s+(ROLLUP|CUBE)\\b".r
       .findFirstMatchIn(chQuery)
-    if (m.isEmpty) return df
-    import org.apache.spark.sql.functions.{coalesce, col}
-    val keys = m.get.group(1).split(",").map(
-      _.trim.stripPrefix("`").stripSuffix("`").toLowerCase).toSet
-    df.select(df.schema.fields.map { f =>
-      if (keys.contains(f.name.toLowerCase))
-        defaultLit(f.dataType)
-          .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name))
-          .getOrElse(col(s"`${f.name}`"))
-      else col(s"`${f.name}`")
-    }.toSeq: _*)
+    val translated = translate(chQuery)
+    if (m.isEmpty) return spark.sql(translated)
+    import org.apache.spark.sql.functions.{coalesce, col, shiftright, when, lit}
+    val keys = splitTopLevelCommas(m.get.group(1)).map(
+      _.trim.stripPrefix("`").stripSuffix("`").toLowerCase)
+    def blanket(df: DataFrame): DataFrame = {
+      val keySet = keys.toSet
+      df.select(df.schema.fields.map { f =>
+        if (keySet.contains(f.name.toLowerCase))
+          defaultLit(f.dataType)
+            .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name))
+            .getOrElse(col(s"`${f.name}`"))
+        else col(s"`${f.name}`")
+      }.toSeq: _*)
+    }
+    val n = keys.length
+    injectGroupingId(translated) match {
+      case Some(withGid) =>
+        try {
+          val df = spark.sql(withGid)
+          df.select(df.schema.fields.filter(_.name != "__gid").map { f =>
+            val i = keys.indexOf(f.name.toLowerCase)
+            if (i < 0) col(s"`${f.name}`")
+            else defaultLit(f.dataType).map { d =>
+              when((shiftright(col("__gid"), n - 1 - i) % 2) === lit(1), d)
+                .otherwise(col(s"`${f.name}`")).as(f.name)
+            }.getOrElse(col(s"`${f.name}`"))
+          }.toSeq: _*)
+        } catch { case _: Exception => blanket(spark.sql(translated)) }
+      case None => blanket(spark.sql(translated))
+    }
   }
 
   /** CH's default ORDER BY places NULLs as if greatest: last on ASC,

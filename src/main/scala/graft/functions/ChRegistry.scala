@@ -1128,7 +1128,11 @@ object ChRegistry {
       def build(isMin: Boolean)(a: Column, v: Column): Column = {
         val ext = if (isMin) array_min(v) else array_max(v)
         val i0 = get(a, array_position(v, ext).cast("int") - 1)
-        val lst = collect_list(struct(ext.as("n"), i0.as("i")))
+        // a row with an empty/all-NULL value array has no extreme — the
+        // reference skips it; folding it in would wedge the accumulator
+        // on a NULL n forever (better(x, NULL) is NULL → keep acc)
+        val lst = filter(collect_list(struct(ext.as("n"), i0.as("i"))),
+          s => s.getField("n").isNotNull)
         val better: (Column, Column) => Column =
           if (isMin) (x, y) => x < y else (x, y) => x > y
         aggregate(lst, get(slice(lst, 1, 0), lit(0)),

@@ -16,12 +16,20 @@ class CrossTabAgg(kind: String) extends org.apache.spark.sql.expressions
     .Aggregator[(String, String), CrossTabBuf, Double] {
   private def bump(m: Map[String, Long], k: String, v: Long = 1L) =
     m.updated(k, m.getOrElse(k, 0L) + v)
+  // length-prefixed composite key: a category value containing the
+  // would-be separator must not shift the split point
+  private def pairKey(a: String, b: String) = a.length + ":" + a + b
+  private def splitKey(k: String): (String, String) = {
+    val c = k.indexOf(':')
+    val n = k.substring(0, c).toInt
+    (k.substring(c + 1, c + 1 + n), k.substring(c + 1 + n))
+  }
   override def zero: CrossTabBuf =
     CrossTabBuf(0L, Map.empty, Map.empty, Map.empty)
   override def reduce(buf: CrossTabBuf, x: (String, String)): CrossTabBuf =
     if (x._1 == null || x._2 == null) buf
     else CrossTabBuf(buf.count + 1, bump(buf.a, x._1), bump(buf.b, x._2),
-      bump(buf.ab, x._1 + "\t" + x._2))
+      bump(buf.ab, pairKey(x._1, x._2)))
   override def merge(x: CrossTabBuf, y: CrossTabBuf): CrossTabBuf =
     CrossTabBuf(x.count + y.count,
       y.a.foldLeft(x.a) { case (m, (k, v)) => bump(m, k, v) },
@@ -30,9 +38,9 @@ class CrossTabAgg(kind: String) extends org.apache.spark.sql.expressions
   private def phiSquared(buf: CrossTabBuf): Double = {
     var chi = 0.0
     for ((k, vab) <- buf.ab) {
-      val i = k.indexOf('\t')
-      val va = buf.a(k.substring(0, i)).toDouble
-      val vb = buf.b(k.substring(i + 1)).toDouble
+      val (ka, kb) = splitKey(k)
+      val va = buf.a(ka).toDouble
+      val vb = buf.b(kb).toDouble
       val expected = va * vb / buf.count
       val d = vab - expected
       chi += d * d / expected
@@ -61,8 +69,7 @@ class CrossTabAgg(kind: String) extends org.apache.spark.sql.expressions
           hA += (v.toDouble / buf.count) * math.log(v.toDouble / buf.count)
         var dep = 0.0
         for ((k, vab) <- buf.ab) {
-          val i = k.indexOf('\t')
-          val vb = buf.b(k.substring(i + 1)).toDouble
+          val vb = buf.b(splitKey(k)._2).toDouble
           dep += (vab.toDouble / buf.count) * math.log(vab / vb)
         }
         val res = (dep - hA) / hA

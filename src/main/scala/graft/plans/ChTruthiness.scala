@@ -127,6 +127,12 @@ object ChNanCompareRule extends Rule[LogicalPlan] {
       case c: BinaryComparison
           if !c.isInstanceOf[EqualNullSafe] &&
             (isNanLit(c.left) || isNanLit(c.right)) =>
-        Literal(false)
+        // CH yields NULL for NULL-vs-nan (Nullable comparison), false
+        // otherwise — an unconditional false would print 0 where the
+        // reference prints \N
+        val other = if (isNanLit(c.left)) c.right else c.left
+        if (other.nullable)
+          If(IsNull(other), Literal(null, BooleanType), Literal(false))
+        else Literal(false)
     }
 }

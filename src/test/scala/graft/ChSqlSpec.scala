@@ -77,4 +77,60 @@ class ChSqlSpec extends SparkSpec {
       SparkSpec.tiny).collect()(0).getLong(0)
     assert(n === 25L)
   }
+
+  test("ROLLUP fills only subtotal rows; genuine NULL data keys survive") {
+    // k is NULL on one data row; the subtotal row's masked slot gets the
+    // type default (0) while the data row's NULL must stay NULL
+    val rows = ChSql.sql(spark,
+      """SELECT k, count() AS c FROM
+        |  (SELECT if(number = 0, NULL, number % 2) AS k
+        |   FROM numbers(5))
+        |GROUP BY k WITH ROLLUP ORDER BY c, k NULLS FIRST""".stripMargin,
+      SparkSpec.tiny).collect()
+    // groups: NULL×1, 0×2, 1×2, rollup total ×5 (key filled to 0)
+    val asPairs = rows.map(r =>
+      (if (r.isNullAt(0)) null else r.getAs[Number](0).longValue,
+        r.getLong(1))).toSeq
+    assert(asPairs.contains((null, 1L)), s"data NULL row lost: $asPairs")
+    assert(asPairs.contains((0L, 5L)), s"subtotal not filled: $asPairs")
+  }
+
+  test("ROLLUP key list splits paren-aware (function keys intact)") {
+    val rows = ChSql.sql(spark,
+      """SELECT concat(n_name, '!') AS tag, n_regionkey, count() AS c
+        |FROM nation GROUP BY concat(n_name, '!'), n_regionkey WITH ROLLUP
+        |ORDER BY c DESC, tag NULLS FIRST, n_regionkey NULLS FIRST
+        |LIMIT 1""".stripMargin, SparkSpec.tiny).collect()
+    // grand-total row: function key not fillable by name (stays NULL via
+    // fallback) but the bare key n_regionkey fills to 0 and count is 25
+    assert(rows(0).getLong(2) === 25L)
+    assert(rows(0).getAs[Number](1).longValue === 0L)
+  }
+
+  test("bare ARRAY JOIN rename leaves string literals alone") {
+    val r = ChSql.sql(spark,
+      """SELECT 'd is big' AS msg, d FROM
+        |  (SELECT [1, 2] AS d) ARRAY JOIN d ORDER BY d""".stripMargin,
+      SparkSpec.tiny).collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("d is big", "d is big"))
+    assert(r.map(_.getAs[Number](1).intValue).toSeq === Seq(1, 2))
+  }
+
+  test("comparisons against nan are NULL when the other side is NULL") {
+    val r = ChSql.sql(spark,
+      """SELECT nan = NULL AS a, nan < materialize(NULL) AS b,
+        |       nan = 1.0 AS c""".stripMargin, SparkSpec.tiny).collect()(0)
+    assert(r.isNullAt(0), "nan = NULL must be NULL")
+    assert(r.isNullAt(1), "nan < NULL must be NULL")
+    assert(r.getBoolean(2) === false)
+  }
+
+  test("argMinArray skips rows with empty value arrays") {
+    val r = ChSql.sql(spark,
+      """SELECT argMinArray(a, v) AS m FROM
+        |  (SELECT ['x', 'y'] AS a, [2, 1] AS v
+        |   UNION ALL SELECT [], [])""".stripMargin,
+      SparkSpec.tiny).collect()(0)
+    assert(r.getString(0) === "y")
+  }
 }
