@@ -103,7 +103,17 @@ object ChSql {
     * regular arguments. */
   private val paramAggs = Set("quantile", "quantileExact", "quantiles",
     "quantilesExact", "quantileTiming", "quantilesTiming",
-    "quantileTDigest", "quantileExactWeighted", "topK", "uniqUpTo",
+    "quantileTDigest", "quantileExactWeighted", "quantilesExactWeighted",
+    "quantileTDigestWeighted", "quantilesTDigestWeighted",
+    "quantileExactLow", "quantileExactHigh", "quantilesExactLow",
+    "quantilesExactHigh", "quantileExactInclusive",
+    "quantileExactExclusive", "quantilesExactInclusive",
+    "quantilesExactExclusive", "quantileInterpolatedWeighted",
+    "quantilesInterpolatedWeighted", "quantileTimingWeighted",
+    "quantilesTimingWeighted", "quantileBFloat16", "quantilesBFloat16",
+    "quantileBFloat16Weighted", "quantilesBFloat16Weighted",
+    "quantileDeterministic", "quantilesDeterministic", "sparkbar",
+    "topK", "uniqUpTo",
     "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
     "groupArrayLastArray", "exponentialMovingAverage",
     "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",

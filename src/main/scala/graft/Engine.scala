@@ -16,6 +16,11 @@ object Engine {
       .withExtensions(new graft.plans.ChExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Respect the advisory partition size when coalescing post-shuffle
+      // partitions instead of maximizing parallelism: fewer, fuller tasks
+      // cut scheduler overhead on small stages and the advisory size (not
+      // core count) governs at the 100 TB end.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

@@ -1554,17 +1554,138 @@ object ChRegistry {
         E(least(floor(size(lst) * p) + 1, size(lst)).cast("int"))))
     }
     f2("quantileTiming")(timingPick)
+    f1("medianTiming")(c => timingPick(c, lit(0.5)))
     f("quantiles") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesExact") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesTiming") { case x +: ps =>
       array(ps.map(p => timingPick(C(x), C(p))): _*) }
-    f3("quantileExactWeighted")((x, w, p) =>
-      call_function("percentile", x, p, w.cast("bigint")))
+    // quantileExactWeighted (ref QuantileExactWeighted.h): DISCRETE — the
+    // first value whose cumulative weight reaches ceil(level·W), not an
+    // interpolation (golden 00315 pins the difference)
+    f("quantileExactWeighted") {
+      case Seq(x, w) => QuantileVariants.exactWeighted(C(x), C(w), lit(0.5))
+      case Seq(x, w, p) => QuantileVariants.exactWeighted(C(x), C(w), C(p)) }
+    f("quantilesExactWeighted") { case x +: w +: ps =>
+      array(ps.map(p => QuantileVariants.exactWeighted(C(x), C(w), C(p))): _*) }
     f("quantileTDigest") {
       case Seq(x) => percentile_approx(C(x), lit(0.5), lit(1000))
       case Seq(x, p) => percentile_approx(C(x), C(p), lit(1000)) }
+    // TDigestWeighted: the exact weighted walk stands in for the sketch at
+    // golden scale (same approximate contract as quantileTDigest; the
+    // sketch internals are the documented divergence, SURVEY §7.3)
+    f("quantileTDigestWeighted") {
+      case Seq(x, w) => QuantileVariants.exactWeighted(C(x).cast("double"), C(w), lit(0.5))
+      case Seq(x, w, p) => QuantileVariants.exactWeighted(C(x).cast("double"), C(w), C(p)) }
+    // exact order-statistic variants (ref QuantileExact.h; registration
+    // list AggregateFunctionQuantileExact*.cpp)
+    def castBack(x: Expression, r: Column): Column = x match {
+      case e if e.resolved => e.dataType match {
+        case DoubleType | FloatType => r
+        case dt => r.cast(dt)
+      }
+      case _ => r
+    }
+    f("quantileExactLow") {
+      case Seq(x) => QuantileVariants.exactLowHigh(C(x), lit(0.5), high = false)
+      case Seq(x, p) => QuantileVariants.exactLowHigh(C(x), C(p), high = false) }
+    f("quantileExactHigh") {
+      case Seq(x) => QuantileVariants.exactLowHigh(C(x), lit(0.5), high = true)
+      case Seq(x, p) => QuantileVariants.exactLowHigh(C(x), C(p), high = true) }
+    f("quantilesExactLow") { case x +: ps =>
+      array(ps.map(p => QuantileVariants.exactLowHigh(C(x), C(p), high = false)): _*) }
+    f("quantilesExactHigh") { case x +: ps =>
+      array(ps.map(p => QuantileVariants.exactLowHigh(C(x), C(p), high = true)): _*) }
+    f("quantileExactInclusive") {
+      case Seq(x) => QuantileVariants.exactInterp(C(x), lit(0.5), exclusive = false)
+      case Seq(x, p) => QuantileVariants.exactInterp(C(x), C(p), exclusive = false) }
+    f("quantileExactExclusive") {
+      case Seq(x) => QuantileVariants.exactInterp(C(x), lit(0.5), exclusive = true)
+      case Seq(x, p) => QuantileVariants.exactInterp(C(x), C(p), exclusive = true) }
+    f("quantilesExactInclusive") { case x +: ps =>
+      array(ps.map(p => QuantileVariants.exactInterp(C(x), C(p), exclusive = false)): _*) }
+    f("quantilesExactExclusive") { case x +: ps =>
+      array(ps.map(p => QuantileVariants.exactInterp(C(x), C(p), exclusive = true)): _*) }
+    // weighted interpolation over the per-value cumulative distribution
+    // (ref QuantileInterpolatedWeighted.h); result keeps the input type
+    // (static_cast<UnderlyingType> truncation in the reference)
+    f("quantileInterpolatedWeighted") {
+      case Seq(x, w) => castBack(x,
+        QuantileVariants.interpolatedWeighted(C(x), C(w), lit(0.5)))
+      case Seq(x, w, p) => castBack(x,
+        QuantileVariants.interpolatedWeighted(C(x), C(w), C(p))) }
+    f("quantilesInterpolatedWeighted") { case x +: w +: ps =>
+      array(ps.map(p => castBack(x,
+        QuantileVariants.interpolatedWeighted(C(x), C(w), C(p)))): _*) }
+    f("quantileTimingWeighted") {
+      case Seq(x, w) => QuantileVariants.timingWeighted(C(x), C(w), lit(0.5))
+      case Seq(x, w, p) => QuantileVariants.timingWeighted(C(x), C(w), C(p)) }
+    f("quantilesTimingWeighted") { case x +: w +: ps =>
+      array(ps.map(p => QuantileVariants.timingWeighted(C(x), C(w), C(p))): _*) }
+    f("quantileBFloat16") {
+      case Seq(x) => QuantileVariants.bfloat16(C(x), lit(1), lit(0.5))
+      case Seq(x, p) => QuantileVariants.bfloat16(C(x), lit(1), C(p)) }
+    f("quantilesBFloat16") { case x +: ps =>
+      array(ps.map(p => QuantileVariants.bfloat16(C(x), lit(1), C(p))): _*) }
+    f("quantileBFloat16Weighted") {
+      case Seq(x, w) => QuantileVariants.bfloat16(C(x), C(w), lit(0.5))
+      case Seq(x, w, p) => QuantileVariants.bfloat16(C(x), C(w), C(p)) }
+    f("quantilesBFloat16Weighted") { case x +: w +: ps =>
+      array(ps.map(p => QuantileVariants.bfloat16(C(x), C(w), C(p))): _*) }
+    // quantileDeterministic (ref QuantileReservoirSamplerDeterministic.h):
+    // below the 8192-sample cap the reservoir keeps everything and the
+    // result is the R-7 interpolated quantile — exactly Spark's
+    // percentile. This engine computes that exact path at every size (the
+    // hash-subsampling above 8192 only APPROXIMATES it; being exact is
+    // deterministic a fortiori). Determinator arg participates only in
+    // sampling, so it is accepted and ignored.
+    f("quantileDeterministic") {
+      case Seq(x, _) => call_function("percentile", C(x), lit(0.5))
+      case Seq(x, _, p) => call_function("percentile", C(x), C(p)) }
+    f("quantilesDeterministic") { case x +: _ +: ps =>
+      call_function("percentile", C(x), array(ps.map(C): _*)) }
+    // medianXxx aliases = quantileXxx at level 0.5 (ref
+    // AggregateFunctionQuantile.cpp registerAggregateFunctionsQuantile:
+    // every quantile name also registers a median form)
+    f1("medianExactLow")(c => QuantileVariants.exactLowHigh(c, lit(0.5), high = false))
+    f1("medianExactHigh")(c => QuantileVariants.exactLowHigh(c, lit(0.5), high = true))
+    f2("medianExactWeighted")((x, w) => QuantileVariants.exactWeighted(x, w, lit(0.5)))
+    f2("medianTimingWeighted")((x, w) => QuantileVariants.timingWeighted(x, w, lit(0.5)))
+    f("medianInterpolatedWeighted") { case Seq(x, w) => castBack(x,
+      QuantileVariants.interpolatedWeighted(C(x), C(w), lit(0.5))) }
+    f1("medianBFloat16")(c => QuantileVariants.bfloat16(c, lit(1), lit(0.5)))
+    f2("medianBFloat16Weighted")((x, w) => QuantileVariants.bfloat16(x, w, lit(0.5)))
+    f2("medianDeterministic")((x, _) => call_function("percentile", x, lit(0.5)))
+    f1("medianTDigest")(c => percentile_approx(c, lit(0.5), lit(1000)))
+    f2("medianTDigestWeighted")((x, w) =>
+      QuantileVariants.exactWeighted(x.cast("double"), w, lit(0.5)))
+    // co-moment matrix family (ref AggregateFunctionVarianceMatrix.cpp)
+    f("corrMatrix") { xs => VarianceMatrix.corrMatrix(xs.map(C)) }
+    f("covarSampMatrix") { xs => VarianceMatrix.covarMatrix(xs.map(C), pop = false) }
+    f("covarPopMatrix") { xs => VarianceMatrix.covarMatrix(xs.map(C), pop = true) }
+    // sparkbar(width[,min,max])(x,y) (ref AggregateFunctionSparkbar.h);
+    // ChSql.rewriteParamAggs appends the parameters after x and y
+    f("sparkbar") { case x +: y +: rest if rest.nonEmpty =>
+      def evalLong(e: Expression): Long = e.eval(null) match {
+        case n: Number => n.longValue
+        case other => throw new IllegalArgumentException(
+          s"sparkbar parameter must be a constant, got $other")
+      }
+      val w = evalLong(rest.head).toInt
+      val range =
+        if (rest.length >= 3) Some((evalLong(rest(1)), evalLong(rest(2))))
+        else None
+      val agg = udaf(new SparkbarAgg(w, range),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Long)]())
+      val xl = x match {
+        case e if e.resolved && e.dataType == DateType => unix_date(C(e))
+        case e => C(e).cast("bigint")
+      }
+      agg(xl, C(y).cast("bigint")) }
+    // stem(language, word) — Porter for 'en' (ref src/Functions/stem.cpp)
+    f2("stem")((l, w) => C(ChStem(E(l), E(w))))
     // topK(x, k): most-frequent values, count-descending (ref
     // SpaceSaving.h — exact here; the sketch only matters above memory)
     f("topK") { case Seq(x, k) =>

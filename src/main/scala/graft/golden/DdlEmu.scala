@@ -1,0 +1,161 @@
+package graft.golden
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+/** Memory-table DDL emulation for the golden harness: the reference's
+  * stateless tests stage data with `CREATE TABLE … ENGINE = Memory` (or
+  * MergeTree — storage is irrelevant to the SELECT under test) plus
+  * `INSERT INTO`, then query it (ref src/Storages/StorageMemory.h — an
+  * in-process row buffer addressed by name). Here a table is a temp view
+  * over an in-memory DataFrame; INSERT unions new rows through a cast to
+  * the declared schema. Statements handled here produce no output lines —
+  * the clickhouse-test contract.
+  */
+object DdlEmu {
+
+  private val createRe =
+    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*ENGINE\\s*=.*$".r
+  private val createAsNumbersRe =
+    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s+AS\\s+numbers\\s*\\(\\s*(\\d+)\\s*\\)\\s*$".r
+  private val dropRe =
+    "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(?:SYNC\\s*)?$".r
+  private val truncateRe =
+    "(?is)^TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*$".r
+  private val insertRe =
+    "(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?\\s*(\\([^)]*\\))?\\s*(VALUES\\s*\\(.*|SELECT\\b.*|WITH\\b.*)$".r
+
+  /** Declared (CH-translated) column types per created table, so INSERT
+    * can cast to them and TRUNCATE can rebuild the empty frame. */
+  private case class Decl(cols: Seq[(String, String)])
+  private val decls = scala.collection.concurrent.TrieMap.empty[String, Decl]
+
+  /** Returns true when `stmt` was a DDL/INSERT statement handled here. */
+  def handle(spark: SparkSession, sfDir: String, stmt: String): Boolean =
+    stmt match {
+      case dropRe(name) =>
+        spark.catalog.dropTempView(name); decls.remove(name); true
+      case truncateRe(name) =>
+        decls.get(name).foreach(d => register(spark, name, emptyDf(spark, d)))
+        true
+      case createAsNumbersRe(name, n) =>
+        spark.range(n.toLong).toDF("number").createOrReplaceTempView(name)
+        decls(name) = Decl(Seq("number" -> "BIGINT"))
+        true
+      case createRe(name, colDefs) =>
+        val d = Decl(parseCols(colDefs))
+        decls(name) = d
+        register(spark, name, emptyDf(spark, d))
+        true
+      case insertRe(name, colList, body) =>
+        val target = spark.table(name)
+        val names = Option(colList)
+          .map(_.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+          .getOrElse(target.schema.fieldNames.toSeq)
+        val rows0 =
+          if (body.trim.toUpperCase.startsWith("VALUES"))
+            valuesDf(spark, sfDir, body.trim.drop(6).trim, names.length)
+          else graft.ChSql.sql(spark, body.trim, sfDir)
+        // cast by position to the declared column types, fill unnamed
+        // columns with CH type defaults (0 / '' / zero-date)
+        val byPos = names.zip(rows0.columns).map { case (n, c) =>
+          col(c).cast(target.schema(n).dataType).as(n) }
+        val rows = rows0.select(byPos: _*)
+        val full = target.schema.fieldNames.toSeq.map { n =>
+          if (names.contains(n)) col(n)
+          else defaultFor(target.schema(n).dataType).as(n)
+        }
+        register(spark, name, target.union(rows.select(full: _*)))
+        true
+      case _ => false
+    }
+
+  private def register(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  private def emptyDf(spark: SparkSession, d: Decl): DataFrame =
+    spark.sql(d.cols
+      .map { case (n, t) => s"CAST(NULL AS $t) AS `$n`" }
+      .mkString("SELECT ", ", ", "")).limit(0)
+
+  /** Split `a Decimal32(4), b UInt64 DEFAULT 0, …` into (name, SparkType)
+    * pairs; DEFAULT/CODEC/COMMENT/TTL tails are dropped (storage-level
+    * concerns). */
+  private def parseCols(defs: String): Seq[(String, String)] =
+    splitTop(defs).map { cd =>
+      val trimmed = cd.trim
+      val sp = trimmed.indexWhere(_.isWhitespace)
+      val name = trimmed.take(sp).stripPrefix("`").stripSuffix("`")
+      var typ = trimmed.drop(sp).trim
+      for (kw <- Seq("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
+          "COMMENT", "TTL")) {
+        val i = typ.toUpperCase.indexOf(" " + kw)
+        if (i >= 0) typ = typ.take(i).trim
+      }
+      name -> graft.ChSql.rewriteChTypes(typ)
+    }
+
+  private def splitTop(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += s.substring(start)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** `(1,'a'),(2,'b')` → DataFrame via the CH dialect shim, so CH literal
+    * forms (toDate('…'), arrays, ternaries) evaluate exactly as the
+    * reference would. */
+  private def valuesDf(spark: SparkSession, sfDir: String, tuples: String,
+      width: Int): DataFrame = {
+    val rows = splitTuples(tuples)
+    val selects = rows.map { r =>
+      val items = splitTop(r)
+      items.zipWithIndex.map { case (v, i) => s"$v AS __c$i" }
+        .mkString("SELECT ", ", ", "")
+    }
+    graft.ChSql.sql(spark, selects.mkString(" UNION ALL "), sfDir)
+  }
+
+  private def splitTuples(s0: String): Seq[String] = {
+    val s = s0.trim.stripSuffix(";").trim
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = -1
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\\') () else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => if (depth == 0) start = i + 1; depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { parts += s.substring(start, i); start = -1 }
+        case _ =>
+      }
+    }
+    parts.toSeq
+  }
+
+  private def defaultFor(dt: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => lit("")
+      case DateType => expr("DATE '1970-01-01'")
+      case TimestampType => expr("TIMESTAMP '1970-01-01 00:00:00'")
+      case _: ArrayType => expr("array()").cast(dt)
+      case BooleanType => lit(false)
+      case other => lit(0).cast(other)
+    }
+  }
+}

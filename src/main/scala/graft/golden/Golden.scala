@@ -311,6 +311,11 @@ object Golden {
           case _ =>
         }
       }
+      // DDL / INSERT statements stage Memory-table state and print
+      // nothing (DdlEmu); a failing INSERT must surface, not silently
+      // leave the table empty
+      val handledDdl = clean.nonEmpty && !expectsError && !isSessionSet &&
+        DdlEmu.handle(spark, sfDir, clean)
       // FORMAT Null: the statement runs but its result is discarded
       // (clickhouse-test uses it for error-only statements)
       val formatNull = clean.matches("(?is).*\\bFORMAT\\s+`?Null`?\\s*;?\\s*$")
@@ -318,7 +323,7 @@ object Golden {
       val fmtName = fmtRe.findFirstMatchIn(clean).map(_.group(1))
         .filter(graft.formats.ChOutputFormats.supports)
       if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull &&
-          fmtName.isDefined) {
+          !handledDdl && fmtName.isDefined) {
         // CH text output format: emulate the block structure (one table
         // per block in the Pretty family) — top-level UNION ALL branches
         // and max_block_size chunks each produce a block
@@ -373,7 +378,7 @@ object Golden {
         }
       }
       else if (clean.nonEmpty && !expectsError && !isSessionSet &&
-          !formatNull) {
+          !formatNull && !handledDdl) {
         // FORMAT TSVWithNames: the output carries a header row of column
         // names (ref src/Processors/Formats/Impl/TabSeparatedRowOutputFormat)
         val withNames = clean.matches(

@@ -117,15 +117,18 @@ object Round4Queries {
 
     // CH parameterized-aggregate call syntax through the dialect shim
     // (ref ASTFunction.h `parameters`): quantile(p)(x) and
-    // quantileExactWeighted(p)(x, w); the weighted oracle replays each
-    // row weight-many times via generate_series
+    // quantileExactWeighted(p)(x, w); the weighted oracle replays the
+    // reference's DISCRETE pick — first value whose cumulative weight
+    // reaches ceil(level·W) (ref QuantileExactWeighted.h get)
     Q.df("q_quantile_param",
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |       (SELECT round(quantile_cont(l.l_extendedprice, 0.5), 2)
-        |        FROM lineitem l JOIN generate_series(1, 7) g(i)
-        |          ON g.i <= l.l_linenumber
-        |        WHERE l.l_returnflag = o.l_returnflag) AS wmed
+        |       (SELECT round(v, 2) FROM (
+        |          SELECT l_extendedprice AS v,
+        |                 sum(l_linenumber) OVER (ORDER BY l_extendedprice) AS c,
+        |                 ceil(0.5 * sum(l_linenumber) OVER ()) AS th
+        |          FROM lineitem l WHERE l.l_returnflag = o.l_returnflag)
+        |        WHERE c >= th ORDER BY v LIMIT 1) AS wmed
         |FROM lineitem o GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
       ChSql.sql(s,
