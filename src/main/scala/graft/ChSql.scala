@@ -760,6 +760,43 @@ object ChSql {
     s
   }
 
+  /** [[rewriteScalarWith]] applied to the top level AND to every
+    * parenthesized subquery that starts with WITH — CH allows scalar-WITH
+    * macros at any query depth (`SELECT … FROM (WITH expr AS x SELECT …)`,
+    * ref QueryAliasesVisitor.cpp visits the whole tree). */
+  private[graft] def rewriteScalarWithDeep(sql: String): String = {
+    var s = rewriteScalarWith(sql)
+    var changed = true
+    var guard = 0
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val re = "(?is)\\(\\s*WITH\\b".r
+      val ms = re.findAllMatchIn(s).toSeq
+      for (m <- ms if !changed) {
+        val open = m.start
+        var depth = 0; var i = open; var inStr = false; var end = -1
+        while (end < 0 && i < s.length) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end > 0) {
+          val inner = s.substring(open + 1, end)
+          val rewritten = rewriteScalarWith(inner)
+          if (rewritten != inner) {
+            s = s.substring(0, open + 1) + rewritten + s.substring(end)
+            changed = true
+          }
+        }
+      }
+    }
+    s
+  }
+
   /** CH scalar WITH: `WITH <expr> AS <name>, … SELECT …` — the aliases
     * are macros substituted into the query (ref
     * src/Interpreters/QueryAliasesVisitor.cpp). Standard `name AS
@@ -1587,7 +1624,7 @@ object ChSql {
     var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(
         rewriteChTypes(rewriteTypeIntrospection(rewriteCastCall(
-          rewriteColonCast(rewriteScalarWith(rewriteUntuple(
+          rewriteColonCast(rewriteScalarWithDeep(rewriteUntuple(
             rewriteStringEscapes(chSql))))))))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
     // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's

@@ -689,6 +689,11 @@ object ChRegistry {
       // non-literal arg only keys per-column generator state in CH
       case _ => (C(new Rand()) * 4294967296L).cast("bigint") }
     f("rand64") { case _ => ch.sparkXxhash64(C(new Rand())) }
+    // randNormal(mean, stddev) (ref src/Functions/randDistribution.cpp):
+    // Spark's Gaussian generator rescaled — the distribution contract,
+    // not the reference's generator stream
+    f2("randNormal")((m, s) =>
+      randn() * s.cast("double") + m.cast("double"))
     f("canonicalRand") { case _ => C(new Rand()) }
     f("randCanonical") { case _ => C(new Rand()) }
     // random printable-ASCII string of length n: repeated base64 of a
@@ -1000,6 +1005,8 @@ object ChRegistry {
         case "count" => size(arr).cast("bigint")
         case "avg" =>
           aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double")) / size(arr)
+        case "quantileBFloat16" | "medianBFloat16" =>
+          QuantileVariants.bfloat16Arr(arr, lit(0.5))
         case other =>
           throw new IllegalArgumentException(s"arrayReduce: unsupported $other")
       } }
@@ -1532,13 +1539,22 @@ object ChRegistry {
     // estimate — same approximate contract as uniqCombined here, with
     // the documented sketch-internals divergence (SURVEY §7.3)
     f1("uniqTheta")(c => approx_count_distinct(c))
-    f1("medianExact")(c => call_function("percentile", c, lit(0.5)))
+    f1("medianExact")(c =>
+      QuantileVariants.exactLowHigh(c, lit(0.5), high = true))
     // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
     // quantile(p)(x) into quantile(x, p) before these resolve (ref
-    // AggregateFunctionQuantile.h). Exact/Timing tiers share Spark's
-    // exact interpolated percentile; TDigest keeps the sketch form.
-    f2("quantile")((x, p) => call_function("percentile", x, p))
-    f2("quantileExact")((x, p) => call_function("percentile", x, p))
+    // AggregateFunctionQuantile.h). `quantile` is the reservoir tier —
+    // R-7 interpolated on the full data (exact below the 8192-sample cap,
+    // and this engine keeps it exact at every size); quantileExact is
+    // DISCRETE — sorted[trunc(level·n)] (ref QuantileExact.h getImpl,
+    // golden 00979 pins 250/500/…/600 where interpolation gives 249.75).
+    f("quantile") {
+      case Seq(x) => call_function("percentile", C(x), lit(0.5))
+      case Seq(x, p) => call_function("percentile", C(x), C(p)) }
+    f("quantileExact") {
+      case Seq(x) => QuantileVariants.exactLowHigh(C(x), lit(0.5), high = true)
+      case Seq(x, p) =>
+        QuantileVariants.exactLowHigh(C(x), C(p).cast("double"), high = true) }
     // Timing tier keeps CH's value discretization (ref QuantileTiming.h:
     // exact below 1024, 16-wide buckets to BIG_THRESHOLD=30000, clamped
     // above) and its element selection — elems[floor(n·level)], no
@@ -1553,12 +1569,16 @@ object ChRegistry {
       C(ChElementAt(E(lst),
         E(least(floor(size(lst) * p) + 1, size(lst)).cast("int"))))
     }
-    f2("quantileTiming")(timingPick)
+    f("quantileTiming") {
+      case Seq(x) => timingPick(C(x), lit(0.5))
+      case Seq(x, p) => timingPick(C(x), C(p)) }
     f1("medianTiming")(c => timingPick(c, lit(0.5)))
     f("quantiles") { case x +: ps =>
       call_function("percentile", C(x), array(ps.map(C): _*)) }
     f("quantilesExact") { case x +: ps =>
-      call_function("percentile", C(x), array(ps.map(C): _*)) }
+      array(ps.map(p =>
+        QuantileVariants.exactLowHigh(C(x), C(p).cast("double"),
+          high = true)): _*) }
     f("quantilesTiming") { case x +: ps =>
       array(ps.map(p => timingPick(C(x), C(p))): _*) }
     // quantileExactWeighted (ref QuantileExactWeighted.h): DISCRETE — the
@@ -1660,6 +1680,8 @@ object ChRegistry {
     f1("medianTDigest")(c => percentile_approx(c, lit(0.5), lit(1000)))
     f2("medianTDigestWeighted")((x, w) =>
       QuantileVariants.exactWeighted(x.cast("double"), w, lit(0.5)))
+    f2("covarSamp")((x, y) => covar_samp(x.cast("double"), y.cast("double")))
+    f2("covarPop")((x, y) => covar_pop(x.cast("double"), y.cast("double")))
     // co-moment matrix family (ref AggregateFunctionVarianceMatrix.cpp)
     f("corrMatrix") { xs => VarianceMatrix.corrMatrix(xs.map(C)) }
     f("covarSampMatrix") { xs => VarianceMatrix.covarMatrix(xs.map(C), pop = false) }

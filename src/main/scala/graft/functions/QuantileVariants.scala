@@ -183,4 +183,18 @@ object QuantileVariants {
     when(size(lst) === 0, lit(Double.NaN))
       .otherwise(pickAtCum(lst, ceil(total * p)).cast("double"))
   }
+
+  /** quantileBFloat16 over an ARRAY argument (the arrayReduce path, ref
+    * src/Functions/array/arrayReduce.cpp): same histogram walk, unit
+    * weights. */
+  def bfloat16Arr(arr: Column, p: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    val lst = sort_array(transform(
+      filter(arr, v => !isnan(v.cast("double"))),
+      v => struct(CC(ChBFloat16(EE((v.cast("double"))))).as("v"),
+        lit(1.0).as("w"))))
+    val total = size(lst).cast("double")
+    when(size(lst) === 0, lit(Double.NaN))
+      .otherwise(pickAtCum(lst, ceil(total * p.cast("double"))).cast("double"))
+  }
 }
