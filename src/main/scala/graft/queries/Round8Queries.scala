@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{ChSql, Tables}
+
+/** Round-8 coverage: the weighted/variant quantile family, co-moment
+  * matrices, sparkbar, stem, and Object('json')-style subcolumn access —
+  * each against a DuckDB oracle that re-implements the reference
+  * semantics cited in the function's Scaladoc.
+  */
+object Round8Queries {
+
+  val all: Seq[Q] = Seq(
+
+    // exact order-statistic variants (ref QuantileExact.h): Low/High at
+    // the median (differ on even counts), the discrete quantileExact pick
+    // at 0.77, each per group. The oracle replays sorted[n] by list index.
+    Q.df("q_quantile_exact_variants",
+      """WITH g AS (SELECT l_returnflag AS rf,
+        |                  list(CAST(l_quantity AS DOUBLE) ORDER BY l_quantity) AS l,
+        |                  count(*) AS n
+        |           FROM lineitem GROUP BY 1)
+        |SELECT rf,
+        |       round(l[CAST(CASE WHEN n % 2 = 1 THEN n // 2
+        |                         ELSE n // 2 - 1 END AS INT) + 1], 2) AS qlow,
+        |       round(l[CAST(n // 2 AS INT) + 1], 2) AS qhigh,
+        |       round(l[CAST(floor(CAST(0.77 AS DOUBLE) * n) AS INT) + 1], 2)
+        |         AS qexact
+        |FROM g ORDER BY rf""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT l_returnflag AS rf,
+          |       round(toFloat64(quantileExactLow(0.5)(l_quantity)), 2) AS qlow,
+          |       round(toFloat64(quantileExactHigh(0.5)(l_quantity)), 2) AS qhigh,
+          |       round(toFloat64(quantileExact(0.77)(l_quantity)), 2) AS qexact
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin, dir)
+    },
+
+    // Inclusive (R-7, = quantile_cont) and Exclusive (R-6) interpolated
+    // variants (ref QuantileExact.h QuantileExactInclusive/Exclusive):
+    // the oracle restates the h = level·(n±1) arithmetic in Float64
+    Q.df("q_quantile_interp_variants",
+      """WITH g AS (SELECT l_returnflag AS rf,
+        |                  list(CAST(l_quantity AS DOUBLE) ORDER BY l_quantity) AS l,
+        |                  count(*) AS n,
+        |                  quantile_cont(CAST(l_quantity AS DOUBLE), 0.77) AS qc
+        |           FROM lineitem GROUP BY 1),
+        |h AS (SELECT rf, l, n, qc,
+        |             CAST(0.77 AS DOUBLE) * (n + 1) AS hh FROM g)
+        |SELECT rf,
+        |       round(qc, 4) AS qinc,
+        |       round(CASE WHEN floor(hh) >= n THEN l[CAST(n AS INT)]
+        |                  WHEN floor(hh) < 1 THEN l[1]
+        |                  ELSE l[CAST(floor(hh) AS INT)] + (hh - floor(hh)) *
+        |                       (l[CAST(floor(hh) AS INT) + 1] -
+        |                        l[CAST(floor(hh) AS INT)])
+        |             END, 4) AS qexc
+        |FROM h ORDER BY rf""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT l_returnflag AS rf,
+          |       round(quantileExactInclusive(0.77)(l_quantity), 4) AS qinc,
+          |       round(quantileExactExclusive(0.77)(l_quantity), 4) AS qexc
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin, dir)
+    },
+
+    // weighted quantiles (ref QuantileExactWeighted.h discrete pick,
+    // QuantileInterpolatedWeighted.h distribution interpolation): the
+    // oracle rebuilds the cumulative-weight walk with window functions
+    Q.df("q_quantile_weighted_variants",
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |                  CAST(l_quantity AS DOUBLE) AS v,
+        |                  CAST(l_linenumber AS DOUBLE) AS wt
+        |           FROM lineitem),
+        |c AS (SELECT rf, v,
+        |             sum(wt) OVER (PARTITION BY rf ORDER BY v) AS cum,
+        |             ceil(CAST(0.6 AS DOUBLE) *
+        |                  sum(wt) OVER (PARTITION BY rf)) AS th
+        |      FROM b),
+        |disc AS (SELECT rf, round(min(CASE WHEN cum >= th THEN v END), 2)
+        |                  AS qw
+        |         FROM c GROUP BY rf),
+        |d AS (SELECT rf, v, sum(wt) AS w FROM b GROUP BY rf, v),
+        |x AS (SELECT rf, v, w,
+        |             sum(w) OVER (PARTITION BY rf ORDER BY v) AS cum,
+        |             sum(w) OVER (PARTITION BY rf) AS tot
+        |      FROM d),
+        |p AS (SELECT rf, v, (cum - 0.5 * w) / tot AS xx FROM x),
+        |seg AS (SELECT rf, v AS yl, xx AS xl,
+        |               lead(v) OVER (PARTITION BY rf ORDER BY xx) AS yr,
+        |               lead(xx) OVER (PARTITION BY rf ORDER BY xx) AS xr
+        |        FROM p),
+        |lim AS (SELECT rf, min(xx) AS mn, arg_min(v, xx) AS firstv,
+        |               arg_max(v, xx) AS lastv
+        |        FROM p GROUP BY rf),
+        |itp AS (SELECT rf,
+        |               max(yl + (yr - yl) * (0.5 - xl) / (xr - xl)) AS iv
+        |        FROM seg WHERE xl <= 0.5 AND xr >= 0.5 GROUP BY rf)
+        |SELECT l.rf AS rf, disc.qw AS qw,
+        |       round(coalesce(itp.iv,
+        |             CASE WHEN 0.5 < l.mn THEN l.firstv ELSE l.lastv END), 4)
+        |         AS qi
+        |FROM lim l
+        |LEFT JOIN itp ON l.rf = itp.rf
+        |JOIN disc ON l.rf = disc.rf
+        |ORDER BY rf""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT l_returnflag AS rf,
+          |       round(toFloat64(quantileExactWeighted(0.6)(l_quantity,
+          |             l_linenumber)), 2) AS qw,
+          |       round(toFloat64(quantileInterpolatedWeighted(0.5)(
+          |             l_quantity, l_linenumber)), 4) AS qi
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin, dir)
+    },
+
+    // quantileTimingWeighted (ref QuantileTiming.h): value discretization
+    // (exact < 1024, 16-wide buckets to 30000) + element at rank
+    // floor(level·N) of the weight-expanded multiset
+    Q.df("q_quantile_timing_weighted",
+      """WITH b AS (SELECT user_id % 4 AS g,
+        |                  CASE WHEN event_id % 5000 > 30000 THEN 30000
+        |                       WHEN event_id % 5000 < 1024 THEN event_id % 5000
+        |                       ELSE 1024 + ((event_id % 5000 - 1024) // 16) * 16
+        |                  END AS v,
+        |                  CAST(event_id % 7 + 1 AS DOUBLE) AS wt
+        |           FROM events),
+        |c AS (SELECT g, v,
+        |             sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |             floor(CAST(0.9 AS DOUBLE) *
+        |                   sum(wt) OVER (PARTITION BY g)) + 1 AS r
+        |      FROM b)
+        |SELECT g, CAST(min(CASE WHEN cum >= r THEN v END) AS DOUBLE) AS qt
+        |FROM c GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT user_id % 4 AS g,
+          |       quantileTimingWeighted(0.9)(event_id % 5000,
+          |                                   event_id % 7 + 1) AS qt
+          |FROM events GROUP BY user_id % 4
+          |ORDER BY g""".stripMargin, dir)
+    },
+
+    // co-moment matrix family (ref AggregateFunctionVarianceMatrix.cpp):
+    // the oracle assembles pairwise corr()/covar_pop() into the same
+    // flattened upper-row form
+    Q.df("q_corr_matrix",
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS c12,
+        |       round(corr(l_quantity, l_discount), 6) AS c13,
+        |       round(corr(l_extendedprice, l_discount), 6) AS c23,
+        |       round(covar_pop(l_quantity, l_extendedprice), 4) AS p12,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS s13
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT round(corrMatrix(l_quantity, l_extendedprice,
+          |                        l_discount)[1][2], 6) AS c12,
+          |       round(corrMatrix(l_quantity, l_extendedprice,
+          |                        l_discount)[1][3], 6) AS c13,
+          |       round(corrMatrix(l_quantity, l_extendedprice,
+          |                        l_discount)[2][3], 6) AS c23,
+          |       round(covarPopMatrix(l_quantity,
+          |                        l_extendedprice)[1][2], 4) AS p12,
+          |       round(covarSampMatrix(l_quantity,
+          |                        l_discount)[1][2], 6) AS s13
+          |FROM lineitem""".stripMargin, dir)
+    },
+
+    // Object('json') subcolumn access over events.props (SURVEY §1.1 —
+    // dynamic JSON paths map to get_json_object/JSONExtract*)
+    Q.df("q_json_subcolumns",
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+        |            AS BIGINT) AS sk,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+        |            AS BIGINT) AS mk,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      ChSql.sql(s,
+        """SELECT event_type,
+          |       sum(JSONExtractInt(props, 'k')) AS sk,
+          |       CAST(max(JSONExtractInt(props, 'k')) AS BIGINT) AS mk,
+          |       count() AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        dir)
+    },
+
+    // sparkbar + stem ride the golden/spec gates (bar strings and Porter
+    // outputs have no DuckDB formulation); a rows-only query pins the
+    // SQL-callable surface end-to-end
+    Q.dfOnly("q_sparkbar_stem") { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT sparkbar(10)(user_id % 50, event_id % 100 + 1) AS bar,
+          |       stem('en', 'collection') AS st
+          |FROM events""".stripMargin, dir)
+    })
+}
