@@ -2090,9 +2090,18 @@ object ChSql {
           case TimestampType => c.cast("timestamp")
           case t => c.cast(t)
         }
-        def evalExpr(e: String): Double =
-          toNum(expr(ChSql.translate(e).trim)) match { case c =>
-            spark.range(1).select(c.as("v")).collect()(0).getDouble(0) }
+        // FROM/TO/STEP are constants: read them off the OPTIMIZED plan
+        // (constant folding turns them into a Literal) — evaluating via
+        // collect() would fire a 1-row Spark job per bound (r7 verdict)
+        def evalExpr(e: String): Double = {
+          val df = spark.range(1)
+            .select(toNum(expr(ChSql.translate(e).trim)).as("v"))
+          import org.apache.spark.sql.catalyst.plans.logical.Project
+          import org.apache.spark.sql.catalyst.expressions.{Alias, Literal => L}
+          df.queryExecution.optimizedPlan.collectFirst {
+            case Project(Seq(Alias(L(v: Number, _), _)), _) => v.doubleValue()
+          }.getOrElse(df.collect()(0).getDouble(0))
+        }
         val bounds = base.agg(min(toNum(col(key))).as("a"),
           max(toNum(col(key))).as("b")).collect()(0)
         val dataMin = if (bounds.isNullAt(0)) None else Some(bounds.getDouble(0))

@@ -1682,6 +1682,25 @@ object ChRegistry {
       QuantileVariants.exactWeighted(x.cast("double"), w, lit(0.5)))
     f2("covarSamp")((x, y) => covar_samp(x.cast("double"), y.cast("double")))
     f2("covarPop")((x, y) => covar_pop(x.cast("double"), y.cast("double")))
+    // retention(cond1, …, condN) (ref AggregateFunctionRetention.h): bit
+    // per condition = "condition held on SOME row of the group"; bits
+    // past the first are additionally ANDed with bit 1 at finalization
+    f("retention") { es =>
+      val flags = es.map(e =>
+        max(C(e).cast("boolean").cast("int")))
+      array((flags.head +: flags.tail.map(fl => fl * flags.head))
+        .map(fl => coalesce(fl, lit(0)).cast("tinyint")): _*) }
+    // welchTTest/studentTTest SQL surface (ref AggregateFunctionTTest.h):
+    // CH's tuple is (t_stat, p_value); the indicator's 0-group is the
+    // first sample (positive t for mean0 > mean1)
+    locally {
+      def pair(s: Column) =
+        struct(s.getField("t").as("_1"), s.getField("p").as("_2"))
+      f2("welchTTest")((v, g) => pair(
+        StatsTests.welchTTest(v.cast("double"), g.cast("double") === 0)))
+      f2("studentTTest")((v, g) => pair(
+        StatsTests.studentTTest(v.cast("double"), g.cast("double") === 0)))
+    }
     // co-moment matrix family (ref AggregateFunctionVarianceMatrix.cpp)
     f("corrMatrix") { xs => VarianceMatrix.corrMatrix(xs.map(C)) }
     f("covarSampMatrix") { xs => VarianceMatrix.covarMatrix(xs.map(C), pop = false) }

@@ -25,9 +25,11 @@ object Dictionaries {
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Column]]()
 
   /** Hard cap on dictionary size: the collected map is baked into the
-    * expression tree, so it must stay broadcast-sized. Beyond this, the
-    * right tool is [[dictGet]] — a broadcast join that never collects. */
-  val MaxDictRows = 1000000
+    * expression tree, so it must stay well under broadcast size — a
+    * million-pair literal strains the driver and codegen long before the
+    * broadcast limit. Beyond this, the right tool is [[dictGet]] — a
+    * broadcast join that never collects. */
+  val MaxDictRows = 100000
 
   /** Register `dict` under `name`: collects one key→value map literal per
     * attribute column. Call once per session per dictionary. */
