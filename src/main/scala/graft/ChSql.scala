@@ -113,7 +113,7 @@ object ChSql {
     "quantilesTimingWeighted", "quantileBFloat16", "quantilesBFloat16",
     "quantileBFloat16Weighted", "quantilesBFloat16Weighted",
     "quantileDeterministic", "quantilesDeterministic", "sparkbar",
-    "topK", "uniqUpTo",
+    "groupArraySample", "topK", "uniqUpTo",
     "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
     "groupArrayLastArray", "exponentialMovingAverage",
     "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",

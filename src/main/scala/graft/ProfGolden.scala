@@ -13,9 +13,17 @@ object ProfGolden {
     val res = new java.io.PrintWriter("/tmp/golden_results.txt")
     def clean(s: String): String =
       s.filter(c => c >= 32 && c < 127).take(1500)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     list.foreach { path =>
       try {
-        val (actual, expected) = golden.Golden.runFile(spark, path, sfDir)
+        val fut = Future(golden.Golden.runFile(spark, path, sfDir))
+        val (actual, expected) =
+          try Await.result(fut, 60.seconds)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelAllJobs()
+            throw new RuntimeException("TIMEOUT 60s") }
         if (actual == expected) { pass += 1; res.println(s"PASS $path") }
         else {
           val diff = actual.zipAll(expected, "<missing>", "<missing>")

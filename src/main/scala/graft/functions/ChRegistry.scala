@@ -1212,6 +1212,20 @@ object ChRegistry {
           .getConfString("graft.blockLocal.maxRows", "10000000").toLong
         C(BlockLocalGuard(E(sum(c).over(w)), limit, "runningAccumulate"))
       }
+      // runningConcurrency(begin, end) (ref
+      // src/Functions/runningConcurrency.cpp): per row, intervals open so
+      // far whose end is strictly after this begin — the heap walk
+      // restated as a prefix collect + filter. O(n²) in the block, so the
+      // guard is much tighter than the other block-local fns; past it the
+      // scalable formulation is the endpoint sweep (NicheAggs
+      // maxIntersections's +1/−1 running sum).
+      f2("runningConcurrency") { (b, e) =>
+        val limit = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.blockLocal.maxRowsQuadratic", "100000").toLong
+        val ends = collect_list(e).over(w)
+        C(BlockLocalGuard(E(size(filter(ends, x => x > b))), limit,
+          "runningConcurrency"))
+      }
     }
     // pads + intervals (ref padString.cpp, FunctionsConversion.h)
     // pad default is a space (ref padString.cpp); UTF8 twins share the
@@ -1701,6 +1715,23 @@ object ChRegistry {
       f2("studentTTest")((v, g) => pair(
         StatsTests.studentTTest(v.cast("double"), g.cast("double") === 0)))
     }
+    // groupArraySample(n[, seed])(x) (ref
+    // AggregateFunctionGroupArray.h sample variant): n elements chosen by
+    // a seed-keyed hash over insertion positions. The reference's partial
+    // Fisher–Yates stream is RNG-identical only to itself, so the CHOSEN
+    // SET differs from CH; what is preserved — and spec-asserted — is the
+    // contract: deterministic for a fixed seed, size min(n, count),
+    // elements drawn from the input.
+    f("groupArraySample") { case x +: n +: rest =>
+      val seed = rest.headOption.map(e => litInt(e).toLong)
+        .getOrElse(123456789L)
+      val lst = collect_list(C(x))
+      val ordered = transform(
+        array_sort(transform(sequence(lit(1), size(lst)),
+          i => struct(xxhash64(lit(seed), i).as("h"), i.as("i")))),
+        s => s.getField("i"))
+      transform(slice(ordered, lit(1), C(n).cast("int")),
+        i => element_at(lst, i)) }
     // co-moment matrix family (ref AggregateFunctionVarianceMatrix.cpp)
     f("corrMatrix") { xs => VarianceMatrix.corrMatrix(xs.map(C)) }
     f("covarSampMatrix") { xs => VarianceMatrix.covarMatrix(xs.map(C), pop = false) }

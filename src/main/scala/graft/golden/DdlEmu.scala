@@ -96,7 +96,10 @@ object DdlEmu {
       name -> graft.ChSql.rewriteChTypes(typ)
     }
 
-  private def splitTop(s: String): Seq[String] = {
+  /** Split on top-level commas. `angled` additionally treats <> as
+    * nesting (type lists); VALUES items instead nest on [] (array
+    * literals), where a bare `<` is a comparison operator. */
+  private def splitTop(s: String, angled: Boolean = true): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var start = 0
     for (i <- s.indices) {
@@ -104,8 +107,10 @@ object DdlEmu {
       if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
-        case '(' | '<' => depth += 1
-        case ')' | '>' => depth -= 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '<' if angled => depth += 1
+        case '>' if angled => depth -= 1
         case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
         case _ =>
       }
@@ -121,7 +126,7 @@ object DdlEmu {
       width: Int): DataFrame = {
     val rows = splitTuples(tuples)
     val selects = rows.map { r =>
-      val items = splitTop(r)
+      val items = splitTop(r, angled = false)
       items.zipWithIndex.map { case (v, i) => s"$v AS __c$i" }
         .mkString("SELECT ", ", ", "")
     }

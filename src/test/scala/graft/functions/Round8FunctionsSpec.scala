@@ -87,6 +87,22 @@ class Round8FunctionsSpec extends SparkSpec {
       Seq(6.74799, 2.13209, 4.75467, 9.93017)))
   }
 
+  test("groupArraySample: fixed seed is deterministic, size/subset hold") {
+    (0 until 100).toDF("x").coalesce(1).createOrReplaceTempView("gas")
+    def run(): Seq[Int] =
+      ChSql.sql(spark, "SELECT groupArraySample(10, 42)(x) FROM gas",
+        SparkSpec.tiny).head.getSeq[Int](0).toSeq
+    val a = run(); val b = run()
+    assert(a === b, "same seed, same session: identical sample")
+    assert(a.length === 10 && a.forall(v => v >= 0 && v < 100))
+    assert(a.distinct.length === 10, "positions are sampled without replacement")
+    // n larger than the group: whole group comes back
+    val full = ChSql.sql(spark,
+      "SELECT groupArraySample(500, 42)(x) FROM gas", SparkSpec.tiny)
+      .head.getSeq[Int](0)
+    assert(full.length === 100)
+  }
+
   test("matrix aggregates: degenerate group shapes match the reference") {
     fhFixture()
     val corr1 = mat("SELECT corrMatrix(a_value) FROM (SELECT a_value FROM fh LIMIT 1)")
