@@ -4,7 +4,7 @@ package graft
   * (not part of the API). args(0) = file with one .sql path per line. */
 object ProfGolden {
   def main(args: Array[String]): Unit = {
-    val spark = Engine.session()
+    var spark = Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
     val list = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(args(0))).toArray.map(_.toString).filter(_.nonEmpty)
@@ -16,27 +16,44 @@ object ProfGolden {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    list.foreach { path =>
+    def rebuild(): Unit = {
+      try { spark.sparkContext.cancelAllJobs(); spark.stop() }
+      catch { case _: Throwable => }
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      spark = Engine.session()
+      spark.sparkContext.setLogLevel("ERROR")
+    }
+    def runOne(path: String): Either[String, (Seq[String], Seq[String])] =
       try {
-        val fut = Future(golden.Golden.runFile(spark, path, sfDir))
-        val (actual, expected) =
-          try Await.result(fut, 60.seconds)
-          catch { case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelAllJobs()
-            throw new RuntimeException("TIMEOUT 60s") }
-        if (actual == expected) { pass += 1; res.println(s"PASS $path") }
-        else {
+        val s0 = spark
+        val fut = Future(golden.Golden.runFile(s0, path, sfDir))
+        try Right(Await.result(fut, 60.seconds))
+        catch { case _: java.util.concurrent.TimeoutException =>
+          rebuild(); Left("TIMEOUT 60s") }
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace('\n', ' ').trim)
+      }
+    list.foreach { path =>
+      var r = runOne(path)
+      // an OOM/cancel can poison the session; rebuild + one retry so one
+      // bad file doesn't fail the rest of the sweep
+      r.left.foreach { m =>
+        if (m.contains("Eagerly executed") || m.contains("OutOfMemory") ||
+            m.contains("SparkContext") || m.contains("stopped")) {
+          rebuild(); r = runOne(path)
+        }
+      }
+      r match {
+        case Right((actual, expected)) if actual == expected =>
+          pass += 1; res.println(s"PASS $path")
+        case Right((actual, expected)) =>
           val diff = actual.zipAll(expected, "<missing>", "<missing>")
             .filter { case (a, b) => a != b }.take(12)
           res.println(s"FAIL $path " + clean(
             diff.map { case (a, b) => s"got=<$a> want=<$b>" }.mkString(" | ")))
-        }
-      } catch {
-        case e: Throwable =>
-          val m = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replace('\n', ' ').trim
-          res.println(s"ERR  $path ${clean(m)}")
-          if (list.length <= 3) e.printStackTrace()
+        case Left(m) => res.println(s"ERR  $path ${clean(m)}")
       }
       res.flush()
     }

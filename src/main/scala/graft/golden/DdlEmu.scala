@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions.{col, expr, lit}
 object DdlEmu {
 
   private val createRe =
-    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*ENGINE\\s*=.*$".r
+    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*ENGINE\\s*=.*$".r
+  // CH temporary tables carry no ENGINE clause
+  private val createTempRe =
+    "(?is)^CREATE\\s+TEMPORARY\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*$".r
   private val createAsNumbersRe =
-    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s+AS\\s+numbers\\s*\\(\\s*(\\d+)\\s*\\)\\s*$".r
+    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s+AS\\s+numbers\\s*\\(\\s*(\\d+)\\s*\\)\\s*$".r
   private val dropRe =
-    "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(?:SYNC\\s*)?$".r
+    "(?is)^DROP\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(?:SYNC\\s*)?$".r
   private val truncateRe =
     "(?is)^TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*$".r
   private val insertRe =
@@ -43,6 +46,11 @@ object DdlEmu {
         decls(name) = Decl(Seq("number" -> "BIGINT"))
         true
       case createRe(name, colDefs) =>
+        val d = Decl(parseCols(colDefs))
+        decls(name) = d
+        register(spark, name, emptyDf(spark, d))
+        true
+      case createTempRe(name, colDefs) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         register(spark, name, emptyDf(spark, d))
@@ -93,7 +101,13 @@ object DdlEmu {
         val i = typ.toUpperCase.indexOf(" " + kw)
         if (i >= 0) typ = typ.take(i).trim
       }
-      name -> graft.ChSql.rewriteChTypes(typ)
+      // Enum columns hold the NAME (CH renders the string); numeric
+      // identities surface through the chEnum CAST path, not storage
+      val typ2 =
+        if (typ.matches("(?is)\\s*(Nullable\\s*\\(\\s*)?Enum(8|16)?\\s*\\(.*"))
+          "STRING"
+        else graft.ChSql.rewriteChTypes(typ)
+      name -> typ2
     }
 
   /** Split on top-level commas. `angled` additionally treats <> as
