@@ -2003,9 +2003,11 @@ object ChSql {
             str.substring(ws, i + 1).toLowerCase)
         }
       }
-      s = hexRe.replaceAllIn(s, mm => {
+      // string-aware: a '0x…' inside a quoted literal is TEXT (e.g.
+      // stringToH3('0x8f28308280f18f2L') — 02021_h3_is_pentagon)
+      s = replaceFnOutsideStrings(s, hexRe.regex) { mm =>
         val neg = mm.group(1) == "-" &&
-          unaryMinusAt(s, mm.start) // NOTE: positions refer to input s
+          unaryMinusAt(mm.source.toString, mm.start)
         java.util.regex.Matcher.quoteReplacement {
           if (mm.group(3) != null) {
             val d = java.lang.Double.parseDouble(
@@ -2029,7 +2031,7 @@ object ChSql {
             else sign + s"CAST('${v.toString.toDouble}' AS DOUBLE)"
           }
         }
-      })
+      }
     }
     // CH inline parenthesized aliases `(expr AS name)` (ref
     // src/Interpreters/QueryAliasesVisitor.cpp: an alias attaches to any

@@ -1809,6 +1809,11 @@ object ChRegistry {
     f2("maxIntersectionsPosition")(NicheAggs.maxIntersectionsPosition)
     f("visibleWidth") { case Seq(e) => C(VisibleWidth(e)) }
     f("geohashesInBox") { es => C(GeohashesInBox(es)) }
+    // H3 table-free subset (bit layout + published constant tables);
+    // the projection-table subset stays excluded — see H3Ch.scala
+    H3FnExpr.names.foreach { n =>
+      f(n) { es => C(H3FnExpr(n, es)) }
+    }
     f("geohashEncode") { es => C(GeohashEncodeExpr(es)) }
     f("geohashDecode") { case Seq(s) => C(GeohashDecodeExpr(s)) }
     f("categoricalInformationValue") { es =>
