@@ -117,7 +117,8 @@ object ChSql {
     "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
     "groupArrayLastArray", "exponentialMovingAverage",
     "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",
-    "exponentialTimeDecayedAvg", "exponentialTimeDecayedMax")
+    "exponentialTimeDecayedAvg", "exponentialTimeDecayedMax",
+    "stochasticLinearRegression", "stochasticLogisticRegression")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql

@@ -1758,6 +1758,50 @@ object ChRegistry {
       agg(xl, C(y).cast("bigint")) }
     // stem(language, word) — Porter for 'en' (ref src/Functions/stem.cpp)
     f2("stem")((l, w) => C(ChStem(E(l), E(w))))
+    // stochastic regression family (ref AggregateFunctionMLMethod.h) —
+    // deterministic re-expression: closed-form ridge for linear, capped
+    // sorted-batch GD for logistic (see MLRegression.scala). Params
+    // (lr, l2, batch, method) arrive appended after the regular args
+    // (rewriteParamAggs); trailing foldables are the params.
+    locally {
+      def splitParams(es: Seq[Expression]): (Seq[Expression], Seq[Expression]) = {
+        var k = es.length
+        while (es.length - k < 4 && k > 2 && es(k - 1).foldable) k -= 1
+        (es.take(k), es.drop(k))
+      }
+      def evalD(e: Expression, dflt: Double): Double = e.eval(null) match {
+        case n: Number => n.doubleValue
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case _ => dflt
+      }
+      val seqEnc =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+      def inputArr(args: Seq[Expression]): Column =
+        array(args.map(e => C(e).cast("double")): _*)
+      f("stochasticLinearRegression") { es0 =>
+        val (args, ps) = splitParams(es0)
+        val l2 = if (ps.length >= 2) evalD(ps(1), 0.1) else 0.1
+        val agg = udaf(new StochasticLinRegAgg(args.length - 1, l2), seqEnc)
+        struct(lit("linear").as("kind"), agg(inputArr(args)).as("w"))
+      }
+      f("stochasticLogisticRegression") { es0 =>
+        val (args, ps) = splitParams(es0)
+        val lr = if (ps.nonEmpty) evalD(ps(0), 0.00001) else 0.00001
+        val l2 = if (ps.length >= 2) evalD(ps(1), 0.1) else 0.1
+        val agg = udaf(new StochasticLogRegAgg(args.length - 1, lr, l2), seqEnc)
+        struct(lit("logistic").as("kind"), agg(inputArr(args)).as("w"))
+      }
+      f("evalMLMethod") { case model +: feats if feats.nonEmpty =>
+        val mc = C(model)
+        val w = mc.getField("w")
+        val n = feats.length
+        val z = feats.zipWithIndex.map { case (e, i) =>
+          element_at(w, i + 1) * C(e).cast("double")
+        }.foldLeft(element_at(w, n + 1))(_ + _)
+        when(mc.getField("kind") === "logistic",
+          lit(1.0) / (lit(1.0) + exp(-z))).otherwise(z)
+      }
+    }
     // topK(x, k): most-frequent values, count-descending (ref
     // SpaceSaving.h — exact here; the sketch only matters above memory)
     f("topK") { case Seq(x, k) =>

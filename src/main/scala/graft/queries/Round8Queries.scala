@@ -192,5 +192,62 @@ object Round8Queries {
         """SELECT sparkbar(10)(user_id % 50, event_id % 100 + 1) AS bar,
           |       stem('en', 'collection') AS st
           |FROM events""".stripMargin, dir)
+    },
+
+    // stochastic regression family (functions/MLRegression.scala): the
+    // linear path is closed-form ridge — deterministic, so the exact
+    // prediction on exact planar data is a pinnable constant (the value
+    // the reference's SGD converges toward; no cross-engine SGD oracle
+    // is possible). lineitem-derived planar target keeps it on fixtures.
+    Q.df("q_ml_regression",
+      "SELECT CAST(32.0 AS DOUBLE) AS p") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, dir)
+      s.range(400).select(
+        (col("id") % 20).cast("double").as("x1"),
+        (col("id") / 20).cast("double").as("x2"))
+        .withColumn("y", col("x1") * 2 + col("x2") * 3 + 1)
+        .createOrReplaceTempView("mlr_q")
+      ChSql.sql(s,
+        """WITH (SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')(y, x1, x2)
+          |      FROM mlr_q) AS model
+          |SELECT round(evalMLMethod(model, 5.0, 7.0), 4) AS p""".stripMargin,
+        dir)
+    },
+
+    // H3 table-free family (functions/H3Ch.scala): the oracle pins the
+    // reference's own outputs (00926/01040/01070/02155/02165 fixtures) as
+    // literals — DuckDB has no H3, but the expected values are constants
+    Q.df("q_h3_family",
+      """SELECT * FROM (VALUES
+        |  ('base_cell',   CAST(12 AS BIGINT)),
+        |  ('center15',    CAST(644542512295313408 AS BIGINT)),
+        |  ('is_pentagon', CAST(1 AS BIGINT)),
+        |  ('is_valid',    CAST(1 AS BIGINT)),
+        |  ('num_hex10',   CAST(33897029882 AS BIGINT)),
+        |  ('parent0',     CAST(576918149140578303 AS BIGINT)),
+        |  ('parent3',     CAST(590398848891879423 AS BIGINT)),
+        |  ('res10',       CAST(10 AS BIGINT)),
+        |  ('string_to',   CAST(617420388351344639 AS BIGINT))
+        |) AS t(op, v) ORDER BY op""".stripMargin) { (s, dir) =>
+      ChSql.sql(s,
+        """SELECT 'base_cell' AS op,
+        |       toInt64(h3GetBaseCell(612916788725809151)) AS v
+        |UNION ALL SELECT 'center15',
+        |       toInt64(h3ToCenterChild(577023702256844799, 15))
+        |UNION ALL SELECT 'is_pentagon',
+        |       toInt64(h3IsPentagon(stringToH3('821c07fffffffff')))
+        |UNION ALL SELECT 'is_valid',
+        |       toInt64(h3IsValid(581276613233082367))
+        |UNION ALL SELECT 'num_hex10', toInt64(h3NumHexagons(10))
+        |UNION ALL SELECT 'parent0',
+        |       toInt64(h3ToParent(599405990164561919, 0))
+        |UNION ALL SELECT 'parent3',
+        |       toInt64(h3ToParent(599405990164561919, 3))
+        |UNION ALL SELECT 'res10',
+        |       toInt64(h3GetResolution(621807531097128959))
+        |UNION ALL SELECT 'string_to',
+        |       toInt64(stringToH3('89184926cc3ffff'))
+        |ORDER BY op""".stripMargin, dir)
     })
 }
