@@ -1758,6 +1758,17 @@ object ChRegistry {
       agg(xl, C(y).cast("bigint")) }
     // stem(language, word) — Porter for 'en' (ref src/Functions/stem.cpp)
     f2("stem")((l, w) => C(ChStem(E(l), E(w))))
+    // lemmatize/synonyms resolve against user-registered dictionaries —
+    // the reference's server-config dictionaries re-expressed (NlpDicts);
+    // the dict is looked up at plan build and captured in the expression
+    f("lemmatize") { case Seq(l, w) =>
+      val lang = NlpDicts.constStr(l, "lemmatize language")
+      C(ChLemmatize(NlpDicts.lemmaDict(lang), w))
+    }
+    f("synonyms") { case Seq(n, t) =>
+      val ext = NlpDicts.constStr(n, "synonyms extension name")
+      C(ChSynonyms(NlpDicts.synonymDict(ext), t))
+    }
     // stochastic regression family (ref AggregateFunctionMLMethod.h) —
     // deterministic re-expression: closed-form ridge for linear, capped
     // sorted-batch GD for logistic (see MLRegression.scala). Params
