@@ -616,6 +616,9 @@ object ChSql {
         "\\b(?:Nullable|LowCardinality)\\(([^()]*(?:\\([^()]*\\))*[^()]*)\\)",
         "$1")
     }
+    // legacy LowCardinality aliases: StringWithDictionary,
+    // UInt8WithDictionary, … (ref DataTypeLowCardinality registration)
+    s = replaceOutsideStrings(s, "\\b([A-Z]\\w*?)WithDictionary\\b", "$1")
     val words = Seq(
       "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
       "UInt64" -> "BIGINT", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
@@ -1753,8 +1756,8 @@ object ChSql {
     // explicit system.one (the implicit one-row source; ref
     // src/Storages/System/StorageSystemOne.cpp), bare or backquoted
     s = replaceOutsideStrings(s,
-      "(?i)\\bFROM\\s+`?system`?\\.`?one`?(?![\\w`])",
-      "FROM (SELECT CAST(0 AS TINYINT) AS dummy0)")
+      "(?i)\\b(FROM|JOIN)\\s+`?system`?\\.`?one`?(?![\\w`])",
+      "$1 (SELECT CAST(0 AS TINYINT) AS dummy)")
     // system.numbers: the infinite generator table — always read under
     // a LIMIT in the tests; a wide lazy range() suffices (Spark pushes
     // the LIMIT into the range scan)
