@@ -10,7 +10,8 @@ object ProfGolden {
       java.nio.file.Paths.get(args(0))).toArray.map(_.toString).filter(_.nonEmpty)
     val sfDir = "/root/testdata/sf0.001"
     var pass = 0
-    val res = new java.io.PrintWriter("/tmp/golden_results.txt")
+    val res = new java.io.PrintWriter(
+      if (args.length > 1) args(1) else "/tmp/golden_results.txt")
     def clean(s: String): String =
       s.filter(c => c >= 32 && c < 127).take(1500)
     import scala.concurrent.{Await, Future}

@@ -1864,6 +1864,20 @@ object ChRegistry {
     f2("maxIntersectionsPosition")(NicheAggs.maxIntersectionsPosition)
     f("visibleWidth") { case Seq(e) => C(VisibleWidth(e)) }
     f("geohashesInBox") { es => C(GeohashesInBox(es)) }
+    // morton Z-order curve (ref mortonEncode.cpp/mortonDecode.cpp);
+    // optional leading tuple = per-arg expand masks
+    f("mortonEncode") { es =>
+      Morton.maskSpec(es.head, forDecode = false) match {
+        case Some(m) if es.length > 1 => C(MortonEncodeExpr(m, es.tail))
+        case _ => C(MortonEncodeExpr(Seq.fill(es.length)(1), es))
+      }
+    }
+    f("mortonDecode") { case Seq(spec, code) =>
+      val masks = Morton.maskSpec(spec, forDecode = true).getOrElse(
+        throw new IllegalArgumentException(
+          "mortonDecode needs a constant count or mask tuple"))
+      C(MortonDecodeExpr(masks, code))
+    }
     // H3 table-free subset (bit layout + published constant tables);
     // the projection-table subset stays excluded — see H3Ch.scala
     H3FnExpr.names.foreach { n =>

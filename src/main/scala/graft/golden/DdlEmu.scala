@@ -27,6 +27,21 @@ object DdlEmu {
     "(?is)^TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*$".r
   private val insertRe =
     "(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?\\s*(\\([^)]*\\))?\\s*(VALUES\\s*\\(.*|SELECT\\b.*|WITH\\b.*)$".r
+  private val createDbRe =
+    "(?is)^CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?(\\w+)`?\\s*(?:ENGINE\\s*=.*)?$".r
+  private val dropDbRe =
+    "(?is)^DROP\\s+DATABASE\\s+(?:IF\\s+EXISTS\\s+)?`?(\\w+)`?\\s*(?:SYNC\\s*)?$".r
+  // CREATE TABLE x AS y [ENGINE = …]: clone another table's schema (the
+  // storage clause is irrelevant to the SELECT under test)
+  private val createAsTableRe =
+    ("(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "`?([\\w.]+)`?\\s+AS\\s+`?([\\w.]+)`?\\s*(?:ENGINE\\s*=.*)?$").r
+  // CTAS: CREATE TABLE x [ENGINE = …] AS SELECT … (storage dropped; the
+  // view stays lazy — the staged sources in these tests are immutable)
+  private val ctasRe =
+    ("(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "`?([\\w.]+)`?\\s*(?:(?:ENGINE|ORDER|PARTITION|PRIMARY|SETTINGS)\\b" +
+      "[^;]*?)?\\bAS\\s+((?:SELECT|WITH)\\b.*)$").r
 
   /** Declared (CH-translated) column types per created table, so INSERT
     * can cast to them and TRUNCATE can rebuild the empty frame. */
@@ -34,7 +49,29 @@ object DdlEmu {
   private val decls = scala.collection.concurrent.TrieMap.empty[String, Decl]
 
   /** Returns true when `stmt` was a DDL/INSERT statement handled here. */
-  def handle(spark: SparkSession, sfDir: String, stmt: String): Boolean =
+  def handle(spark: SparkSession, sfDir: String, stmt0: String): Boolean = {
+    // CREATE DATABASE registers the qualifier BEFORE folding so its own
+    // tables fold; every other statement folds known `db.tbl` names
+    val stmt = stmt0 match {
+      case createDbRe(db) =>
+        graft.ChDatabases.register(db)
+        // also create the real Spark schema so a later `USE db` works
+        // (files that never qualify table names rely on it)
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+        return true
+      case dropDbRe(db) =>
+        val prefix = graft.ChDatabases.fold(db, "")
+        decls.keys.filter(_.startsWith(prefix)).foreach { t =>
+          spark.catalog.dropTempView(t); decls.remove(t)
+        }
+        graft.ChDatabases.unregister(db)
+        if (spark.catalog.currentDatabase == db) spark.sql("USE default")
+        spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        return true
+      case _ =>
+        graft.ChDatabases.foldQualified(stmt0,
+          graft.ChSql.replaceOutsideStrings)
+    }
     stmt match {
       case dropRe(name) =>
         spark.catalog.dropTempView(name); decls.remove(name); true
@@ -66,18 +103,36 @@ object DdlEmu {
             valuesDf(spark, sfDir, body.trim.drop(6).trim, names.length)
           else graft.ChSql.sql(spark, body.trim, sfDir)
         // cast by position to the declared column types, fill unnamed
-        // columns with CH type defaults (0 / '' / zero-date)
-        val byPos = names.zip(rows0.columns).map { case (n, c) =>
+        // columns with CH type defaults (0 / '' / zero-date); positional
+        // rename first — a SELECT can emit duplicate names (n1.number,
+        // n2.number, … in 02457) that col(name) cannot address
+        val uniq = rows0.toDF(
+          rows0.columns.indices.map(i => s"__ins$i"): _*)
+        val byPos = names.zip(uniq.columns).map { case (n, c) =>
           col(c).cast(target.schema(n).dataType).as(n) }
-        val rows = rows0.select(byPos: _*)
+        val rows = uniq.select(byPos: _*)
         val full = target.schema.fieldNames.toSeq.map { n =>
           if (names.contains(n)) col(n)
           else defaultFor(target.schema(n).dataType).as(n)
         }
         register(spark, name, target.union(rows.select(full: _*)))
         true
+      case createAsTableRe(name, src)
+          if scala.util.Try(spark.table(src)).isSuccess =>
+        val srcDf = spark.table(src)
+        decls(name) = decls.getOrElse(src,
+          Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
+        register(spark, name, srcDf.limit(0))
+        true
+      case ctasRe(name, select) =>
+        val df = graft.ChSql.sql(spark, select.trim, sfDir)
+        decls(name) =
+          Decl(df.schema.fields.map(f => f.name -> f.dataType.sql).toSeq)
+        register(spark, name, df)
+        true
       case _ => false
     }
+  }
 
   private def register(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)

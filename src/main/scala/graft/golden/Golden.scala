@@ -149,8 +149,8 @@ object Golden {
     parts.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def stripComments(text: String): String =
-    text.linesIterator
+  private def stripComments(text: String): String = {
+    val lineStripped = text.linesIterator
       .map { line =>
         var i = 0; var inStr = false; var cut = -1
         while (cut < 0 && i < line.length - 1) {
@@ -162,6 +162,37 @@ object Golden {
         if (cut >= 0) line.substring(0, cut) else line
       }
       .mkString("\n")
+    // block comments /* … */ (string-aware; CH's Lexer treats them as
+    // whitespace, so identifier rewrites must not see them)
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < lineStripped.length) {
+      val c = lineStripped.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < lineStripped.length) {
+          sb.append(lineStripped.charAt(i + 1)); i += 1
+        } else if (c == '\'') inStr = false
+      } else if (c == '\'') { sb.append(c); inStr = true }
+      else if (c == '/' && i + 1 < lineStripped.length &&
+        lineStripped.charAt(i + 1) == '*') {
+        // CH's Lexer nests block comments: /*a/*b*/c*/ is ONE comment
+        var depth = 1
+        var j = i + 2
+        while (depth > 0 && j + 1 < lineStripped.length) {
+          if (lineStripped.charAt(j) == '/' &&
+            lineStripped.charAt(j + 1) == '*') { depth += 1; j += 2 }
+          else if (lineStripped.charAt(j) == '*' &&
+            lineStripped.charAt(j + 1) == '/') { depth -= 1; j += 2 }
+          else j += 1
+        }
+        sb.append(' ')
+        i = if (depth > 0) lineStripped.length - 1 else j - 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Split a .sql file into (statement, expectsError): splits on `;`
     * outside single-quoted strings; a statement annotated with CH's
