@@ -97,6 +97,65 @@ object ChSql {
     "arrayReverseSplit" -> ((l, as) =>
       splitExpr(as.head, predArr(l, as), after = true)))
 
+  /** arraySort(x -> key, arr[, arr2]) / arrayReverseSort(…): CH's
+    * key-extractor sort (ref src/Functions/array/arraySort.cpp). The
+    * plain 1-arg forms stay with the registry (array_sort); the lambda
+    * forms decorate each element with its key and sort the structs —
+    * Spark's array_sort orders structs field-by-field, so (key, value)
+    * sorts by key with value as tiebreak (the reference's stable sort
+    * ties differ only for equal keys over duplicate values). */
+  private def rewriteSortHof(sql: String): String = {
+    var s = sql
+    for (name <- Seq("arraySort", "arrayReverseSort")) {
+      var idx = s.indexOf(name + "(")
+      var guard = 0
+      while (idx >= 0 && guard < 64) {
+        guard += 1
+        val boundary = idx == 0 ||
+          (!Character.isLetterOrDigit(s.charAt(idx - 1)) &&
+            s.charAt(idx - 1) != '_')
+        val open = idx + name.length
+        var depth = 0; var i = open; var inStr = false; var end = -1
+        val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (end < 0 && i < s.length) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\'' && s.charAt(i - 1) != '\\') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case ',' if depth == 1 => commas += i
+            case _ =>
+          }
+          i += 1
+        }
+        val arrow = s.indexOf("->", open)
+        val isLambda = boundary && end > 0 && commas.nonEmpty &&
+          arrow > open && arrow < end &&
+          commas.exists(_ > arrow) // at least one array after the lambda
+        if (isLambda) {
+          val argCommas = commas.filter(_ > arrow).toSeq
+          val lambda = s.substring(open + 1, argCommas.head).trim
+          val arrs = (argCommas :+ end).sliding(2).map {
+            case Seq(a, b) => s.substring(a + 1, b).trim
+          }.toSeq
+          val keyArr = predArr(lambda, arrs)
+          val zipped = s"zip_with($keyArr, ${arrs.head}, " +
+            "(__sk, __sv) -> struct(__sk, __sv))"
+          val sorted =
+            if (name == "arraySort") s"array_sort($zipped)"
+            else s"array_sort($zipped, (__sa, __sb) -> " +
+              "CASE WHEN __sa.__sk > __sb.__sk THEN -1 " +
+              "WHEN __sa.__sk < __sb.__sk THEN 1 ELSE 0 END)"
+          s = s.substring(0, idx) +
+            s"transform($sorted, __ss -> __ss.__sv)" + s.substring(end + 1)
+          idx = s.indexOf(name + "(")
+        } else idx = s.indexOf(name + "(", idx + 1)
+      }
+    }
+    s
+  }
+
   /** CH parameterized aggregates: `name(params)(args)` → `name(args,
     * params)` (ref src/Parsers/ASTFunction.h `parameters`). The registry
     * declares these names with the parameter(s) appended after the
@@ -707,8 +766,8 @@ object ChSql {
       while (!stop && i >= 0) {
         val c = s.charAt(i)
         if (!mask(i)) {
-          if (c == ')') d += 1
-          else if (c == '(') { if (d == 0) { condStart = i + 1; stop = true } else d -= 1 }
+          if (c == ')' || c == ']') d += 1
+          else if (c == '(' || c == '[') { if (d == 0) { condStart = i + 1; stop = true } else d -= 1 }
           else if (d == 0 && c == ',') { condStart = i + 1; stop = true }
           // a lambda arrow bounds the condition: `x -> x = 0 ? a : b`
           // conditions on `x = 0`, keeping the lambda head intact
@@ -733,8 +792,8 @@ object ChSql {
       while (colon < 0 && i < s.length) {
         val c = s.charAt(i)
         if (!mask(i)) {
-          if (c == '(') d += 1
-          else if (c == ')') d -= 1
+          if (c == '(' || c == '[') d += 1
+          else if (c == ')' || c == ']') d -= 1
           else if (c == ':' && d == 0) colon = i
         }
         i += 1
@@ -747,8 +806,8 @@ object ChSql {
       while (bEnd == s.length && i < s.length) {
         val c = s.charAt(i)
         if (!mask(i)) {
-          if (c == '(') d += 1
-          else if (c == ')') { if (d == 0) bEnd = i else d -= 1 }
+          if (c == '(' || c == '[') d += 1
+          else if (c == ')' || c == ']') { if (d == 0) bEnd = i else d -= 1 }
           else if (d == 0 && c == ',') bEnd = i
           else if (d == 0 && c.isLetter &&
             (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
@@ -1629,6 +1688,68 @@ object ChSql {
     inStr
   }
 
+  /** CH type names of a SELECT's top-level output items, for the
+    * *WithNamesAndTypes output formats (ref
+    * TabSeparatedRowOutputFormat.cpp writePrefix). Reuses the
+    * toTypeName folding pipeline: the items are re-probed as
+    * `toTypeName(item)` appended to the original statement so its alias
+    * bindings stay in scope. None when any item's type is not statically
+    * inferable — the caller then reports the format as unsupported
+    * rather than risking a wrong types row. */
+  def selectItemTypeNames(chQuery: String): Option[Seq[String]] = {
+    val q = chQuery.trim
+    val selRe = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
+    val m = selRe.findFirstMatchIn(q).getOrElse(return None)
+    // top-level select list: to depth-0 FROM/WHERE/… or end
+    var depth = 0; var inStr = false; var i = m.end; var end = q.length
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stops = Set("from", "where", "group", "order", "limit", "having",
+      "settings", "union", "format", "into")
+    var done = false
+    while (i < q.length && !done) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => cuts += i
+        case ch if depth == 0 && (ch.isLetter) &&
+            (i == 0 || !(q.charAt(i - 1).isLetterOrDigit ||
+              q.charAt(i - 1) == '_')) =>
+          var we = i
+          while (we < q.length && (q.charAt(we).isLetterOrDigit ||
+            q.charAt(we) == '_')) we += 1
+          if (stops(q.substring(i, we).toLowerCase)) { end = i; done = true }
+          else i = we - 1
+        case _ =>
+      }
+      i += 1
+    }
+    val items = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var st = m.end
+      cuts.foreach { c => b += q.substring(st, c); st = c + 1 }
+      b += q.substring(st, end)
+      b.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    if (items.isEmpty) return None
+    def stripAlias(it: String): String =
+      replaceOutsideStrings(it, "(?is)\\s+AS\\s+[A-Za-z_]\\w*\\s*$", "")
+    val probes = items.map(it => s"toTypeName(${stripAlias(it)})")
+    val marker = "__GRAFT_TYPE_PROBE__"
+    val probed = rewriteTypeIntrospection(
+      q + s"\n-- $marker\nSELECT " + probes.mkString(", "))
+    val tail = probed.substring(probed.indexOf(marker) + marker.length)
+    val lits = "'((?:[^'\\\\]|\\\\.)*)'".r.findAllMatchIn(
+      tail.replaceAll("(?s)^\\s*\\nSELECT\\s*", ""))
+      .map(_.group(1).replace("\\'", "'")).toSeq
+    // every probe must have folded to exactly one quoted literal
+    if (tail.toLowerCase.contains("totypename(") ||
+      lits.length != items.length) None
+    else Some(lits)
+  }
+
   /** LIMIT [m,]n BY cols (ref src/Processors/Transforms/LimitByTransform
     * .cpp): after ORDER BY, keep rows m+1..m+n of every distinct `cols`
     * tuple; a trailing LIMIT still applies to the result. Re-expressed
@@ -1798,11 +1919,11 @@ object ChSql {
     // `chElementAt(t, 1)` and wraps it positionally
     // scalar WITH macros expand FIRST so later passes (toTypeName
     // folding especially) see literal values instead of alias names
-    var s = rewriteHofs(rewriteTupleAccess(rewriteBrackets(
+    var s = rewriteSortHof(rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(
         rewriteChTypes(rewriteTypeIntrospection(rewriteCastCall(
           rewriteColonCast(rewriteScalarWithDeep(rewriteUntuple(
-            rewriteStringEscapes(chSql1))))))))))))
+            rewriteStringEscapes(chSql1)))))))))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
     // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's
     // builtin (ref src/Functions/transform.cpp)

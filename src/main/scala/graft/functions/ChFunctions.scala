@@ -278,6 +278,27 @@ object ch {
       .otherwise(when(at === 0, lit(0))
         .otherwise(octet_length(substring(h, lit(1), at - 1)) + 1))
   }
+  /** 3-arg form (ref src/Functions/position.cpp start_pos): search from
+    * the given 1-based position (0 behaves as 1); empty needle returns
+    * the clamped start while it is ≤ len+1, else 0. */
+  def position3(h: Column, n: Column, p0: Column): Column = {
+    val p = greatest(p0.cast("int"), lit(1))
+    val hl = length(h)
+    when(length(n) === 0,
+      when(p <= hl + 1, p).otherwise(lit(0)))
+      .otherwise {
+        val rel = position(substring(h, p, lit(1073741823)), n)
+        when(rel === 0, lit(0)).otherwise(rel + p - 1)
+      }
+  }
+  /** positionUTF8 3-arg: character positions (locate handles the
+    * start offset natively). */
+  def position3Chars(h: Column, n: Column, p0: Column): Column = {
+    val p = greatest(p0.cast("int"), lit(1))
+    when(length(n) === 0,
+      when(p <= length(h) + 1, p).otherwise(lit(0)))
+      .otherwise(call_function("locate", n, h, p))
+  }
   def positionCaseInsensitive(h: Column, n: Column): Column =
     call_function("locate", lower(n), lower(h))
   def matchCh(c: Column, re: String): Column = c.rlike(re)

@@ -278,8 +278,14 @@ object ChRegistry {
     f("appendTrailingCharIfAbsent") { case Seq(c, s) =>
       ch.appendTrailingCharIfAbsent(C(c), litStr(s)) }
     f1("empty")(ch.emptyCh); f1("notEmpty")(ch.notEmptyCh)
-    f2("position")(ch.position)
-    f2("positionCaseInsensitive")(ch.positionCaseInsensitive)
+    f("position") {
+      case Seq(h, n) => ch.position(C(h), C(n))
+      case Seq(h, n, p) => ch.position3(C(h), C(n), C(p))
+    }
+    f("positionCaseInsensitive") {
+      case Seq(h, n) => ch.positionCaseInsensitive(C(h), C(n))
+      case Seq(h, n, p) => ch.position3Chars(lower(C(h)), lower(C(n)), C(p))
+    }
     f("match") { case Seq(c, re) => ch.matchCh(C(c), litStr(re)) }
     f("extract") { case Seq(c, re) => ch.extract(C(c), litStr(re)) }
     f("extractAll") { case Seq(c, re) => ch.extractAllCh(C(c), litStr(re)) }
@@ -372,7 +378,13 @@ object ChRegistry {
     f1("arrayPopBack")(ch.arrayPopBack); f1("arrayPopFront")(ch.arrayPopFront)
     f1("arraySort")(ch.arraySortCh); f1("arrayReverseSort")(ch.arrayReverseSort)
     f1("arrayReverse")(ch.arrayReverse); f1("arrayDistinct")(ch.arrayDistinct)
-    f1("arrayUniq")(ch.arrayUniq); f1("arrayCompact")(ch.arrayCompact)
+    // multi-array form counts unique TUPLES across parallel arrays
+    // (ref src/Functions/array/arrayUniq.cpp)
+    f("arrayUniq") {
+      case Seq(a) => ch.arrayUniq(C(a))
+      case as => size(array_distinct(arrays_zip(as.map(C): _*)))
+    }
+    f1("arrayCompact")(ch.arrayCompact)
     f1("arrayFlatten")(ch.arrayFlatten)
     // variadic: intersection across all argument arrays
     f("arrayIntersect")(es => es.map(C).reduce(ch.arrayIntersect))
@@ -1158,7 +1170,7 @@ object ChRegistry {
     // -State/-Merge contract, backed by the DataSketches HLL built-ins
     // CH uniq is adaptive-sampling "almost exact" and exact at golden
     // cardinalities; the explicitly-approximate tiers keep their sketches
-    f1("uniq")(c => count_distinct(c))
+    f("uniq") { case c +: rest => count_distinct(C(c), rest.map(C): _*) }
     // -Array combinator over uniq: the inner aggregate is applied
     // ELEMENTWISE across the array arguments — N args of equal length
     // feed uniq(x_i, y_i, …), i.e. distinct TUPLES (ref Combinators
@@ -1518,10 +1530,16 @@ object ChRegistry {
     f1("sigmoid")(ch.sigmoidCh)
     f1("regexpQuoteMeta")(ch.regexpQuoteMeta)
     f2("hasSubstr")(ch.hasSubstr)
-    f2("positionCaseInsensitiveUTF8")(ch.positionCaseInsensitive)
-    f2("positionUTF8")((h, n) =>
-      when(length(n) === 0, lit(1))
-        .otherwise(call_function("locate", n, h)))
+    f("positionCaseInsensitiveUTF8") {
+      case Seq(h, n) => ch.positionCaseInsensitive(C(h), C(n))
+      case Seq(h, n, p) => ch.position3Chars(lower(C(h)), lower(C(n)), C(p))
+    }
+    f("positionUTF8") {
+      case Seq(h, n) =>
+        when(length(C(n)) === 0, lit(1))
+          .otherwise(call_function("locate", C(n), C(h)))
+      case Seq(h, n, p) => ch.position3Chars(C(h), C(n), C(p))
+    }
     f2("multiMatchAny")(ch.multiMatchAny)
     f("visitParamExtractUInt") { case Seq(j, k) =>
       ch.visitParamExtractUInt(C(j), litStr(k)) }
@@ -1547,7 +1565,8 @@ object ChRegistry {
         lit(0).cast(s"decimal(18,${litInt(s)})")) }
     f("toDecimal64OrNull") { case Seq(c, s) =>
       C(c).try_cast(s"decimal(18,${litInt(s)})") }
-    f1("uniqExact")(c => count_distinct(c))
+    f("uniqExact") { case c +: rest =>
+      count_distinct(C(c), rest.map(C): _*) }
     f1("uniqCombined")(c => approx_count_distinct(c))
     // uniqTheta (ref registerAggregateFunctions.cpp:27): theta-sketch
     // estimate — same approximate contract as uniqCombined here, with
@@ -1815,7 +1834,9 @@ object ChRegistry {
     }
     // topK(x, k): most-frequent values, count-descending (ref
     // SpaceSaving.h — exact here; the sketch only matters above memory)
-    f("topK") { case Seq(x, k) =>
+    f("topK") {
+      case Seq(x) => builders("topk")(Seq(x, Literal(10)))
+      case Seq(x, k) =>
       val lst = collect_list(C(x))
       slice(
         transform(
@@ -2067,9 +2088,14 @@ object ChRegistry {
         call_function("chFmtTimeDelta2", C(v).cast("double"), C(u))
     }
     // toTime: keep the time of day, move the date to 1970-01-02 (ref
-    // DateTimeTransforms.h ToTimeImpl)
-    f1("toTime")(c => to_timestamp(
-      concat(lit("1970-01-02 "), date_format(c, "HH:mm:ss"))))
+    // DateTimeTransforms.h ToTimeImpl); optional tz picks the wall clock
+    f("toTime") {
+      case Seq(a) => C(E(to_timestamp(
+        concat(lit("1970-01-02 "), date_format(C(a), "HH:mm:ss")))))
+      case Seq(a, t) => to_timestamp(concat(lit("1970-01-02 "),
+        date_format(from_utc_timestamp(C(a).cast("timestamp"), C(t)),
+          "HH:mm:ss")))
+    }
     f1("toUnixTimestamp64Milli")(c => (unix_micros(c) / 1000L).cast("bigint"))
     f1("toUnixTimestamp64Micro")(c => unix_micros(c))
     f1("toUnixTimestamp64Nano")(c => unix_micros(c) * 1000L)

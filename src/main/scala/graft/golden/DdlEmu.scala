@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions.{col, expr, lit}
 object DdlEmu {
 
   private val createRe =
-    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*ENGINE\\s*=.*$".r
+    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*ENGINE\\s*=?.*$".r
   // CH temporary tables carry no ENGINE clause
   private val createTempRe =
     "(?is)^CREATE\\s+TEMPORARY\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*$".r

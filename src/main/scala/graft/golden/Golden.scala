@@ -414,6 +414,13 @@ object Golden {
         // names (ref src/Processors/Formats/Impl/TabSeparatedRowOutputFormat)
         val withNames = clean.matches(
           "(?is).*\\bFORMAT\\s+(TSVWithNames|TabSeparatedWithNames)\\s*;?\\s*$")
+        // …AndTypes additionally carries a CH-type-name row, inferred
+        // statically from the select items (ChSql.selectItemTypeNames);
+        // non-inferable items fail the statement rather than emit a
+        // wrong types row
+        val withNamesAndTypes = clean.matches(
+          "(?is).*\\bFORMAT\\s+(TSVWithNamesAndTypes|" +
+            "TabSeparatedWithNamesAndTypes)\\s*;?\\s*$")
         val (base0, totals) = graft.ChSql.sqlSplit(spark, clean, sfDir)
         // CH outer joins fill non-matched columns with type DEFAULTS
         // (join_use_nulls=0 default). The curated tests' columns are
@@ -426,6 +433,16 @@ object Golden {
         val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0)
           else base0
         if (withNames) out += base.columns.mkString("\t")
+        if (withNamesAndTypes) {
+          out += base.columns.mkString("\t")
+          val bare2 = clean.replaceAll(
+            "(?is)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
+          val tn = graft.ChSql.selectItemTypeNames(bare2)
+            .filter(_.length == base.columns.length)
+            .getOrElse(sys.error(
+              "WithNamesAndTypes: select-item types not inferable"))
+          out += tn.mkString("\t")
+        }
         out ++= formatDf(base)
         totals.foreach { t => out += ""; out ++= formatDf(t) } // CH prints
         // the totals row after an empty separator line (TSV contract)
