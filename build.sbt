@@ -28,4 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dderby.system.home=/tmp",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Short-lived task-heavy local[32] workload: ParallelGC beats G1 on
+  // throughput and avoids G1 concurrent-mark pauses skewing bench runs.
+  "-XX:+UseParallelGC",
 )

@@ -50,22 +50,30 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    // Median-of-3 per query: one noisy run (GC pause, box load) must not
-    // cost a round of perf signal. `value`/`queries` carry the medians;
-    // `queries_min` records the per-query floor for reference.
-    val runs = 3
+    // Median-of-5 per query, with the runs INTERLEAVED (round-robin over
+    // the headline set) rather than 5 back-to-back runs per query: the
+    // host shows multi-second sustained slow windows (VM steal), and
+    // back-to-back runs let one window poison every sample of one query.
+    // Interleaving spreads a window across queries so each median
+    // tolerates it. `value`/`queries` carry medians; `queries_min` floors.
+    val runs = 5
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = headline.map { name =>
-      val times = (1 to runs).map { _ =>
+    val samples = headline.map(n => n -> scala.collection.mutable.ArrayBuffer
+      .empty[Double]).toMap
+    (1 to runs).foreach { _ =>
+      headline.foreach { name =>
         val t0 = System.nanoTime()
         try force(name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200) }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(runs / 2), times.head)
+        samples(name) += (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = headline.map { name =>
+      val times = samples(name).sorted
+      (name, times(times.size / 2), times.head)
     }
     def obj(f: ((String, Double, Double)) => Double): String = results
       .map { r => "\"" + r._1 + f"\":${f(r)}%.3f" }
