@@ -95,7 +95,28 @@ object ChSql {
     "arraySplit" -> ((l, as) =>
       splitExpr(as.head, predArr(l, as), after = false)),
     "arrayReverseSplit" -> ((l, as) =>
-      splitExpr(as.head, predArr(l, as), after = true)))
+      splitExpr(as.head, predArr(l, as), after = true)),
+    // lambda forms of the map-then-apply family: f(l, arrs…) = f(mapped)
+    // (ref src/Functions/array/arrayDifference.cpp etc. accept an optional
+    // leading lambda). rewriteHofs only fires when arg 1 IS a lambda, so
+    // the plain scalar forms stay with the registry.
+    "arraySum" -> ((l, as) => s"arraySum(${predArr(l, as)})"),
+    "arrayMin" -> ((l, as) => s"arrayMin(${predArr(l, as)})"),
+    "arrayMax" -> ((l, as) => s"arrayMax(${predArr(l, as)})"),
+    "arrayAvg" -> ((l, as) => s"arrayAvg(${predArr(l, as)})"),
+    "arrayProduct" -> ((l, as) => s"arrayProduct(${predArr(l, as)})"),
+    "arrayCumSum" -> ((l, as) => s"arrayCumSum(${predArr(l, as)})"),
+    "arrayCumSumNonNegative" -> ((l, as) =>
+      s"arrayCumSumNonNegative(${predArr(l, as)})"),
+    "arrayDifference" -> ((l, as) => s"arrayDifference(${predArr(l, as)})"),
+    // arrayCompact(f, arr): drop an element when its KEY f(x) null-safe
+    // equals the previous element's key (ref arrayCompact.cpp); the
+    // ORIGINAL first array supplies the surviving values
+    "arrayCompact" -> ((l, as) => {
+      val keys = predArr(l, as)
+      s"filter(${as.head}, (__cv, __ci) -> __ci = 0 OR NOT " +
+        s"(element_at($keys, __ci + 1) <=> element_at($keys, __ci)))"
+    }))
 
   /** arraySort(x -> key, arr[, arr2]) / arrayReverseSort(…): CH's
     * key-extractor sort (ref src/Functions/array/arraySort.cpp). The
@@ -233,38 +254,52 @@ object ChSql {
     while (changed) {
       changed = false
       for ((name, fmt) <- hofRewrites) {
-        val idx = s.indexOf(name + "(")
-        if (idx >= 0 &&
-          (idx == 0 || (!Character.isLetterOrDigit(s.charAt(idx - 1)) &&
-            s.charAt(idx - 1) != '_'))) {
-          val open = idx + name.length
-          var depth = 0; var i = open; var inStr = false
-          val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var end = -1
-          while (end < 0 && i < s.length) {
-            val c = s.charAt(i)
-            if (inStr) { if (c == '\'' && s.charAt(i - 1) != '\\') inStr = false }
-            else c match {
-              case '\'' => inStr = true
-              case '(' => depth += 1
-              case ')' => depth -= 1; if (depth == 0) end = i
-              case ',' if depth == 1 => commas += i
-              case _ =>
+        var from = 0
+        var scanning = true
+        while (scanning) {
+          val idx = s.indexOf(name + "(", from)
+          if (idx < 0) scanning = false
+          else if (!(idx == 0 ||
+            (!Character.isLetterOrDigit(s.charAt(idx - 1)) &&
+              s.charAt(idx - 1) != '_'))) { from = idx + 1 }
+          else {
+            val open = idx + name.length
+            var depth = 0; var i = open; var inStr = false
+            val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var end = -1
+            while (end < 0 && i < s.length) {
+              val c = s.charAt(i)
+              if (inStr) { if (c == '\'' && s.charAt(i - 1) != '\\') inStr = false }
+              else c match {
+                case '\'' => inStr = true
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = i
+                case ',' if depth == 1 => commas += i
+                case _ =>
+              }
+              i += 1
             }
-            i += 1
+            // the lambda may itself contain depth-1 commas inside its
+            // parameter list `(x, y) ->`: the first comma AFTER the arrow
+            // (or the only comma for bare `x ->`) separates lambda from
+            // arrays. Some of these names ALSO have plain scalar forms
+            // (arraySum(arr)) — only rewrite when arg 1 is a lambda:
+            // an arrow inside the span with a depth-1 comma after it.
+            val arrow = s.indexOf("->", open)
+            val argCommas =
+              if (arrow < 0 || arrow > end) Nil
+              else commas.filter(_ > arrow).toSeq
+            if (end > 0 && argCommas.nonEmpty &&
+              commas.headOption.forall(_ > arrow)) {
+              val lambda = s.substring(open + 1, argCommas.head).trim
+              val arrs = (argCommas :+ end).sliding(2).map {
+                case Seq(a, b) => s.substring(a + 1, b).trim
+              }.toSeq
+              s = s.substring(0, idx) + fmt(lambda, arrs) + s.substring(end + 1)
+              changed = true
+              scanning = false // restart the scan on the rewritten string
+            } else from = idx + 1 // plain scalar form — leave for registry
           }
-          require(end > 0 && commas.nonEmpty, s"cannot parse $name(...) args")
-          // the lambda may itself contain depth-1 commas inside its
-          // parameter list `(x, y) ->`: the first comma AFTER the arrow
-          // (or the only comma for bare `x ->`) separates lambda from arrays
-          val arrow = s.indexOf("->", open)
-          val argCommas = commas.filter(_ > arrow).toSeq
-          val lambda = s.substring(open + 1, argCommas.head).trim
-          val arrs = (argCommas :+ end).sliding(2).map {
-            case Seq(a, b) => s.substring(a + 1, b).trim
-          }.toSeq
-          s = s.substring(0, idx) + fmt(lambda, arrs) + s.substring(end + 1)
-          changed = true
         }
       }
     }

@@ -126,7 +126,8 @@ object ch {
     * can't ride on date_format — Spark's Java-time patterns reject the
     * week-based 'Y' — so they're computed from toISOYear and spliced in. */
   def formatDateTime(c: Column, fmt: String): Column = {
-    if (!fmt.contains("%G") && !fmt.contains("%g"))
+    if (!fmt.contains("%G") && !fmt.contains("%g") && !fmt.contains("%C") &&
+      !fmt.contains("%e"))
       date_format(c, mysqlToJavaFormat(fmt))
     else {
       val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -139,6 +140,14 @@ object ch {
           flush(); parts += lpad(toISOYear(c).cast("string"), 4, "0"); i += 2
         } else if (fmt.startsWith("%g", i)) {
           flush(); parts += lpad((toISOYear(c) % 100).cast("string"), 2, "0"); i += 2
+        } else if (fmt.startsWith("%C", i)) {
+          // century: year/100 truncated (ref formatDateTime.cpp)
+          flush(); parts += lpad(floor(year(c) / 100).cast("int")
+            .cast("string"), 2, "0"); i += 2
+        } else if (fmt.startsWith("%e", i)) {
+          // space-padded day of month (" 2")
+          flush(); parts += lpad(dayofmonth(c).cast("string"), 2, " ")
+          i += 2
         } else { buf.append(fmt.charAt(i)); i += 1 }
       }
       flush()
@@ -151,12 +160,16 @@ object ch {
     while (i < f.length) {
       if (f(i) == '%' && i + 1 < f.length) {
         sb.append(f(i + 1) match {
-          case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
-          case 'd' => "dd"; case 'H' => "HH"; case 'h' => "hh"
-          case 'i' => "mm"; case 'M' => "MMMM"; case 'b' => "MMM"
+          case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' | 'c' => "MM"
+          case 'd' => "dd"; case 'H' | 'k' => "HH"; case 'h' | 'I' => "hh"
+          // this reference version's %M is MINUTES (pre-MySQL-compat
+          // default; pinned by 01411), %i likewise
+          case 'i' | 'M' => "mm"; case 'b' => "MMM"
           case 'S' | 's' => "ss"; case 'p' => "a"; case 'j' => "DDD"
-          case 'a' => "EEE"; case 'W' => "EEEE"; case 'e' => "d"
+          case 'a' => "EEE"; case 'W' => "EEEE"
           case 'F' => "yyyy-MM-dd"; case 'T' => "HH:mm:ss"
+          case 'R' => "HH:mm"; case 'D' => "MM/dd/yy"
+          case 'r' => "hh:mm a"; case 'n' => "\n"; case 't' => "\t"
           case '%' => "%"; case other => other.toString
         })
         i += 2
@@ -400,9 +413,10 @@ object ch {
   private def shifted(a: Column): Column =
     slice(concat(array(lit(null)), a), lit(1), size(a))
   def arrayCompact(a: Column): Column =
-    // remove consecutive duplicates: keep x(i) where i=0 or x(i)!=x(i-1)
-    filter(zip_with(a, shifted(a),
-      (x, prev) => when(prev.isNull || x =!= prev, x)), x => x.isNotNull)
+    // remove consecutive duplicates: keep x(i) where i=0 or x(i) differs
+    // from x(i-1) under NULL-SAFE equality — CH compacts a NULL run to
+    // one NULL (ref arrayCompact.cpp, pinned by 01025)
+    filter(a, (_, i) => i === 0 || !(get(a, i) <=> get(a, i - 1)))
   def arrayFlatten(a: Column): Column = flatten(a)
   def arrayIntersect(a: Column, b: Column): Column = array_intersect(a, b)
   def arrayZip(a: Column, b: Column): Column = arrays_zip(a, b)
@@ -645,6 +659,17 @@ object ch {
   def rand64(): Column = sparkXxhash64(rand())
   def canonicalRand(): Column = rand()
   def generateUUIDv4(): Column = expr("uuid()")
+  /** Deterministic v4-shaped UUID from a seed string (MD5 bytes with the
+    * version/variant nibbles forced) — for the tagged generateUUIDv4
+    * form, where only intra-query equality semantics matter. */
+  def uuidV4FromSeed(seed: String): String = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+    b(6) = ((b(6) & 0x0f) | 0x40).toByte
+    b(8) = ((b(8) & 0x3f) | 0x80).toByte
+    val bb = java.nio.ByteBuffer.wrap(b)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
 
   // ---- misc (ref greatest.cpp, transform.cpp, formatReadable.cpp) ----
   def greatestCh(xs: Seq[Column]): Column = greatest(xs: _*)

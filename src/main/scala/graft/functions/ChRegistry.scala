@@ -30,6 +30,11 @@ object ChRegistry {
       s"argument must be a constant integer, got $other")
   }
 
+  // per-process seed for the tagged generateUUIDv4 form: query-stable,
+  // run-unique (see the registration comment)
+  private val uuidSessionSeed: String =
+    java.util.UUID.randomUUID().toString
+
   // one registration pass per session: ~370 names (plus typed-UDF encoder
   // derivation for gcd/lcm/javaHash) is noticeable when a harness calls
   // ChSql.sql per statement
@@ -73,7 +78,16 @@ object ChRegistry {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Column): Unit = {
       builders(name.toLowerCase) = b
-      reg.createOrReplaceTempFunction(name, es => E(b(es)), "scala_udf")
+      // a builder's partial match not covering the given arity must be a
+      // regular analysis error (CH NUMBER_OF_ARGUMENTS_DOESNT_MATCH), not
+      // a MatchError that Spark wraps as INTERNAL_ERROR
+      reg.createOrReplaceTempFunction(name, es =>
+        try E(b(es)) catch {
+          case _: MatchError => throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> s"`$name`", "expectedNum" -> "a different",
+              "actualNum" -> es.size.toString, "docroot" -> ""), None)
+        }, "scala_udf")
     }
     def f1(name: String)(b: Column => Column): Unit =
       f(name) { case Seq(a) => b(C(a)) }
@@ -100,7 +114,19 @@ object ChRegistry {
       case Seq(a) => ch.toUInt64(C(a))
     }
     f1("toFloat32")(ch.toFloat32); f1("toFloat64")(ch.toFloat64)
-    f1("toString")(ch.toStringCh)
+    f("toString") {
+      // composite values render in CH literal syntax (pinned by 02026)
+      case Seq(c) if c.resolved && (c.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                _: org.apache.spark.sql.types.StructType |
+                _: org.apache.spark.sql.types.MapType => true
+            case _ => false }) => C(ChLiteralString(c))
+      case Seq(c) => ch.toStringCh(C(c))
+      // tz arg: the DateTime rendered as that zone's wall clock
+      case Seq(c, tz) => date_format(
+        from_utc_timestamp(C(c).cast("timestamp"), litStr(tz)),
+        "yyyy-MM-dd HH:mm:ss")
+    }
     // type-directed toDate (numbers are epoch DAYS — no ANSI cast path);
     // optional tz shifts the instant to that zone's calendar day
     f("toDate") {
@@ -185,7 +211,30 @@ object ChRegistry {
     f2("subtractWeeks")(ch.subtractWeeks)
     f2("subtractMonths")(ch.subtractMonths); f2("subtractYears")(ch.subtractYears)
     f1("toUnixTimestamp")(ch.toUnixTimestamp)
-    f1("fromUnixTimestamp")(ch.fromUnixTimestamp)
+    locally {
+      // a DateTime/Date argument is already an instant — only numbers
+      // go through epoch-seconds (ref FunctionsConversion FROM_UNIXTIME)
+      def asTs(e: Expression): Column =
+        if (e.resolved && (e.dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.DateType => true
+          case _: DateTime64UDT => true
+          case _ => false
+        })) C(e).cast("timestamp")
+        // CH DateTime is UInt32 epoch-seconds — saturate out-of-range
+        else ch.fromUnixTimestamp(least(greatest(C(e).cast("bigint"),
+          lit(0L)), lit(4294967295L)))
+      val b: Seq[Expression] => Column = {
+        case Seq(c) => asTs(c)
+        case Seq(c, fmt) => ch.formatDateTime(asTs(c), litStr(fmt))
+        case Seq(c, fmt, tz) => ch.formatDateTime(from_utc_timestamp(
+          asTs(c), litStr(tz)), litStr(fmt))
+      }
+      f("fromUnixTimestamp")(b)
+      // CH's FROM_UNIXTIME alias returns DateTime, not Spark's string —
+      // shadow the builtin (no internal Column code calls it)
+      f("FROM_UNIXTIME")(b)
+    }
     f("now") {
       case Seq() => ch.nowCh()
       // now(tz): same instant, display-tagged to the zone
@@ -200,8 +249,11 @@ object ChRegistry {
     f1("toRelativeHourNum")(ch.toRelativeHourNum)
     f1("toRelativeMinuteNum")(ch.toRelativeMinuteNum)
     f1("monthName")(ch.monthName)
-    f("formatDateTime") { case Seq(c, fmt) =>
-      ch.formatDateTime(C(c), litStr(fmt)) }
+    f("formatDateTime") {
+      case Seq(c, fmt) => ch.formatDateTime(C(c), litStr(fmt))
+      case Seq(c, fmt, tz) => ch.formatDateTime(
+        from_utc_timestamp(C(c), litStr(tz)), litStr(fmt))
+    }
 
     // arithmetic / rounding
     f2("plus")(ch.plus); f2("minus")(ch.minus)
@@ -270,7 +322,14 @@ object ChRegistry {
     f("chLength") { case Seq(a) => C(ChLength(a)) }
     f1("lengthUTF8")(ch.lengthUTF8)
     f1("lowerUTF8")(ch.lowerUTF8); f1("upperUTF8")(ch.upperUTF8)
-    f3("substringUTF8")(ch.substringUTF8)
+    f("substringUTF8") {
+      // clamp a wild 64-bit offset into int range (ubsan-pinned 01665);
+      // the clamped value is far beyond any string so semantics hold
+      case Seq(s, p) => ch.substringUTF8(C(s),
+        greatest(least(C(p).cast("bigint"), lit(Int.MaxValue.toLong)),
+          lit(Int.MinValue.toLong + 1L)).cast("int"), lit(Int.MaxValue))
+      case Seq(s, p, l) => ch.substringUTF8(C(s), C(p), C(l))
+    }
     f1("trimBoth")(ch.trimBoth); f1("trimLeft")(ch.trimLeft)
     f1("trimRight")(ch.trimRight)
     f1("reverseUTF8")(ch.reverseUTF8)
@@ -373,7 +432,10 @@ object ChRegistry {
       case Seq(n) => ch.rangeCh(C(n))
       case Seq(a, b) => sequence(C(a), C(b) - 1) }
     f("arrayConcat")(es => ch.arrayConcat(es.map(C)))
-    f3("arraySlice")(ch.arraySlice)
+    f("arraySlice") {
+      case Seq(a, o) => C(ChArraySlice(a, o, None))
+      case Seq(a, o, l) => C(ChArraySlice(a, o, Some(l)))
+    }
     f2("arrayPushBack")(ch.arrayPushBack); f2("arrayPushFront")(ch.arrayPushFront)
     f1("arrayPopBack")(ch.arrayPopBack); f1("arrayPopFront")(ch.arrayPopFront)
     f1("arraySort")(ch.arraySortCh); f1("arrayReverseSort")(ch.arrayReverseSort)
@@ -720,7 +782,16 @@ object ChRegistry {
       substring(repeat(block, (C(n).cast("int") / 40) + 2),
         lit(1), C(n).cast("int"))
     }
-    f("generateUUIDv4") { case Seq() => ch.generateUUIDv4() }
+    f("generateUUIDv4") {
+      case Seq() => ch.generateUUIDv4()
+      // tagged form: the argument only defeats common-subexpression
+      // elimination (ref generateUUIDv4.cpp docs). CH gives equal values
+      // for IDENTICAL calls in one query (CSE) and different values for
+      // different tags — reproduced by deriving the UUID from the
+      // argument expression text + a per-session seed.
+      case es => lit(ch.uuidV4FromSeed(
+        uuidSessionSeed + es.map(_.sql).mkString(",")))
+    }
     f1("formatReadableSize")(ch.formatReadableSize)
     f("ignore")(es => ch.ignoreCh(es.map(C)))
     f1("materialize")(ch.materialize); f1("identity")(ch.identityCh)
@@ -1000,7 +1071,14 @@ object ChRegistry {
           c.dataType.asInstanceOf[DateTime64UDT].scale, Some(litStr(tz))))
       case Seq(c, tz) => ch.toTimeZone(C(c), litStr(tz))
     }
-    f1("toDate32")(c => c.cast("date"))
+    f("toDate32") {
+      case Seq(c) => C(c).cast("date")
+      // tz arg: the calendar day of the instant in that zone
+      case Seq(c, tz) if c.resolved &&
+          c.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] =>
+        to_date(from_utc_timestamp(C(c), litStr(tz)))
+      case Seq(c, _) => C(c).cast("date")
+    }
     f1("toYYYYMMDDhhmmss")(c =>
       date_format(c, "yyyyMMddHHmmss").cast("bigint"))
     f1("toUInt64OrZero")(ch.toInt64OrZero)
@@ -1008,20 +1086,8 @@ object ChRegistry {
     f1("toUInt8OrZero")(ch.toInt32OrZero); f1("toUInt16OrZero")(ch.toInt32OrZero)
     f1("toUInt64OrNull")(ch.toInt64OrNull); f1("toUInt32OrNull")(ch.toInt64OrNull)
     // arrayReduce('agg', arr): constant agg name → array fold
-    f("arrayReduce") { case Seq(n, a) =>
-      val arr = C(a)
-      litStr(n) match {
-        case "sum" => aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
-        case "min" => array_min(arr)
-        case "max" => array_max(arr)
-        case "count" => size(arr).cast("bigint")
-        case "avg" =>
-          aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double")) / size(arr)
-        case "quantileBFloat16" | "medianBFloat16" =>
-          QuantileVariants.bfloat16Arr(arr, lit(0.5))
-        case other =>
-          throw new IllegalArgumentException(s"arrayReduce: unsupported $other")
-      } }
+    f("arrayReduce") { case n +: arrs if arrs.nonEmpty =>
+      ArrayReduceCh.build(litStr(n), arrs.map(C)) }
     // best-effort datetime family: the BestEffort state machine is a
     // faithful port of the reference reader (see BestEffort.scala).
     // UDF tier: per-value string scanning with data-dependent branching
@@ -1265,8 +1331,17 @@ object ChRegistry {
     f1("bin")(ch.binCh)
     f1("unbin")(ch.unbinCh)
     f("extractGroups") { case Seq(s, re) => ch.extractGroups(C(s), litStr(re)) }
-    f("dateName") { case Seq(p, d) => ch.dateName(litStr(p), C(d)) }
-    f("age") { case Seq(u, a, b) => ch.ageCh(litStr(u), C(a), C(b)) }
+    f("dateName") {
+      case Seq(p, d) => ch.dateName(litStr(p), C(d))
+      case Seq(p, d, tz) =>
+        ch.dateName(litStr(p), from_utc_timestamp(C(d), litStr(tz)))
+    }
+    f("age") {
+      case Seq(u, a, b) => ch.ageCh(litStr(u), C(a), C(b))
+      // tz arg names the calendar; dates are tz-free and timestamps are
+      // instants, so the difference is tz-invariant for fixed-offset use
+      case Seq(u, a, b, _) => ch.ageCh(litStr(u), C(a), C(b))
+    }
     f("toISOWeek") { case Seq(a) => ch.toISOWeek(zonedWall(a)) }
     f("toISOYear") { case Seq(a) => ch.toISOYear(zonedWall(a)) }
     f2("mapUpdate")(ch.mapUpdate)
@@ -1410,7 +1485,13 @@ object ChRegistry {
 
     // wave 3: array enumerate/resize/last (ref arrayEnumerateUniq.cpp,
     // arrayResize.cpp)
-    f1("arrayEnumerateUniq")(ch.arrayEnumerateUniq)
+    // multi-array form enumerates occurrence counts of the element TUPLE
+    // (any arity — ref arrayEnumerateUniq.cpp executeMethodImpl)
+    f("arrayEnumerateUniq") {
+      case Seq(a) => ch.arrayEnumerateUniq(C(a))
+      case as if as.size > 1 =>
+        ch.arrayEnumerateUniq(arrays_zip(as.map(C): _*))
+    }
     f1("arrayEnumerateDense")(ch.arrayEnumerateDense)
     f("arrayResize") {
       case Seq(a, n) => ch.arrayResizeZero(C(a), C(n))
@@ -1425,8 +1506,37 @@ object ChRegistry {
 
     // wave 3: encryption (ref FunctionsAES.h) — mode string is CH's
     // openssl-style 'aes-128-ecb'; Spark's aes built-ins do the work
-    f("encrypt") { case Seq(m, p, k) => ch.encrypt(litStr(m), C(p), C(k)) }
-    f("decrypt") { case Seq(m, c, k) => ch.decrypt(litStr(m), C(c), C(k)) }
+    // CH-exact deterministic AES (ref FunctionsAES.h; ChCrypto scaladoc
+    // explains why Spark's aes_encrypt can't reproduce the bytes)
+    locally {
+      def reg2(n: String, mysql: Boolean, enc: Boolean): Unit =
+        spark.udf.register(n,
+          (m: String, d: Array[Byte], k: Array[Byte], iv: Array[Byte]) =>
+            if (m == null || d == null || k == null) null
+            else if (enc) ChCrypto.encrypt(m, d, k,
+              Option(iv).getOrElse(Array.emptyByteArray), mysql)
+            else ChCrypto.decrypt(m, d, k,
+              Option(iv).getOrElse(Array.emptyByteArray), mysql))
+      reg2("__chEncrypt", mysql = false, enc = true)
+      reg2("__chDecrypt", mysql = false, enc = false)
+      reg2("__chEncryptMysql", mysql = true, enc = true)
+      reg2("__chDecryptMysql", mysql = true, enc = false)
+      def call(n: String, es: Seq[Expression], asStr: Boolean): Column = {
+        val iv = if (es.size > 3) C(es(3)).cast("binary")
+          else lit(Array.emptyByteArray)
+        val out = call_function(n, C(es(0)), C(es(1)).cast("binary"),
+          C(es(2)).cast("binary"), iv)
+        if (asStr) out.cast("string") else out
+      }
+      f("encrypt") { case es if es.size >= 3 =>
+        call("__chEncrypt", es, asStr = false) }
+      f("decrypt") { case es if es.size >= 3 =>
+        call("__chDecrypt", es, asStr = true) }
+      f("aes_encrypt_mysql") { case es if es.size >= 3 =>
+        call("__chEncryptMysql", es, asStr = false) }
+      f("aes_decrypt_mysql") { case es if es.size >= 3 =>
+        call("__chDecryptMysql", es, asStr = true) }
+    }
     f("aes_encrypt_mysql") { case Seq(m, p, k) =>
       ch.encrypt(litStr(m), C(p), C(k)) }
     f("aes_decrypt_mysql") { case Seq(m, c, k) =>
@@ -1845,9 +1955,11 @@ object ChRegistry {
               v.as("v")))),
           s => s.getField("v")),
         lit(1), C(k).cast("int")) }
-    // exact up to N, N+1 past it (ref AggregateFunctionUniqUpTo.h)
-    f2("uniqUpTo")((x, k) =>
-      least(count_distinct(x), k.cast("bigint") + 1L))
+    // exact up to N, N+1 past it (ref AggregateFunctionUniqUpTo.h);
+    // parametric multi-column form counts distinct TUPLES (param last)
+    f("uniqUpTo") { case es :+ k if es.nonEmpty =>
+      least(count_distinct(C(es.head), es.tail.map(C): _*),
+        C(k).cast("bigint") + 1L) }
     f1("extractURLParameters")(ch.extractURLParameters)
     f1("sumForEach")(ch.sumForEach)
     f1("identity")(c => c)
@@ -2295,20 +2407,29 @@ object ChRegistry {
     f3("translateUTF8")((s, a, b) => call_function("translate", s, a, b))
     f("toDecimalString") { case Seq(x, n) =>
       format_string(s"%.${litInt(n)}f", C(x)) }
-    // -OrDefault conversion tier: try_cast else explicit default
-    // (ref FunctionsConversion.h accurateCastOrDefault)
-    f("toUInt32OrDefault") { case Seq(x, d) =>
-      coalesce(C(x).try_cast("bigint"), C(d)) }
-    f("toUInt64OrDefault") { case Seq(x, d) =>
-      coalesce(C(x).try_cast("bigint"), C(d)) }
-    f("toInt32OrDefault") { case Seq(x, d) =>
-      coalesce(C(x).try_cast("int"), C(d)) }
-    f("toInt64OrDefault") { case Seq(x, d) =>
-      coalesce(C(x).try_cast("bigint"), C(d)) }
-    f("toDateOrDefault") { case Seq(x, d) =>
-      coalesce(C(x).try_cast("date"), C(d)) }
-    f("toDateTimeOrDefault") { case Seq(x, d) =>
-      coalesce(C(x).try_cast("timestamp"), C(d)) }
+    // -OrDefault conversion tier: try_cast else explicit default; the
+    // 1-arg form defaults to the type's zero value (ref
+    // FunctionsConversion.h accurateCastOrDefault)
+    f("toUInt32OrDefault") {
+      case Seq(x, d) => coalesce(C(x).try_cast("bigint"), C(d))
+      case Seq(x) => coalesce(C(x).try_cast("bigint"), lit(0L)) }
+    f("toUInt64OrDefault") {
+      case Seq(x, d) => coalesce(C(x).try_cast("bigint"), C(d))
+      case Seq(x) => coalesce(C(x).try_cast("bigint"), lit(0L)) }
+    f("toInt32OrDefault") {
+      case Seq(x, d) => coalesce(C(x).try_cast("int"), C(d))
+      case Seq(x) => coalesce(C(x).try_cast("int"), lit(0)) }
+    f("toInt64OrDefault") {
+      case Seq(x, d) => coalesce(C(x).try_cast("bigint"), C(d))
+      case Seq(x) => coalesce(C(x).try_cast("bigint"), lit(0L)) }
+    f("toDateOrDefault") {
+      case Seq(x, d) => coalesce(C(x).try_cast("date"), C(d))
+      case Seq(x) => coalesce(C(x).try_cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))) }
+    f("toDateTimeOrDefault") {
+      case Seq(x, d) => coalesce(C(x).try_cast("timestamp"), C(d))
+      case Seq(x) => coalesce(C(x).try_cast("timestamp"),
+        lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))) }
     f("toDecimal32OrDefault") { case Seq(x, s, d) =>
       coalesce(C(x).try_cast(s"decimal(9,${litInt(s)})"), C(d)) }
     f("toDecimal64OrDefault") { case Seq(x, s, d) =>

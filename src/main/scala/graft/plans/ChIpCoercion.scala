@@ -74,7 +74,7 @@ object ChIpCoercionRule extends Rule[LogicalPlan] {
           _: DateFormatClass | _: TruncTimestamp | _: TruncDate |
           _: GetDateField | _: GetTimeField | _: Least | _: Greatest |
           _: MonthsBetween | _: DateDiff | _: LastDay | _: NextDay |
-          _: AddMonthsBase)
+          _: AddMonthsBase | _: FromUTCTimestamp | _: ToUTCTimestamp)
           if e.children.exists(isIp) && e.children.forall(_.resolved) =>
         e.withNewChildren(e.children.map(lower))
       // boolean contexts unwrap the CH Bool display type
