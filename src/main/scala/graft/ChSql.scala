@@ -2224,20 +2224,78 @@ object ChSql {
         else {
           val schema = t.substring(open + 1, commas.head).trim
             .stripPrefix("'").stripSuffix("'")
-          val names = schema.split(",").toSeq.map(_.trim.split("\\s+")(0))
-          val hasAlias = schema.toUpperCase.contains(" ALIAS ")
-          if (hasAlias) m = None // computed columns: not translated
-          else {
-            val bounds = commas.toSeq :+ end
-            val rows = bounds.sliding(2).map { case Seq(a, b) =>
-              val r = t.substring(a + 1, b).trim
-              if (r.startsWith("(")) r else s"($r)"
-            }.mkString(", ")
-            t = t.substring(0, m.get.start) +
-              s"(SELECT * FROM VALUES $rows AS __v(${names.mkString(", ")}))" +
-              t.substring(end + 1)
-            m = re.findFirstMatchIn(t)
+          // split entries paren-aware (an ALIAS expression may contain
+          // commas), then peel `name Type` / `name ALIAS expr` entries
+          val entries = {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var depth = 0; var last = 0
+            schema.indices.foreach { k =>
+              schema.charAt(k) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case ',' if depth == 0 => out += schema.substring(last, k); last = k + 1
+                case _ =>
+              }
+            }
+            out += schema.substring(last)
+            out.toSeq.map(_.trim).filter(_.nonEmpty)
           }
+          val aliasRe = "(?i)^(\\w+)\\s+ALIAS\\s+(.+)$".r
+          val plain = entries.collect {
+            case e if !e.toUpperCase.matches("(?s)^\\w+\\s+ALIAS\\s.*") =>
+              e.split("\\s+")(0) }
+          val aliases = entries.collect { case aliasRe(n, ex) =>
+            // the schema string was a CH string literal: undo its quote
+            // escaping so the expression re-enters the SQL text
+            (n, ex.replace("\\'", "'")) }
+          val bounds = commas.toSeq :+ end
+          val rows = bounds.sliding(2).map { case Seq(a, b) =>
+            val r = t.substring(a + 1, b).trim
+            if (r.startsWith("(")) r else s"($r)"
+          }.mkString(", ")
+          val proj = if (aliases.isEmpty) "*"
+            else "*, " + aliases.map { case (n, ex) => s"$ex AS $n" }
+              .mkString(", ")
+          t = t.substring(0, m.get.start) +
+            s"(SELECT $proj FROM VALUES $rows AS __v(${plain.mkString(", ")}))" +
+            t.substring(end + 1)
+          m = re.findFirstMatchIn(t)
+        }
+      }
+      t
+    }
+    // schemaless values((…), (…)) table function: CH auto-names the
+    // columns c1…cN (ref TableFunctionValues.cpp)
+    s = {
+      var t = s
+      val re = "(?i)\\bFROM\\s+(values)\\s*\\(\\s*\\(".r
+      var m = re.findFirstMatchIn(t)
+      var guard = 0
+      while (m.isDefined && guard < 20) {
+        guard += 1
+        val open = t.indexOf('(', m.get.start(1))
+        var depth = 0; var i = open; var inStr = false; var end = -1
+        var innerCommas = 0 // depth-2 commas of the FIRST tuple
+        var firstTupleDone = false
+        while (end < 0 && i < t.length) {
+          val c = t.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1
+            if (depth == 1) firstTupleDone = true
+            if (depth == 0) end = i }
+          else if (c == ',' && depth == 2 && !firstTupleDone) innerCommas += 1
+          i += 1
+        }
+        if (end < 0) m = None
+        else {
+          val rows = t.substring(open + 1, end)
+          val names = (1 to (innerCommas + 1)).map("c" + _).mkString(", ")
+          t = t.substring(0, m.get.start(1)) +
+            s"(SELECT * FROM VALUES $rows AS __v($names))" +
+            t.substring(end + 1)
+          m = re.findFirstMatchIn(t)
         }
       }
       t
@@ -2452,6 +2510,18 @@ object ChSql {
               sign + s"CAST('${v.toString}' AS DECIMAL(20,0))"
             else sign + s"CAST('${v.toString.toDouble}' AS DOUBLE)"
           }
+        }
+      }
+      // 0b… binary integer literals (ref src/Parsers/Lexer.cpp Number):
+      // same widening ladder as hex
+      s = replaceFnOutsideStrings(s, "\\b0[bB]([01]+)\\b") { mm =>
+        val v = BigInt(mm.group(1), 2)
+        java.util.regex.Matcher.quoteReplacement {
+          if (v <= 0xFFFF) v.toString
+          else if (v < (BigInt(1) << 62)) s"CAST(${v.toString} AS BIGINT)"
+          else if (v < (BigInt(1) << 64))
+            s"CAST('${v.toString}' AS DECIMAL(20,0))"
+          else s"CAST('${v.toString.toDouble}' AS DOUBLE)"
         }
       }
     }

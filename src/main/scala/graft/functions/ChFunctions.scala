@@ -591,7 +591,9 @@ object ch {
       case d: DecimalType if d == DecimalType(20, 0) =>
         val src = coalesce(tryLong(c),
           tryLong(c - lit("18446744073709551616").cast("decimal(21,0)")))
-        CC(Hex(EE(src)))
+        val h = CC(Hex(EE(src)))
+        // whole-byte render: odd digit counts get the intra-byte zero
+        when(length(h) % 2 === 1, concat(lit("0"), h)).otherwise(h)
       // CH hex(Decimal32/64) prints the unscaled value's LITTLE-endian
       // bytes at the type's storage width (ref
       // src/Functions/FunctionsBinaryRepresentation.cpp hexImpl)

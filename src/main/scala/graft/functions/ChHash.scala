@@ -228,6 +228,462 @@ object ChHash {
     Decimal(new java.math.BigDecimal(
       new java.math.BigInteger(java.lang.Long.toUnsignedString(h))), 20, 0)
 
+  // ---- SipHash keyed / 128-bit forms (ref src/Common/SipHash.h: CH's
+  // streaming SipHash-2-4 with the non-reference 128 finalizer, plus the
+  // upstream-reference 128 variant) ----
+  /** Full SipHash state run; returns (lo, hi) where get64 = lo^hi for the
+    * 64-bit form is NOT the contract — callers pick via the helpers. */
+  private def sipRun(data: Array[Byte], k0: Long, k1: Long,
+      ref128: Boolean): Array[Long] = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+    if (ref128) v1 ^= 0xee
+    val len = data.length
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotate64(v1, 13); v1 ^= v0; v0 = rotate64(v0, 32)
+      v2 += v3; v3 = rotate64(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotate64(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotate64(v1, 17); v1 ^= v2; v2 = rotate64(v2, 32)
+    }
+    var i = 0
+    while (i + 8 <= len) {
+      val m = fetch64(data, i)
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    var tail = (len.toLong & 0xff) << 56
+    var j = len - i - 1
+    while (j >= 0) { tail |= (data(i + j) & 0xffL) << (8 * j); j -= 1 }
+    v3 ^= tail; round(); round(); v0 ^= tail
+    v2 ^= (if (ref128) 0xee else 0xff)
+    round(); round(); round(); round()
+    Array(v0, v1, v2, v3)
+  }
+  def sipHash64Keyed(k0: Long, k1: Long, data: Array[Byte]): Long = {
+    val v = sipRun(data, k0, k1, ref128 = false)
+    v(0) ^ v(1) ^ v(2) ^ v(3)
+  }
+  /** CH sipHash128 (lo, hi) — get128: (v0^v1, v2^v3). */
+  def sipHash128Keyed(k0: Long, k1: Long, data: Array[Byte]): (Long, Long) = {
+    val v = sipRun(data, k0, k1, ref128 = false)
+    (v(0) ^ v(1), v(2) ^ v(3))
+  }
+  /** Upstream-reference SipHash128 (get128Reference). */
+  def sipHash128RefKeyed(k0: Long, k1: Long,
+      data: Array[Byte]): (Long, Long) = {
+    val s = sipRun(data, k0, k1, ref128 = true)
+    var v0 = s(0); var v1 = s(1); var v2 = s(2); var v3 = s(3)
+    val lo = v0 ^ v1 ^ v2 ^ v3
+    v1 ^= 0xdd
+    var r = 0
+    while (r < 4) {
+      v0 += v1; v1 = rotate64(v1, 13); v1 ^= v0; v0 = rotate64(v0, 32)
+      v2 += v3; v3 = rotate64(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotate64(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotate64(v1, 17); v1 ^= v2; v2 = rotate64(v2, 32)
+      r += 1
+    }
+    val hi = v0 ^ v1 ^ v2 ^ v3
+    (lo, hi)
+  }
+
+  /** halfMD5: first 8 MD5 bytes read big-endian (ref HalfMD5Impl:
+    * byteswap of the LE word — unsigned UInt64 surface). */
+  def halfMD5(b: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+    var r = 0L
+    var i = 0
+    while (i < 8) { r = (r << 8) | (d(i) & 0xffL); i += 1 }
+    r
+  }
+
+  /** CRC-32 with the 0xEDB88320 reflected table, zero init, NO final
+    * inversion — CH's CRC32IEEE (ref src/Functions/CRC.cpp CRCImpl),
+    * distinct from zlib crc32 (= CH CRC32 = Spark crc32). */
+  private lazy val crcIeeeTab: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i
+      var j = 0
+      while (j < 8) {
+        c = if ((c & 1) != 0) 0xEDB88320 ^ (c >>> 1) else c >>> 1
+        j += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+  def crc32Ieee(b: Array[Byte]): Long = {
+    var crc = 0
+    var i = 0
+    while (i < b.length) {
+      crc = crcIeeeTab((crc ^ b(i)) & 0xff) ^ (crc >>> 8)
+      i += 1
+    }
+    crc & 0xffffffffL
+  }
+  private lazy val crc64Tab: Array[Long] = {
+    val poly = 0xc96c5795d7870f42L
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var c = i.toLong
+      var j = 0
+      while (j < 8) {
+        c = if ((c & 1L) != 0) poly ^ (c >>> 1) else c >>> 1
+        j += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+  def crc64(b: Array[Byte]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < b.length) {
+      crc = crc64Tab(((crc ^ b(i)) & 0xff).toInt) ^ (crc >>> 8)
+      i += 1
+    }
+    crc
+  }
+
+  /** javaHash over raw bytes (ref JavaHashImpl: 31·h + signed byte) and
+    * the UTF16LE variant (bytes as LE code units — String.hashCode). */
+  def javaHashBytes(b: Array[Byte]): Int = {
+    var h = 0
+    var i = 0
+    while (i < b.length) { h = 31 * h + b(i); i += 1 }
+    h
+  }
+  def javaHashUTF16LE(b: Array[Byte]): Int = {
+    var h = 0
+    var i = 0
+    while (i + 1 < b.length) {
+      val c = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)).toChar
+      h = 31 * h + c
+      i += 2
+    }
+    h
+  }
+
+  /** jumpConsistentHash (public algorithm, Lamping & Veach 2014; ref
+    * src/Functions/FunctionsConsistentHashing.h JumpConsistentHashImpl). */
+  def jumpConsistentHash(key0: Long, buckets: Int): Int = {
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      key = key * 2862933555777941757L + 1
+      j = ((b + 1) *
+        ((1L << 31).toDouble / (((key >>> 33) + 1).toDouble))).toLong
+    }
+    b.toInt
+  }
+
+  /** kostikConsistentHash / yandexConsistentHash (public algorithm; ref
+    * contrib/consistent-hashing ConsistentHashing(x, n): 16-bit-block
+    * bit-scheme with smooth 2^(k-1)→2^k transition). */
+  def kostikConsistentHash(x: Long, n: Int): Int = {
+    require(n > 0, "Can't map consistently to a zero values.")
+    if (n == 1) return 0
+    @inline def bitCount(v: Long): Int =
+      64 - java.lang.Long.numberOfLeadingZeros(v)
+    val lo = (x & 0xffffffffL).toInt
+    val hi = (x >>> 32).toInt
+    val a = lo & 0xffff; val b = (lo >>> 16) & 0xffff
+    val c = hi & 0xffff; val d = (hi >>> 16) & 0xffff
+    def forPow2(k2: Int): Int = {
+      val cBlock = c & (k2 - 1)
+      if (cBlock < 2) cBlock
+      else {
+        val y = bitCount(cBlock.toLong) - 1
+        val y2 = 1 << y
+        val z = java.lang.Integer.bitCount(cBlock)
+        val ab = if (z % 2 == 0) a else b
+        y2 + (ab & (y2 - 1))
+      }
+    }
+    val k = bitCount((n - 1).toLong)
+    val k2 = 1 << k
+    val large = forPow2(k2)
+    if (large < n) return large
+    val k21 = 1 << (k - 1)
+    var shift = 16 - k
+    var res: Long = (d.toLong << shift) | (c.toLong >>> k)
+    shift += 1
+    res <<= shift
+    res |= b.toLong >>> (k - 1)
+    res <<= shift
+    res |= a.toLong >>> (k - 1)
+    val s = java.lang.Long.remainderUnsigned(res,
+      large.toLong * (large + 1L))
+    val large2 = (s / k2 + k21).toInt
+    if (large2 < n) large2
+    else forPow2(k21)
+  }
+
+  // ---- wyhash final v3 (public algorithm by Wang Yi; ref contrib/wyhash
+  // via FunctionsHashing.h ImplWyHash64: wyhash(s, len, 0, _wyp)) ----
+  private val wyp = Array(0xa0761d6478bd642fL, 0xe7037ed1a0b428dbL,
+    0x8ebc6af09c88c6e3L, 0x589965cc75374cc3L)
+  @inline private def umulHi(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+  @inline private def wymix(a0: Long, b0: Long): Long = {
+    val lo = a0 * b0
+    val hi = umulHi(a0, b0)
+    lo ^ hi
+  }
+  private def wyr8(b: Array[Byte], i: Int): Long = fetch64(b, i)
+  private def wyr4(b: Array[Byte], i: Int): Long = {
+    var v = 0L; var j = 0
+    while (j < 4) { v |= (b(i + j) & 0xffL) << (8 * j); j += 1 }
+    v
+  }
+  def wyHash64(b: Array[Byte]): Long = {
+    val len = b.length
+    var seed = 0L ^ wyp(0)
+    var a = 0L; var x = 0L
+    if (len <= 16) {
+      if (len >= 4) {
+        a = (wyr4(b, 0) << 32) | wyr4(b, (len >> 3) << 2)
+        x = (wyr4(b, len - 4) << 32) | wyr4(b, len - 4 - ((len >> 3) << 2))
+      } else if (len > 0) {
+        a = ((b(0) & 0xffL) << 16) | ((b(len >> 1) & 0xffL) << 8) |
+          (b(len - 1) & 0xffL)
+        x = 0L
+      }
+    } else {
+      var i = len; var p = 0
+      if (i > 48) {
+        var see1 = seed; var see2 = seed
+        while (i > 48) {
+          seed = wymix(wyr8(b, p) ^ wyp(1), wyr8(b, p + 8) ^ seed)
+          see1 = wymix(wyr8(b, p + 16) ^ wyp(2), wyr8(b, p + 24) ^ see1)
+          see2 = wymix(wyr8(b, p + 32) ^ wyp(3), wyr8(b, p + 40) ^ see2)
+          p += 48; i -= 48
+        }
+        seed ^= see1 ^ see2
+      }
+      while (i > 16) {
+        seed = wymix(wyr8(b, p) ^ wyp(1), wyr8(b, p + 8) ^ seed)
+        i -= 16; p += 16
+      }
+      a = wyr8(b, p + i - 16); x = wyr8(b, p + i - 8)
+    }
+    wymix(wyp(1) ^ len.toLong, wymix(a ^ wyp(1), x ^ seed))
+  }
+
+  // ---- metrohash64_1, seed 0 (public algorithm by J. Andrew Rogers; ref
+  // contrib/libmetrohash/src/metrohash64.cpp via ImplMetroHash64) ----
+  def metroHash64(b: Array[Byte]): Long = {
+    val k0 = 0xC83A91E1L; val k1 = 0x8648DBDBL
+    val k2 = 0x7BDEC03BL; val k3 = 0x2F5870A5L
+    @inline def rotr(v: Long, s: Int): Long = (v >>> s) | (v << (64 - s))
+    val len = b.length
+    var p = 0
+    var hash = (k2 * k0) + len.toLong
+    if (len >= 32) {
+      var v0 = hash; var v1 = hash; var v2 = hash; var v3 = hash
+      while (len - p >= 32) {
+        v0 += fetch64(b, p) * k0; p += 8; v0 = rotr(v0, 29) + v2
+        v1 += fetch64(b, p) * k1; p += 8; v1 = rotr(v1, 29) + v3
+        v2 += fetch64(b, p) * k2; p += 8; v2 = rotr(v2, 29) + v0
+        v3 += fetch64(b, p) * k3; p += 8; v3 = rotr(v3, 29) + v1
+      }
+      v2 ^= rotr(((v0 + v3) * k0) + v1, 33) * k1
+      v3 ^= rotr(((v1 + v2) * k1) + v0, 33) * k0
+      v0 ^= rotr(((v0 + v2) * k0) + v3, 33) * k1
+      v1 ^= rotr(((v1 + v3) * k1) + v2, 33) * k0
+      hash += v0 ^ v1
+    }
+    if (len - p >= 16) {
+      var v0 = hash + fetch64(b, p) * k0; p += 8; v0 = rotr(v0, 33) * k1
+      var v1 = hash + fetch64(b, p) * k1; p += 8; v1 = rotr(v1, 33) * k2
+      v0 ^= rotr(v0 * k0, 35) + v1
+      v1 ^= rotr(v1 * k3, 35) + v0
+      hash += v1
+    }
+    if (len - p >= 8) {
+      hash += fetch64(b, p) * k3; p += 8
+      hash ^= rotr(hash, 33) * k1
+    }
+    if (len - p >= 4) {
+      hash += wyr4(b, p) * k3; p += 4
+      hash ^= rotr(hash, 15) * k1
+    }
+    if (len - p >= 2) {
+      hash += (((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8)) * k3; p += 2
+      hash ^= rotr(hash, 13) * k1
+    }
+    if (len - p >= 1) {
+      hash += (b(p) & 0xffL) * k3
+      hash ^= rotr(hash, 25) * k1
+    }
+    hash ^= rotr(hash, 33)
+    hash *= k0
+    hash ^= rotr(hash, 33)
+    hash
+  }
+
+  // ---- FarmHash (public algorithm, Google; ref contrib/libfarmhash via
+  // ImplFarmFingerprint64/ImplFarmHash64: Fingerprint64 = farmhashna's
+  // Hash64, Hash64 = farmhashxo's dispatcher) ----
+  private val fk0 = 0xc3a5c85c97cb3127L
+  private val fk1 = 0xb492b66fbe98f273L
+  private val fk2 = 0x9ae16a3b2f90404fL
+  @inline private def fRot(v: Long, s: Int): Long =
+    if (s == 0) v else (v >>> s) | (v << (64 - s))
+  @inline private def fShiftMix(v: Long): Long = v ^ (v >>> 47)
+  @inline private def fHashLen16(u: Long, v: Long): Long = hash128to64(u, v)
+  @inline private def fHashLen16(u: Long, v: Long, mul: Long): Long = {
+    var a = (u ^ v) * mul
+    a ^= (a >>> 47)
+    var b2 = (v ^ a) * mul
+    b2 ^= (b2 >>> 47)
+    b2 * mul
+  }
+  private def fHashLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len >= 8) {
+      val mul = fk2 + len * 2L
+      val a = fetch64(s, off) + fk2
+      val b2 = fetch64(s, off + len - 8)
+      val c = fRot(b2, 37) * mul + a
+      val d = (fRot(a, 25) + b2) * mul
+      fHashLen16(c, d, mul)
+    } else if (len >= 4) {
+      val mul = fk2 + len * 2L
+      val a = wyr4(s, off)
+      fHashLen16(len + (a << 3), wyr4(s, off + len - 4), mul)
+    } else if (len > 0) {
+      val a = s(off) & 0xff
+      val b2 = s(off + (len >> 1)) & 0xff
+      val c = s(off + len - 1) & 0xff
+      val y = a + (b2 << 8)
+      val z = len + (c << 2)
+      fShiftMix(y * fk2 ^ z * fk0) * fk2
+    } else fk2
+  }
+  private def fHashLen17to32(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul = fk2 + len * 2L
+    val a = fetch64(s, off) * fk1
+    val b2 = fetch64(s, off + 8)
+    val c = fetch64(s, off + len - 8) * mul
+    val d = fetch64(s, off + len - 16) * fk2
+    fHashLen16(fRot(a + b2, 43) + fRot(c, 30) + d,
+      a + fRot(b2 + fk2, 18) + c, mul)
+  }
+  private def fWeak(w: Long, x: Long, y: Long, z: Long, a0: Long,
+      b0: Long): (Long, Long) = {
+    var a = a0 + w
+    var b2 = fRot(b0 + a + z, 21)
+    val c = a
+    a += x; a += y
+    b2 += fRot(a, 44)
+    (a + z, b2 + c)
+  }
+  private def fWeak(s: Array[Byte], off: Int, a: Long,
+      b2: Long): (Long, Long) =
+    fWeak(fetch64(s, off), fetch64(s, off + 8), fetch64(s, off + 16),
+      fetch64(s, off + 24), a, b2)
+  private def fNaHashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul = fk2 + len * 2L
+    val a = fetch64(s, off) * fk2
+    val b2 = fetch64(s, off + 8)
+    val c = fetch64(s, off + len - 8) * mul
+    val d = fetch64(s, off + len - 16) * fk2
+    val y = fRot(a + b2, 43) + fRot(c, 30) + d
+    val z = fHashLen16(y, a + fRot(b2 + fk2, 18) + c, mul)
+    val e = fetch64(s, off + 16) * mul
+    val f = fetch64(s, off + 24)
+    val g = (y + fetch64(s, off + len - 32)) * mul
+    val h = (z + fetch64(s, off + len - 24)) * mul
+    fHashLen16(fRot(e + f, 43) + fRot(g, 30) + h,
+      e + fRot(f + a, 18) + g, mul)
+  }
+  /** farmhashna::Hash64 == Fingerprint64. */
+  def farmFingerprint64(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len <= 16) return fHashLen0to16(s, 0, len)
+    if (len <= 32) return fHashLen17to32(s, 0, len)
+    if (len <= 64) return fNaHashLen33to64(s, 0, len)
+    val seed = 81L
+    var x = seed
+    var y = seed * fk1 + 113
+    var z = fShiftMix(y * fk2 + 113) * fk2
+    var v: (Long, Long) = (0L, 0L)
+    var w: (Long, Long) = (0L, 0L)
+    x = x * fk2 + fetch64(s, 0)
+    var p = 0
+    val end = ((len - 1) / 64) * 64
+    val last64 = end + ((len - 1) & 63) - 63
+    while (p != end) {
+      x = fRot(x + y + v._1 + fetch64(s, p + 8), 37) * fk1
+      y = fRot(y + v._2 + fetch64(s, p + 48), 42) * fk1
+      x ^= w._2
+      y += v._1 + fetch64(s, p + 40)
+      z = fRot(z + w._1, 33) * fk1
+      v = fWeak(s, p, v._2 * fk1, x + w._1)
+      w = fWeak(s, p + 32, z + w._2, y + fetch64(s, p + 16))
+      val t = z; z = x; x = t
+      p += 64
+    }
+    val mul = fk1 + ((z & 0xff) << 1)
+    p = last64
+    w = (w._1 + ((len - 1) & 63), w._2)
+    v = (v._1 + w._1, v._2)
+    w = (w._1 + v._1, w._2)
+    x = fRot(x + y + v._1 + fetch64(s, p + 8), 37) * mul
+    y = fRot(y + v._2 + fetch64(s, p + 48), 42) * mul
+    x ^= w._2 * 9
+    y += v._1 * 9 + fetch64(s, p + 40)
+    z = fRot(z + w._1, 33) * mul
+    v = fWeak(s, p, v._2 * mul, x + w._1)
+    w = fWeak(s, p + 32, z + w._2, y + fetch64(s, p + 16))
+    val t = z; z = x; x = t
+    fHashLen16(fHashLen16(v._1, w._1, mul) + fShiftMix(y) * fk0 + z,
+      fHashLen16(v._2, w._2, mul) + x, mul)
+  }
+  private def fXoH32(s: Array[Byte], off: Int, len: Int, mul: Long,
+      seed0: Long = 0L, seed1: Long = 0L): Long = {
+    val a = fetch64(s, off) * fk1
+    val b2 = fetch64(s, off + 8)
+    val c = fetch64(s, off + len - 8) * mul
+    val d = fetch64(s, off + len - 16) * fk2
+    val u = fRot(a + b2, 43) + fRot(c, 30) + d + seed0
+    val v = a + fRot(b2 + fk2, 18) + c + seed1
+    val a2 = fShiftMix((u ^ v) * mul)
+    fShiftMix((v ^ a2) * mul)
+  }
+  /** farmhashxo::Hash64 (CH farmHash64). >256 bytes delegates to the
+    * uo variant, unimplemented here — CH test inputs are short. */
+  def farmHash64(s: Array[Byte]): Long = {
+    val len = s.length
+    if (len <= 16) fHashLen0to16(s, 0, len)
+    else if (len <= 32) fHashLen17to32(s, 0, len)
+    else if (len <= 64) {
+      val mul0 = fk2 - 30
+      val mul1 = fk2 - 30 + 2L * len
+      val h0 = fXoH32(s, 0, 32, mul0)
+      val h1 = fXoH32(s, len - 32, 32, mul1)
+      ((h1 * mul1) + h0) * mul1
+    } else if (len <= 96) {
+      val mul0 = fk2 - 114
+      val mul1 = fk2 - 114 + 2L * len
+      val h0 = fXoH32(s, 0, 32, mul0)
+      val h1 = fXoH32(s, 32, 32, mul1)
+      val h2 = fXoH32(s, len - 32, 32, mul1, h0, h1)
+      (h2 * 9 + (h0 >>> 17) + (h1 >>> 21)) * mul1
+    } else if (len <= 256) farmFingerprint64(s)
+    else throw new UnsupportedOperationException(
+      "farmHash64: inputs over 256 bytes not supported")
+  }
+
   // ---- xxHash (ref FunctionsHashing.h ImplXxHash64/ImplXxHash32; the
   // XXH32/XXH64 algorithms are the public spec, seed 0) ----
 
@@ -481,36 +937,106 @@ case class ChUIntTag(child: Expression, width: Int)
 }
 
 case class ChAnyHash(city: Boolean, children: Seq[Expression],
-    algo: String = "", widths: Seq[Int] = Nil)
+    algo: String = "", widths: Seq[Int] = Nil, keyed: Boolean = false)
     extends Expression with CodegenFallback {
 
   // algo: "" → legacy city/sip flag; "xx64"/"xx32" → xxHash with CH's
-  // combine rule (ref ImplXxHash64/ImplXxHash32 in FunctionsHashing.h)
+  // combine rule (ref ImplXxHash64/ImplXxHash32 in FunctionsHashing.h);
+  // "sip128"/"sip128ref" → FixedString(16) output; `keyed` marks
+  // children.head as the (k0, k1) UInt64 key tuple (ref SipHashKeyed)
   private def algoName: String =
     if (algo.nonEmpty) algo else if (city) "city" else "sip"
+  private def is128: Boolean =
+    algoName == "sip128" || algoName == "sip128ref" ||
+      algoName == "murmur128"
 
   override def dataType: DataType =
-    if (algoName == "xx32" || algoName == "murmur2_32" ||
+    if (is128) BinaryType
+    else if (algoName == "xx32" || algoName == "murmur2_32" ||
       algoName == "murmur3_32") LongType
     else DecimalType(20, 0)
   override def nullable: Boolean = children.exists(_.nullable)
 
+  private def dataChildren: Seq[Expression] =
+    if (keyed) children.tail else children
+
   override def eval(input: InternalRow): Any = {
     var h = 0L
+    var hHi = 0L // second lane of the 128-bit algos
     var first = true
     var sawNull = false
 
-    def combine(e: Long): Unit = {
-      h = if (first) { first = false; e }
+    // keyed forms evaluate the key tuple per row
+    var k0 = 0L; var k1 = 0L
+    if (keyed) {
+      val kv = children.head.eval(input)
+      if (kv == null) return null
+      val row = kv.asInstanceOf[InternalRow]
+      def keyLong(i: Int): Long =
+        children.head.dataType.asInstanceOf[StructType](i).dataType match {
+          case _: DecimalType =>
+            row.getDecimal(i, 20, 0).toJavaBigDecimal.unscaledValue.longValue
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case ShortType => row.getShort(i).toLong
+          case ByteType => row.getByte(i).toLong
+          case other => throw new UnsupportedOperationException(
+            s"sipHash keyed: key component type $other")
+        }
+      k0 = keyLong(0); k1 = keyLong(1)
+    }
+
+    def pairBytes(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+        wide: Boolean): Array[Byte] = {
+      val out = new Array[Byte](if (wide) 32 else 16)
+      val words = if (wide) Array(aLo, aHi, bLo, bHi) else Array(aLo, bLo)
+      var w = 0
+      while (w < words.length) {
+        var i = 0
+        while (i < 8) {
+          out(8 * w + i) = ((words(w) >>> (8 * i)) & 0xff).toByte
+          i += 1
+        }
+        w += 1
+      }
+      out
+    }
+
+    def combine2(eLo: Long, eHi: Long): Unit = {
+      if (first) { first = false; h = eLo; hHi = eHi }
       else algoName match {
-        case "city" | "xx64" => ChHash.hash128to64(h, e)
+        case "city" | "xx64" | "xxh3" | "metro" | "farm" =>
+          h = ChHash.hash128to64(h, eLo)
+        case "farmfp" => h = ChHash.hash128to64(h, eLo)
+        case "wy" => h = ChHash.wyHash64(pairBytes(h, 0, eLo, 0, wide = false))
+        case "halfmd5" =>
+          h = ChHash.halfMD5(pairBytes(h, 0, eLo, 0, wide = false))
         case "xx32" | "murmur2_32" | "murmur3_32" =>
-          ChHash.intHash32Impl(h) ^ e
+          h = ChHash.intHash32Impl(h) ^ eLo
         case "murmur2_64" | "murmur3_64" | "gcc" =>
-          ChHash.intHash64Impl(h) ^ e
-        case _ => ChHash.sipCombine(h, e)
+          h = ChHash.intHash64Impl(h) ^ eLo
+        case "sip128" =>
+          val (lo, hi) = ChHash.sipHash128Keyed(k0, k1,
+            pairBytes(h, hHi, eLo, eHi, wide = true))
+          h = lo; hHi = hi
+        case "sip128ref" =>
+          // reference-keyed combine still uses the NON-ref sipHash128
+          // (ref SipHash128ReferenceImpl::combineHashes →
+          // combineHashesFunc<UInt128, SipHash128Impl>)
+          val (lo, hi) = ChHash.sipHash128Keyed(if (keyed) k0 else 0L,
+            if (keyed) k1 else 0L, pairBytes(h, hHi, eLo, eHi, wide = true))
+          h = lo; hHi = hi
+        case "murmur128" =>
+          val (lo, hi) = ChHash.murmurHash3_128(
+            pairBytes(h, hHi, eLo, eHi, wide = true))
+          h = lo; hHi = hi
+        case _ => // sip (keyed or not)
+          h = ChHash.sipHash64Keyed(k0, k1, pairBytes(h, 0, eLo, 0,
+            wide = false))
       }
     }
+    def combine(e: Long): Unit = combine2(e, 0L)
+    def combineInt2(p: (Long, Long)): Unit = combine2(p._1, p._2)
 
     def leBytes(v: java.math.BigInteger, n: Int): Array[Byte] = {
       val out = new Array[Byte](n)
@@ -525,34 +1051,53 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
       out
     }
 
-    def bytesElem(b: Array[Byte]): Long = algoName match {
-      case "city" => ChHash.cityHash64(b)
-      case "xx64" => ChHash.xxHash64(b)
-      case "xx32" => ChHash.xxHash32(b)
-      case "murmur2_32" => ChHash.murmurHash2_32(b)
-      case "murmur2_64" => ChHash.murmurHash64A(b)
-      case "murmur3_32" => ChHash.murmurHash3_32(b)
+    def bytesElem2(b: Array[Byte]): (Long, Long) = algoName match {
+      case "city" => (ChHash.cityHash64(b), 0L)
+      case "xx64" => (ChHash.xxHash64(b), 0L)
+      case "xx32" => (ChHash.xxHash32(b), 0L)
+      case "murmur2_32" => (ChHash.murmurHash2_32(b), 0L)
+      case "murmur2_64" => (ChHash.murmurHash64A(b), 0L)
+      case "murmur3_32" => (ChHash.murmurHash3_32(b), 0L)
       case "murmur3_64" =>
-        val (h1, h2) = ChHash.murmurHash3_128(b); h1 ^ h2
-      case "gcc" => ChHash.murmurHash64A(b, 0xc70f6907L)
-      case _ => ChHash.sipHash64(b)
+        val (h1, h2) = ChHash.murmurHash3_128(b); (h1 ^ h2, 0L)
+      case "gcc" => (ChHash.murmurHash64A(b, 0xc70f6907L), 0L)
+      case "wy" => (ChHash.wyHash64(b), 0L)
+      case "xxh3" => (Xxh3.hash64(b), 0L)
+      case "metro" => (ChHash.metroHash64(b), 0L)
+      case "farmfp" => (ChHash.farmFingerprint64(b), 0L)
+      case "farm" => (ChHash.farmHash64(b), 0L)
+      case "halfmd5" => (ChHash.halfMD5(b), 0L)
+      case "sip128" => ChHash.sipHash128Keyed(k0, k1, b)
+      case "sip128ref" => ChHash.sipHash128RefKeyed(k0, k1, b)
+      case "murmur128" => ChHash.murmurHash3_128(b)
+      case _ => (ChHash.sipHash64Keyed(k0, k1, b), 0L)
+    }
+    def bytesElem(b: Array[Byte]): Long = bytesElem2(b)._1
+    def combineBytes(b: Array[Byte]): Unit = {
+      val (lo, hi) = bytesElem2(b)
+      combine2(lo, hi)
     }
 
-    def intElem(value: Long, width: Int): Long = {
+    def intElem2(value: Long, width: Int): (Long, Long) = {
       val masked = width match {
         case 1 => value & 0xffL
         case 2 => value & 0xffffL
         case 4 => value & 0xffffffffL
         case _ => value
       }
-      if (algoName == "city") ChHash.intHash64Impl(masked)
+      // int-hash-for-pods rule: city AND metro/farm families (ref
+      // use_int_hash_for_pods in FunctionsHashing.h)
+      if (algoName == "city" || algoName == "metro" ||
+        algoName == "farmfp" || algoName == "farm")
+        (ChHash.intHash64Impl(masked), 0L)
       else {
         val b = new Array[Byte](width)
         var i = 0
         while (i < width) { b(i) = ((value >>> (8 * i)) & 0xff).toByte; i += 1 }
-        bytesElem(b)
+        bytesElem2(b)
       }
     }
+    def intElem(value: Long, width: Int): Long = intElem2(value, width)._1
 
     // `widths` is a FLATTENED pre-order slot list (struct fields expand,
     // an array is one slot applying to its elements) of CH literal-type
@@ -585,31 +1130,31 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
             i += 1
           }
         case ByteType =>
-          combine(intElem(v.asInstanceOf[Byte].toLong, intW(fixed, fw, 1)))
+          combineInt2(intElem2(v.asInstanceOf[Byte].toLong, intW(fixed, fw, 1)))
         case ShortType =>
-          combine(intElem(v.asInstanceOf[Short].toLong, intW(fixed, fw, 2)))
+          combineInt2(intElem2(v.asInstanceOf[Short].toLong, intW(fixed, fw, 2)))
         case IntegerType =>
-          combine(intElem(v.asInstanceOf[Int].toLong, intW(fixed, fw, 4)))
+          combineInt2(intElem2(v.asInstanceOf[Int].toLong, intW(fixed, fw, 4)))
         case LongType =>
-          combine(intElem(v.asInstanceOf[Long], intW(fixed, fw, 8)))
+          combineInt2(intElem2(v.asInstanceOf[Long], intW(fixed, fw, 8)))
         case BooleanType =>
           if (!fixed) nextSlot()
-          combine(intElem(if (v.asInstanceOf[Boolean]) 1L else 0L, 1))
+          combineInt2(intElem2(if (v.asInstanceOf[Boolean]) 1L else 0L, 1))
         case DateType => // CH Date = UInt16 days
           if (!fixed) nextSlot()
-          combine(intElem(v.asInstanceOf[Int].toLong, 2))
+          combineInt2(intElem2(v.asInstanceOf[Int].toLong, 2))
         case TimestampType => // CH DateTime = UInt32 epoch seconds
           if (!fixed) nextSlot()
-          combine(intElem(
+          combineInt2(intElem2(
             Math.floorDiv(v.asInstanceOf[Long], 1000000L), 4))
         case FloatType =>
           if (!fixed) nextSlot()
-          combine(intElem(
+          combineInt2(intElem2(
             java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
               .toLong, 4))
         case DoubleType =>
           if (!fixed) nextSlot()
-          combine(intElem(
+          combineInt2(intElem2(
             java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8))
         case d: DecimalType =>
           if (!fixed) nextSlot()
@@ -619,15 +1164,15 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
             .unscaledValue
           val width = if (d.precision <= 9) 4
             else if (d.precision <= 18) 8 else 16
-          combine(bytesElem(leBytes(unscaled, width)))
+          combineInt2(bytesElem2(leBytes(unscaled, width)))
         case StringType =>
           if (!fixed) nextSlot()
-          combine(bytesElem(
+          combineInt2(bytesElem2(
             v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
               .getBytes))
         case BinaryType =>
           if (!fixed) nextSlot()
-          combine(bytesElem(v.asInstanceOf[Array[Byte]]))
+          combineInt2(bytesElem2(v.asInstanceOf[Array[Byte]]))
         case ArrayType(et, _) =>
           // ref FunctionsHashing.h executeArray: hash of the LENGTH
           // (IntHash64Impl/IntHash32Impl — the unsalted finalizer),
@@ -635,8 +1180,13 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
           val arr = v.asInstanceOf[
             org.apache.spark.sql.catalyst.util.ArrayData]
           val n = arr.numElements()
+          // length-hash finalizer follows the ToType: UInt64 results use
+          // IntHash64, every other width (32-bit AND 128-bit) IntHash32
+          // (ref executeArray's `if constexpr (is_same_v<ToType, UInt64>)`)
           combine(
-            if (algoName == "xx32") ChHash.intHash32Impl(n.toLong)
+            if (algoName == "xx32" || algoName == "murmur2_32" ||
+              algoName == "murmur3_32" || is128)
+              ChHash.intHash32Impl(n.toLong)
             else ChHash.intHash64Impl(n.toLong))
           val ew = if (fixed) fw else nextSlot()
           var i = 0
@@ -649,12 +1199,24 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
       }
     }
 
-    children.foreach(c => walk(c.eval(input), c.dataType))
+    dataChildren.foreach(c => walk(c.eval(input), c.dataType))
     if (sawNull) null
     else {
       // zero args → CH's fixed magic (FunctionsHashing.h executeImpl)
       val out = if (first) 0xe28dbde7fe22e41cL else h
-      if (algoName == "xx32" || algoName == "murmur2_32" ||
+      val outHi = if (first) 0L else hHi
+      if (is128) {
+        // FixedString(16): little-endian lo then hi (SipHash.h get128)
+        val b = new Array[Byte](16)
+        var i = 0
+        while (i < 8) {
+          b(i) = ((out >>> (8 * i)) & 0xff).toByte
+          b(8 + i) = ((outHi >>> (8 * i)) & 0xff).toByte
+          i += 1
+        }
+        b
+      }
+      else if (algoName == "xx32" || algoName == "murmur2_32" ||
         algoName == "murmur3_32") java.lang.Long.valueOf(out & 0xffffffffL)
       else ChHash.toUnsignedDecimal(out)
     }

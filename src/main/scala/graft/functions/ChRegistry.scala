@@ -625,8 +625,52 @@ object ChRegistry {
     f("murmurHash3_32")(anyHash("murmur3_32"))
     f("murmurHash3_64")(anyHash("murmur3_64"))
     f("gccMurmurHash")(anyHash("gcc"))
-    f("murmurHash3_128") { case Seq(c) => C(ChMurmur128(c)) }
-    f1("halfMD5")(ch.halfMD5)
+    f("murmurHash3_128") {
+      case Seq(c) => C(ChMurmur128(c))
+      case es if es.size > 1 => anyHash("murmur128")(es)
+      // zero args → the fixed UInt128 magic as FixedString(16) LE
+      case Seq() => lit((0 until 16).map(i =>
+        if (i < 8) ((0xe28dbde7fe22e41cL >>> (8 * i)) & 0xff).toByte
+        else 0.toByte).toArray)
+    }
+    // round-8 hash wave (all public algorithms; ref FunctionsHashing.h
+    // ImplWyHash64/ImplXXH3/ImplMetroHash64/ImplFarmFingerprint64/
+    // ImplFarmHash64, SipHash128/Keyed/Reference impls)
+    f("wyHash64")(anyHash("wy"))
+    f("xxh3")(anyHash("xxh3"))
+    f("metroHash64")(anyHash("metro"))
+    f("farmFingerprint64")(anyHash("farmfp"))
+    f("farmHash64")(anyHash("farm"))
+    f("sipHash128")(anyHash("sip128"))
+    f("sipHash128Reference")(anyHash("sip128ref"))
+    locally {
+      def keyedHash(algo: String): Seq[Expression] => Column = {
+        // zero args: same fixed magic as the unkeyed form (pinned 02534)
+        case Seq() => C(ChAnyHash(city = false, Nil, algo = algo))
+        case es @ (k +: rest) =>
+          // the key must be a tuple of two UInt64 (ref parseSipHashKey —
+          // anything else is NOT_IMPLEMENTED in the reference)
+          if (k.resolved) {
+            val ok = k.dataType match {
+              case st: org.apache.spark.sql.types.StructType =>
+                st.length == 2 && st.forall(f => f.dataType match {
+                  case LongType => true
+                  case _: DecimalType => true
+                  case _ => false
+                })
+              case _ => false
+            }
+            if (!ok) throw new IllegalArgumentException(
+              s"$algo: key must be a tuple of two UInt64")
+          }
+          C(ChAnyHash(city = false, es, algo = algo,
+            widths = rest.flatMap(flatWidths), keyed = true))
+      }
+      f("sipHash64Keyed")(keyedHash("sip"))
+      f("sipHash128Keyed")(keyedHash("sip128"))
+      f("sipHash128ReferenceKeyed")(keyedHash("sip128ref"))
+    }
+    f("halfMD5")(anyHash("halfmd5"))
     f("MD5") { case Seq(c) => C(Md5(Cast(c, BinaryType))) }
     f1("SHA256")(ch.sha256Ch)
     // intHash64(number) = IntHash64Impl on the zero-extended value —
@@ -1447,7 +1491,29 @@ object ChRegistry {
     // builder itself calls self-recurses through the resolver)
     f1("SHA224")(ch.sha224Ch)
     f1("SHA384")(ch.sha384Ch); f1("SHA512")(ch.sha512Ch)
-    f1("CRC32IEEE")(ch.crc32Ch)
+    // CH CRC32IEEE: zero-init, no final inversion — NOT zlib crc32
+    // (ref src/Functions/CRC.cpp); CRC64 = ECMA reflected, same regime
+    spark.udf.register("__crc32ieee", (b: Array[Byte]) =>
+      if (b == null) null else java.lang.Long.valueOf(ChHash.crc32Ieee(b)))
+    spark.udf.register("__crc64", (b: Array[Byte]) =>
+      if (b == null) null
+      else new java.math.BigDecimal(new java.math.BigInteger(
+        java.lang.Long.toUnsignedString(ChHash.crc64(b)))))
+    spark.udf.register("__jumpch", (k: java.lang.Long, n: Int) =>
+      if (k == null) null
+      else Integer.valueOf(ChHash.jumpConsistentHash(k, n)))
+    spark.udf.register("__kostikch", (k: java.lang.Long, n: Int) =>
+      if (k == null) null
+      else Integer.valueOf(ChHash.kostikConsistentHash(k, n)))
+    f2("jumpConsistentHash")((k, n) =>
+      call_function("__jumpch", k.cast("bigint"), n.cast("int")))
+    f2("kostikConsistentHash")((k, n) =>
+      call_function("__kostikch", k.cast("bigint"), n.cast("int")))
+    f2("yandexConsistentHash")((k, n) =>
+      call_function("__kostikch", k.cast("bigint"), n.cast("int")))
+    f1("CRC32IEEE")(c => call_function("__crc32ieee", c.cast("binary")))
+    f1("CRC64")(c => call_function("__crc64", c.cast("binary"))
+      .cast("decimal(20,0)"))
     f1("UUIDStringToNum")(ch.uuidStringToNum)
     f1("UUIDNumToString")(ch.uuidNumToString)
     f1("MACNumToString")(ch.macNumToString)
@@ -1537,10 +1603,6 @@ object ChRegistry {
       f("aes_decrypt_mysql") { case es if es.size >= 3 =>
         call("__chDecryptMysql", es, asStr = true) }
     }
-    f("aes_encrypt_mysql") { case Seq(m, p, k) =>
-      ch.encrypt(litStr(m), C(p), C(k)) }
-    f("aes_decrypt_mysql") { case Seq(m, c, k) =>
-      ch.decrypt(litStr(m), C(c), C(k)) }
 
     // wave 3: moment aggregates (ref
     // AggregateFunctionsStatisticsSimple.h — skewPop/skewSamp/kurtPop/
@@ -1970,8 +2032,22 @@ object ChRegistry {
     spark.udf.register("lcm", (a: Long, b: Long) =>
       if (a == 0 || b == 0) 0L
       else math.abs(a / BigInt(a).gcd(BigInt(b)).toLong * b))
-    // javaHash = java.lang.String.hashCode (ref FunctionsHashing.h)
-    spark.udf.register("javaHash", (s: String) => s.hashCode)
+    // javaHash = 31·h + signed byte over raw bytes; UTF16LE variant
+    // reads bytes as LE code units (ref FunctionsHashing.h JavaHashImpl,
+    // JavaHashUTF16LEImpl)
+    spark.udf.register("__javaHashB", (b: Array[Byte]) =>
+      if (b == null) null else Integer.valueOf(ChHash.javaHashBytes(b)))
+    spark.udf.register("__javaHashU16", (b: Array[Byte]) =>
+      if (b == null) null else Integer.valueOf(ChHash.javaHashUTF16LE(b)))
+    f("javaHash") { case Seq(e) =>
+      if (e.resolved && (e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+            _: DecimalType => true
+        case _ => false
+      })) C(e).cast("int") // integral javaHash is the value itself (int32)
+      else call_function("__javaHashB", C(e).cast("binary")) }
+    f1("javaHashUTF16LE")(c =>
+      call_function("__javaHashU16", c.cast("binary")))
 
     // CH subscript / arrayElement: 1-based, negative-from-end, type
     // default on out-of-range (ChSql's bracket rewrite emits this name)
@@ -2247,12 +2323,14 @@ object ChRegistry {
           +: args.map(C)): _*) }
     f1("countDigits")(c =>
       length(regexp_replace(abs(c).cast("string"), "[.\\-]", "")))
-    // murmur/int hash names: Spark's murmur3 (seed 42) — stable and
-    // well-distributed, not bit-identical to CH's seed-0 variants
-    // (same documented policy as cityHash64/sipHash64)
-    f("murmurHash3_32")(es => hash(es.map(C): _*))
-    f("murmurHash3_64")(es => ch.sparkXxhash64(es.map(C): _*))
-    f1("intHash32")(c => hash(c))
+    // intHash32 = the salted 32-bit finalizer over the zero-extended
+    // value (ref FunctionsHashing.h IntHash32Impl; bit-exact kernel in
+    // ChHash.intHash32Impl). The bit-exact murmurHash3_32/64 registered
+    // earlier stand — the old approximate Spark-hash fallbacks are gone.
+    spark.udf.register("__inthash32", (x: java.lang.Long) =>
+      if (x == null) null
+      else java.lang.Long.valueOf(ChHash.intHash32Impl(x)))
+    f1("intHash32")(c => call_function("__inthash32", c.cast("bigint")))
     // normalizeQuery family: token-level literal/whitespace/alias
     // normalization (ref src/Parsers/queryNormalization.h)
     spark.udf.register("normalizeQuery",

@@ -107,6 +107,14 @@ object ChTypes {
         val st = i
         var isFloat = false
         if (c == '0' && i + 1 < n &&
+            (s.charAt(i + 1) == 'b' || s.charAt(i + 1) == 'B') &&
+            i + 2 < n && (s.charAt(i + 2) == '0' || s.charAt(i + 2) == '1')) {
+          // 0b… binary literal (ref Lexer.cpp Number)
+          i += 2
+          val st2 = i
+          while (i < n && (s.charAt(i) == '0' || s.charAt(i) == '1')) i += 1
+          out += Tok("bin", s.substring(st2, i))
+        } else if (c == '0' && i + 1 < n &&
             (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
           i += 2
           while (i < n && Character.digit(s.charAt(i), 16) >= 0) i += 1
@@ -264,6 +272,7 @@ object ChTypes {
     private def parsePrimary(): Option[E] = peek match {
       case Some(Tok("int", t)) => pos += 1; Some(IntL(BigInt(t)))
       case Some(Tok("hex", t)) => pos += 1; Some(IntL(BigInt(t, 16)))
+      case Some(Tok("bin", t)) => pos += 1; Some(IntL(BigInt(t, 2)))
       case Some(Tok("hexfloat", t)) => pos += 1
         Some(FloL(java.lang.Double.parseDouble(t)))
       case Some(Tok("float", t)) => pos += 1; Some(FloL(t.toDouble))
