@@ -425,6 +425,7 @@ object ChSql {
           // balanced scan from the open paren, tracking top-level commas
           val open = m.end - 1
           var depth = 0; var i = open; var inStr = false
+          var brackets = 0 // [ ] nesting — array literals carry commas
           var comma = -1
           var end = -1
           while (end < 0 && i < s.length) {
@@ -433,18 +434,70 @@ object ChSql {
             else if (c == '\'') inStr = true
             else if (c == '(') depth += 1
             else if (c == ')') { depth -= 1; if (depth == 0) end = i }
-            else if (c == ',' && depth == 1 && comma < 0) comma = i
+            else if (c == '[') brackets += 1
+            else if (c == ']') brackets -= 1
+            else if (c == ',' && depth == 1 && brackets == 0 && comma < 0)
+              comma = i
             i += 1
           }
           if (end < 0 || comma < 0) false
           else {
             val arg2 = s.substring(comma + 1, end).trim
-            if (arg2.length >= 2 && arg2.head == '\'' && arg2.last == '\'' &&
-              !arg2.substring(1, arg2.length - 1).contains('\'')) {
+            // the type literal may carry ESCAPED quotes (Enum8('a' = 1));
+            // only an UNESCAPED inner quote disqualifies
+            def cleanLiteral: Boolean = {
+              if (arg2.length < 2 || arg2.head != '\'' || arg2.last != '\'')
+                return false
+              var j = 1
+              while (j < arg2.length - 1) {
+                if (arg2.charAt(j) == '\\') j += 1
+                else if (arg2.charAt(j) == '\'') return false
+                j += 1
+              }
+              true
+            }
+            if (cleanLiteral) {
               val tpe = arg2.substring(1, arg2.length - 1)
+                .replace("\\'", "'")
               val expr = s.substring(open + 1, comma)
-              s = s.substring(0, m.start) +
-                s"$target(($expr) AS $tpe)" + s.substring(end + 1)
+              // accurateCast RANGE-CHECKS (ref FunctionsConversion.h
+              // accurateCast: out-of-range → CANNOT_CONVERT_TYPE, string
+              // too long for FixedString(N) → TOO_LARGE_STRING_SIZE)
+              val intBounds: Map[String, (String, String)] = Map(
+                "UInt8" -> ("0", "255"), "UInt16" -> ("0", "65535"),
+                "UInt32" -> ("0", "4294967295"),
+                "UInt64" -> ("0", "18446744073709551615"),
+                "UInt128" -> ("0", "1e38"), "UInt256" -> ("0", "1e38"),
+                "Int8" -> ("-128", "127"), "Int16" -> ("-32768", "32767"),
+                "Int32" -> ("-2147483648", "2147483647"),
+                "Int64" -> ("-9223372036854775808", "9223372036854775807"))
+              val fixedRe = "FixedString\\((\\d+)\\)".r
+              val rewritten =
+                if (nm == "accurateCast" && intBounds.contains(tpe)) {
+                  val (lo, hi) = intBounds(tpe)
+                  s"(CASE WHEN ($expr) BETWEEN $lo AND $hi THEN " +
+                    s"CAST(($expr) AS $tpe) ELSE " +
+                    s"CAST(raise_error('accurateCast: value out of range " +
+                    s"of $tpe') AS $tpe) END)"
+                } else if (nm == "accurateCast") {
+                  val decRe = "Decimal(32|64|128)\\((\\d+)\\)".r
+                  tpe match {
+                    case fixedRe(n) =>
+                      s"(CASE WHEN length($expr) <= $n THEN CAST(($expr) " +
+                        s"AS $tpe) ELSE CAST(raise_error('accurateCast: " +
+                        s"string too long for FixedString($n)') AS $tpe) END)"
+                    // CH's decimal check is on the scaled value fitting the
+                    // underlying int width — one extra integer digit vs the
+                    // plain precision mapping (ANSI overflow supplies the
+                    // out-of-range error)
+                    case decRe(w, sc) =>
+                      val p = (if (w == "32") 10 else if (w == "64") 19
+                        else 38)
+                      s"CAST(($expr) AS DECIMAL(${math.min(p, 38)}, $sc))"
+                    case _ => s"$target(($expr) AS $tpe)"
+                  }
+                } else s"$target(($expr) AS $tpe)"
+              s = s.substring(0, m.start) + rewritten + s.substring(end + 1)
               changed = true
               true
             } else false
@@ -721,7 +774,16 @@ object ChSql {
       // 128-bit ints ride Decimal(38,0) — covers the value ranges the
       // curated tests exercise (full UInt128 range exceeds Decimal38)
       "UInt128" -> "DECIMAL(38,0)", "Int128" -> "DECIMAL(38,0)",
-      "Bool" -> "BOOLEAN")
+      "UInt256" -> "DECIMAL(38,0)", "Int256" -> "DECIMAL(38,0)",
+      "Bool" -> "BOOLEAN",
+      // CH prints a bare Interval value as its count (02480) — in cast
+      // position the numeric carrier is that exact surface
+      "IntervalNanosecond" -> "BIGINT", "IntervalMicrosecond" -> "BIGINT",
+      "IntervalMillisecond" -> "BIGINT", "IntervalSecond" -> "BIGINT",
+      "IntervalMinute" -> "BIGINT", "IntervalHour" -> "BIGINT",
+      "IntervalDay" -> "BIGINT", "IntervalWeek" -> "BIGINT",
+      "IntervalMonth" -> "BIGINT", "IntervalQuarter" -> "BIGINT",
+      "IntervalYear" -> "BIGINT")
     for ((a, b) <- words)
       s = replaceOutsideStrings(s, s"(?<![\\w])$a\\b", b)
     s = replaceOutsideStrings(s,

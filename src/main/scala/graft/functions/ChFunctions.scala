@@ -315,9 +315,19 @@ object ch {
   def positionCaseInsensitive(h: Column, n: Column): Column =
     call_function("locate", lower(n), lower(h))
   def matchCh(c: Column, re: String): Column = c.rlike(re)
-  def extract(c: Column, re: String): Column = regexp_extract(c, re, 1)
+  /** CH extract/extractAll take the FIRST capture group when the pattern
+    * has one, else the whole match (ref src/Functions/extract.cpp,
+    * extractAll via OptimizedRegularExpression required-substring). */
+  private def groupIdx(re: String): Int = {
+    val n = try java.util.regex.Pattern.compile(re).matcher("").groupCount()
+    catch { case _: Exception => 0 }
+    if (n >= 1) 1 else 0
+  }
+  def extract(c: Column, re: String): Column =
+    regexp_extract(c, re, groupIdx(re))
   def extractAllCh(c: Column, re: String): Column =
-    call_function("regexp_extract_all", c, lit(re), lit(1))
+    if (re.isEmpty) array().cast("array<string>") // CH: no matches (01085)
+    else call_function("regexp_extract_all", c, lit(re), lit(groupIdx(re)))
   def replaceAll(c: Column, from: String, to: String): Column =
     call_function("replace", c, lit(from), lit(to))
   def replaceOne(c: Column, from: String, to: String): Column = {

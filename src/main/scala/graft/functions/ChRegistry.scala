@@ -1358,10 +1358,13 @@ object ChRegistry {
     }
     f("leftPad")(padFn("lpad")); f("leftPadUTF8")(padFn("lpad"))
     f("rightPad")(padFn("rpad")); f("rightPadUTF8")(padFn("rpad"))
-    f1("toIntervalSecond")(n => make_dt_interval(lit(0), lit(0), lit(0), n))
-    f1("toIntervalMinute")(n => make_dt_interval(lit(0), lit(0), n, lit(0)))
-    f1("toIntervalHour")(n => make_dt_interval(lit(0), n, lit(0), lit(0)))
-    f1("toIntervalDay")(n => make_dt_interval(n, lit(0), lit(0), lit(0)))
+    // unit-typed intervals: the column type carries the CH Interval unit
+    // so the golden formatter can print the COUNT (CH's bare-interval
+    // display); make_dt_interval would erase the unit to DAY..SECOND
+    f1("toIntervalSecond")(n => n.cast("int").cast("interval second"))
+    f1("toIntervalMinute")(n => n.cast("int").cast("interval minute"))
+    f1("toIntervalHour")(n => n.cast("int").cast("interval hour"))
+    f1("toIntervalDay")(n => n.cast("int").cast("interval day"))
     f1("toIntervalWeek")(n =>
       make_dt_interval(n * lit(7), lit(0), lit(0), lit(0)))
     f1("toIntervalMonth")(n => make_ym_interval(lit(0), n))

@@ -119,8 +119,33 @@ object Golden {
     sb.toString
   }
 
-  def formatDf(df: DataFrame): Seq[String] =
-    df.collect().toSeq.map(r => r.toSeq.map(fmt).mkString("\t"))
+  def formatDf(df: DataFrame): Seq[String] = {
+    // CH prints a bare Interval as its COUNT in the column's unit —
+    // recover the unit from the schema (a Duration alone is ambiguous:
+    // toIntervalMinute(5) and toIntervalSecond(300) carry the same value)
+    import org.apache.spark.sql.types.{DayTimeIntervalType => DT,
+      YearMonthIntervalType => YM}
+    val units = df.schema.fields.map(_.dataType).toIndexedSeq
+    def one(v: Any, dt: org.apache.spark.sql.types.DataType): String =
+      (v, dt) match {
+        case (d: java.time.Duration, t: DT) =>
+          val s = d.getSeconds
+          (t.endField match {
+            case DT.DAY => s / 86400
+            case DT.HOUR => s / 3600
+            case DT.MINUTE => s / 60
+            case _ => s
+          }).toString
+        case (p: java.time.Period, t: YM) =>
+          (t.endField match {
+            case YM.YEAR => p.toTotalMonths / 12
+            case _ => p.toTotalMonths
+          }).toString
+        case _ => fmt(v)
+      }
+    df.collect().toSeq.map(r =>
+      r.toSeq.zip(units).map { case (v, dt) => one(v, dt) }.mkString("\t"))
+  }
 
   /** Split on top-level `UNION ALL` (outside parens/strings): each
     * branch is a separate block for the Pretty output formats. */
