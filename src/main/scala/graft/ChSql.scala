@@ -2326,6 +2326,62 @@ object ChSql {
       }
       t
     }
+    // format(Fmt, 'data') table function: schema inference over the
+    // inline sample, values read through the inferred types (ref
+    // TableFunctionFormat.cpp; inference in formats/SchemaInference)
+    s = {
+      var t = s
+      val re = "(?i)(?<![\\w.])format\\s*\\(\\s*'?(\\w+)'?\\s*,\\s*('|\\$\\$)".r
+      var m = re.findFirstMatchIn(t)
+      var guard = 0
+      while (m.isDefined && guard < 8) {
+        guard += 1
+        val heredoc = m.get.group(2) == "$$"
+        // scan the literal to its closing delimiter ('-escape-aware)
+        val litStart = m.get.end - m.get.group(2).length
+        var end = -1
+        if (heredoc) {
+          val e = t.indexOf("$$", m.get.end)
+          if (e >= 0) end = e
+        } else {
+          var i = litStart + 1
+          while (end < 0 && i < t.length) {
+            val c = t.charAt(i)
+            if (c == '\\') i += 1
+            else if (c == '\'') end = i
+            i += 1
+          }
+        }
+        val close = if (end > 0)
+          t.indexOf(')', end + (if (heredoc) 2 else 0)) else -1
+        if (end < 0 || close < 0) m = None
+        else {
+          val settings = scala.collection.mutable.Map.empty[String, String]
+          // surface graft.ch.* confs (the golden harness mirrors SETs)
+          try {
+            val conf = org.apache.spark.sql.internal.SQLConf.get
+            conf.getAllConfs.foreach { case (k, v) =>
+              if (k.startsWith("graft.ch."))
+                settings(k.stripPrefix("graft.ch.")) = v
+            }
+          } catch { case _: Throwable => }
+          graft.formats.DescFormat.selectSql(m.get.group(1),
+            {
+              // heredoc text is raw: protect backslashes from the
+              // selectSql literal decode
+              val d = t.substring(litStart + (if (heredoc) 2 else 1), end)
+              if (heredoc) d.replace("\\", "\\\\") else d
+            },
+            settings) match {
+            case Some(sub) =>
+              t = t.substring(0, m.get.start) + sub + t.substring(close + 1)
+              m = re.findFirstMatchIn(t)
+            case None => m = None
+          }
+        }
+      }
+      t
+    }
     // schemaless values((…), (…)) table function: CH auto-names the
     // columns c1…cN (ref TableFunctionValues.cpp)
     s = {

@@ -26,6 +26,9 @@ object Golden {
     case t: java.sql.Timestamp => t.toString.takeWhile(_ != '.')
     case a: scala.collection.Seq[_] =>
       a.map(fmtNested).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => fmtNested(k) + ":" + fmtNested(v) }
+        .mkString("{", ",", "}")
     case r: Row => r.toSeq.map(fmtNested).mkString("(", ",", ")")
     case other => other.toString
   }
@@ -378,7 +381,13 @@ object Golden {
       val fmtRe = "(?is)\\bFORMAT\\s+`?([A-Za-z0-9]+)`?\\s*;?\\s*$".r
       val fmtName = fmtRe.findFirstMatchIn(clean).map(_.group(1))
         .filter(graft.formats.ChOutputFormats.supports)
-      if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull &&
+      // DESC format(Fmt, 'data') — schema inference over inline data
+      val descFormat =
+        if (clean.nonEmpty && !expectsError && !isSessionSet && !handledDdl)
+          graft.formats.DescFormat.tryHandle(clean, settings)
+        else None
+      if (descFormat.isDefined) out ++= descFormat.get
+      else if (clean.nonEmpty && !expectsError && !isSessionSet && !formatNull &&
           !handledDdl && fmtName.isDefined) {
         // CH text output format: emulate the block structure (one table
         // per block in the Pretty family) — top-level UNION ALL branches
