@@ -2516,6 +2516,8 @@ object ChSql {
     // (identifier+string); an identity call restores the subquery parse
     s = s.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
       "(SELECT materialize($1)")
+    // use_nulls rollup ordinal pinning must see the SETTINGS clause
+    s = rewriteRollupOrderOrdinals(s)
     // session-tuning SETTINGS at statement end don't change results here
     // (result-shaping ones like extremes produce diffs the golden check
     // catches); strip them
@@ -2826,15 +2828,31 @@ object ChSql {
       spark: SparkSession): DataFrame = {
     val m = "(?is)\\bGROUP\\s+BY\\s+(.*?)\\bWITH\\s+(ROLLUP|CUBE)\\b".r
       .findFirstMatchIn(chQuery)
+    // the ROLLUP(…)/CUBE(…) function form fills the same defaults
+    val mFn = "(?is)\\bGROUP\\s+BY\\s+(?:ROLLUP|CUBE)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+      .findFirstMatchIn(chQuery)
     val translated = translate(chQuery)
-    if (m.isEmpty) return spark.sql(translated)
+    val keysText = m.map(_.group(1)).orElse(mFn.map(_.group(1)))
+    if (keysText.isEmpty) return spark.sql(translated)
+    // group_by_use_nulls=1: CH keeps subtotal keys as NULL (Spark's own
+    // native behavior) — no default fill
+    val useNulls = chQuery.matches(
+      "(?is).*\\bgroup_by_use_nulls\\s*=\\s*1.*") ||
+      (try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.ch.group_by_use_nulls", "0") == "1"
+      catch { case _: Throwable => false })
+    if (useNulls) return spark.sql(translated)
     import org.apache.spark.sql.functions.{coalesce, col, shiftright, when, lit}
-    val keys = splitTopLevelCommas(m.get.group(1)).map(
+    val keys = splitTopLevelCommas(keysText.get).map(
       _.trim.stripPrefix("`").stripSuffix("`").toLowerCase)
+    // Spark auto-names an unaliased `number % 2` as `(number % 2)` —
+    // match key names modulo parens/whitespace
+    def normName(s: String): String =
+      s.toLowerCase.replaceAll("[\\s()`]", "")
+    val keyNorms = keys.map(normName)
     def blanket(df: DataFrame): DataFrame = {
-      val keySet = keys.toSet
       df.select(df.schema.fields.map { f =>
-        if (keySet.contains(f.name.toLowerCase))
+        if (keyNorms.contains(normName(f.name)))
           defaultLit(f.dataType)
             .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name))
             .getOrElse(col(s"`${f.name}`"))
@@ -2842,20 +2860,45 @@ object ChSql {
       }.toSeq: _*)
     }
     val n = keys.length
+    // CH fills subtotal keys BEFORE the sort — re-sort the filled frame
+    // when every ORDER BY item maps to an output column (by normalized
+    // name or ordinal); otherwise keep the pre-fill order
+    def resort(df: DataFrame): DataFrame = {
+      val obM = "(?is)\\bORDER\\s+BY\\s+(.*?)(\\bLIMIT\\b|\\bSETTINGS\\b|$)".r
+        .findFirstMatchIn(translated)
+      if (obM.isEmpty) return df
+      val fields = df.schema.fields
+      val sorts = splitTopLevelCommas(obM.get.group(1)).map { it0 =>
+        val it = it0.trim
+        val desc = it.matches("(?is).*\\bDESC(ENDING)?(\\s+NULLS\\s+\\w+)?\\s*$")
+        val bare = it
+          .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+          .replaceAll("(?is)\\s+(ASC|DESC)(ENDING)?\\s*$", "").trim
+        val fld =
+          if (bare.matches("\\d+")) fields.lift(bare.toInt - 1)
+          else fields.find(f => normName(f.name) == normName(bare))
+        fld.map { f =>
+          val c = col(s"`${f.name}`")
+          if (desc) c.desc_nulls_first else c.asc_nulls_last
+        }
+      }
+      if (sorts.forall(_.isDefined)) df.orderBy(sorts.flatten.toSeq: _*)
+      else df
+    }
     injectGroupingId(translated) match {
       case Some(withGid) =>
         try {
           val df = spark.sql(withGid)
-          df.select(df.schema.fields.filter(_.name != "__gid").map { f =>
-            val i = keys.indexOf(f.name.toLowerCase)
+          resort(df.select(df.schema.fields.filter(_.name != "__gid").map { f =>
+            val i = keyNorms.indexOf(normName(f.name))
             if (i < 0) col(s"`${f.name}`")
             else defaultLit(f.dataType).map { d =>
               when((shiftright(col("__gid"), n - 1 - i) % 2) === lit(1), d)
                 .otherwise(col(s"`${f.name}`")).as(f.name)
             }.getOrElse(col(s"`${f.name}`"))
-          }.toSeq: _*)
-        } catch { case _: Exception => blanket(spark.sql(translated)) }
-      case None => blanket(spark.sql(translated))
+          }.toSeq: _*))
+        } catch { case _: Exception => resort(blanket(spark.sql(translated))) }
+      case None => resort(blanket(spark.sql(translated)))
     }
   }
 
@@ -2866,7 +2909,55 @@ object ChSql {
     * the query text — keys the user annotated with NULLS FIRST/LAST
     * keep their explicit placement (a plan-level flip can't tell the
     * two apart, hence the textual rewrite). */
-  private[graft] def chNullOrderText(sql: String): String = {
+  /** With group_by_use_nulls, an ORDER BY item that re-states a grouped
+    * SELECT item must reference the grouping OUTPUT (whose subtotal
+    * slots are NULL), not recompute the expression over the (NULL)
+    * source column — Spark would bind the recomputation. Ordinals pin
+    * the output column (02343/02535). Scoped to ROLLUP/CUBE/GROUPING
+    * SETS + use_nulls queries. */
+  private def rewriteRollupOrderOrdinals(sql: String): String = {
+    if (!sql.matches("(?is).*\\b(ROLLUP|CUBE|GROUPING\\s+SETS)\\b.*"))
+      return sql
+    val useNulls = sql.matches(
+      "(?is).*\\bgroup_by_use_nulls\\s*=\\s*1.*") ||
+      (try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.ch.group_by_use_nulls", "0") == "1"
+      catch { case _: Throwable => false })
+    if (!useNulls) return sql
+    val selM = "(?is)^\\s*SELECT\\s+(.*?)\\bFROM\\b".r.findFirstMatchIn(sql)
+    val obM = "(?is)\\bORDER\\s+BY\\s+(.*?)(\\bSETTINGS\\b|\\bLIMIT\\b|;|$)".r
+      .findFirstMatchIn(sql)
+    if (selM.isEmpty || obM.isEmpty) return sql
+    def norm(x: String): String = x.trim.toLowerCase.replaceAll("\\s+", "")
+    val items = splitTopLevelCommas(selM.get.group(1)).map { it =>
+      norm("(?is)\\s+AS\\s+\\w+\\s*$".r.replaceAllIn(it, ""))
+    }
+    val obItems0 = splitTopLevelCommas(obM.get.group(1))
+    // ORDER BY (a, b, c) tuple form: expand before matching
+    val obItems =
+      if (obItems0.size == 1 && obItems0.head.trim.startsWith("(") &&
+        obItems0.head.trim.endsWith(")"))
+        splitTopLevelCommas(obItems0.head.trim.stripPrefix("(")
+          .stripSuffix(")"))
+      else obItems0
+    val rewritten = obItems.map { it =>
+      val bare = "(?is)\\s+(ASC|DESC)(ENDING)?\\s*$".r.replaceAllIn(it, "")
+      val idx = items.indexOf(norm(bare))
+      if (idx >= 0) it.trim.replaceFirst(
+        java.util.regex.Pattern.quote(bare.trim), (idx + 1).toString)
+      else it.trim
+    }
+    sql.substring(0, obM.get.start(1)) + rewritten.mkString(", ") + " " +
+      sql.substring(obM.get.start(2))
+  }
+
+  private[graft] def chNullOrderText(sql0: String): String = {
+    // ORDER BY (a, b, c): CH sorts by the tuple = by its components —
+    // expand so per-key NULLS placement applies (a struct sort would
+    // put null FIELDS first regardless of the struct's NULLS clause)
+    val sql = "(?is)\\bORDER\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))+)\\)(\\s*(?:;|$|LIMIT|SETTINGS|FORMAT))".r
+      .replaceAllIn(sql0, mm => java.util.regex.Matcher.quoteReplacement(
+        "ORDER BY " + mm.group(1) + mm.group(2)))
     val terminators = Set("LIMIT", "OFFSET", "SETTINGS", "FORMAT",
       "UNION", "EXCEPT", "INTERSECT", "INTO", "ROWS", "RANGE", "GROUPS",
       "WITH", "INTERPOLATE")

@@ -1627,14 +1627,17 @@ object ChRegistry {
     // (sorted keys, per-key aggregate) tuple-of-arrays out. The per-group
     // pair list is collected once; key fan-out happens in the finishing
     // expression, so the shuffle carries one row per group.
-    def mapAgg(red: (Column, Column) => Column)(
+    def mapAgg(red: (Column, Column) => Column,
+        keepNulls: Boolean = false)(
         k: Column, v: Column): Column = {
-      // NULL values contribute nothing, same as the reference
-      // (01634_summap_nullable: sumMap(['a','b'],[1,NULL]) = (['a'],[1]))
-      val pairs = filter(
-        flatten(collect_list(zip_with(k, v,
-          (a, b) => struct(a.as("k"), b.as("v"))))),
-        p => p.getField("v").isNotNull)
+      // for sums NULL values contribute nothing, same as the reference
+      // (01634_summap_nullable: sumMap(['a','b'],[1,NULL]) = (['a'],[1]));
+      // min/max KEEP the key and default the value (01422)
+      val raw = flatten(collect_list(zip_with(k, v,
+        (a, b) => struct(a.as("k"), b.as("v")))))
+      val pairs =
+        if (keepNulls) raw
+        else filter(raw, p => p.getField("v").isNotNull)
       // per-group state is the collected pair list, so a skewed group
       // would OOM the buffer; fail past the cap and name the scalable
       // explode+groupBy formulation instead of dying in the aggregator
@@ -2373,19 +2376,47 @@ object ChRegistry {
         new String(Array.fill[Byte](zeros)(0) ++ body, "UTF-8")
       }
       spark.udf.register("base58Decode", (s: String) => b58dec(s))
+      // tryBase58Decode yields the EMPTY STRING on bad input, not NULL
+      // (ref FunctionBase58Conversion.h TryBase58Decode; pinned 02337)
       spark.udf.register("tryBase58Decode", (s: String) =>
-        try b58dec(s) catch { case _: IllegalArgumentException => null })
+        try b58dec(s) catch { case _: IllegalArgumentException => "" })
     }
 
     // two-array form sumMap(keys, vals) and the single tuple-argument
     // form sumMap((keys, vals)) (ref AggregateFunctionSumMap.cpp both
     // signatures); -WithOverflow keeps the input width, same result at
     // golden scale
-    def mapAggF(name: String, red: (Column, Column) => Column): Unit =
+    // type default for the NULL→default rule of min/maxMap values;
+    // non-defaultable types keep the drop-null behavior
+    def valueDefault(v: Expression): Option[Column] =
+      if (!v.resolved) Some(lit(0))
+      else v.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+              DoubleType | _: DecimalType => Some(lit(0))
+          case org.apache.spark.sql.types.StringType => Some(lit(""))
+          case _ => None
+        }
+        case _ => Some(lit(0))
+      }
+    def mapAggF(name: String, red: (Column, Column) => Column,
+        keepNulls: Boolean = false): Unit =
       f(name) {
-        case Seq(k, v) => mapAgg(red)(C(k), C(v))
+        case Seq(k, v) =>
+          val kn = keepNulls && valueDefault(v).isDefined
+          val d = valueDefault(v).getOrElse(lit(0))
+          mapAgg(if (kn) (ps, key) => red(
+            transform(ps, p => struct(p.getField("k").as("k"),
+              coalesce(p.getField("v"), d).as("v"))), key)
+          else red, kn)(C(k), C(v))
         case Seq(t) =>
-          mapAgg(red)(C(TupleElement(t, 1)), C(TupleElement(t, 2)))
+          val ve = E(C(TupleElement(t, 2)))
+          val kn = keepNulls && valueDefault(ve).isDefined
+          val d = valueDefault(ve).getOrElse(lit(0))
+          mapAgg(if (kn) (ps, key) => red(
+            transform(ps, p => struct(p.getField("k").as("k"),
+              coalesce(p.getField("v"), d).as("v"))), key)
+          else red, kn)(C(TupleElement(t, 1)), C(TupleElement(t, 2)))
       }
     // zero-compact applies to NON-Nullable value columns only
     // (01634_summap_nullable: a Nullable 0 survives)
@@ -2416,8 +2447,13 @@ object ChRegistry {
     f("max2") { case Seq(a, b) => greatest(C(a).cast("double"), C(b).cast("double")) }
     mapAggF("sumMapWithOverflow", (ps, _) =>
       aggregate(ps, lit(0.0), (acc, p) => acc + p.getField("v")))
-    mapAggF("minMap", (ps, _) => array_min(transform(ps, _.getField("v"))))
-    mapAggF("maxMap", (ps, _) => array_max(transform(ps, _.getField("v"))))
+    // NULL values become the type default for min/max (pinned by 01422:
+    // minMap(([1,2],[NULL,11])) = ([1,2],[0,11])) — the keepNulls
+    // wrapper coalesces before the reduction (array_min/max skip nulls)
+    mapAggF("minMap", (ps, _) => array_min(transform(ps, _.getField("v"))),
+      keepNulls = true)
+    mapAggF("maxMap", (ps, _) => array_max(transform(ps, _.getField("v"))),
+      keepNulls = true)
 
     // wave 4 (round 4): variadic logical ops and CH transform — CH
     // and/or take any number of args (ref FunctionsLogical.cpp); CH

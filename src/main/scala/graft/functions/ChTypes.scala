@@ -892,7 +892,13 @@ object ChTypes {
         allT.map(ts => if (ts.exists(t =>
           stripLC(t).isInstanceOf[Nullable])) Nullable(UInt8) else UInt8)
       case "groupBitAnd" | "groupBitOr" | "groupBitXor" |
-          "sumWithOverflow" | "sumMap" | "minMap" | "maxMap" => argT(0)
+          "sumWithOverflow" => argT(0)
+      // (keys, values) arrays in → Tuple(Array(K), Array(V)) out; the
+      // 1-arg tuple form already carries that shape (pinned 01280)
+      case "sumMap" | "minMap" | "maxMap" =>
+        if (allT.isDefined && allT.get.size >= 2)
+          allT.map(ts => Tup(Seq(stripN(ts(0)), stripN(ts(1)))))
+        else argT(0)
       case "count" => Some(UInt64)
       // -SimpleState wraps the base aggregate's RESULT type (ref
       // DataTypeCustomSimpleAggregateFunction.cpp)
