@@ -1809,6 +1809,8 @@ object ChSql {
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
+        case '[' => depth += 1
+        case ']' => depth -= 1
         case ')' => depth -= 1
         case ',' if depth == 0 => cuts += i
         case ch if depth == 0 && (ch.isLetter) &&
@@ -1834,6 +1836,66 @@ object ChSql {
     def stripAlias(it: String): String =
       replaceOutsideStrings(it, "(?is)\\s+AS\\s+[A-Za-z_]\\w*\\s*$", "")
     val probes = items.map(it => s"toTypeName(${stripAlias(it)})")
+    selectItemTypeProbe(q, items, probes)
+  }
+
+  /** CH display names of the top-level select items: the alias when
+    * present, else the item's own text (`null` prints as NULL) — the
+    * names the JSON formats put in `meta` (ref IAST::getColumnName). */
+  def selectItemDisplayNames(chQuery: String): Option[Seq[String]] =
+    topSelectItems(chQuery).map(_.map { it =>
+      val aliasRe = "(?is)\\s+AS\\s+([A-Za-z_]\\w*)\\s*$".r
+      aliasRe.findFirstMatchIn(it) match {
+        case Some(a) => a.group(1)
+        case None =>
+          if (it.equalsIgnoreCase("null")) "NULL" else it.trim
+      }
+    })
+
+  /** Top-level select-item texts (shared by type/name introspection). */
+  private def topSelectItems(chQuery: String): Option[Seq[String]] = {
+    val q = chQuery.trim
+    val selRe = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
+    val m = selRe.findFirstMatchIn(q).getOrElse(return None)
+    var depth = 0; var inStr = false; var i = m.end; var end = q.length
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stops = Set("from", "where", "group", "order", "limit", "having",
+      "settings", "union", "format", "into")
+    var done = false
+    while (i < q.length && !done) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case '[' => depth += 1
+        case ']' => depth -= 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => cuts += i
+        case ch if depth == 0 && (ch.isLetter) &&
+            (i == 0 || !(q.charAt(i - 1).isLetterOrDigit ||
+              q.charAt(i - 1) == '_')) =>
+          var we = i
+          while (we < q.length && (q.charAt(we).isLetterOrDigit ||
+            q.charAt(we) == '_')) we += 1
+          if (stops(q.substring(i, we).toLowerCase)) { end = i; done = true }
+          else i = we - 1
+        case _ =>
+      }
+      i += 1
+    }
+    val items = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var st = m.end
+      cuts.foreach { c => b += q.substring(st, c); st = c + 1 }
+      b += q.substring(st, end)
+      b.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    if (items.isEmpty) None else Some(items)
+  }
+
+  private def selectItemTypeProbe(q: String, items: Seq[String],
+      probes: Seq[String]): Option[Seq[String]] = {
     val marker = "__GRAFT_TYPE_PROBE__"
     val probed = rewriteTypeIntrospection(
       q + s"\n-- $marker\nSELECT " + probes.mkString(", "))
@@ -3074,6 +3136,13 @@ object ChSql {
       case DateType => Some(lit("1970-01-01").cast(dt))
       case TimestampType => Some(lit("1970-01-01 00:00:00").cast(dt))
       case ArrayType(_, _) => Some(array().cast(dt))
+      case st: StructType =>
+        val elems = st.fields.map(f => defaultLit(f.dataType))
+        if (elems.forall(_.isDefined))
+          Some(org.apache.spark.sql.functions.struct(
+            elems.flatten.zip(st.fields).map { case (c, f) =>
+              c.as(f.name) }.toSeq: _*).cast(dt))
+        else None
       case _ => None
     }
   }

@@ -41,7 +41,8 @@ object ChOutputFormats {
     "prettyspacenoescapesmonoblock")
 
   private val others = Set("vertical", "values", "csv", "csvwithnames",
-    "tsvraw", "tabseparatedraw", "jsoneachrow", "lineasstring")
+    "tsvraw", "tabseparatedraw", "jsoneachrow", "lineasstring",
+    "json", "jsoncompact", "jsonstrings", "jsoncompactstrings")
 
   def supports(fmt: String): Boolean = {
     val f = fmt.toLowerCase
@@ -82,7 +83,8 @@ object ChOutputFormats {
         // ref Core/Settings.h output_format_json_escape_forward_slashes
         // default true
         val esc = ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
-        bs.flatten.map(jsonEachRow(schema, _, esc))
+        val q64 = ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
+        bs.flatten.map(jsonEachRow(schema, _, esc, q64))
       case other => sys.error(s"unsupported format $other")
     }
   }
@@ -432,16 +434,18 @@ object ChOutputFormats {
   /** 64-bit integers are emitted as JSON strings (ref Core/Settings.h
     * output_format_json_quote_64bit_integers default true). */
   private def jsonVal(v: Any, dt: DataType,
-      escSlash: Boolean = false): String = (v, dt) match {
+      escSlash: Boolean = false, quote64: Boolean = true): String = (v, dt) match {
     case (null, _) => "null"
     case (s: String, _) => jsonStr(s, escSlash)
     case (b: Boolean, _) => if (b) "true" else "false"
-    case (l: java.lang.Long, _) => "\"" + l + "\""
+    case (l: java.lang.Long, _) =>
+      if (quote64) "\"" + l + "\"" else l.toString
     case (i: java.lang.Integer, _) => i.toString
     case (i: java.lang.Short, _) => i.toString
     case (i: java.lang.Byte, _) => i.toString
     case (d: java.math.BigDecimal, t: DecimalType) if t.scale == 0 =>
-      "\"" + d.stripTrailingZeros.toPlainString + "\""
+      if (quote64) "\"" + d.stripTrailingZeros.toPlainString + "\""
+      else d.stripTrailingZeros.toPlainString
     case (d: java.lang.Double, _) =>
       if (d.isNaN) "nan"
       else if (d.isInfinite) (if (d > 0) "inf" else "-inf")
@@ -451,10 +455,10 @@ object ChOutputFormats {
       else if (f.isInfinite) (if (f > 0) "inf" else "-inf")
       else graft.golden.Golden.chFloat(f)
     case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
-      a.map(jsonVal(_, et, escSlash)).mkString("[", ",", "]")
+      a.map(jsonVal(_, et, escSlash, quote64)).mkString("[", ",", "]")
     case (r: Row, StructType(fs)) =>
       r.toSeq.zip(fs.toSeq)
-        .map { case (x, f) => jsonVal(x, f.dataType, escSlash) }
+        .map { case (x, f) => jsonVal(x, f.dataType, escSlash, quote64) }
         .mkString("[", ",", "]")
     case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
       m.map { case (k, x) =>
@@ -464,8 +468,113 @@ object ChOutputFormats {
   }
 
   private def jsonEachRow(schema: StructType, row: Row,
-      escSlash: Boolean): String =
+      escSlash: Boolean, quote64: Boolean = true): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType, escSlash)
+      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType, escSlash, quote64)
     }.mkString("{", ",", "}")
+
+  /** The JSON/JSONCompact/JSONStrings document formats (ref
+    * src/Processors/Formats/Impl/JSONRowOutputFormat.cpp): meta with CH
+    * type names, data as objects (or arrays for Compact), optional
+    * totals/extremes sections, rows, rows_before_limit_at_least.
+    * Statistics are emitted only when output_format_write_statistics=1 —
+    * the golden tests disable it. The *Strings variants render every
+    * value in its text form. */
+  def renderJsonDoc(fmt: String, schema: StructType, rows: Seq[Row],
+      ctx: Ctx, names: Seq[String], types: Seq[String],
+      totals: Option[Row], extremes: Option[(Row, Row)],
+      rowsBeforeLimit: Option[Long]): Seq[String] = {
+    val f = fmt.toLowerCase
+    val compact = f.contains("compact")
+    val strings = f.contains("strings")
+    val escSlash =
+      ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
+    val quote64 =
+      ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
+    def value(v: Any, i: Int): String =
+      if (strings) jsonStr(cell(v), escSlash)
+      else jsonVal(v, schema.fields(i).dataType, escSlash, quote64)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    out += "{"
+    out += "\t\"meta\":"
+    out += "\t["
+    names.zip(types).zipWithIndex.foreach { case ((n, t), i) =>
+      out += "\t\t{"
+      out += "\t\t\t\"name\": " + jsonStr(n) + ","
+      out += "\t\t\t\"type\": " + jsonStr(t)
+      out += "\t\t}" + (if (i < names.size - 1) "," else "")
+    }
+    out += "\t],"
+    out += ""
+    out += "\t\"data\":"
+    out += "\t["
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      val sep = if (ri < rows.size - 1) "," else ""
+      if (compact)
+        out += "\t\t[" + r.toSeq.zipWithIndex.map { case (v, i) =>
+          value(v, i) }.mkString(", ") + "]" + sep
+      else {
+        out += "\t\t{"
+        r.toSeq.zipWithIndex.foreach { case (v, i) =>
+          out += "\t\t\t" + jsonStr(names(i)) + ": " + value(v, i) +
+            (if (i < names.size - 1) "," else "")
+        }
+        out += "\t\t}" + sep
+      }
+    }
+    out += "\t],"
+    def objSection(r: Row, indent: String): Seq[String] =
+      if (compact)
+        Seq(indent + "[" + r.toSeq.zipWithIndex.map { case (v, i) =>
+          value(v, i) }.mkString(", ") + "]")
+      else {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        b += indent + "{"
+        r.toSeq.zipWithIndex.foreach { case (v, i) =>
+          b += indent + "\t" + jsonStr(names(i)) + ": " + value(v, i) +
+            (if (i < names.size - 1) "," else "")
+        }
+        b += indent + "}"
+        b.toSeq
+      }
+    totals.foreach { t =>
+      out += ""
+      if (compact) {
+        out += "\t\"totals\": " + objSection(t, "").mkString.trim + ","
+      } else {
+        out += "\t\"totals\":"
+        val sec = objSection(t, "\t")
+        out ++= sec.dropRight(1)
+        out += sec.last + ","
+      }
+    }
+    extremes.foreach { case (mn, mx) =>
+      out += ""
+      out += "\t\"extremes\":"
+      out += "\t{"
+      if (compact) {
+        out += "\t\t\"min\": " + objSection(mn, "").mkString.trim + ","
+        out += "\t\t\"max\": " + objSection(mx, "").mkString.trim
+      } else {
+        out += "\t\t\"min\":"
+        val mnSec = objSection(mn, "\t\t")
+        out ++= mnSec.dropRight(1)
+        out += mnSec.last + ","
+        out += "\t\t\"max\":"
+        out ++= objSection(mx, "\t\t")
+      }
+      out += "\t},"
+    }
+    out += ""
+    rowsBeforeLimit match {
+      case Some(n) =>
+        out += "\t\"rows\": " + rows.size + ","
+        out += ""
+        out += "\t\"rows_before_limit_at_least\": " + n
+      case None =>
+        out += "\t\"rows\": " + rows.size
+    }
+    out += "}"
+    out.toSeq
+  }
 }

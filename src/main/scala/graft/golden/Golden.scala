@@ -433,13 +433,55 @@ object Golden {
         }
         val ctx = graft.formats.ChOutputFormats.Ctx(k =>
           settings.get(k).map(_.stripPrefix("'").stripSuffix("'")))
-        out ++= graft.formats.ChOutputFormats.render(
-          fmt, schema, blocks.filter(_.nonEmpty), ctx)
-        totalsRows.foreach { t =>
-          out += ""
-          out += "Totals:"
+        val jsonDoc = Set("json", "jsoncompact", "jsonstrings",
+          "jsoncompactstrings")(fmt.toLowerCase)
+        if (jsonDoc) {
+          // the JSON document formats carry meta (CH names + types),
+          // totals/extremes sections, and rows_before_limit_at_least
+          val names = graft.ChSql.selectItemDisplayNames(bare)
+            .getOrElse(sys.error("FORMAT JSON: names not inferable"))
+          val types = graft.ChSql.selectItemTypeNames(bare)
+            .getOrElse(sys.error("FORMAT JSON: types not inferable"))
+          val rows = blocks.flatten
+          val extremes =
+            if (settings.get("extremes").exists(_ == "1") && rows.nonEmpty) {
+              // per-column min/max; a single row is its own extreme
+              def pick(best: (Any, Any) => Boolean): Row = Row.fromSeq(
+                (0 until schema.length).map { i =>
+                  rows.map(_(i)).reduce((a, b) =>
+                    if (a == null) b else if (b == null) a
+                    else if (best(a, b)) a else b)
+                })
+              def lt(a: Any, b: Any): Boolean = (a, b) match {
+                case (x: Number, y: Number) =>
+                  x.doubleValue < y.doubleValue
+                case (x: String, y: String) => x < y
+                case _ => true // incomparable: keep first (1-row cases)
+              }
+              Some((pick(lt), pick((a, b) => !lt(a, b))))
+            } else None
+          val rowsBeforeLimit =
+            if (bare.matches("(?is).*\\bLIMIT\\s+\\d+\\s*$")) {
+              val noLimit = bare.replaceAll("(?is)\\bLIMIT\\s+\\d+\\s*$", "")
+              scala.util.Try(
+                graft.ChSql.sqlSplit(spark, noLimit, sfDir)._1.count())
+                .toOption
+            } else None
+          out ++= graft.formats.ChOutputFormats.renderJsonDoc(
+            fmt, schema, rows, ctx, names, types,
+            totalsRows.flatMap(_.headOption), extremes, rowsBeforeLimit)
+        } else {
           out ++= graft.formats.ChOutputFormats.render(
-            fmt, schema, Seq(t), ctx)
+            fmt, schema, blocks.filter(_.nonEmpty), ctx)
+          // JSONEachRow silently DROPS the totals stream (ref
+          // JSONEachRowRowOutputFormat: no writeTotals)
+          if (!fmt.equalsIgnoreCase("jsoneachrow"))
+            totalsRows.foreach { t =>
+              out += ""
+              out += "Totals:"
+              out ++= graft.formats.ChOutputFormats.render(
+                fmt, schema, Seq(t), ctx)
+            }
         }
       }
       else if (clean.nonEmpty && !expectsError && !isSessionSet &&
