@@ -2578,6 +2578,10 @@ object ChSql {
     // (identifier+string); an identity call restores the subquery parse
     s = s.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
       "(SELECT materialize($1)")
+    // an all-NULL tuple never matches IN in CH (NULL equality is never
+    // true; Spark's struct IN would treat null fields as equal) — 01774
+    s = replaceOutsideStrings(s,
+      "\\(\\s*NULL\\s*(?:,\\s*NULL\\s*)+\\)\\s+(?i:IN)\\b", "FALSE AND $0")
     // use_nulls rollup ordinal pinning must see the SETTINGS clause
     s = rewriteRollupOrderOrdinals(s)
     // session-tuning SETTINGS at statement end don't change results here

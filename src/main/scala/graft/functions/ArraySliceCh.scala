@@ -45,6 +45,9 @@ case class ChArraySlice(arr: Expression, offset: Expression,
     val offV = offset.eval(input)
     val off = if (offV == null) 1L else num(offV)
     val lenV = length.map(_.eval(input))
+    // a NULL length takes the UNBOUNDED branch, same as no length arg
+    // (ref arraySlice.cpp `length_column->onlyNull()`)
+    val unbounded = lenV.forall(_ == null)
     val len0 = lenV match {
       case Some(v) if v != null => num(v)
       case _ => n
@@ -53,15 +56,21 @@ case class ChArraySlice(arr: Expression, offset: Expression,
       if (len0 < 0) len0 + (if (off > 0) n - (off - 1) else -off) else len0
     val et = arr.dataType.asInstanceOf[ArrayType].elementType
     if (off == 0 || size <= 0) return new GenericArrayData(Array.empty[Any])
-    // (start, take) replicating Sources.h clamp rules
+    // (start, take) replicating Sources.h clamp rules; -off is read as
+    // UNSIGNED (offset -2^63 means "far from the right": the unbounded
+    // form then yields the whole array — 01664)
     val (start, take) =
       if (off > 0) {
         val o = off - 1
         if (o >= n) (0L, 0L) else (o, math.min(size, n - o))
       } else {
-        val o = -off // positive count from the right
-        if (o > n) (0L, if (size + n > o) math.min(n, size + n - o) else 0L)
-        else (n - o, math.min(size, o))
+        val o = -off // positive count from the right (may wrap negative)
+        val oBig = java.lang.Long.compareUnsigned(o, n) > 0
+        if (oBig) {
+          if (unbounded) (0L, n) // getSliceFromRight(huge) → whole array
+          else (0L, if (size + n > o && o > 0)
+            math.min(n, size + n - o) else 0L)
+        } else (n - o, math.min(size, o))
       }
     val out = new Array[Any](take.toInt)
     var i = 0
