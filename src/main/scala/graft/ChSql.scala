@@ -1833,8 +1833,19 @@ object ChSql {
       b.toSeq.map(_.trim).filter(_.nonEmpty)
     }
     if (items.isEmpty) return None
-    def stripAlias(it: String): String =
-      replaceOutsideStrings(it, "(?is)\\s+AS\\s+[A-Za-z_]\\w*\\s*$", "")
+    def stripAlias(it: String): String = {
+      val noAs =
+        replaceOutsideStrings(it, "(?is)\\s+AS\\s+[A-Za-z_]\\w*\\s*$", "")
+      // bare trailing alias (`LEAST(…) x`): strip only when the head
+      // clearly ends an expression — a word-ending head would be an
+      // operator/identifier, not an aliased expression
+      val bare = "(?s)^(.*?)\\s+([A-Za-z_]\\w*)\\s*$".r
+      noAs match {
+        case bare(head, _) if head.trim.nonEmpty &&
+            ")]'\"".contains(head.trim.last) => head.trim
+        case _ => noAs
+      }
+    }
     val probes = items.map(it => s"toTypeName(${stripAlias(it)})")
     selectItemTypeProbe(q, items, probes)
   }

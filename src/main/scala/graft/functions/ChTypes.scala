@@ -60,7 +60,7 @@ object ChTypes {
     case _ => 0
   }
   private def intOf(sgn: Boolean, b: Int): T = {
-    val bb = if (b > 64) 64 else b
+    val bb = if (b > 128) 256 else if (b > 64) 128 else b
     Scalar((if (sgn) "Int" else "UInt") + bb)
   }
 
@@ -472,9 +472,9 @@ object ChTypes {
         Some(intOf(signed(x), math.max(bits(x), bits(y))))
       else {
         val (s, u) = if (signed(x)) (x, y) else (y, x)
-        if (bits(u) >= 64) None
-        else Some(intOf(sgn = true,
-          math.max(bits(s), bits(u) * 2)))
+        // an unsigned 64-bit operand promotes the pair to Int128 (ref
+        // getLeastSupertype; values ride Decimal(38,0) in this engine)
+        Some(intOf(sgn = true, math.max(bits(s), bits(u) * 2)))
       }
     case (x, y) if isFloat(x) && isFloat(y) =>
       Some(if (bits(x) >= 64 || bits(y) >= 64) Float64 else Float32)
@@ -840,10 +840,23 @@ object ChTypes {
         case t => nullIfAny(Seq(t), Float64)
       }
       case "min" | "max" | "any" | "anyLast" => argT(0)
-      case "least" | "greatest" => (argT(0), argT(1)) match {
-        case (Some(a), Some(b)) => superType(a, b)
-        case _ => None
-      }
+      case "least" | "greatest" | "LEAST" | "GREATEST" =>
+        (argT(0), argT(1)) match {
+          case (Some(a), Some(b)) =>
+            // Int64 vs UInt64 takes the accurate-comparison special case
+            // BEFORE supertyping (ref "new behavior" 00413): least fits
+            // the SIGNED type, greatest the UNSIGNED; any other
+            // mixed-sign pair promotes normally (Int128 for UInt64 —
+            // 01246)
+            val (sa, sb) = (stripLC(stripN(a)), stripLC(stripN(b)))
+            if (isInt(sa) && isInt(sb) && signed(sa) != signed(sb) &&
+              bits(sa) == 64 && bits(sb) == 64)
+              Some(if (name.equalsIgnoreCase("least"))
+                intOf(sgn = true, 64)
+              else intOf(sgn = false, 64))
+            else superType(a, b)
+          case _ => None
+        }
       // random family: the argument (if any) only seeds per-column state,
       // the return type is fixed (ref src/Functions/FunctionsRandom.h)
       case "rand" | "rand32" | "randConstant" => Some(UInt32)
