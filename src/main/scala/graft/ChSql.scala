@@ -1248,6 +1248,60 @@ object ChSql {
     s
   }
 
+  /** An all-NULL tuple never matches IN in CH (NULL equality is never
+    * true — 01774), so `(NULL,NULL) IN (...)` is constant 0 and the
+    * NOT IN form constant 1. Replace the WHOLE predicate (tuple, IN
+    * keyword, and the balanced set list) with a parenthesized constant:
+    * a mere `FALSE AND` prefix breaks under a preceding NOT (`NOT
+    * (NULL,NULL) IN s` would become `(NOT FALSE) AND <struct IN>`) and
+    * never handles the NOT IN spelling at all. */
+  private def rewriteAllNullTupleIn(sql: String): String = {
+    val re = ("(?i)\\(\\s*NULL\\s*(?:,\\s*NULL\\s*)+\\)\\s*" +
+      "(GLOBAL\\s+)?(NOT\\s+)?IN\\s*\\(").r
+    def inString(str: String, pos: Int): Boolean = {
+      var inStr = false; var i = 0
+      while (i < pos) {
+        val c = str.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        i += 1
+      }
+      inStr
+    }
+    var s = sql
+    var from = 0
+    var guard = 0
+    var m = re.findFirstMatchIn(s.substring(from))
+    while (m.isDefined && guard < 100) {
+      guard += 1
+      val mm = m.get
+      val start = from + mm.start
+      val open = from + mm.end - 1
+      if (inString(s, start)) from = open + 1
+      else {
+        var depth = 0; var i = open; var close = -1; var inStr = false
+        while (i < s.length && close < 0) {
+          val c = s.charAt(i)
+          if (inStr) {
+            if (c == '\\') i += 1 else if (c == '\'') inStr = false
+          } else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) return s
+        val const = if (mm.group(2) != null) "(TRUE)" else "(FALSE)"
+        s = s.substring(0, start) + const + s.substring(close + 1)
+        from = start + const.length
+      }
+      m = re.findFirstMatchIn(s.substring(from))
+    }
+    s
+  }
+
   private def replaceFnOutsideStrings(sql: String, re: String)(
       fn: scala.util.matching.Regex.Match => String): String = {
     val rx = re.r
@@ -2589,10 +2643,6 @@ object ChSql {
     // (identifier+string); an identity call restores the subquery parse
     s = s.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
       "(SELECT materialize($1)")
-    // an all-NULL tuple never matches IN in CH (NULL equality is never
-    // true; Spark's struct IN would treat null fields as equal) — 01774
-    s = replaceOutsideStrings(s,
-      "\\(\\s*NULL\\s*(?:,\\s*NULL\\s*)+\\)\\s+(?i:IN)\\b", "FALSE AND $0")
     // use_nulls rollup ordinal pinning must see the SETTINGS clause
     s = rewriteRollupOrderOrdinals(s)
     // session-tuning SETTINGS at statement end don't change results here
@@ -2622,6 +2672,11 @@ object ChSql {
     // literal is not a realistic golden shape)
     s = s.replaceAll(
       "(?i)\\bIN\\s+('(?:[^'\\\\]|\\\\.)*')(?![\\w.(\\[])", "IN ($1)")
+    // an all-NULL tuple never matches IN in CH (NULL equality is never
+    // true; Spark's struct IN would treat null fields as equal) — 01774.
+    // Runs after the IN-set sugar above so every set form is
+    // parenthesized by now.
+    s = rewriteAllNullTupleIn(s)
     // CH numbers are truthy: NOT 1 = 0. Guarded against a following
     // comparison (NOT 1 = 1 parses as NOT (1 = 1) in both dialects).
     s = replaceOutsideStrings(s,

@@ -57,7 +57,11 @@ object SchemaInference {
   // fall back to String on conflict); `nullable` records observed nulls.
   sealed trait T { var nullable: Boolean = false }
   case class TNothing() extends T { nullable = true }
-  case class TInt(fromString: Boolean = false) extends T
+  // `unsigned` = value overflowed Int64 but fits UInt64 (ref
+  // SchemaInferenceUtils.cpp tryInferNumber:653-708 tries UInt64 before
+  // falling back to Float64; Int64+UInt64 merge to UInt64, :81-95)
+  case class TInt(fromString: Boolean = false,
+      unsigned: Boolean = false) extends T
   case class TFloat(fromString: Boolean = false) extends T
   case class TBool() extends T
   case class TString() extends T
@@ -212,6 +216,9 @@ object SchemaInference {
     else if (st.inferDatetimes && dtRe.matches(v)) TDateTime()
     else if (jsonContext && st.numbersFromStrings && st.inferIntegers &&
       intRe.matches(v) && fitsInt64(v)) TInt(fromString = true)
+    else if (jsonContext && st.numbersFromStrings && st.inferIntegers &&
+      intRe.matches(v) && fitsUInt64(v))
+      TInt(fromString = true, unsigned = true)
     else if (jsonContext && st.numbersFromStrings && floatRe.matches(v) &&
       v.exists(_.isDigit)) TFloat(fromString = true)
     else TString()
@@ -222,12 +229,19 @@ object SchemaInference {
   }
   private def fitsInt64(v: String): Boolean =
     try { v.toLong; true } catch { case _: Exception => false }
+  private def fitsUInt64(v: String): Boolean =
+    try {
+      val b = BigInt(v)
+      b.signum >= 0 && b.bitLength <= 64
+    } catch { case _: Exception => false }
 
   def infer(j: J, st: Settings): T = j match {
     case JNull => TNothing()
     case JBool(_) => TBool()
     case JInt(v) =>
       if (st.inferIntegers && v.bitLength <= 63) TInt()
+      else if (st.inferIntegers && v.signum >= 0 && v.bitLength <= 64)
+        TInt(unsigned = true)
       else TFloat()
     case JFloat(_) => TFloat()
     case JStr(v) => inferString(v, st, jsonContext = true)
@@ -285,8 +299,8 @@ object SchemaInference {
       case (x: TNothing, t) => Some(nul(t, x.nullable))
       case (t, y: TNothing) => Some(nul(t, y.nullable))
       case (x: TInt, y: TInt) =>
-        Some(nul(TInt(x.fromString && y.fromString),
-          x.nullable || y.nullable))
+        Some(nul(TInt(x.fromString && y.fromString,
+          x.unsigned || y.unsigned), x.nullable || y.nullable))
       case (x: TFloat, y: TFloat) =>
         Some(nul(TFloat(x.fromString && y.fromString),
           x.nullable || y.nullable))
@@ -378,7 +392,8 @@ object SchemaInference {
       if (st.makeNullable || n) s"Nullable($name)" else name
     t match {
       case x: TNothing => leaf("Nothing", x.nullable)
-      case x: TInt => leaf("Int64", x.nullable)
+      case x: TInt => leaf(if (x.unsigned) "UInt64" else "Int64",
+        x.nullable)
       case x: TFloat => leaf("Float64", x.nullable)
       case x: TBool => leaf("Bool", x.nullable)
       case x: TString => leaf("String", x.nullable)

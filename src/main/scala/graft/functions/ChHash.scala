@@ -1020,11 +1020,18 @@ case class ChAnyHash(city: Boolean, children: Seq[Expression],
             pairBytes(h, hHi, eLo, eHi, wide = true))
           h = lo; hHi = hi
         case "sip128ref" =>
-          // reference-keyed combine still uses the NON-ref sipHash128
-          // (ref SipHash128ReferenceImpl::combineHashes →
-          // combineHashesFunc<UInt128, SipHash128Impl>)
-          val (lo, hi) = ChHash.sipHash128Keyed(if (keyed) k0 else 0L,
-            if (keyed) k1 else 0L, pairBytes(h, hHi, eLo, eHi, wide = true))
+          // ref: unkeyed SipHash128ReferenceImpl::combineHashes uses the
+          // NON-ref SipHash128Impl (combineHashesFunc<UInt128,
+          // SipHash128Impl>), but SipHash128ReferenceKeyedImpl::
+          // combineHashesKeyed re-applies sipHash128ReferenceKeyed itself
+          // (FunctionsHashing.h:421-432).
+          val (lo, hi) =
+            if (keyed)
+              ChHash.sipHash128RefKeyed(k0, k1,
+                pairBytes(h, hHi, eLo, eHi, wide = true))
+            else
+              ChHash.sipHash128Keyed(0L, 0L,
+                pairBytes(h, hHi, eLo, eHi, wide = true))
           h = lo; hHi = hi
         case "murmur128" =>
           val (lo, hi) = ChHash.murmurHash3_128(
