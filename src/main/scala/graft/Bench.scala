@@ -27,7 +27,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -50,13 +49,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    // Median-of-5 per query, with the runs INTERLEAVED (round-robin over
-    // the headline set) rather than 5 back-to-back runs per query: the
+    // Median-of-7 per query, with the runs INTERLEAVED (round-robin over
+    // the headline set) rather than back-to-back runs per query: the
     // host shows multi-second sustained slow windows (VM steal), and
     // back-to-back runs let one window poison every sample of one query.
     // Interleaving spreads a window across queries so each median
     // tolerates it. `value`/`queries` carry medians; `queries_min` floors.
-    val runs = 5
+    // (r9 profile: identical-plan engine-vs-raw in one JVM differ ≤8%;
+    // the same query's wall time varies >2x across host windows, so more
+    // interleaved rounds = better slow-window rejection.)
+    val runs = 7
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = headline.map(n => n -> scala.collection.mutable.ArrayBuffer
       .empty[Double]).toMap
