@@ -255,8 +255,26 @@ object PipelineQueries {
     },
 
     // Feature extraction through the stub decoder (mapPartitions batch
-    // path) — deterministic fake features; spec pins exact values
-    Q.dfOnly("q_multimodal_features") { (s, dir) =>
+    // path). The stub is deterministic and therefore DuckDB-expressible:
+    // media_bytes is the 128-char hex text of two sha256s cast to binary,
+    // so its ASCII bytes land only in histogram bins 1 ('0'-'9', 48-57)
+    // and 3 ('a'-'f', 97-102) — the oracle counts hex-digit classes.
+    Q.df("q_multimodal_features",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    sha256(CAST(doc_id AS VARCHAR)) ||
+        |      sha256(CAST(doc_id AS VARCHAR) || 'x') AS hx
+        |  FROM documents
+        |)
+        |SELECT doc_id, concat_ws(',',
+        |  '0.000000',
+        |  CAST(CAST(ROUND(length(regexp_replace(hx, '[a-f]', '', 'g'))
+        |    / 128.0, 6) AS DECIMAL(16,6)) AS VARCHAR),
+        |  '0.000000',
+        |  CAST(CAST(ROUND(length(regexp_replace(hx, '[0-9]', '', 'g'))
+        |    / 128.0, 6) AS DECIMAL(16,6)) AS VARCHAR),
+        |  '0.000000','0.000000','0.000000','0.000000') AS features
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // features array projected to a comma-joined string so the driver's
       // rows-only comparator (which still sorts values) can handle the column
       Multimodal.extractFeatures(s,

@@ -184,10 +184,33 @@ object Round8Queries {
         dir)
     },
 
-    // sparkbar + stem ride the golden/spec gates (bar strings and Porter
-    // outputs have no DuckDB formulation); a rows-only query pins the
-    // SQL-callable surface end-to-end
-    Q.dfOnly("q_sparkbar_stem") { (s, dir) =>
+    // sparkbar re-expressed in DuckDB SQL (bucket index, integer-division
+    // bucket average, 7-level scaling — AggregateFunctionSparkbar.h
+    // semantics hold in plain SQL because y here is always positive, so
+    // the auto range equals min/max of the grouped points); stem's output
+    // on a constant input is a constant
+    Q.df("q_sparkbar_stem",
+      """WITH pts AS (
+        |  SELECT user_id % 50 AS x, SUM(event_id % 100 + 1) AS y
+        |  FROM events GROUP BY 1
+        |), rng AS (
+        |  SELECT MIN(x) AS fromx, MAX(x) AS tox FROM pts
+        |), hist AS (
+        |  SELECT LEAST(CAST(trunc(10.0 / (tox - fromx + 1) * (x - fromx))
+        |           AS BIGINT), 9) AS idx,
+        |         SUM(y) // COUNT(*) AS v
+        |  FROM pts, rng GROUP BY 1
+        |), buckets AS (
+        |  SELECT CAST(i AS BIGINT) AS i, COALESCE(v, 0) AS v
+        |  FROM (SELECT unnest(range(0, 10)) AS i) ix
+        |  LEFT JOIN hist ON idx = i
+        |)
+        |SELECT string_agg(CASE WHEN v <= 0 THEN ' '
+        |    ELSE substring(' ▁▂▃▄▅▆▇█',
+        |      CAST(v * 7 // (SELECT MAX(v) FROM buckets WHERE v > 0) + 1
+        |        AS INT) + 1, 1) END, '' ORDER BY i) AS bar,
+        |  'collect' AS st
+        |FROM buckets""".stripMargin) { (s, dir) =>
       ChSql.sql(s,
         """SELECT sparkbar(10)(user_id % 50, event_id % 100 + 1) AS bar,
           |       stem('en', 'collection') AS st
