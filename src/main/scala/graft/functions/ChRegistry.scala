@@ -1448,6 +1448,21 @@ object ChRegistry {
         litStr(d), litStr(a), C(k), C(dv)) }
     f("dictHas") { case Seq(d, k) =>
       graft.operators.Dictionaries.sqlDictHas(litStr(d), C(k)) }
+    // hierarchical walks (ref HierarchyDictionariesUtils.h; closures are
+    // precomputed at createHierarchicalDictionary, lookups are map probes)
+    f("dictGetHierarchy") { case Seq(d, k) =>
+      graft.operators.Dictionaries.sqlDictGetHierarchy(litStr(d), C(k)) }
+    f("dictGetChildren") { case Seq(d, k) =>
+      graft.operators.Dictionaries.sqlDictGetChildren(litStr(d), C(k)) }
+    f("dictGetDescendants") {
+      case Seq(d, k) =>
+        graft.operators.Dictionaries.sqlDictGetDescendants(litStr(d), C(k))
+      case Seq(d, k, l) =>
+        graft.operators.Dictionaries.sqlDictGetDescendants(litStr(d), C(k),
+          litInt(l))
+    }
+    f("dictIsIn") { case Seq(d, c, a) =>
+      graft.operators.Dictionaries.sqlDictIsIn(litStr(d), C(c), C(a)) }
 
     // text-analysis extras (ref FunctionsLanguageClassification.cpp)
     f1("detectLanguage")(TextAnalysis.languageId)

@@ -72,6 +72,158 @@ object Dictionaries {
       .reduceOption(_ || _).getOrElse(lit(false))
   }
 
+  // ---- hierarchical dictionaries (ref src/Dictionaries/
+  // HierarchyDictionariesUtils.h getHierarchy:98 / getDescendants:257,
+  // registered through dictGetHierarchy/dictGetChildren/
+  // dictGetDescendants/dictIsIn in FunctionsExternalDictionaries.h).
+  // The hierarchy closure is precomputed ONCE on the bounded dictionary
+  // side at registration; per-row lookups stay O(1) map-literal probes,
+  // so the fact side never shuffles and the plan is broadcast-shaped at
+  // any scale.
+
+  private val MaxHierDepth = 1000 // ref Core/Defines.h:70
+
+  private case class Hier(
+      parent: Map[Long, Long],   // key → parent (null-parent rows absent)
+      valid: Set[Long],          // keys present in the dictionary
+      children: Map[Long, Seq[Long]]) // parent → children in key order
+
+  private val hierRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Hier]()
+
+  /** Register `dict` as a hierarchical dictionary: `parentCol` is the
+    * HIERARCHICAL attribute (parent value 0 / NULL = root, matching the
+    * reference's hierarchy_null_value for UInt64 keys). Also registers
+    * the flat attributes via [[createDictionary]]. */
+  def createHierarchicalDictionary(name: String, dict: DataFrame,
+      keyCol: String, parentCol: String): Unit = {
+    createDictionary(name, dict, keyCol)
+    val rows = dict.select(col(keyCol).cast("long"),
+      col(parentCol).cast("long")).limit(MaxDictRows + 1).collect()
+    require(rows.length <= MaxDictRows,
+      s"dictionary '$name' exceeds $MaxDictRows rows")
+    val valid = rows.iterator.map(_.getLong(0)).toSet
+    val parent = rows.iterator.filter(r => !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // parent→children from every non-null parent value — including the
+    // null value 0, so dictGetChildren(0) lists the roots (01778 pins
+    // exactly that)
+    val children = parent.toSeq.groupBy(_._2).map { case (p, kids) =>
+      p -> kids.map(_._1).sorted }
+    hierRegistry.put(name, Hier(parent, valid, children))
+  }
+
+  private def hier(name: String): Hier = {
+    val h = hierRegistry.get(name)
+    require(h != null,
+      s"'$name' is not a hierarchical dictionary; call " +
+        "createHierarchicalDictionary")
+    h
+  }
+
+  /** Hierarchy path [key, parent, …] up to the root; invalid key → [].
+    * A walk revisiting a key (cycle) truncates, per getHierarchy's
+    * is_loop break. */
+  private def pathOf(h: Hier, key: Long): Seq[Long] = {
+    if (!h.valid.contains(key)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    var k = key
+    var depth = 0
+    var done = false
+    while (!done && depth < MaxHierDepth) {
+      if (!seen.add(k)) done = true
+      else {
+        out += k
+        h.parent.get(k) match {
+          case Some(p) if p != 0L && h.valid.contains(p) => k = p
+          case _ => done = true
+        }
+      }
+      depth += 1
+    }
+    out.toSeq
+  }
+
+  /** Descendants of `key` in the reference's traversal order (children
+    * appended as a block in key order, subtrees expanded last-child
+    * first); `level` 0 = all descendants, N = exactly depth N. Mirrors
+    * getDescendants' explicit stack, including the cycle bail-out that
+    * abandons the remainder of the walk. */
+  private def descendantsOf(h: Hier, key: Long, level: Int): Seq[Long] = {
+    if (!h.children.contains(key)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    var stack = List[(Long, Int)]((key, 0))
+    var abort = false
+    while (stack.nonEmpty && !abort) {
+      val (k, depth) = stack.head
+      stack = stack.tail
+      if (seen.contains(k)) { abort = true }
+      else h.children.get(k) match {
+        case Some(kids) if depth < MaxHierDepth &&
+            (level == 0 || depth < level) =>
+          seen += k
+          val d = depth + 1
+          kids.foreach { c =>
+            if (level == 0) out += c
+            else if (d == level) out += c
+          }
+          val toPush = if (level == 0) kids
+            else if (d == level) Seq.empty else kids
+          // reference emplaces kids in order then pops from the back →
+          // LAST child's subtree expands first; with head-is-top, that
+          // is a reversed prepend
+          stack = toPush.reverse.map(c => (c, d)).toList ::: stack
+        case _ =>
+      }
+    }
+    out.toSeq
+  }
+
+  private def longArrayMapCol(entries: Iterable[(Long, Seq[Long])]): Column = {
+    val pairs = entries.iterator.flatMap { case (k, v) =>
+      Iterator(lit(k), typedLit(v))
+    }.toSeq
+    if (pairs.isEmpty) typedLit(Map.empty[Long, Seq[Long]]) else map(pairs: _*)
+  }
+
+  private val emptyLongArray = typedLit(Seq.empty[Long])
+
+  /** dictGetHierarchy('name', key) → Array[Long] path. */
+  def sqlDictGetHierarchy(name: String, key: Column): Column = {
+    val h = hier(name)
+    val m = longArrayMapCol(h.valid.toSeq.sorted.map(k => k -> pathOf(h, k)))
+    coalesce(element_at(m, key.cast("long")), emptyLongArray)
+  }
+
+  /** dictGetChildren('name', key) → direct children. */
+  def sqlDictGetChildren(name: String, key: Column): Column =
+    sqlDictGetDescendants(name, key, 1)
+
+  /** dictGetDescendants('name', key[, level]) — level 0 (default) = all
+    * descendants in reference traversal order; level N = exactly depth
+    * N. Keys absent from the parent→child index (even valid dictionary
+    * keys) → []. */
+  def sqlDictGetDescendants(name: String, key: Column,
+      level: Int = 0): Column = {
+    require(level >= 0, "dictGetDescendants level must be >= 0")
+    val h = hier(name)
+    val m = longArrayMapCol(h.children.keys.toSeq.sorted
+      .map(k => k -> descendantsOf(h, k, level)))
+    coalesce(element_at(m, key.cast("long")), emptyLongArray)
+  }
+
+  /** dictIsIn('name', child, ancestor): 1 when `ancestor` occurs in
+    * `child`'s hierarchy path (a key is in its own hierarchy). */
+  def sqlDictIsIn(name: String, child: Column, ancestor: Column): Column = {
+    val h = hier(name)
+    val m = longArrayMapCol(h.valid.toSeq.sorted.map(k => k -> pathOf(h, k)))
+    coalesce(
+      array_contains(element_at(m, child.cast("long")),
+        ancestor.cast("long")), lit(false)).cast("int")
+  }
+
   /** dictGet(dict, value, key): left-joins the broadcast dictionary and
     * appends `asCol` (default-filled). One call per attribute, matching
     * CH's dictGet('d', 'attr', key). */

@@ -105,4 +105,61 @@ class UdfAndDictSpec extends SparkSpec {
       .select("at", "val").as[(Long, String)].collect().toSet
     assert(got == Set((10L, "old"), (60L, "new"), (90L, "old")))
   }
+
+  test("hierarchical dictionary walks match the 01778 reference outputs") {
+    // the 01778 fixture: id→parent (1,0) (2,1) (3,1) (4,2)
+    val d = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("id", "pid")
+    Dictionaries.createHierarchicalDictionary("h01778", d, "id", "pid")
+    def arrs(fn: String): Seq[Seq[Long]] = (0 to 5).map { k =>
+      graft.ChSql.sql(spark, s"SELECT $fn('h01778', $k)", SparkSpec.tiny)
+        .collect()(0).getSeq[Long](0).toSeq
+    }
+    assert(arrs("dictGetHierarchy") === Seq(
+      Seq(), Seq(1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L, 1L), Seq()))
+    assert(arrs("dictGetChildren") === Seq(
+      Seq(1L), Seq(2L, 3L), Seq(4L), Seq(), Seq(), Seq()))
+    assert(arrs("dictGetDescendants") === Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L), Seq(4L), Seq(), Seq(), Seq()))
+    val lvl1 = (0 to 5).map { k =>
+      graft.ChSql.sql(spark,
+        s"SELECT dictGetDescendants('h01778', $k, 1)", SparkSpec.tiny)
+        .collect()(0).getSeq[Long](0).toSeq
+    }
+    assert(lvl1 === Seq(
+      Seq(1L), Seq(2L, 3L), Seq(4L), Seq(), Seq(), Seq()))
+    val isIn = (0 to 5).map { k =>
+      graft.ChSql.sql(spark, s"SELECT dictIsIn('h01778', $k, $k)",
+        SparkSpec.tiny).collect()(0).getInt(0)
+    }
+    assert(isIn === Seq(0, 1, 1, 1, 1, 0))
+    // ancestor test: 4 is under 1 but 3 is not under 2
+    assert(graft.ChSql.sql(spark, "SELECT dictIsIn('h01778', 4, 1)",
+      SparkSpec.tiny).collect()(0).getInt(0) === 1)
+    assert(graft.ChSql.sql(spark, "SELECT dictIsIn('h01778', 3, 2)",
+      SparkSpec.tiny).collect()(0).getInt(0) === 0)
+  }
+
+  test("hierarchical dictionary: deeper tree, level-2 order and cycles") {
+    // 1→(2,3); 2→(4,6); 3→(5,7): the level-strategy stack expands the
+    // LAST child first, so level-2 of key 1 is ch(3)++ch(2) = [5,7,4,6]
+    val d = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (6L, 2L),
+      (5L, 3L), (7L, 3L)).toDF("id", "pid")
+    Dictionaries.createHierarchicalDictionary("hdeep", d, "id", "pid")
+    assert(graft.ChSql.sql(spark,
+      "SELECT dictGetDescendants('hdeep', 1, 2)", SparkSpec.tiny)
+      .collect()(0).getSeq[Long](0).toSeq === Seq(5L, 7L, 4L, 6L))
+    assert(graft.ChSql.sql(spark,
+      "SELECT dictGetDescendants('hdeep', 1)", SparkSpec.tiny)
+      .collect()(0).getSeq[Long](0).toSeq ===
+      Seq(2L, 3L, 5L, 7L, 4L, 6L))
+    // cycle: 10→11→10 — walks terminate instead of looping
+    val c = Seq((10L, 11L), (11L, 10L)).toDF("id", "pid")
+    Dictionaries.createHierarchicalDictionary("hcycle", c, "id", "pid")
+    val p = graft.ChSql.sql(spark, "SELECT dictGetHierarchy('hcycle', 10)",
+      SparkSpec.tiny).collect()(0).getSeq[Long](0).toSeq
+    assert(p === Seq(10L, 11L))
+    val dd = graft.ChSql.sql(spark, "SELECT dictGetDescendants('hcycle', 10)",
+      SparkSpec.tiny).collect()(0).getSeq[Long](0).toSeq
+    assert(dd.nonEmpty && dd.size <= 4)
+  }
 }
