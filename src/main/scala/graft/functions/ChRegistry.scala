@@ -2113,6 +2113,29 @@ object ChRegistry {
     H3FnExpr.names.foreach { n =>
       f(n) { es => C(H3FnExpr(n, es)) }
     }
+    // The geo-projection H3 subset needs the H3 library's base-cell
+    // orientation/neighbor tables (baseCells.c), which are not
+    // re-derivable from the spec offline and whose source is not vendored
+    // in the reference checkout (contrib/h3 is an empty submodule).
+    // Permanently excluded — registered so a caller gets a precise
+    // diagnostic instead of UNRESOLVED_ROUTINE. See COVERAGE.md.
+    Seq("geoToH3", "h3ToGeo", "h3ToGeoBoundary", "h3kRing", "h3HexRing",
+      "h3Line", "h3Distance", "h3GetFaces", "h3IndexesAreNeighbors",
+      "h3GetUnidirectionalEdge", "h3GetUnidirectionalEdgeBoundary",
+      "h3GetUnidirectionalEdgesFromHexagon",
+      "h3GetOriginIndexFromUnidirectionalEdge",
+      "h3GetDestinationIndexFromUnidirectionalEdge",
+      "h3GetIndexesFromUnidirectionalEdge", "h3UnidirectionalEdgeIsValid",
+      "h3ExactEdgeLengthM", "h3ExactEdgeLengthKm", "h3ExactEdgeLengthRads",
+      "h3CellAreaM2", "h3CellAreaRads2").foreach { n =>
+      f(n) { _ =>
+        throw new UnsupportedOperationException(
+          s"$n requires the H3 base-cell projection tables (contrib/h3), " +
+            "which are not available in this environment; the index-math " +
+            "H3 subset (h3ToParent/h3ToChildren/h3ToString/… — see " +
+            "H3Ch.scala) is supported")
+      }
+    }
     f("geohashEncode") { es => C(GeohashEncodeExpr(es)) }
     f("geohashDecode") { case Seq(s) => C(GeohashDecodeExpr(s)) }
     f("categoricalInformationValue") { es =>

@@ -102,4 +102,20 @@ class H3Spec extends SparkSpec {
     assert(r.get(4) == true)
     assert(r.get(5) == 33897029882L)
   }
+
+  test("excluded projection subset fails with a precise diagnostic") {
+    for (call <- Seq("geoToH3(37.79506683, 55.71290588, 15)",
+      "h3ToGeo(644325524701193974)", "h3kRing(644325529094369568, 1)",
+      "h3Distance(599686042433355775, 599686023506952191)")) {
+      val e = intercept[Exception] {
+        graft.ChSql.sql(spark, s"SELECT $call", graft.SparkSpec.tiny)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("base-cell projection tables")),
+        s"unexpected error for $call: $e")
+    }
+  }
 }
