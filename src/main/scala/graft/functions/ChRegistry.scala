@@ -1760,11 +1760,17 @@ object ChRegistry {
       C(c).try_cast(s"decimal(18,${litInt(s)})") }
     f("uniqExact") { case c +: rest =>
       count_distinct(C(c), rest.map(C): _*) }
-    f1("uniqCombined")(c => approx_count_distinct(c))
-    // uniqTheta (ref registerAggregateFunctions.cpp:27): theta-sketch
-    // estimate — same approximate contract as uniqCombined here, with
-    // the documented sketch-internals divergence (SURVEY §7.3)
-    f1("uniqTheta")(c => approx_count_distinct(c))
+    // uniq sketch tiers (ref AggregateFunctionUniq.h /
+    // AggregateFunctionUniqCombined.h): estimates — internals
+    // intentionally differ (SURVEY §7.3), the pinned contract is the
+    // RELATIVE-ERROR bound (SketchErrorSpec, 10^3/10^5/10^7). rsd is
+    // chosen so Spark's HLL++ register count matches the reference
+    // sketch: uniqCombined K=17 → 2^17 registers ≈ rsd 0.003; uniqHLL12
+    // = 2^12 registers ≈ rsd 0.016; uniqTheta default 4096 samples ≈
+    // rsd 0.016.
+    f1("uniqCombined")(c => approx_count_distinct(c, 0.003))
+    f1("uniqHLL12")(c => approx_count_distinct(c, 0.016))
+    f1("uniqTheta")(c => approx_count_distinct(c, 0.016))
     f1("medianExact")(c =>
       QuantileVariants.exactLowHigh(c, lit(0.5), high = true))
     // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
@@ -2767,7 +2773,10 @@ object ChRegistry {
         val p = pow(lit(10.0), litInt(n))
         signum(C(a)) * floor(abs(C(a)) * p) / p
     }
-    f1("uniqCombined64")(c => count_distinct(c))
+    // sketch, not exact: at scale an exact distinct where the user asked
+    // for uniqCombined64 would shuffle every key (same rsd tier as
+    // uniqCombined — the 64 variant only widens the hash)
+    f1("uniqCombined64")(c => approx_count_distinct(c, 0.003))
     // one random value per query, all rows (ref FunctionConstantBase);
     // drawn once per session — constant across rows is the contract
     locally {
