@@ -100,6 +100,41 @@ object BitmapExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** bitmapSubsetInRange(bm, start, end) — values in [start, end);
+    * bitmapSubsetLimit(bm, start, limit) — up to `limit` smallest values
+    * ≥ start; subBitmap(bm, offset, limit) — skip `offset` smallest
+    * values, take the next `limit` (ref FunctionsBitmap.h
+    * BitmapSubsetInRangeImpl / BitmapSubsetLimitImpl /
+    * BitmapSubsetOffsetLimitImpl). */
+  case class BitmapSubset(first: Expression, second: Expression,
+      third: Expression, op: String)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = op
+    override def nullSafeEval(b: Any, x: Any, y: Any): Any = {
+      val values = Bitmap.toArray(
+        Bitmap.deserialize(b.asInstanceOf[Array[Byte]]))
+      def asLong(v: Any): Long = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case bt: Byte => bt.toLong
+      }
+      val a = asLong(x); val c = asLong(y)
+      val out = op match {
+        case "subsetInRange" => values.filter(v => v >= a && v < c)
+        case "subsetLimit" => values.filter(_ >= a).take(c.toInt)
+        case "subBitmap" => values.drop(a.toInt).take(c.toInt)
+      }
+      Bitmap.serialize(Bitmap.fromValues(out))
+    }
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): BitmapSubset =
+      copy(first = f, second = s, third = t)
+  }
+
   // ---- Column API ----
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -120,4 +155,10 @@ object BitmapExprs {
   def bitmapHasAny(a: Column, b: Column): Column = c(BitmapBinary(e(a), e(b), "hasAny"))
   def bitmapHasAll(a: Column, b: Column): Column = c(BitmapBinary(e(a), e(b), "hasAll"))
   def bitmapContains(bm: Column, v: Column): Column = c(BitmapContains(e(bm), e(v)))
+  def bitmapSubsetInRange(bm: Column, a: Column, b: Column): Column =
+    c(BitmapSubset(e(bm), e(a), e(b), "subsetInRange"))
+  def bitmapSubsetLimit(bm: Column, a: Column, b: Column): Column =
+    c(BitmapSubset(e(bm), e(a), e(b), "subsetLimit"))
+  def subBitmap(bm: Column, a: Column, b: Column): Column =
+    c(BitmapSubset(e(bm), e(a), e(b), "subBitmap"))
 }

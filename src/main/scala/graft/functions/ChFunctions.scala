@@ -757,6 +757,52 @@ object ch {
   def countMatches(s: Column, re: String): Column =
     size(regexp_extract_all(s, lit(re), lit(0))).cast("bigint")
 
+  /** formatReadable* family (ref src/Common/formatReadable.cpp): divide
+    * by `delim` while |v| ≥ delim and a bigger unit exists, print with 2
+    * fixed decimals and NO thousands separators, append the unit. */
+  private def formatReadable(v: Column, units: Seq[String],
+      delim: Double): Column = {
+    val d = v.cast("double")
+    val lastIdx = units.size - 1
+    units.zipWithIndex.foldRight(lit(null).cast("string")) {
+      case ((u, i), els) =>
+        val scaled = format_string("%.2f", d / math.pow(delim, i))
+        if (i == lastIdx) concat(scaled, lit(u))
+        else when(abs(d) < math.pow(delim, i + 1), concat(scaled, lit(u)))
+          .otherwise(els)
+    }
+  }
+  def formatReadableQuantity(v: Column): Column =
+    formatReadable(v, Seq("", " thousand", " million", " billion",
+      " trillion", " quadrillion"), 1000.0)
+  def formatReadableDecimalSize(v: Column): Column =
+    formatReadable(v, Seq(" B", " KB", " MB", " GB", " TB", " PB", " EB",
+      " ZB", " YB"), 1000.0)
+
+  /** defaultValueOfArgumentType (ref
+    * src/Functions/defaultValueOfArgumentType.cpp): the type's default —
+    * zero / empty string / epoch date-time / empty array or map / tuple
+    * of field defaults (00461 pins the nested shapes). */
+  def defaultValueOfType(t: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType => lit(0).cast(t)
+      case d: DecimalType => lit(0).cast(d)
+      case DateType => lit("1970-01-01").cast("date")
+      case TimestampType => lit(0).cast("timestamp")
+      case TimestampNTZType => lit("1970-01-01 00:00:00").cast(t)
+      case ArrayType(et, n) => array().cast(ArrayType(et, n))
+      case m: MapType => map_from_arrays(array().cast(ArrayType(m.keyType)),
+        array().cast(ArrayType(m.valueType)))
+      case StructType(fields) => struct(fields.map(fl =>
+        defaultValueOfType(fl.dataType).as(fl.name)): _*)
+      case other => lit(null).cast(other)
+    }
+  }
+
   /** dateName(part, d) → the named/numbered part as a string. */
   def dateName(part: String, d: Column): Column = part.toLowerCase match {
     case "year" => date_format(d, "yyyy")

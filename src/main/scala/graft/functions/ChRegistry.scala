@@ -1378,6 +1378,12 @@ object ChRegistry {
     f1("bin")(ch.binCh)
     f1("unbin")(ch.unbinCh)
     f("extractGroups") { case Seq(s, re) => ch.extractGroups(C(s), litStr(re)) }
+    f("fuzzBits") { case Seq(s, p) =>
+      FuzzBits.fuzzBits(C(s), C(p).cast("double")) }
+    f1("formatReadableQuantity")(ch.formatReadableQuantity)
+    f1("formatReadableDecimalSize")(ch.formatReadableDecimalSize)
+    f("defaultValueOfArgumentType") { case Seq(x) =>
+      ch.defaultValueOfType(x.dataType) }
     f("dateName") {
       case Seq(p, d) => ch.dateName(litStr(p), C(d))
       case Seq(p, d, tz) =>
@@ -2628,6 +2634,10 @@ object ChRegistry {
     // end-of-string position; Java's find() does — drop that one match.
     def chGroups(s: Column, pat: String): Seq[Column] = {
       val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+      // zero capture groups is an error in the reference (serverError 36,
+      // extractAllGroups.h checkArguments)
+      require(n >= 1,
+        s"pattern '$pat' has no capture groups (extractAllGroups needs >= 1)")
       val dropLast = java.util.regex.Pattern.matches(pat, "")
       (1 to n).map { g =>
         val a = regexp_extract_all(s, lit(pat), lit(g))
@@ -2638,6 +2648,13 @@ object ChRegistry {
       array(chGroups(C(s), litStr(re)): _*)
     }
     f("extractAllGroupsVertical") { case Seq(s, re) =>
+      val groups = chGroups(C(s), litStr(re))
+      transform(sequence(lit(1), size(groups.head)), i =>
+        array(groups.map(g => element_at(g, i)): _*))
+    }
+    // bare extractAllGroups is the Vertical form (ref extractAllGroups.h
+    // VerticalImpl alias registration)
+    f("extractAllGroups") { case Seq(s, re) =>
       val groups = chGroups(C(s), litStr(re))
       transform(sequence(lit(1), size(groups.head)), i =>
         array(groups.map(g => element_at(g, i)): _*))
