@@ -2220,11 +2220,22 @@ object ChSql {
     s = replaceOutsideStrings(s, "\\(\\s*(\\w+)\\s*\\)\\s*->", "$1 ->")
     // INTERVAL <expr> UNIT with a non-literal quantity (CH allows any
     // expression) → unit interval scaled by the expression
+    // interval string-literal forms: INTERVAL '2' year / INTERVAL
+    // '2 year' (CH parses both; Spark's ANSI form rejects week/quarter)
+    s = s.replaceAll("(?i)\\bINTERVAL\\s+'(-?\\d+)'\\s+(\\w+)",
+      "INTERVAL $1 $2")
+    s = s.replaceAll("(?i)\\bINTERVAL\\s+'(-?\\d+)\\s+(\\w+)'",
+      "INTERVAL $1 $2")
     s = replaceFnOutsideStrings(s,
       "(?i)\\bINTERVAL\\s+([^'()][^()]*?)\\s+" +
         "(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\\b") { mm =>
       val q = mm.group(1).trim
-      if (q.matches("-?\\d+")) mm.matched
+      val unit = mm.group(2).toLowerCase
+      // WEEK/QUARTER are CH interval units Spark can't display; route
+      // through the registered toIntervalWeek/Quarter (unit-tagged)
+      if (unit == "quarter") s"toIntervalQuarter($q)"
+      else if (unit == "week") s"toIntervalWeek($q)"
+      else if (q.matches("-?\\d+")) mm.matched
       else s"(INTERVAL 1 ${mm.group(2)} * ($q))"
     }
     // infix MOD keyword (MySQL-compat operator; the MOD(a,b) call form

@@ -446,6 +446,10 @@ object ChOutputFormats {
     case (d: java.math.BigDecimal, t: DecimalType) if t.scale == 0 =>
       if (quote64) "\"" + d.stripTrailingZeros.toPlainString + "\""
       else d.stripTrailingZeros.toPlainString
+    // scaled decimals print as plain numbers, trailing zeros stripped
+    // (output_format_json_quote_decimals defaults to 0 — 00700 rows)
+    case (d: java.math.BigDecimal, _: DecimalType) =>
+      d.stripTrailingZeros.toPlainString
     case (d: java.lang.Double, _) =>
       if (d.isNaN) "nan"
       else if (d.isInfinite) (if (d > 0) "inf" else "-inf")

@@ -186,6 +186,15 @@ object ChRegistry {
     tzf("toHour")(ch.toHour); tzf("toMinute")(ch.toMinute)
     tzf("toSecond")(ch.toSecond)
     tzf("toStartOfYear")(ch.toStartOfYear)
+    // Monday of the ISO week containing Jan 4 of the value's ISO year
+    // (ref DateLUTImpl.h toFirstDayNumOfISOYear): the ISO year is the
+    // calendar year of the week's Thursday; weekday() is Monday=0
+    tzf("toStartOfISOYear") { c =>
+      val d = c.cast("date")
+      val isoYear = year(date_add(d, lit(3) - weekday(d)))
+      val jan4 = make_date(isoYear, lit(1), lit(4))
+      date_sub(jan4, weekday(jan4))
+    }
     tzf("toStartOfQuarter")(ch.toStartOfQuarter)
     tzf("toStartOfMonth")(ch.toStartOfMonth)
     // toStartOfWeek's optional 2nd arg is a WEEK MODE (default 0 =
@@ -248,11 +257,54 @@ object ChRegistry {
     f1("toRelativeDayNum")(ch.toRelativeDayNum)
     f1("toRelativeHourNum")(ch.toRelativeHourNum)
     f1("toRelativeMinuteNum")(ch.toRelativeMinuteNum)
+    // year*12 + month / year*4 + (month-1)/3 (ref DateLUTImpl.h:901-913)
+    f1("toRelativeMonthNum")(c =>
+      (year(c.cast("date")) * lit(12) + month(c.cast("date"))).cast("int"))
+    f1("toRelativeQuarterNum")(c =>
+      (year(c.cast("date")) * lit(4) +
+        floor((month(c.cast("date")) - lit(1)) / lit(3))).cast("int"))
     f1("monthName")(ch.monthName)
     f("formatDateTime") {
       case Seq(c, fmt) => ch.formatDateTime(C(c), litStr(fmt))
       case Seq(c, fmt, tz) => ch.formatDateTime(
         from_utc_timestamp(C(c), litStr(tz)), litStr(fmt))
+    }
+    // parseDateTime = MySQL %-format parse; InJodaSyntax = Joda patterns
+    // (≈ java.time — Spark's native formatter) (ref parseDateTime.cpp)
+    locally {
+      def parse1(s: Column, fmt: String, tz: Option[String],
+          joda: Boolean): Column = {
+        val jf = if (joda) fmt else ch.mysqlToJavaFormat(fmt)
+        val t = try_to_timestamp(s, lit(jf))
+        tz.map(z => to_utc_timestamp(t, z)).getOrElse(t)
+      }
+      def reg(name: String, joda: Boolean): Unit = {
+        f(name) {
+          case Seq(s, fmt) => parse1(C(s), litStr(fmt), None, joda)
+          case Seq(s, fmt, tz) =>
+            parse1(C(s), litStr(fmt), Some(litStr(tz)), joda)
+        }
+        f(name + "OrNull") {
+          case Seq(s, fmt) => parse1(C(s), litStr(fmt), None, joda)
+          case Seq(s, fmt, tz) =>
+            parse1(C(s), litStr(fmt), Some(litStr(tz)), joda)
+        }
+        f(name + "OrZero") {
+          case Seq(s, fmt) => coalesce(parse1(C(s), litStr(fmt), None, joda),
+            lit(0).cast("timestamp"))
+          case Seq(s, fmt, tz) => coalesce(
+            parse1(C(s), litStr(fmt), Some(litStr(tz)), joda),
+            lit(0).cast("timestamp"))
+        }
+      }
+      reg("parseDateTime", joda = false)
+      reg("parseDateTimeInJodaSyntax", joda = true)
+      f("fromUnixTimestampInJodaSyntax") {
+        case Seq(t, fmt) =>
+          date_format(timestamp_seconds(C(t).cast("bigint")), litStr(fmt))
+        case Seq(t, fmt, tz) => date_format(from_utc_timestamp(
+          timestamp_seconds(C(t).cast("bigint")), litStr(tz)), litStr(fmt))
+      }
     }
 
     // arithmetic / rounding
@@ -1365,11 +1417,19 @@ object ChRegistry {
     f1("toIntervalMinute")(n => n.cast("int").cast("interval minute"))
     f1("toIntervalHour")(n => n.cast("int").cast("interval hour"))
     f1("toIntervalDay")(n => n.cast("int").cast("interval day"))
-    f1("toIntervalWeek")(n =>
-      make_dt_interval(n * lit(7), lit(0), lit(0), lit(0)))
+    // Week/Quarter have no Spark interval unit — they ride DAY/MONTH
+    // storage with a ChIntervalTag so the golden formatter prints the
+    // COUNT in the CH unit (CH bare-interval display)
+    f1("toIntervalWeek")(n => C(ChIntervalTag(
+      E(make_dt_interval(n * lit(7), lit(0), lit(0), lit(0))
+        .cast("interval day")), 7)))
     f1("toIntervalMonth")(n => make_ym_interval(lit(0), n))
-    f1("toIntervalQuarter")(n => make_ym_interval(lit(0), n * lit(3)))
-    f1("toIntervalYear")(n => make_ym_interval(n, lit(0)))
+    f1("toIntervalQuarter")(n => C(ChIntervalTag(
+      E(make_ym_interval(lit(0), n * lit(3))), 3)))
+    // cast pins the YEAR end field so the display prints years, not
+    // total months (make_ym_interval alone types as YEAR TO MONTH)
+    f1("toIntervalYear")(n =>
+      make_ym_interval(n, lit(0)).cast("interval year"))
 
     // wave 2: binary repr, regexp groups, date parts, map algebra,
     // array norms/AUC, JSON raw (ref FunctionsBinaryRepresentation.cpp,
@@ -1472,6 +1532,26 @@ object ChRegistry {
 
     // text-analysis extras (ref FunctionsLanguageClassification.cpp)
     f1("detectLanguage")(TextAnalysis.languageId)
+    f1("extractTextFromHTML")(HtmlText.extractTextFromHTML)
+    f("URLHash") {
+      case Seq(u) => UrlHash.urlHashCol(C(u), None)
+      case Seq(u, l) => UrlHash.urlHashCol(C(u), Some(C(l).cast("bigint")))
+    }
+    // leadInFrame/lagInFrame map to lead/lag — identical under the
+    // UNBOUNDED..UNBOUNDED frames the reference tests use; a narrower
+    // frame would clip in CH (documented divergence, window chapter)
+    f("leadInFrame") {
+      case Seq(x) => lead(C(x), 1)
+      case Seq(x, o) => lead(C(x), litInt(o))
+      case Seq(x, o, d) =>
+        coalesce(lead(C(x), litInt(o)), C(d))
+    }
+    f("lagInFrame") {
+      case Seq(x) => lag(C(x), 1)
+      case Seq(x, o) => lag(C(x), litInt(o))
+      case Seq(x, o, d) =>
+        coalesce(lag(C(x), litInt(o)), C(d))
+    }
     // tokens splits on ASCII non-alphanumeric runs only: every byte
     // ≥ 0x80 is a token byte, so ZWNJ and combining marks stay inside
     // their token (ref SplitTokenExtractor::nextInString —
@@ -2372,11 +2452,29 @@ object ChRegistry {
     f("char")(es => concat(es.map(e => call_function("chr", C(e))): _*))
     f("concatWithSeparator") { case sep +: rest =>
       concat_ws(litStr(sep), rest.map(C): _*) }
-    // CH format('{} and {}', a, b) — positional {} placeholders
+    // CH format('{} and {}', a, b) — {} fills positionally, {N} is an
+    // explicit 0-based index that may repeat (ref Common/format.h)
     f("format") { case fmt +: args =>
-      call_function("format_string",
-        (lit(litStr(fmt).replace("%", "%%").replace("{}", "%s"))
-          +: args.map(C)): _*) }
+      val raw = litStr(fmt)
+      val sb = new StringBuilder
+      var next = 0
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '%') { sb.append("%%"); i += 1 }
+        else if (c == '{') {
+          val close = raw.indexOf('}', i)
+          val inner = if (close > i) raw.substring(i + 1, close) else null
+          if (inner != null && inner.isEmpty) {
+            sb.append("%").append(next + 1).append("$s"); next += 1
+            i = close + 1
+          } else if (inner != null && inner.forall(_.isDigit)) {
+            sb.append("%").append(inner.toInt + 1).append("$s")
+            i = close + 1
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      call_function("format_string", (lit(sb.toString) +: args.map(C)): _*) }
     f1("countDigits")(c =>
       length(regexp_replace(abs(c).cast("string"), "[.\\-]", "")))
     // intHash32 = the salted 32-bit finalizer over the zero-extended
@@ -2783,6 +2881,15 @@ object ChRegistry {
 
     // misc quick names
     f1("toDateTimeOrNull")(c => c.try_cast("timestamp"))
+    f1("toDateTimeOrZero")(c => coalesce(c.try_cast("timestamp"),
+      lit(0).cast("timestamp")))
+    // the session runs pinned to UTC, and every stored value carries it
+    f1("timeZoneOf")(_ => lit("UTC"))
+    f1("timezoneOf")(_ => lit("UTC"))
+    // IPv4NumToStringClassC masks the last octet (ref
+    // FunctionsCoding.h IPv4NumToStringClassCImpl: mask_tail_octets=1)
+    f1("IPv4NumToStringClassC")(c => concat(
+      substring_index(ch.ipv4NumToString(c), ".", 3), lit(".xxx")))
     f1("toDateOrNull")(c => c.try_cast("date"))
     f("truncate") {
       case Seq(a) => signum(C(a)) * floor(abs(C(a)))

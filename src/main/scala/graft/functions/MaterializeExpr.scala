@@ -97,3 +97,21 @@ object ChIsConstantRule
     }
   }
 }
+
+/** Display-unit tag for CH Interval types that Spark's interval types
+  * can't encode (Week rides DayTimeInterval as 7n days, Quarter rides
+  * YearMonthInterval as 3n months). Identity at execution; the golden
+  * formatter walks the ANALYZED plan for this tag and divides the
+  * printed count by `divisor` (CH shows a bare Interval as its COUNT in
+  * the declared unit — ref DataTypeInterval serialization). */
+case class ChIntervalTag(child: Expression, divisor: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = child.foldable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def withNewChildInternal(c: Expression): ChIntervalTag =
+    copy(child = c)
+  override def prettyName: String = "chIntervalUnit"
+}

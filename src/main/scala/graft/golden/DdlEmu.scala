@@ -26,7 +26,14 @@ object DdlEmu {
   private val truncateRe =
     "(?is)^TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*$".r
   private val insertRe =
-    "(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?\\s*(\\([^)]*\\))?\\s*(VALUES\\s*\\(.*|SELECT\\b.*|WITH\\b.*)$".r
+    "(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?\\s*(\\([^)]*\\))?\\s*(VALUES\\s*\\(.*|SELECT\\b.*|WITH\\b.*|FORMAT\\s+\\w+.*)$".r
+  // lightweight mutations (ref src/Interpreters/MutationsInterpreter.cpp:
+  // a mutation is a SELECT rewriting the affected columns) — storage
+  // rewrite is irrelevant here, the view is rebuilt over the same rows
+  private val alterUpdateRe =
+    "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
+  private val alterDeleteRe =
+    "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+DELETE\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
   private val createDbRe =
     "(?is)^CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?(\\w+)`?\\s*(?:ENGINE\\s*=.*)?$".r
   private val dropDbRe =
@@ -92,15 +99,59 @@ object DdlEmu {
         decls(name) = d
         register(spark, name, emptyDf(spark, d))
         true
+      case alterUpdateRe(name, assigns, cond) =>
+        val target = spark.table(name)
+        val assigned = splitTop(assigns).map { a =>
+          val eq = a.indexOf('=')
+          a.take(eq).trim.stripPrefix("`").stripSuffix("`") ->
+            a.drop(eq + 1).trim
+        }.toMap
+        val items = target.schema.fieldNames.map { n =>
+          assigned.get(n) match {
+            case Some(e) =>
+              // the branch value keeps the declared column type
+              s"CAST(CASE WHEN ($cond) THEN ($e) ELSE `$n` END AS " +
+                s"${target.schema(n).dataType.sql}) AS `$n`"
+            case None => s"`$n`"
+          }
+        }
+        register(spark, name, graft.ChSql.sql(spark,
+          s"SELECT ${items.mkString(", ")} FROM `$name`", sfDir))
+        true
+      case alterDeleteRe(name, cond) =>
+        // NULL condition = not deleted (CH treats it as 0)
+        register(spark, name, graft.ChSql.sql(spark,
+          s"SELECT * FROM `$name` WHERE NOT ($cond) OR ($cond) IS NULL",
+          sfDir))
+        true
       case insertRe(name, colList, body) =>
         val target = spark.table(name)
         val names = Option(colList)
           .map(_.stripPrefix("(").stripSuffix(")")
             .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
           .getOrElse(target.schema.fieldNames.toSeq)
+        val fmtBody =
+          "(?is)^FORMAT\\s+(\\w+)\\s+(.*)$".r.findFirstMatchIn(body.trim)
         val rows0 =
           if (body.trim.toUpperCase.startsWith("VALUES"))
             valuesDf(spark, sfDir, body.trim.drop(6).trim, names.length)
+          else if (fmtBody.isDefined) {
+            // inline-data INSERT (`INSERT INTO t FORMAT CSV 1,2`): the
+            // payload rides the DescFormat VALUES-subquery machinery;
+            // backslashes are protected because the payload is raw text,
+            // not a CH string literal
+            val fmt = fmtBody.get.group(1)
+            val payload = fmtBody.get.group(2)
+            if (fmt.equalsIgnoreCase("Values"))
+              valuesDf(spark, sfDir, payload.trim, names.length)
+            else {
+              val sub = graft.formats.DescFormat.selectSql(fmt,
+                payload.replace("\\", "\\\\"),
+                Map.empty[String, String]).getOrElse(
+                sys.error(s"INSERT FORMAT $fmt: unsupported inline format"))
+              spark.sql(s"SELECT * FROM $sub __fmt_ins")
+            }
+          }
           else graft.ChSql.sql(spark, body.trim, sfDir)
         // cast by position to the declared column types, fill unnamed
         // columns with CH type defaults (0 / '' / zero-date); positional

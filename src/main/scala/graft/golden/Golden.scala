@@ -129,25 +129,59 @@ object Golden {
     import org.apache.spark.sql.types.{DayTimeIntervalType => DT,
       YearMonthIntervalType => YM}
     val units = df.schema.fields.map(_.dataType).toIndexedSeq
-    def one(v: Any, dt: org.apache.spark.sql.types.DataType): String =
+    // Week/Quarter tags (ChIntervalTag): CH units Spark's interval types
+    // can't encode — recover the display divisor from the analyzed plan
+    val divisors: IndexedSeq[Int] = try {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+      val analyzed = df.queryExecution.analyzed
+      // alias exprId → divisor, anywhere in the plan (ChSql wraps the
+      // user Project in resort/blanket layers, so walk the whole tree
+      // and resolve output attributes by exprId)
+      import org.apache.spark.sql.catalyst.expressions.{Expression,
+        SubqueryExpression}
+      def findTag(e: Expression): Option[Int] =
+        e.collectFirst { case t: graft.functions.ChIntervalTag =>
+          t.divisor }.orElse {
+          // `(SELECT toIntervalQuarter(5)) AS x`: the tag lives in the
+          // subquery's own plan
+          e.collectFirst { case ss: SubqueryExpression => ss }.flatMap {
+            ss => ss.plan.collect {
+              case p: Project => p.projectList
+            }.flatten.flatMap(findTag).headOption
+          }
+        }
+      val byId: Map[Long, Int] = analyzed.collect {
+        case p: Project => p.projectList
+        case a: Aggregate => a.aggregateExpressions
+      }.flatten.flatMap {
+        case al: Alias => findTag(al).map(al.exprId.id -> _)
+        case _ => None
+      }.toMap
+      analyzed.output.map(a => byId.getOrElse(a.exprId.id, 1)).toIndexedSeq
+    } catch { case _: Throwable => df.schema.fields.toIndexedSeq.map(_ => 1) }
+    def one(v: Any, dt: org.apache.spark.sql.types.DataType,
+        divisor: Int): String =
       (v, dt) match {
         case (d: java.time.Duration, t: DT) =>
           val s = d.getSeconds
-          (t.endField match {
+          ((t.endField match {
             case DT.DAY => s / 86400
             case DT.HOUR => s / 3600
             case DT.MINUTE => s / 60
             case _ => s
-          }).toString
+          }) / divisor).toString
         case (p: java.time.Period, t: YM) =>
-          (t.endField match {
+          ((t.endField match {
             case YM.YEAR => p.toTotalMonths / 12
             case _ => p.toTotalMonths
-          }).toString
+          }) / divisor).toString
         case _ => fmt(v)
       }
     df.collect().toSeq.map(r =>
-      r.toSeq.zip(units).map { case (v, dt) => one(v, dt) }.mkString("\t"))
+      r.toSeq.zip(units).zipWithIndex.map { case ((v, dt), i) =>
+        one(v, dt, if (i < divisors.size) divisors(i) else 1)
+      }.mkString("\t"))
   }
 
   /** Split on top-level `UNION ALL` (outside parens/strings): each
