@@ -14,16 +14,22 @@ object ProfGolden {
       if (args.length > 1) args(1) else "/tmp/golden_results.txt")
     def clean(s: String): String =
       s.filter(c => c >= 32 && c < 127).take(1500)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // cached (unbounded) pool: a hung file leaks its thread, and the
+    // fixed-size global EC would eventually refuse to START new futures,
+    // hanging the whole sweep on Await
+    implicit val sweepEc: ExecutionContext =
+      ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newCachedThreadPool(r => {
+          val t = new Thread(r); t.setDaemon(true); t
+        }))
     def rebuild(): Unit = {
-      try { spark.sparkContext.cancelAllJobs(); spark.stop() }
+      // cancel only — spark.stop() BLOCKS while an abandoned timed-out
+      // collect is still in flight (observed hang); a poisoned session
+      // ends the chunk via JVM exit and the outer loop restarts
+      try spark.sparkContext.cancelAllJobs()
       catch { case _: Throwable => }
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      spark = Engine.session()
-      spark.sparkContext.setLogLevel("ERROR")
     }
     def runOne(path: String): Either[String, (Seq[String], Seq[String])] =
       try {

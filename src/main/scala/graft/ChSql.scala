@@ -2666,6 +2666,10 @@ object ChSql {
     // an ALIAS named dummy (… AS dummy) keeps its name.
     s = replaceOutsideStrings(s, "(?i)(?<!\\bAS\\s)(?<![\\w.`])dummy(?![\\w`])",
       "(CAST(0 AS TINYINT))")
+    // FROM-less `SELECT * WHERE …`: the implicit source is system.one,
+    // so `*` is its single dummy column (prints 0 when the filter passes)
+    s = replaceOutsideStrings(s, "(?i)\\bSELECT\\s+\\*\\s+WHERE\\b",
+      "SELECT (CAST(0 AS TINYINT)) AS dummy WHERE")
     // CH allows an unparenthesized USING column list
     s = replaceOutsideStrings(s,
       "(?i)\\bUSING\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)",

@@ -42,7 +42,8 @@ object ChOutputFormats {
 
   private val others = Set("vertical", "values", "csv", "csvwithnames",
     "tsvraw", "tabseparatedraw", "jsoneachrow", "lineasstring",
-    "json", "jsoncompact", "jsonstrings", "jsoncompactstrings")
+    "json", "jsoncompact", "jsonstrings", "jsoncompactstrings",
+    "xml", "markdown")
 
   def supports(fmt: String): Boolean = {
     val f = fmt.toLowerCase
@@ -85,6 +86,16 @@ object ChOutputFormats {
         val esc = ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
         val q64 = ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
         bs.flatten.map(jsonEachRow(schema, _, esc, q64))
+      // ref Processors/Formats/Impl/MarkdownRowOutputFormat.cpp: header,
+      // alignment row (numbers right), then TSV-style cells
+      case "markdown" =>
+        val header = "| " + schema.fieldNames.mkString(" | ") + " |"
+        val align = "|" + schema.fields.map(f =>
+          if (alignRight(f.dataType)) "-:" else ":-").mkString("|") + "|"
+        header +: align +: bs.flatten.map(r => "| " + r.toSeq.map {
+          case null => "\\N"
+          case v => cell(v)
+        }.mkString(" | ") + " |")
       case other => sys.error(s"unsupported format $other")
     }
   }
@@ -484,6 +495,86 @@ object ChOutputFormats {
     * Statistics are emitted only when output_format_write_statistics=1 —
     * the golden tests disable it. The *Strings variants render every
     * value in its text form. */
+  /** FORMAT XML (ref Processors/Formats/Impl/XMLRowOutputFormat.cpp):
+    * tab-indented document — meta columns with CH type names, `<row>`
+    * fields named by the column when it is a valid XML name (else
+    * `<field>`), arrays/tuples as `<array>/<tuple>` with `<elem>`
+    * children, only `&` and `<` escaped, extremes/totals sections, and
+    * the rows counters. Statistics are omitted (the pinned tests set
+    * output_format_write_statistics = 0). */
+  def renderXmlDoc(schema: StructType, rows: Seq[Row],
+      names: Seq[String], types: Seq[String], totals: Option[Row],
+      extremes: Option[(Row, Row)],
+      rowsBeforeLimit: Option[Long]): Seq[String] = {
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+    def tagOf(name: String): String =
+      if (name.matches("[A-Za-z_][A-Za-z0-9_.-]*")) name else "field"
+    def xmlVal(v: Any, dt: DataType): String = (v, dt) match {
+      case (null, _) => ""
+      case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
+        "<array>" + a.map(e => "<elem>" + xmlVal(e, et) + "</elem>")
+          .mkString + "</array>"
+      case (r: Row, StructType(fs)) =>
+        "<tuple>" + r.toSeq.zip(fs.toSeq).map { case (e, fl) =>
+          "<elem>" + xmlVal(e, fl.dataType) + "</elem>" }
+          .mkString + "</tuple>"
+      case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
+        "<map>" + m.map { case (k, x) =>
+          "<elem><key>" + esc(cell(k)) + "</key><value>" +
+            xmlVal(x, vt) + "</value></elem>" }.mkString + "</map>"
+      case (other, _) => esc(cell(other))
+    }
+    val sb = new StringBuilder
+    sb.append("<?xml version='1.0' encoding='UTF-8' ?>\n")
+    sb.append("<result>\n\t<meta>\n\t\t<columns>\n")
+    names.zip(types).foreach { case (n, t) =>
+      sb.append("\t\t\t<column>\n")
+      sb.append("\t\t\t\t<name>").append(esc(n)).append("</name>\n")
+      sb.append("\t\t\t\t<type>").append(esc(t)).append("</type>\n")
+      sb.append("\t\t\t</column>\n")
+    }
+    sb.append("\t\t</columns>\n\t</meta>\n")
+    def section(tag: String, rs: Seq[Row], indent: String): Unit = {
+      rs.foreach { r =>
+        sb.append(indent).append("<").append(tag).append(">\n")
+        r.toSeq.zip(schema.fields.toSeq).zip(names).foreach {
+          case ((v, f), n) =>
+            val tg = tagOf(n)
+            sb.append(indent).append("\t<").append(tg).append(">")
+              .append(xmlVal(v, f.dataType))
+              .append("</").append(tg).append(">\n")
+        }
+        sb.append(indent).append("</").append(tag).append(">\n")
+      }
+    }
+    sb.append("\t<data>\n")
+    section("row", rows, "\t\t")
+    sb.append("\t</data>\n")
+    totals.foreach { t =>
+      sb.append("\t<totals>\n")
+      t.toSeq.zip(schema.fields.toSeq).zip(names).foreach {
+        case ((v, f), n) =>
+          val tg = tagOf(n)
+          sb.append("\t\t<").append(tg).append(">")
+            .append(xmlVal(v, f.dataType)).append("</").append(tg)
+            .append(">\n")
+      }
+      sb.append("\t</totals>\n")
+    }
+    extremes.foreach { case (mn, mx) =>
+      sb.append("\t<extremes>\n")
+      section("min", Seq(mn), "\t\t")
+      section("max", Seq(mx), "\t\t")
+      sb.append("\t</extremes>\n")
+    }
+    sb.append("\t<rows>").append(rows.size).append("</rows>\n")
+    rowsBeforeLimit.foreach(n =>
+      sb.append("\t<rows_before_limit_at_least>").append(n)
+        .append("</rows_before_limit_at_least>\n"))
+    sb.append("</result>")
+    sb.toString.split("\n", -1).toSeq
+  }
+
   def renderJsonDoc(fmt: String, schema: StructType, rows: Seq[Row],
       ctx: Ctx, names: Seq[String], types: Seq[String],
       totals: Option[Row], extremes: Option[(Row, Row)],

@@ -468,7 +468,7 @@ object Golden {
         val ctx = graft.formats.ChOutputFormats.Ctx(k =>
           settings.get(k).map(_.stripPrefix("'").stripSuffix("'")))
         val jsonDoc = Set("json", "jsoncompact", "jsonstrings",
-          "jsoncompactstrings")(fmt.toLowerCase)
+          "jsoncompactstrings", "xml")(fmt.toLowerCase)
         if (jsonDoc) {
           // the JSON document formats carry meta (CH names + types),
           // totals/extremes sections, and rows_before_limit_at_least
@@ -501,7 +501,11 @@ object Golden {
                 graft.ChSql.sqlSplit(spark, noLimit, sfDir)._1.count())
                 .toOption
             } else None
-          out ++= graft.formats.ChOutputFormats.renderJsonDoc(
+          if (fmt.equalsIgnoreCase("xml"))
+            out ++= graft.formats.ChOutputFormats.renderXmlDoc(
+              schema, rows, names, types,
+              totalsRows.flatMap(_.headOption), extremes, rowsBeforeLimit)
+          else out ++= graft.formats.ChOutputFormats.renderJsonDoc(
             fmt, schema, rows, ctx, names, types,
             totalsRows.flatMap(_.headOption), extremes, rowsBeforeLimit)
         } else {
