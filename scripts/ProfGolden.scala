@@ -31,13 +31,17 @@ object ProfGolden {
       try spark.sparkContext.cancelAllJobs()
       catch { case _: Throwable => }
     }
+    // each timeout leaks a (possibly CPU-spinning) abandoned thread —
+    // after a few the JVM is saturated; bail out and let the outer loop
+    // restart a clean JVM from the remaining files
+    var timeouts = 0
     def runOne(path: String): Either[String, (Seq[String], Seq[String])] =
       try {
         val s0 = spark
         val fut = Future(golden.Golden.runFile(s0, path, sfDir))
         try Right(Await.result(fut, 60.seconds))
         catch { case _: java.util.concurrent.TimeoutException =>
-          rebuild(); Left("TIMEOUT 60s") }
+          rebuild(); timeouts += 1; Left("TIMEOUT 60s") }
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName)
           .replace('\n', ' ').trim)

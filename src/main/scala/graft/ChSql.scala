@@ -786,6 +786,12 @@ object ChSql {
       "IntervalYear" -> "BIGINT")
     for ((a, b) <- words)
       s = replaceOutsideStrings(s, s"(?<![\\w])$a\\b", b)
+    // tz-argument forms carry a STRING LITERAL, which splits the
+    // outside-strings segmentation — match them with a plain replace
+    // first, then the bare names segment-safely
+    s = s.replaceAll("\\bDateTime64\\s*\\(\\s*\\d+\\s*,\\s*'[^']*'\\s*\\)",
+      "TIMESTAMP")
+    s = s.replaceAll("\\bDateTime\\s*\\(\\s*'[^']*'\\s*\\)", "TIMESTAMP")
     s = replaceOutsideStrings(s,
       "\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,[^)]*)?\\)", "TIMESTAMP")
     s = replaceOutsideStrings(s,
@@ -3192,14 +3198,16 @@ object ChSql {
   /** Replace NULLs with CH type defaults in every column — the CH
     * join_use_nulls=0 contract: non-matched outer-join columns carry the
     * type's default value, not NULL (ref Settings.h join_use_nulls). */
-  private[graft] def fillJoinDefaults(df: DataFrame): DataFrame = {
+  private[graft] def fillJoinDefaults(df: DataFrame,
+      skip: String => Boolean = _ => false): DataFrame = {
     import org.apache.spark.sql.functions.coalesce
     // positional attribute refs — SELECT * over a self-join produces
     // duplicate column NAMES that name-based refs can't address
     val attrs = df.queryExecution.analyzed.output
     df.select(attrs.map { a =>
       val base = org.apache.spark.sql.graftbridge.ColumnBridge.column(a)
-      defaultLit(a.dataType)
+      if (skip(a.name)) base
+      else defaultLit(a.dataType)
         .map(d => coalesce(base, d).as(a.name)).getOrElse(base)
     }.toSeq: _*)
   }

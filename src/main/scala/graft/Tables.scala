@@ -106,9 +106,12 @@ object Tables {
     * nine views (round 6 lost 8 unrelated correctness rows to a single
     * failing table in this loop).
     */
-  def register(spark: SparkSession, dir: String): Unit =
-    if (registeredDirs.put(spark, dir) != dir)
-      names.foreach { n =>
+  def register(spark: SparkSession, dir: String): Unit = {
+    val fresh = registeredDirs.put(spark, dir) != dir
+    names.foreach { n =>
+      // re-create views a test dropped (golden files DROP TABLE names
+      // that collide with fixtures, e.g. 02421 drops `customer`)
+      if (fresh || !spark.catalog.tableExists(n))
         try {
           val df = load(spark, dir, n)
           validateSchema(n, df)
@@ -117,5 +120,6 @@ object Tables {
           case e: Throwable =>
             System.err.println(s"[tables] failed to register '$n': ${e.getMessage}")
         }
-      }
+    }
+  }
 }

@@ -45,7 +45,17 @@ object ch {
   def toStringCh(c: Column): Column =
     rtrim(c.cast("string"), "\u0000")
   def toDateCh(c: Column): Column = c.cast("date")
-  def toDateTime(c: Column): Column = c.cast("timestamp")
+  /** String DateTime parse treats an all-digit string as a unix
+    * timestamp (ref src/IO/ReadHelpers.h readDateTimeTextImpl: 5th char
+    * not '-' → numeric path); 'YYYY-MM-DD…' parses as text. */
+  def toDateTime(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{expression => EE}
+    val e = EE(c)
+    if (e.resolved && e.dataType == org.apache.spark.sql.types.StringType)
+      when(c.rlike("^\\d+$"), c.cast("bigint").cast("timestamp"))
+        .otherwise(c.cast("timestamp"))
+    else c.cast("timestamp")
+  }
   def toInt64OrNull(c: Column): Column = c.try_cast("bigint")
   def toInt32OrNull(c: Column): Column = c.try_cast("int")
   def toFloat64OrNull(c: Column): Column = c.try_cast("double")
@@ -74,11 +84,14 @@ object ch {
   def toHour(c: Column): Column = hour(c)
   def toMinute(c: Column): Column = minute(c)
   def toSecond(c: Column): Column = second(c)
-  def toStartOfYear(c: Column): Column = date_trunc("year", c)
-  def toStartOfQuarter(c: Column): Column = date_trunc("quarter", c)
-  def toStartOfMonth(c: Column): Column = date_trunc("month", c)
-  def toStartOfWeek(c: Column): Column = date_trunc("week", c)
-  def toMonday(c: Column): Column = date_trunc("week", c)
+  // toStartOfYear/Quarter/Month/toMonday return Date for ANY input in CH
+  // (ref DateTimeTransforms.h: UInt16 execute overloads for all four
+  // input types) — Spark's trunc() carries that DateType result
+  def toStartOfYear(c: Column): Column = trunc(c, "year")
+  def toStartOfQuarter(c: Column): Column = trunc(c, "quarter")
+  def toStartOfMonth(c: Column): Column = trunc(c, "month")
+  def toStartOfWeek(c: Column): Column = trunc(c, "week")
+  def toMonday(c: Column): Column = trunc(c, "week")
   def toStartOfDay(c: Column): Column = date_trunc("day", c)
   def toStartOfHour(c: Column): Column = date_trunc("hour", c)
   def toStartOfMinute(c: Column): Column = date_trunc("minute", c)
@@ -173,6 +186,14 @@ object ch {
           case '%' => "%"; case other => other.toString
         })
         i += 2
+      } else if (f(i).isLetter) {
+        // literal letters must be QUOTED in java.time patterns (a bare
+        // 'T' in '%Y-%m-%dT%H:%M:%SZ' would otherwise be a pattern char)
+        sb.append('\'')
+        while (i < f.length && f(i).isLetter && f(i) != '%') {
+          sb.append(f(i)); i += 1
+        }
+        sb.append('\'')
       } else { sb.append(f(i)); i += 1 }
     }
     sb.toString
@@ -422,10 +443,13 @@ object ch {
   /** previous-element array: [null, a(0), …, a(n-2)] (same length as a) */
   private def shifted(a: Column): Column =
     slice(concat(array(lit(null)), a), lit(1), size(a))
-  def arrayCompact(a: Column): Column =
+  def arrayCompact(a: Column, floating: Boolean = false): Column =
     // remove consecutive duplicates: keep x(i) where i=0 or x(i) differs
     // from x(i-1) under NULL-SAFE equality — CH compacts a NULL run to
-    // one NULL (ref arrayCompact.cpp, pinned by 01025)
+    // one NULL, and compares floats by BIT PATTERN (nan==nan compacts;
+    // only the sign-differing -nan survives, which Spark cannot
+    // represent distinctly — documented divergence). Ref arrayCompact.cpp,
+    // pinned by 01025's nan rows.
     filter(a, (_, i) => i === 0 || !(get(a, i) <=> get(a, i - 1)))
   def arrayFlatten(a: Column): Column = flatten(a)
   def arrayIntersect(a: Column, b: Column): Column = array_intersect(a, b)

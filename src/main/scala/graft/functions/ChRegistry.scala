@@ -498,7 +498,7 @@ object ChRegistry {
       case Seq(a) => ch.arrayUniq(C(a))
       case as => size(array_distinct(arrays_zip(as.map(C): _*)))
     }
-    f1("arrayCompact")(ch.arrayCompact)
+    f1("arrayCompact")(c => ch.arrayCompact(c))
     f1("arrayFlatten")(ch.arrayFlatten)
     // variadic: intersection across all argument arrays
     f("arrayIntersect")(es => es.map(C).reduce(ch.arrayIntersect))
@@ -1514,6 +1514,21 @@ object ChRegistry {
         litStr(d), litStr(a), C(k), C(dv)) }
     f("dictHas") { case Seq(d, k) =>
       graft.operators.Dictionaries.sqlDictHas(litStr(d), C(k)) }
+    // typed dictGetXxx[OrDefault] forms (ref FunctionsExternalDictionaries
+    // registerFunctionsExternalDictionaries): the type suffix is a cast
+    // over the shared probe
+    for ((suffix, t) <- Seq("String" -> "string", "UInt8" -> "smallint",
+      "UInt16" -> "int", "UInt32" -> "bigint", "UInt64" -> "bigint",
+      "Int8" -> "tinyint", "Int16" -> "smallint", "Int32" -> "int",
+      "Int64" -> "bigint", "Float32" -> "float", "Float64" -> "double",
+      "Date" -> "date", "DateTime" -> "timestamp", "UUID" -> "string")) {
+      f(s"dictGet$suffix") { case Seq(d, a, k) =>
+        graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k))
+          .cast(t) }
+      f(s"dictGet${suffix}OrDefault") { case Seq(d, a, k, dv) =>
+        coalesce(graft.operators.Dictionaries.sqlDictGetRaw(
+          litStr(d), litStr(a), C(k)).cast(t), C(dv)) }
+    }
     // hierarchical walks (ref HierarchyDictionariesUtils.h; closures are
     // precomputed at createHierarchicalDictionary, lookups are map probes)
     f("dictGetHierarchy") { case Seq(d, k) =>

@@ -42,9 +42,13 @@ object NicheAggs {
   /** boundingRatio(x, y): slope between the leftmost and rightmost points,
     * (y@max(x) − y@min(x)) / (max(x) − min(x)) (ref
     * AggregateFunctionBoundingRatio.h getBoundingRatio). */
-  def boundingRatio(x: Column, y: Column): Column =
-    (max_by(y, x).cast("double") - min_by(y, x).cast("double")) /
-      (max(x).cast("double") - min(x).cast("double"))
+  def boundingRatio(x: Column, y: Column): Column = {
+    val den = max(x).cast("double") - min(x).cast("double")
+    val num = max_by(y, x).cast("double") - min_by(y, x).cast("double")
+    // single point → 0/0 = nan (ref getBoundingRatio's plain double
+    // division; Spark's Divide yields NULL on zero, so pin it)
+    when(den === 0.0, lit(Double.NaN)).otherwise(num / den)
+  }
 
   /** intervalLengthSum(begin, end): total length of the union of the
     * group's intervals (overlaps merged). Reversed intervals count by

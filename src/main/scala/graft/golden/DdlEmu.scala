@@ -55,6 +55,144 @@ object DdlEmu {
   private case class Decl(cols: Seq[(String, String)])
   private val decls = scala.collection.concurrent.TrieMap.empty[String, Decl]
 
+  /** Column names DECLARED Nullable(...) per LIVE table: the join-gap
+    * default fill (join_use_nulls=0) must leave those NULL while
+    * non-Nullable columns take the type default. Keyed by table so DROP
+    * forgets a section's declarations. */
+  private val nullableDeclared = scala.collection.concurrent.TrieMap
+    .empty[String, Set[String]]
+  def isDeclaredNullable(col: String): Boolean =
+    nullableDeclared.values.exists(_.contains(col.toLowerCase))
+  /** Per-file reset (the map is session-global; one test's declarations
+    * must not leak into the next file's fill decisions). */
+  def resetNullables(): Unit = { nullableDeclared.clear(); defExprs.clear() }
+
+  /** Declared DEFAULT/MATERIALIZED column expressions per table: INSERTs
+    * that omit the column compute it from the inserted row (ref
+    * src/Interpreters/addMissingDefaults.cpp) rather than taking the
+    * type default. */
+  private val defExprs =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+  private def recordDefaults(table: String, colDefs: String): Unit = {
+    val m = splitTop(colDefs).flatMap { cd =>
+      val t = cd.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      if (sp <= 0) None
+      else {
+        val cn = t.take(sp).stripPrefix("`").stripSuffix("`")
+        "(?is)\\b(?:DEFAULT|MATERIALIZED)\\s+(.*)$".r
+          .findFirstMatchIn(t.drop(sp)).map { mm =>
+            var e = mm.group(1).trim
+            for (kw <- Seq("CODEC", "COMMENT", "TTL")) {
+              val i = e.toUpperCase.indexOf(" " + kw)
+              if (i >= 0) e = e.take(i).trim
+            }
+            cn -> e
+          }
+      }
+    }.toMap
+    if (m.nonEmpty) defExprs(table) = m else defExprs.remove(table)
+  }
+  private def recordNullables(table: String, colDefs: String): Unit = {
+    val cols = splitTop(colDefs).flatMap { cd =>
+      val t = cd.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      if (sp > 0 && t.drop(sp).trim.toLowerCase.startsWith("nullable"))
+        Some(t.take(sp).stripPrefix("`").stripSuffix("`").toLowerCase)
+      else None
+    }.toSet
+    if (cols.nonEmpty) nullableDeclared(table) = cols
+    else nullableDeclared.remove(table)
+  }
+
+  // CREATE DICTIONARY (ref src/Interpreters/InterpreterCreateQuery.cpp
+  // dictionary branch): attributes + PRIMARY KEY + SOURCE table →
+  // materialize from the staged source view into the in-process
+  // dictionary registry. Range/IP-trie layouts fall through (ERR).
+  private val createDictRe =
+    ("(?is)^CREATE\\s+DICTIONARY\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(PRIMARY\\s+KEY\\b.*)$").r
+  private val dropDictRe =
+    "(?is)^DROP\\s+DICTIONARY\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(?:SYNC)?\\s*$".r
+
+  private def handleCreateDictionary(spark: SparkSession, sfDir: String,
+      name: String, colDefs: String, tail: String): Boolean = {
+    val layout = "(?is)LAYOUT\\s*\\(\\s*(\\w+)".r.findFirstMatchIn(tail)
+      .map(_.group(1).toLowerCase).getOrElse("flat")
+    if (layout.startsWith("range") || layout.contains("ip_trie")) return false
+    val pk = "(?is)PRIMARY\\s+KEY\\s+(.*?)\\s*(?:SOURCE|LAYOUT|LIFETIME|RANGE)\\b".r
+      .findFirstMatchIn(tail).map(_.group(1).trim)
+      .getOrElse(return false)
+    val keyCols = pk.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+    if (keyCols.length != 1) return false
+    val srcTbl = "(?is)\\bTABLE\\s+'?([\\w.]+)'?".r.findFirstMatchIn(tail)
+      .map(_.group(1)).getOrElse(return false)
+    val srcDb = "(?is)\\bDB\\s+'([\\w.]+)'".r.findFirstMatchIn(tail)
+      .map(_.group(1))
+    val qualified = srcDb.filter(_ => !srcTbl.contains("."))
+      .map(db => graft.ChDatabases.fold(db, srcTbl)).getOrElse(
+        graft.ChDatabases.foldQualified(srcTbl,
+          graft.ChSql.replaceOutsideStrings))
+    val src = try spark.table(qualified)
+      catch { case _: Exception => return false }
+    // attribute defs: name Type [DEFAULT lit] [HIERARCHICAL] [INJECTIVE]
+    case class Attr(name: String, typ: String, default: Option[String],
+      hierarchical: Boolean)
+    val attrs = splitTop(colDefs).map { cd =>
+      val t = cd.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      val an = t.take(sp).stripPrefix("`").stripSuffix("`")
+      val rest = t.drop(sp).trim
+      val hier = rest.matches("(?is).*\\bHIERARCHICAL\\b.*")
+      val dflt = "(?is)\\bDEFAULT\\s+('(?:[^'\\\\]|\\\\.)*'|[-\\d.eE]+)".r
+        .findFirstMatchIn(rest).map(_.group(1))
+      val typ = rest.split("\\s+").head
+      Attr(an, typ, dflt, hier)
+    }
+    val dict = src.select(attrs.map(a => col(a.name)).toSeq: _*)
+    // a dictionary is also queryable as a table (SELECT * FROM db.dict)
+    dict.createOrReplaceTempView(name)
+    val hierCol = attrs.find(_.hierarchical).map(_.name)
+    hierCol match {
+      case Some(h) => graft.operators.Dictionaries
+        .createHierarchicalDictionary(name, dict, keyCols(0), h)
+      case None => graft.operators.Dictionaries
+        .createDictionary(name, dict, keyCols(0))
+    }
+    // miss values: declared DEFAULT, else the CH type default
+    def typeDefault(t: String): Option[org.apache.spark.sql.Column] = {
+      val lt = t.toLowerCase
+      if (lt.startsWith("string") || lt.startsWith("fixedstring") ||
+        lt.startsWith("uuid")) Some(lit(""))
+      else if (lt.startsWith("uint") || lt.startsWith("int")) Some(lit(0L))
+      else if (lt.startsWith("float") || lt.startsWith("decimal"))
+        Some(lit(0.0))
+      else if (lt.startsWith("datetime")) Some(lit(0).cast("timestamp"))
+      else if (lt.startsWith("date")) Some(lit("1970-01-01").cast("date"))
+      else None
+    }
+    val defaults = attrs.filter(a => !keyCols.contains(a.name)).flatMap {
+      a =>
+        val d = a.default.map { raw =>
+          if (raw.startsWith("'"))
+            lit(graft.formats.DescFormat.decodeChLiteral(
+              raw.stripPrefix("'").stripSuffix("'")))
+          else lit(raw.toDouble).cast(
+            if (raw.matches("-?\\d+")) "bigint" else "double")
+        }.orElse(typeDefault(a.typ))
+        d.map(a.name -> _)
+    }.toMap
+    graft.operators.Dictionaries.setAttrDefaults(name, defaults)
+    // dictGet addresses the dictionary by its STRING name, which the
+    // db-qualifier folding never touches — alias the dotted spelling
+    graft.ChDatabases.known.foreach { db =>
+      if (name.startsWith(db + "__"))
+        graft.operators.Dictionaries.aliasDictionary(name,
+          db + "." + name.stripPrefix(db + "__"))
+    }
+    true
+  }
+
   /** Returns true when `stmt` was a DDL/INSERT statement handled here. */
   def handle(spark: SparkSession, sfDir: String, stmt0: String): Boolean = {
     // CREATE DATABASE registers the qualifier BEFORE folding so its own
@@ -80,8 +218,19 @@ object DdlEmu {
           graft.ChSql.replaceOutsideStrings)
     }
     stmt match {
+      // storage-maintenance statements are no-ops over lazy views
+      // (OPTIMIZE [FINAL] rewrites parts; SYSTEM STOP/START MERGES
+      // throttles background merges — both irrelevant here)
+      case s if s.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*") => true
+      case createDictRe(name, colDefs, tail) =>
+        handleCreateDictionary(spark, sfDir, name, colDefs, tail)
+      case dropDictRe(_) => true
+      case s if s.matches(
+        "(?is)^SYSTEM\\s+(STOP|START)\\s+(MERGES|TTL\\s+MERGES)\\b.*") =>
+        true
       case dropRe(name) =>
-        spark.catalog.dropTempView(name); decls.remove(name); true
+        spark.catalog.dropTempView(name); decls.remove(name)
+        nullableDeclared.remove(name); true
       case truncateRe(name) =>
         decls.get(name).foreach(d => register(spark, name, emptyDf(spark, d)))
         true
@@ -92,11 +241,13 @@ object DdlEmu {
       case createRe(name, colDefs) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
+        recordNullables(name, colDefs); recordDefaults(name, colDefs)
         register(spark, name, emptyDf(spark, d))
         true
       case createTempRe(name, colDefs) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
+        recordNullables(name, colDefs); recordDefaults(name, colDefs)
         register(spark, name, emptyDf(spark, d))
         true
       case alterUpdateRe(name, assigns, cond) =>
@@ -160,13 +311,39 @@ object DdlEmu {
         val uniq = rows0.toDF(
           rows0.columns.indices.map(i => s"__ins$i"): _*)
         val byPos = names.zip(uniq.columns).map { case (n, c) =>
-          col(c).cast(target.schema(n).dataType).as(n) }
+          // DateTime columns accept digit strings as unix timestamps
+          // (ref ReadHelpers.h readDateTimeTextImpl numeric path)
+          val casted =
+            if (target.schema(n).dataType ==
+                org.apache.spark.sql.types.TimestampType &&
+              uniq.schema(c).dataType ==
+                org.apache.spark.sql.types.StringType)
+              graft.functions.ch.toDateTime(uniq.col(c))
+            else col(c).cast(target.schema(n).dataType)
+          casted.as(n) }
         val rows = uniq.select(byPos: _*)
+        val defMap = defExprs.getOrElse(name, Map.empty)
+        val computed = target.schema.fieldNames.toSeq
+          .filter(n => !names.contains(n) && defMap.contains(n))
         val full = target.schema.fieldNames.toSeq.map { n =>
           if (names.contains(n)) col(n)
           else defaultFor(target.schema(n).dataType).as(n)
         }
-        register(spark, name, target.union(rows.select(full: _*)))
+        val filled0 = rows.select(full: _*)
+        // declared DEFAULT/MATERIALIZED expressions compute from the
+        // inserted row (they may reference the provided columns)
+        val filled = if (computed.isEmpty) filled0 else {
+          filled0.createOrReplaceTempView("__graft_ins_src")
+          val items = target.schema.fieldNames.toSeq.map { n =>
+            if (computed.contains(n))
+              s"CAST((${defMap(n)}) AS ${target.schema(n).dataType.sql})" +
+                s" AS `$n`"
+            else s"`$n`"
+          }
+          graft.ChSql.sql(spark,
+            s"SELECT ${items.mkString(", ")} FROM __graft_ins_src", sfDir)
+        }
+        register(spark, name, target.union(filled))
         true
       case createAsTableRe(name, src)
           if scala.util.Try(spark.table(src)).isSuccess =>

@@ -328,6 +328,7 @@ object Golden {
     val expected = readRef(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
     val settings = scala.collection.mutable.Map.empty[String, String]
+    DdlEmu.resetNullables()
     val chunks = splitRaw(text)
     // `stmt; -- { serverError N }` splits the annotation into the NEXT
     // chunk's leading line — it still marks the statement BEFORE the `;`
@@ -457,8 +458,10 @@ object Golden {
           val outerJoin = b.matches(
             "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
             !b.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*") &&
+            !b.matches("(?is).*\\bjoin_use_nulls\\s*=\\s*1\\b.*") &&
             !settings.get("join_use_nulls").exists(_ == "1")
-          val df = if (outerJoin) graft.ChSql.fillJoinDefaults(df0) else df0
+          val df = if (outerJoin) graft.ChSql.fillJoinDefaults(df0,
+            DdlEmu.isDeclaredNullable) else df0
           schema = df.schema
           tot.foreach(t => totalsRows = Some(t.collect().toSeq))
           val rows = df.collect().toSeq
@@ -543,8 +546,10 @@ object Golden {
         val outerJoin = clean.matches(
           "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
           !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*") &&
+          !clean.matches("(?is).*\\bjoin_use_nulls\\s*=\\s*1\\b.*") &&
           !settings.get("join_use_nulls").exists(_ == "1")
-        val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0)
+        val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0,
+            DdlEmu.isDeclaredNullable)
           else base0
         if (withNames) out += base.columns.mkString("\t")
         if (withNamesAndTypes) {

@@ -50,8 +50,28 @@ object Dictionaries {
     registry.put(name, maps)
   }
 
-  /** dictGet('name', 'attr', key) as a Column (null when absent). */
-  def sqlDictGet(name: String, attr: String, key: Column): Column = {
+  /** Per-attribute miss values for DDL-created dictionaries: CH's
+    * dictGet on a missing key returns the attribute's declared DEFAULT,
+    * else the attribute TYPE's default — never NULL (ref
+    * FunctionsExternalDictionaries.h getColumn default path). Dictionaries
+    * registered programmatically (no entry here) keep null-on-miss. */
+  private val attrDefaults =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Column]]()
+
+  def setAttrDefaults(name: String, d: Map[String, Column]): Unit =
+    attrDefaults.put(name, d)
+
+  /** Register `alias` as another name for dictionary `name` (DDL names
+    * are addressable both db-qualified and folded). */
+  def aliasDictionary(name: String, alias: String): Unit = {
+    Option(registry.get(name)).foreach(registry.put(alias, _))
+    Option(hierRegistry.get(name)).foreach(hierRegistry.put(alias, _))
+    Option(attrDefaults.get(name)).foreach(attrDefaults.put(alias, _))
+  }
+
+  /** Null-on-miss probe (the OrDefault forms coalesce with the CALLER's
+    * default, which must win over the attribute default). */
+  def sqlDictGetRaw(name: String, attr: String, key: Column): Column = {
     val dict = registry.get(name)
     require(dict != null, s"unknown dictionary '$name'; call createDictionary")
     val m = dict.getOrElse(attr,
@@ -59,10 +79,18 @@ object Dictionaries {
     element_at(m, key)
   }
 
+  /** dictGet('name', 'attr', key) as a Column (declared/type default on
+    * miss for DDL dictionaries, null otherwise). */
+  def sqlDictGet(name: String, attr: String, key: Column): Column = {
+    val base = sqlDictGetRaw(name, attr, key)
+    Option(attrDefaults.get(name)).flatMap(_.get(attr))
+      .map(d => coalesce(base, d)).getOrElse(base)
+  }
+
   /** dictGetOrDefault('name', 'attr', key, default). */
   def sqlDictGetOrDefault(name: String, attr: String, key: Column,
       default: Column): Column =
-    coalesce(sqlDictGet(name, attr, key), default)
+    coalesce(sqlDictGetRaw(name, attr, key), default)
 
   /** dictHas('name', key): true when any attribute map contains the key. */
   def sqlDictHas(name: String, key: Column): Column = {

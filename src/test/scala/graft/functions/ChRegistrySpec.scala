@@ -23,8 +23,9 @@ class ChRegistrySpec extends SparkSpec {
   test("date/time family") {
     assert(one[Int]("SELECT toYear(toDateTime('2024-03-15 10:30:00'))") == 2024)
     assert(one[Int]("SELECT toDayOfWeek(toDateTime('2024-03-15 00:00:00'))") == 5) // Friday, ISO
-    assert(one[java.sql.Timestamp]("SELECT toStartOfMonth(toDateTime('2024-03-15 10:30:00'))")
-      .toString.startsWith("2024-03-01"))
+    // toStartOfMonth returns Date for any input (DateTimeTransforms.h)
+    assert(one[java.sql.Date]("SELECT toStartOfMonth(toDateTime('2024-03-15 10:30:00'))")
+      .toString == "2024-03-01")
     assert(one[java.sql.Timestamp]("SELECT toStartOfFiveMinutes(toDateTime('2024-03-15 10:33:00'))")
       .toString.contains("10:30:00"))
     assert(one[java.sql.Timestamp]("SELECT addDays(toDateTime('2024-03-15 00:00:00'), 3)")
