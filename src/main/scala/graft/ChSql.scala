@@ -198,7 +198,8 @@ object ChSql {
     "groupArrayLastArray", "exponentialMovingAverage",
     "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",
     "exponentialTimeDecayedAvg", "exponentialTimeDecayedMax",
-    "stochasticLinearRegression", "stochasticLogisticRegression")
+    "stochasticLinearRegression", "stochasticLogisticRegression",
+    "windowFunnel", "sequenceMatch", "sequenceCount")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql

@@ -43,7 +43,7 @@ object ChOutputFormats {
   private val others = Set("vertical", "values", "csv", "csvwithnames",
     "tsvraw", "tabseparatedraw", "jsoneachrow", "lineasstring",
     "json", "jsoncompact", "jsonstrings", "jsoncompactstrings",
-    "xml", "markdown")
+    "xml", "markdown", "jsoncompacteachrow", "jsoncompactstringseachrow")
 
   def supports(fmt: String): Boolean = {
     val f = fmt.toLowerCase
@@ -86,6 +86,23 @@ object ChOutputFormats {
         val esc = ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
         val q64 = ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
         bs.flatten.map(jsonEachRow(schema, _, esc, q64))
+      // row as a JSON array, fields joined with ", " (ref
+      // JSONCompactEachRowRowOutputFormat.cpp writeFieldDelimiter)
+      case "jsoncompacteachrow" | "jsoncompactstringseachrow" =>
+        val esc = ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
+        val q64 = ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
+        val strings = f.contains("strings")
+        bs.flatten.map { r =>
+          schema.fields.zipWithIndex.map { case (fd, i) =>
+            r(i) match {
+              // dialect-shim booleans come from comparisons, which are
+              // UInt8 in CH and print 1/0
+              case b: java.lang.Boolean if !strings => if (b) "1" else "0"
+              case v if strings && v != null => jsonStr(cell(v), esc)
+              case v => jsonVal(v, fd.dataType, esc, q64)
+            }
+          }.mkString("[", ", ", "]")
+        }
       // ref Processors/Formats/Impl/MarkdownRowOutputFormat.cpp: header,
       // alignment row (numbers right), then TSV-style cells
       case "markdown" =>

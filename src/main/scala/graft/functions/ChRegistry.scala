@@ -2023,6 +2023,59 @@ object ChRegistry {
         max(C(e).cast("boolean").cast("int")))
       array((flags.head +: flags.tail.map(fl => fl * flags.head))
         .map(fl => coalesce(fl, lit(0)).cast("tinyint")): _*) }
+    // windowFunnel(window[, 'strict_*'…])(ts, cond1..condN) (ref
+    // AggregateFunctionWindowFunnel.h) — rewriteParamAggs appends the
+    // parameters after the arguments, so peel modes/window off the tail.
+    // The window is in the timestamp column's own units (seconds for
+    // DateTime, raw for integer timestamps): cast-to-long yields exactly
+    // that for both.
+    f("windowFunnel") { es0 =>
+      var rest = es0
+      var modes = Set.empty[String]
+      while (rest.length > 2 && (rest.last match {
+        case Literal(_: UTF8String, _) => true; case _ => false
+      })) { modes += litStr(rest.last); rest = rest.init }
+      val window = rest.last match {
+        case Literal(v: Number, _) => v.longValue
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toLong
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel window must be a constant, got $other")
+      }
+      rest = rest.init
+      val conds = rest.tail
+      val wf = udaf(new Funnel.WindowFunnel(window, conds.length,
+        modes.contains("strict_deduplication"),
+        modes.contains("strict_order"), modes.contains("strict_increase")),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Long)]())
+      val mask = conds.zipWithIndex.map { case (c, i) =>
+        when(coalesce(C(c).cast("boolean"), lit(false)), lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _) // bits are disjoint: sum == bitwise OR
+      wf(C(rest.head).cast("long"), mask).cast("tinyint") }
+    // sequenceMatch('(?1).*(?2)…')(ts, cond1..condN) / sequenceCount (ref
+    // AggregateFunctionSequenceMatch.h; '.*'-separated subset)
+    locally {
+      def condMask(conds: Seq[Expression]): Column =
+        conds.zipWithIndex.map { case (c, i) =>
+          when(coalesce(C(c).cast("boolean"), lit(false)), lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val pairEnc = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long)]()
+      f("sequenceMatch") { es0 =>
+        val pat = litStr(es0.last)
+        Funnel.parsePattern(pat) // validate eagerly (clear analysis error)
+        val conds = es0.tail.init
+        val agg = udaf(new Funnel.SequenceMatchPat(pat), pairEnc)
+        agg(C(es0.head).cast("long"), condMask(conds)).cast("tinyint") }
+      f("sequenceCount") { es0 =>
+        val pat = litStr(es0.last)
+        Funnel.parsePattern(pat)
+        val conds = es0.tail.init
+        val agg = udaf(new Funnel.SequenceCountPat(pat), pairEnc)
+        agg(C(es0.head).cast("long"), condMask(conds)) }
+    }
     // welchTTest/studentTTest SQL surface (ref AggregateFunctionTTest.h):
     // CH's tuple is (t_stat, p_value); the indicator's 0-group is the
     // first sample (positive t for mean0 > mean1)

@@ -220,20 +220,20 @@ object OperatorQueries {
       """SELECT * FROM (VALUES
         |  (0, 1), (1, 2), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (7, 2),
         |  (8, 2), (9, 1), (10, 1), (11, 1), (12, 2), (13, 1), (14, 2),
-        |  (15, 1), (16, 1), (17, 1), (18, 1), (19, 4), (20, 2), (21, 2),
+        |  (15, 1), (16, 1), (17, 1), (18, 1), (19, 2), (20, 2), (21, 2),
         |  (22, 1), (23, 1), (24, 1), (25, 2), (26, 1), (27, 1), (28, 2),
         |  (29, 1)) v(user_id, funnel_depth)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       val wf = udaf(new Funnel.WindowFunnel(3600L * 1000000L, 4),
-        ExpressionEncoder[(Long, Int)]())
-      val step = when(col("event_type") === "view", 1)
-        .when(col("event_type") === "click", 2)
-        .when(col("event_type") === "signup", 3)
-        .when(col("event_type") === "purchase", 4).otherwise(0)
+        ExpressionEncoder[(Long, Long)]())
+      val mask = when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "signup", 4L)
+        .when(col("event_type") === "purchase", 8L).otherwise(0L)
       Tables.load(s, dir, "events")
         .filter(col("user_id") < 30)
         .groupBy("user_id")
-        .agg(wf(unix_micros(col("ts")), step).as("funnel_depth"))
+        .agg(wf(unix_micros(col("ts")), mask).as("funnel_depth"))
         .select(col("user_id").cast("int").as("user_id"), col("funnel_depth"))
         .orderBy("user_id")
     }

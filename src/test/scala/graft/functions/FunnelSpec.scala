@@ -9,9 +9,11 @@ class FunnelSpec extends SparkSpec {
 
   private def funnelDepth(events: Seq[(Long, Int)], windowMicros: Long, steps: Int): Int = {
     val wf = udaf(new Funnel.WindowFunnel(windowMicros, steps),
-      ExpressionEncoder[(Long, Int)]())
+      ExpressionEncoder[(Long, Long)]())
     events.toDF("ts", "step")
-      .agg(wf(col("ts"), col("step")).as("d"))
+      .agg(wf(col("ts"),
+        expr("CASE WHEN step > 0 THEN shiftleft(1L, step - 1) ELSE 0L END"))
+        .as("d"))
       .as[Int].head()
   }
 
