@@ -517,6 +517,11 @@ object ChSql {
     * table function column) is UInt64. Inference failure leaves the call
     * untouched — the statement then fails analysis rather than risking a
     * wrong name. */
+  /** External column-type env (the golden DDL emulation registers the
+    * declared CH type text of staged tables so toTypeName folds for
+    * their columns too). */
+  @volatile var declaredColumnType: String => Option[String] = _ => None
+
   private[graft] def rewriteTypeIntrospection(sql: String): String = {
     if (!sql.contains("toTypeName")) return sql
     import graft.functions.ChTypes
@@ -585,7 +590,7 @@ object ChSql {
       bound.orElse {
         if (name == "number") Some(ChTypes.UInt64)
         else if (name == "dummy") Some(ChTypes.UInt8)
-        else None
+        else declaredColumnType(name).flatMap(ChTypes.parseTypeText)
       }
     }
     object EnvMap extends Map[String, ChTypes.T] {
@@ -2190,7 +2195,20 @@ object ChSql {
     }
     // FORMAT <name> at the end (CH sends results through an output format)
     s = s.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*;?\\s*$", "")
-    // PREWHERE behaves as WHERE once pushdown applies
+    // PREWHERE behaves as WHERE once pushdown applies; PREWHERE a WHERE b
+    // conjoins (ref MergeTreeWhereOptimizer: both filters apply)
+    s = replaceFnOutsideStrings(s,
+      "(?i)\\bPREWHERE\\s+(.+?)\\s+WHERE\\s+(.+?)" +
+        "(?=\\s+(?:GROUP|ORDER|LIMIT|SETTINGS|HAVING|WINDOW|UNION|FORMAT)\\b|\\s*$)") {
+      mm =>
+        // only same-level pairs: an unbalanced capture means the WHERE
+        // belongs to a subquery (or the PREWHERE sits inside one)
+        def balanced(t: String) =
+          t.count(_ == '(') == t.count(_ == ')')
+        if (balanced(mm.group(1)) && balanced(mm.group(2)))
+          s"WHERE (${mm.group(1)}) AND (${mm.group(2)})"
+        else java.util.regex.Matcher.quoteReplacement(mm.matched)
+    }
     s = s.replaceAll("(?i)\\bPREWHERE\\b", "WHERE")
     // FINAL modifier after a table ref
     s = s.replaceAll("(?i)\\bFINAL\\b", "")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions.{col, expr, lit}
 object DdlEmu {
 
   private val createRe =
-    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*ENGINE\\s*=?.*$".r
+    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(ENGINE\\s*=?.*)$".r
   // CH temporary tables carry no ENGINE clause
   private val createTempRe =
     "(?is)^CREATE\\s+TEMPORARY\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*$".r
@@ -34,6 +34,12 @@ object DdlEmu {
     "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
   private val alterDeleteRe =
     "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+DELETE\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
+  private val renameRe =
+    "(?is)^RENAME\\s+TABLE\\s+(.+)$".r
+  // CREATE TABLE x ENGINE = … AS y (storage clause BEFORE the source)
+  private val createAsTableRe2 =
+    ("(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "`?([\\w.]+)`?\\s+ENGINE\\s*=?[^;]*?\\s+AS\\s+`?([\\w.]+)`?\\s*$").r
   private val createDbRe =
     "(?is)^CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?(\\w+)`?\\s*(?:ENGINE\\s*=.*)?$".r
   private val dropDbRe =
@@ -47,8 +53,46 @@ object DdlEmu {
   // view stays lazy — the staged sources in these tests are immutable)
   private val ctasRe =
     ("(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "`?([\\w.]+)`?\\s*(?:(?:ENGINE|ORDER|PARTITION|PRIMARY|SETTINGS)\\b" +
+      "`?([\\w.]+)`?\\s*((?:ENGINE|ORDER|PARTITION|PRIMARY|SETTINGS)\\b" +
       "[^;]*?)?\\bAS\\s+((?:SELECT|WITH)\\b.*)$").r
+
+  // CREATE [MATERIALIZED] VIEW (ref src/Storages/StorageView.cpp /
+  // StorageMaterializedView.cpp): both are emulated as DEFERRED views —
+  // the select re-registers after every mutating statement, so the view
+  // is always-current (CH's view contract; for MATERIALIZED this matches
+  // the common create-then-insert test pattern, not insert-then-create).
+  private val createViewRe =
+    ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+|LIVE\\s+)?VIEW\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(\\([^)]*\\))?\\s*" +
+      "(?:TO\\s+`?([\\w.]+)`?\\s*)?" +
+      "(?:ENGINE\\b[^;]*?)?\\s*(?:POPULATE\\s+)?AS\\s+((?:SELECT|WITH)\\b.*)$").r
+  private val dropViewRe =
+    "(?is)^DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(?:SYNC)?\\s*$".r
+  /** view name → (colDefs, select), in creation order */
+  private val viewDefs = new java.util.LinkedHashMap[String, (String, String)]()
+
+  private def registerView(spark: SparkSession, sfDir: String,
+      name: String, colDefs: String, select: String): Unit = {
+    val df0 = graft.ChSql.sql(spark, select.trim, sfDir)
+    val df = Option(colDefs).map(_.trim.stripPrefix("(").stripSuffix(")"))
+      .filter(_.nonEmpty).map { cd =>
+        val cols = parseCols(cd)
+        df0.toDF(cols.map(_._1): _*)
+          .select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+      }.getOrElse(df0)
+    df.createOrReplaceTempView(name)
+  }
+
+  /** Views capture their sources' plans at registration; after any
+    * mutation, re-register every live view so it reads current data. */
+  private def refreshViews(spark: SparkSession, sfDir: String): Unit = {
+    val it = viewDefs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      try registerView(spark, sfDir, e.getKey, e.getValue._1, e.getValue._2)
+      catch { case _: Exception => }
+    }
+  }
 
   /** Declared (CH-translated) column types per created table, so INSERT
     * can cast to them and TRUNCATE can rebuild the empty frame. */
@@ -65,7 +109,223 @@ object DdlEmu {
     nullableDeclared.values.exists(_.contains(col.toLowerCase))
   /** Per-file reset (the map is session-global; one test's declarations
     * must not leak into the next file's fill decisions). */
-  def resetNullables(): Unit = { nullableDeclared.clear(); defExprs.clear() }
+  def resetNullables(): Unit = {
+    nullableDeclared.clear(); defExprs.clear()
+    engines.clear(); staged.clear(); chTypes.clear()
+    viewDefs.clear()
+  }
+
+  /** Per-file session cleanup: drop helper views this emulation registered
+    * (a failed test would otherwise leak `__graft_final_*` into the next
+    * file's SHOW TABLES / EXISTS output). */
+  def resetSession(spark: SparkSession): Unit = {
+    for (n <- engines.keys)
+      spark.catalog.dropTempView(s"__graft_final_$n")
+    val it = viewDefs.keySet().iterator()
+    while (it.hasNext) spark.catalog.dropTempView(it.next())
+    resetNullables()
+  }
+
+  // ------------------------------------------------- engine-typed merges
+  // Summing/Replacing/CollapsingMergeTree merge semantics (ref
+  // src/Processors/Merges/Algorithms/SummingSortedAlgorithm.cpp,
+  // ReplacingSortedAlgorithm.cpp, CollapsingSortedAlgorithm.cpp): rows
+  // with an equal sort key collapse when parts merge. Here the staged
+  // rows carry a hidden insertion-order column; OPTIMIZE applies the
+  // engine's transform in place, and `FROM t FINAL` reads through a
+  // `__graft_final_<t>` view that applies it lazily.
+  private case class EngineSpec(kind: String, keys: Seq[String],
+    sumCols: Seq[String], ver: Option[String], sign: Option[String])
+  private val engines =
+    scala.collection.concurrent.TrieMap.empty[String, EngineSpec]
+  /** rows + `__graft_seq` for engine-typed tables */
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private def flattenTuple(s: String): Seq[String] = {
+    val t = s.trim
+    val inner = if (t.startsWith("(")) t.stripPrefix("(").stripSuffix(")")
+      else t
+    splitTop(inner).map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)
+  }
+
+  /** Parse the ENGINE tail into a merge spec; None = plain storage. */
+  private def parseEngine(tail0: String): Option[EngineSpec] = {
+    val tail = tail0.trim
+    val m = "(?is)^ENGINE\\s*=?\\s*(\\w+)\\s*(\\((.*?)\\))?\\s*(.*)$".r
+      .findFirstMatchIn(tail).getOrElse(return None)
+    val engName = m.group(1)
+    val kind = engName.toLowerCase match {
+      case "summingmergetree" => "summing"
+      case "replacingmergetree" => "replacing"
+      case "collapsingmergetree" => "collapsing"
+      case _ => return None
+    }
+    val args = Option(m.group(3)).map(splitTop(_).map(_.trim))
+      .getOrElse(Seq.empty).filter(_.nonEmpty)
+    val clauses = m.group(4)
+    // one nesting level inside the tuple (toYYYYMM(d), intHash32(k))
+    val balTuple = "\\((?:[^()]|\\([^()]*\\))*\\)"
+    val orderBy = (s"(?is)\\bORDER\\s+BY\\s+($balTuple|.*?)" +
+      "(?=\\s+(?:PARTITION|PRIMARY|SETTINGS|SAMPLE|TTL)\\b|\\s*$)").r
+      .findFirstMatchIn(clauses).map(_.group(1).trim)
+    val partBy = (s"(?is)\\bPARTITION\\s+BY\\s+($balTuple|" +
+      "\\w+$balTuple|\\S+)").r
+      .findFirstMatchIn(clauses).map(_.group(1).trim)
+    // deprecated syntax: (date, [sampling,] keyTuple, granularity[, extra])
+    val granIdx = args.indexWhere(a => a.matches("\\d+"), 1)
+    if (orderBy.isEmpty && granIdx >= 2) {
+      val date = args(0).stripPrefix("`").stripSuffix("`")
+      val keys = date +: flattenTuple(args(granIdx - 1))
+      val extra = args.drop(granIdx + 1).headOption
+      kind match {
+        case "summing" =>
+          Some(EngineSpec(kind, keys, extra.map(flattenTuple)
+            .getOrElse(Seq.empty), None, None))
+        case "replacing" => Some(EngineSpec(kind, keys, Nil,
+          extra.map(_.stripPrefix("`").stripSuffix("`")), None))
+        case _ => Some(EngineSpec(kind, keys, Nil, None,
+          extra.map(_.stripPrefix("`").stripSuffix("`"))))
+      }
+    } else if (orderBy.isDefined) {
+      val keys0 = flattenTuple(orderBy.get)
+        .filterNot(_.equalsIgnoreCase("tuple()"))
+      // merges only combine rows of one partition — the partition
+      // expression joins the grouping key
+      val keys = keys0 ++ partBy.map(_.trim).filter(_.nonEmpty).toSeq
+      kind match {
+        case "summing" => Some(EngineSpec(kind, keys,
+          args.headOption.map(flattenTuple).getOrElse(Seq.empty),
+          None, None))
+        case "replacing" => Some(EngineSpec(kind, keys, Nil,
+          args.headOption.map(_.stripPrefix("`").stripSuffix("`")), None))
+        case _ => Some(EngineSpec(kind, keys, Nil, None,
+          args.headOption.map(_.stripPrefix("`").stripSuffix("`"))))
+      }
+    } else None
+  }
+
+  /** Apply the engine's merge to staged rows (which carry __graft_seq). */
+  private def mergeTransform(df: DataFrame, spec: EngineSpec,
+      types: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dataCols = df.columns.filterNot(_ == "__graft_seq").toSeq
+    val keyAliases = spec.keys.zipWithIndex.map { case (k, i) => s"__gk$i" }
+    val withKeys = spec.keys.zip(keyAliases).foldLeft(df) {
+      case (d, (k, a)) => d.withColumn(a, expr(k))
+    }
+    spec.kind match {
+      case "replacing" =>
+        val ord = spec.ver.map(v => Seq(col(v).desc, col("__graft_seq").desc))
+          .getOrElse(Seq(col("__graft_seq").desc))
+        val w = (if (keyAliases.isEmpty)
+            Window.partitionBy(lit(1))
+          else Window.partitionBy(keyAliases.map(col): _*))
+          .orderBy(ord: _*)
+        withKeys.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
+      case "summing" =>
+        val schema = df.schema
+        val sums =
+          if (spec.sumCols.nonEmpty) spec.sumCols
+          else dataCols.filter { c =>
+            !spec.keys.contains(c) && (schema(c).dataType match {
+              case _: org.apache.spark.sql.types.NumericType => true
+              case _ => false
+            })
+          }
+        val aggs = dataCols.map { c =>
+          if (sums.contains(c)) {
+            // CH sums in the column's own width — wraparound, not
+            // promotion (SummingSortedAlgorithm keeps the column type)
+            val s0 = sum(col(c))
+            val wrapped = types.get(c)
+              .map(_.toLowerCase.takeWhile(_.isLetterOrDigit)) match {
+              case Some("uint8") => pmod(s0, lit(256L))
+              case Some("uint16") => pmod(s0, lit(65536L))
+              case Some("uint32") => pmod(s0, lit(4294967296L))
+              case Some("int8") =>
+                pmod(s0 + lit(128L), lit(256L)) - lit(128L)
+              case Some("int16") =>
+                pmod(s0 + lit(32768L), lit(65536L)) - lit(32768L)
+              case Some("int32") => pmod(s0 + lit(2147483648L),
+                lit(4294967296L)) - lit(2147483648L)
+              case _ => s0
+            }
+            wrapped.cast(schema(c).dataType).as(c)
+          } else min_by(col(c), col("__graft_seq")).as(c)
+        } :+ min(col("__graft_seq")).as("__graft_seq")
+        val g = (if (keyAliases.isEmpty) withKeys.groupBy()
+          else withKeys.groupBy(keyAliases.map(col): _*))
+          .agg(aggs.head, aggs.tail: _*)
+        // a fully-zeroed summed row is deleted on merge (ref
+        // SummingSortedAlgorithm.cpp current_row_is_zero)
+        val keep = sums.map(c => coalesce(col(c) =!= 0, lit(false)))
+          .reduceOption(_ || _).getOrElse(lit(true))
+        g.filter(keep)
+          .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
+      case _ =>
+        // collapsing (ref CollapsingSortedAlgorithm::insertRows, with
+        // only_positive_sign=false — the merge path): per key, when the
+        // last row is positive or the counts differ, keep the FIRST
+        // negative row if pos <= neg and the LAST positive row if
+        // pos >= neg; equal counts ending negative cancel completely
+        val sgn = spec.sign.getOrElse(return df)
+        val wp = (if (keyAliases.isEmpty) Window.partitionBy(lit(1))
+          else Window.partitionBy(keyAliases.map(col): _*))
+        val w = wp.orderBy(col("__graft_seq"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val sg = col(sgn)
+        val agg = withKeys
+          .withColumn("__graft_pos",
+            sum(when(sg > 0, 1).otherwise(0)).over(w))
+          .withColumn("__graft_neg",
+            sum(when(sg < 0, 1).otherwise(0)).over(w))
+          .withColumn("__graft_last_sign", last(sg).over(w))
+          .withColumn("__graft_fn",
+            min(when(sg < 0, col("__graft_seq"))).over(w))
+          .withColumn("__graft_lp",
+            max(when(sg > 0, col("__graft_seq"))).over(w))
+        val entered = col("__graft_last_sign") > 0 ||
+          col("__graft_pos") =!= col("__graft_neg")
+        val keep = entered && (
+          (col("__graft_pos") <= col("__graft_neg") && sg < 0 &&
+            col("__graft_seq") === col("__graft_fn")) ||
+          (col("__graft_pos") >= col("__graft_neg") && sg > 0 &&
+            col("__graft_seq") === col("__graft_lp")))
+        agg.filter(keep)
+          .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
+    }
+  }
+
+  /** Re-register the public view and the FINAL view from staged rows. */
+  private def publish(spark: SparkSession, name: String): Unit =
+    staged.get(name).foreach { df =>
+      val pub = df.drop("__graft_seq")
+      pub.createOrReplaceTempView(name)
+      engines.get(name).foreach { spec =>
+        try mergeTransform(df, spec, chTypes.getOrElse(name, Map.empty))
+          .drop("__graft_seq")
+          .createOrReplaceTempView(s"__graft_final_$name")
+        catch { case _: Exception => engines.remove(name) }
+      }
+    }
+
+  /** `FROM t FINAL` → the merged view, for engine-typed staged tables
+    * (called by the golden runner before dialect translation; ChSql
+    * otherwise strips FINAL). */
+  def rewriteFinal(stmt: String): String = {
+    var s = stmt
+    for (name <- engines.keys)
+      s = s.replaceAll(
+        s"(?i)\\b(FROM|JOIN)\\s+`?$name`?\\s+FINAL\\b",
+        s"$$1 __graft_final_$name")
+    s
+  }
 
   /** Declared DEFAULT/MATERIALIZED column expressions per table: INSERTs
     * that omit the column compute it from the inserted row (ref
@@ -93,6 +353,29 @@ object DdlEmu {
     }.toMap
     if (m.nonEmpty) defExprs(table) = m else defExprs.remove(table)
   }
+  /** Declared CH type text per column (summing-merge width wrap and
+    * toTypeName folding over staged tables). */
+  private val chTypes =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+  // surface declared types to the dialect's toTypeName folding
+  graft.ChSql.declaredColumnType = (c: String) =>
+    chTypes.values.flatMap(_.get(c)).headOption
+  private def recordChTypes(table: String, colDefs: String): Unit = {
+    val m = splitTop(colDefs).flatMap { cd =>
+      val t = cd.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      if (sp <= 0) None
+      else {
+        var ty = t.drop(sp).trim
+        val stop = "(?is)\\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT|EPHEMERAL)\\b".r
+        stop.findFirstMatchIn(ty).foreach(mm => ty = ty.take(mm.start).trim)
+        if (ty.isEmpty) None
+        else Some(t.take(sp).stripPrefix("`").stripSuffix("`") -> ty)
+      }
+    }.toMap
+    if (m.nonEmpty) chTypes(table) = m else chTypes.remove(table)
+  }
+
   private def recordNullables(table: String, colDefs: String): Unit = {
     val cols = splitTop(colDefs).flatMap { cd =>
       val t = cd.trim
@@ -221,33 +504,108 @@ object DdlEmu {
       // storage-maintenance statements are no-ops over lazy views
       // (OPTIMIZE [FINAL] rewrites parts; SYSTEM STOP/START MERGES
       // throttles background merges — both irrelevant here)
-      case s if s.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*") => true
+      case st if st.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*") =>
+        val tn = "(?is)^OPTIMIZE\\s+TABLE\\s+`?([\\w.]+)`?.*$".r
+          .findFirstMatchIn(st).map(_.group(1))
+        tn.foreach { n =>
+          for (spec <- engines.get(n); df <- staged.get(n)) {
+            // materialize: OPTIMIZE makes the merge the new storage state
+            val merged = mergeTransform(df, spec,
+              chTypes.getOrElse(n, Map.empty)).localCheckpoint(true)
+            staged(n) = merged
+            publish(spark, n)
+          }
+        }
+        true
       case createDictRe(name, colDefs, tail) =>
         handleCreateDictionary(spark, sfDir, name, colDefs, tail)
       case dropDictRe(_) => true
       case s if s.matches(
         "(?is)^SYSTEM\\s+(STOP|START)\\s+(MERGES|TTL\\s+MERGES)\\b.*") =>
         true
+      case renameRe(pairs) if pairs.matches(
+          "(?is)[\\w.`]+\\s+TO\\s+[\\w.`]+(\\s*,\\s*[\\w.`]+\\s+TO\\s+[\\w.`]+)*") =>
+        splitTop(pairs).foreach { pr =>
+          val m = "(?is)`?([\\w.]+)`?\\s+TO\\s+`?([\\w.]+)`?".r
+            .findFirstMatchIn(pr.trim).getOrElse(
+              sys.error(s"RENAME: cannot parse '$pr'"))
+          val (a, b) = (m.group(1), m.group(2))
+          val df = spark.table(a)
+          df.createOrReplaceTempView(b)
+          spark.catalog.dropTempView(a)
+          decls.remove(a).foreach(decls(b) = _)
+          chTypes.remove(a).foreach(chTypes(b) = _)
+          nullableDeclared.remove(a).foreach(nullableDeclared(b) = _)
+          defExprs.remove(a).foreach(defExprs(b) = _)
+          engines.remove(a).foreach(engines(b) = _)
+          staged.remove(a).foreach { st =>
+            staged(b) = st; publish(spark, b)
+            spark.catalog.dropTempView(s"__graft_final_$a")
+          }
+          Option(viewDefs.remove(a)).foreach(viewDefs.put(b, _))
+        }
+        true
+      case createAsTableRe2(name, src)
+          if scala.util.Try(spark.table(src)).isSuccess =>
+        val srcDf = spark.table(src)
+        decls(name) = decls.getOrElse(src,
+          Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
+        register(spark, name, srcDf.limit(0))
+        true
+      case createViewRe(mat, name, colDefs, toTarget, select) =>
+        registerView(spark, sfDir, name, colDefs, select)
+        viewDefs.put(name, (colDefs, select))
+        // TO-form: reads usually target the destination table; point it
+        // at the same deferred select
+        Option(toTarget).foreach { dst =>
+          viewDefs.put(dst, (colDefs, select))
+          try registerView(spark, sfDir, dst, colDefs, select)
+          catch { case _: Exception => }
+        }
+        true
+      case dropViewRe(name) =>
+        spark.catalog.dropTempView(name); viewDefs.remove(name); true
       case dropRe(name) =>
+        viewDefs.remove(name)
         spark.catalog.dropTempView(name); decls.remove(name)
-        nullableDeclared.remove(name); true
+        nullableDeclared.remove(name)
+        engines.remove(name); staged.remove(name)
+        spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
-        decls.get(name).foreach(d => register(spark, name, emptyDf(spark, d)))
+        decls.get(name).foreach { d =>
+          register(spark, name, emptyDf(spark, d))
+          if (engines.contains(name)) {
+            staged(name) = emptyDf(spark, d).withColumn("__graft_seq", lit(0L))
+            publish(spark, name)
+          }
+        }
+        refreshViews(spark, sfDir)
         true
       case createAsNumbersRe(name, n) =>
         spark.range(n.toLong).toDF("number").createOrReplaceTempView(name)
         decls(name) = Decl(Seq("number" -> "BIGINT"))
         true
-      case createRe(name, colDefs) =>
+      case createRe(name, colDefs, engTail) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
+        recordChTypes(name, colDefs)
         register(spark, name, emptyDf(spark, d))
+        parseEngine(engTail) match {
+          case Some(spec) =>
+            engines(name) = spec
+            staged(name) = emptyDf(spark, d)
+              .withColumn("__graft_seq", lit(0L))
+            publish(spark, name)
+          case None =>
+            engines.remove(name); staged.remove(name)
+        }
         true
       case createTempRe(name, colDefs) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
+        recordChTypes(name, colDefs)
         register(spark, name, emptyDf(spark, d))
         true
       case alterUpdateRe(name, assigns, cond) =>
@@ -268,12 +626,14 @@ object DdlEmu {
         }
         register(spark, name, graft.ChSql.sql(spark,
           s"SELECT ${items.mkString(", ")} FROM `$name`", sfDir))
+        refreshViews(spark, sfDir)
         true
       case alterDeleteRe(name, cond) =>
         // NULL condition = not deleted (CH treats it as 0)
         register(spark, name, graft.ChSql.sql(spark,
           s"SELECT * FROM `$name` WHERE NOT ($cond) OR ($cond) IS NULL",
           sfDir))
+        refreshViews(spark, sfDir)
         true
       case insertRe(name, colList, body) =>
         val target = spark.table(name)
@@ -343,7 +703,18 @@ object DdlEmu {
           graft.ChSql.sql(spark,
             s"SELECT ${items.mkString(", ")} FROM __graft_ins_src", sfDir)
         }
-        register(spark, name, target.union(filled))
+        if (engines.contains(name) && staged.contains(name)) {
+          val batch = seqCounter.incrementAndGet()
+          // monotonically_increasing_id is (partition, offset)-ordered,
+          // which for a local VALUES scan follows row order — enough to
+          // break ties within one INSERT batch
+          val tagged = filled.withColumn("__graft_seq",
+            lit(batch) * lit(1L << 40) +
+              org.apache.spark.sql.functions.monotonically_increasing_id())
+          staged(name) = staged(name).union(tagged)
+          publish(spark, name)
+        } else register(spark, name, target.union(filled))
+        refreshViews(spark, sfDir)
         true
       case createAsTableRe(name, src)
           if scala.util.Try(spark.table(src)).isSuccess =>
@@ -352,11 +723,21 @@ object DdlEmu {
           Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
         register(spark, name, srcDf.limit(0))
         true
-      case ctasRe(name, select) =>
+      case ctasRe(name, engTail, select) =>
         val df = graft.ChSql.sql(spark, select.trim, sfDir)
         decls(name) =
           Decl(df.schema.fields.map(f => f.name -> f.dataType.sql).toSeq)
         register(spark, name, df)
+        Option(engTail).flatMap(parseEngine) match {
+          case Some(spec) =>
+            engines(name) = spec
+            val batch = seqCounter.incrementAndGet()
+            staged(name) = df.withColumn("__graft_seq",
+              lit(batch) * lit(1L << 40) + org.apache.spark.sql.functions
+                .monotonically_increasing_id())
+            publish(spark, name)
+          case None =>
+        }
         true
       case _ => false
     }

@@ -328,7 +328,7 @@ object Golden {
     val expected = readRef(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
     val settings = scala.collection.mutable.Map.empty[String, String]
-    DdlEmu.resetNullables()
+    DdlEmu.resetSession(spark)
     val chunks = splitRaw(text)
     // `stmt; -- { serverError N }` splits the annotation into the NEXT
     // chunk's leading line — it still marks the statement BEFORE the `;`
@@ -377,7 +377,7 @@ object Golden {
       val expectsError =
         stmtText.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*") ||
           (ci + 1 < chunks.length && annotatesPrev(ci + 1))
-      val clean = stripComments(stmtText).trim
+      val clean = DdlEmu.rewriteFinal(stripComments(stmtText).trim)
       if (clean.nonEmpty && echo) {
         // a `stmt; -- { serverError N }` annotation was split into the
         // next chunk's first line — clickhouse-test echoes the whole
