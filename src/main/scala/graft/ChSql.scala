@@ -621,9 +621,17 @@ object ChSql {
           val arg = s.substring(open + 1, end)
           ChTypes.parse(arg).flatMap(ChTypes.infer(_, EnvMap)) match {
             case Some(t) =>
-              s = s.substring(0, m.start) +
-                "'" + t.name.replace("'", "\\'") + "'" +
-                s.substring(end + 1)
+              val lit = "'" + t.name.replace("'", "\\'") + "'"
+              // an aggregating argument must stay an aggregate, or the
+              // fold turns a 1-row result into one row per input
+              // (toTypeName(sum(n)) — pinned by 00507)
+              val aggRe = ("(?i)\\b(sum|count|min|max|avg|any|uniq|" +
+                "quantile|median|groupArray|corr|covar|" +
+                "stddev|var|topK|argMin|argMax|skew|" +
+                "kurt|entropy|histogram)\\w*\\s*\\(").r
+              val folded =
+                if (aggRe.findFirstIn(arg).isDefined) s"max($lit)" else lit
+              s = s.substring(0, m.start) + folded + s.substring(end + 1)
               changed = true
               true
             case None => false
@@ -3145,16 +3153,38 @@ object ChSql {
     }
     def isWordStart(i: Int): Boolean =
       i == 0 || !(Character.isLetterOrDigit(sql(i - 1)) || sql(i - 1) == '_')
-    def endItem(start: Int, end: Int): Unit = {
+    def endItem(start: Int, end: Int, inOver: Boolean): Unit = {
       val item = sql.substring(start, end)
-      if (item.trim.nonEmpty && nullsRe.findFirstIn(item).isEmpty) {
-        val placement =
-          if (descRe.findFirstIn(item.trim).isDefined) " NULLS FIRST"
-          else " NULLS LAST"
-        // trim trailing whitespace off the insertion point
+      if (item.trim.isEmpty) return
+      val isDesc = "(?is)\\bDESC(ENDING)?\\b".r.findFirstIn(item).isDefined
+      val nullsFirst =
+        "(?is)\\bNULLS\\s+FIRST\\b".r.findFirstIn(item).isDefined
+      if (nullsRe.findFirstIn(item).isEmpty) {
+        // default nulls_direction EQUALS the sort direction = NULLS
+        // LAST for both ASC and DESC (SortDescription.h:46, parser
+        // default ExpressionElementParsers.cpp:2021; pinned by 00426's
+        // DESC query ending in \N)
         var e = end
         while (e > start && Character.isWhitespace(sql(e - 1))) e -= 1
-        inserts += ((e, placement))
+        inserts += ((e, " NULLS LAST"))
+      }
+      // CH places NaN ADJACENT to the nulls (nulls_direction covers
+      // "NULLs and NaNs"); Spark always sorts NaN greatest. The two
+      // agree for ASC NULLS LAST (default) and DESC NULLS FIRST;
+      // everything else needs a null/nan/rest bucket key (00437).
+      // Window ORDER BYs are excluded — a RANGE frame requires exactly
+      // one sort key.
+      val diverges = (!isDesc && nullsFirst) || (isDesc && !nullsFirst)
+      if (diverges && !inOver) {
+        val key = "(?is)\\s*(ASC|DESC)(ENDING)?(\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+          .replaceAllIn(item, "").trim
+        if (key.nonEmpty && !key.contains("(") &&
+          !key.toLowerCase.contains("collate")) {
+          val dir = if (nullsFirst) "DESC" else "ASC"
+          inserts += ((start,
+            s" CASE WHEN ($key) IS NULL THEN 2 WHEN " +
+              s"CAST(($key) AS STRING) = 'NaN' THEN 1 ELSE 0 END $dir,"))
+        }
       }
     }
     var i = 0
@@ -3169,6 +3199,11 @@ object ChSql {
       else if (c == '\'') inStr = true
       else if (c == '`') inTick = true
       else if (isWordStart(i) && wordAt(i).equalsIgnoreCase("ORDER")) {
+        // window ORDER BY? look back for `OVER (` with only a
+        // PARTITION BY list between it and here
+        val back = sql.substring(Math.max(0, i - 300), i)
+        val inOver = "(?is)\\bOVER\\s*\\(\\s*(PARTITION\\s+BY\\s+[^()]*)?$".r
+          .findFirstIn(back).isDefined
         // find the following BY
         var j = i + 5
         while (j < sql.length && Character.isWhitespace(sql(j))) j += 1
@@ -3187,19 +3222,19 @@ object ChSql {
             else if (ch == '`') t2 = true
             else if (ch == '(') depth += 1
             else if (ch == ')') {
-              if (depth == 0) { endItem(itemStart, k); done = true }
+              if (depth == 0) { endItem(itemStart, k, inOver); done = true }
               else depth -= 1
             } else if (ch == ',' && depth == 0) {
-              endItem(itemStart, k); itemStart = k + 1
+              endItem(itemStart, k, inOver); itemStart = k + 1
             } else if (depth == 0 && isWordStart(k)) {
               val w = wordAt(k)
               if (w.nonEmpty && terminators.contains(w.toUpperCase)) {
-                endItem(itemStart, k); done = true
+                endItem(itemStart, k, inOver); done = true
               }
             }
             if (!done) k += 1
           }
-          if (!done) endItem(itemStart, sql.length)
+          if (!done) endItem(itemStart, sql.length, inOver)
           i = j + 1 // keep scanning (nested ORDER BYs found separately)
         }
       }

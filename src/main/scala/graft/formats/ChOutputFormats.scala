@@ -620,6 +620,7 @@ object ChOutputFormats {
     out += ""
     out += "\t\"data\":"
     out += "\t["
+    if (rows.isEmpty) out += "" // CH prints an empty line inside []
     rows.zipWithIndex.foreach { case (r, ri) =>
       val sep = if (ri < rows.size - 1) "," else ""
       if (compact)

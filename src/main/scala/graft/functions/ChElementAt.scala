@@ -50,7 +50,8 @@ case class ChToDate(child: Expression)
   * Spark's `element_at` throws under ANSI and `get` is NULL-on-miss and
   * 0-based, so CH's contract needs its own expression.
   */
-case class ChElementAt(left: Expression, right: Expression)
+case class ChElementAt(left: Expression, right: Expression,
+    forceDefault: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
@@ -102,7 +103,11 @@ case class ChElementAt(left: Expression, right: Expression)
     case _ => null
   }
 
-  private def miss: Any = if (elementNullable) null else defaultOf(dataType)
+  // forceDefault: the column's DECLARED CH type has a non-Nullable
+  // element, so an out-of-range subscript yields the type default even
+  // though Spark's schema says containsNull (ref FunctionArrayElement)
+  private def miss: Any =
+    if (elementNullable && !forceDefault) null else defaultOf(dataType)
 
   override def nullSafeEval(container: Any, key: Any): Any =
     left.dataType match {
@@ -291,4 +296,31 @@ case class ChVisitParamRaw(left: Expression, right: Expression)
       l: Expression, r: Expression): ChVisitParamRaw =
     copy(left = l, right = r)
   override def prettyName: String = "visitParamExtractRaw"
+}
+
+/** emptyArrayToSingle(arr): an empty array becomes a one-element array
+  * holding the element type's default value (ref
+  * src/Functions/emptyArrayToSingle.cpp). */
+case class EmptyArrayToSingle(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"emptyArrayToSingle needs an array, got $other")
+  }
+  override def dataType: DataType = child.dataType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() > 0) arr
+    else {
+      val ArrayType(et, nullable) = child.dataType
+      // Nullable element type -> NULL, else the type default (ref
+      // emptyArrayToSingle.cpp; pinned by 00452's [NULL] vs [0] rows)
+      new GenericArrayData(Array[Any](
+        if (nullable) null else ChElementAt(child, child).defaultOf(et)))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "emptyArrayToSingle"
 }

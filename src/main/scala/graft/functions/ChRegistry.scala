@@ -2203,7 +2203,26 @@ object ChRegistry {
     f("uniqUpTo") { case es :+ k if es.nonEmpty =>
       least(count_distinct(C(es.head), es.tail.map(C): _*),
         C(k).cast("bigint") + 1L) }
+    f1("emptyArrayToSingle")(c => C(EmptyArrayToSingle(E(c))))
     f1("extractURLParameters")(ch.extractURLParameters)
+    // parameter NAMES only (ref src/Functions/URL/extractURLParameterNames.cpp)
+    f1("extractURLParameterNames")(u =>
+      transform(ch.extractURLParameters(u),
+        kv => substring_index(kv, "=", 1)))
+    // string up to the first NUL byte (ref
+    // src/Functions/toStringCutToZero.cpp; FixedString padding contract)
+    f1("toStringCutToZero")(c =>
+      substring_index(c.cast("string"), "\u0000", 1))
+    // any point inside any of the ellipses (ref
+    // src/Functions/pointInEllipses.cpp: sum of normalized squared
+    // distances, per 4-tuple (cx, cy, a, b))
+    f("pointInEllipses") { case x +: y +: rest if rest.length % 4 == 0 =>
+      val px = C(x).cast("double"); val py = C(y).cast("double")
+      rest.grouped(4).map { case Seq(cx, cy, a, b) =>
+        val dx = (px - C(cx).cast("double")) / C(a).cast("double")
+        val dy = (py - C(cy).cast("double")) / C(b).cast("double")
+        (dx * dx + dy * dy) <= 1.0
+      }.reduce(_ || _).cast("tinyint") }
     f1("sumForEach")(ch.sumForEach)
     f1("identity")(c => c)
     // niche integer scalars with no loop-free Catalyst formulation — the
@@ -2232,8 +2251,24 @@ object ChRegistry {
 
     // CH subscript / arrayElement: 1-based, negative-from-end, type
     // default on out-of-range (ChSql's bracket rewrite emits this name)
-    f("chElementAt") { case Seq(a, i) => C(ChElementAt(a, i)) }
-    f("arrayElement") { case Seq(a, i) => C(ChElementAt(a, i)) }
+    // when the subscripted column's DECLARED CH type is
+    // Array(<non-Nullable>), an out-of-range index yields the TYPE
+    // DEFAULT even though the Spark schema marks elements nullable
+    def declaredNonNullArray(e: Expression): Boolean = {
+      val name = e match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(a.name)
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          Some(a.name)
+        case _ => None
+      }
+      name.flatMap(graft.ChSql.declaredColumnType).exists(t =>
+        t.matches("(?i)Array\\(\\s*(?!Nullable).*"))
+    }
+    f("chElementAt") { case Seq(a, i) =>
+      C(ChElementAt(a, i, declaredNonNullArray(a))) }
+    f("arrayElement") { case Seq(a, i) =>
+      C(ChElementAt(a, i, declaredNonNullArray(a))) }
     // Enum casts (ChSql flattens the spec into name/value literal pairs)
     f("chEnum") { case expr +: pairs =>
       val names = pairs.grouped(2).map(p => litStr(p.head)).toSeq

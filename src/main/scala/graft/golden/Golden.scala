@@ -122,6 +122,36 @@ object Golden {
     sb.toString
   }
 
+  /** Per-column extremes of a result (ref
+    * src/QueryPipeline/..ExtremesTransform: min/max per column; NaNs are
+    * skipped unless the column is all-NaN — pinned by 00402). */
+  def extremesOf(rows: Seq[Row], width: Int): (Row, Row) = {
+    def isNan(v: Any) = v match {
+      case d: java.lang.Double => d.isNaN
+      case f: java.lang.Float => f.isNaN
+      case _ => false
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+      case (x: String, y: String) => x < y
+      case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
+      case (x: Row, y: Row) =>
+        x.toSeq.zip(y.toSeq).find { case (a1, b1) => a1 != b1 }
+          .exists { case (a1, b1) => lt(a1, b1) }
+      case _ => true // incomparable: keep first
+    }
+    def pick(i: Int, wantMin: Boolean): Any = {
+      val vals = rows.map(_(i)).filter(_ != null)
+      val pool0 = vals.filterNot(isNan)
+      val pool = if (pool0.nonEmpty) pool0 else vals
+      if (pool.isEmpty) null
+      else pool.reduce((a, b) => if (lt(a, b) == wantMin) a else b)
+    }
+    (Row.fromSeq((0 until width).map(pick(_, wantMin = true))),
+      Row.fromSeq((0 until width).map(pick(_, wantMin = false))))
+  }
+
   def formatDf(df: DataFrame): Seq[String] = {
     // CH prints a bare Interval as its COUNT in the column's unit —
     // recover the unit from the schema (a Duration alone is ambiguous:
@@ -457,7 +487,7 @@ object Golden {
           val (df0, tot) = graft.ChSql.sqlSplit(spark, b, sfDir)
           val outerJoin = b.matches(
             "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
-            !b.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*") &&
+            !b.matches("(?is).*(\\bNULL\\b|Nullable|OrNull|nullIf|toNullable).*") &&
             !b.matches("(?is).*\\bjoin_use_nulls\\s*=\\s*1\\b.*") &&
             !settings.get("join_use_nulls").exists(_ == "1")
           val df = if (outerJoin) graft.ChSql.fillJoinDefaults(df0,
@@ -481,29 +511,39 @@ object Golden {
             .getOrElse(sys.error("FORMAT JSON: types not inferable"))
           val rows = blocks.flatten
           val extremes =
-            if (settings.get("extremes").exists(_ == "1") && rows.nonEmpty) {
-              // per-column min/max; a single row is its own extreme
-              def pick(best: (Any, Any) => Boolean): Row = Row.fromSeq(
-                (0 until schema.length).map { i =>
-                  rows.map(_(i)).reduce((a, b) =>
-                    if (a == null) b else if (b == null) a
-                    else if (best(a, b)) a else b)
-                })
-              def lt(a: Any, b: Any): Boolean = (a, b) match {
-                case (x: Number, y: Number) =>
-                  x.doubleValue < y.doubleValue
-                case (x: String, y: String) => x < y
-                case _ => true // incomparable: keep first (1-row cases)
-              }
-              Some((pick(lt), pick((a, b) => !lt(a, b))))
-            } else None
+            if (settings.get("extremes").exists(_ == "1") && rows.nonEmpty)
+              Some(extremesOf(rows, schema.length))
+            else None
           val rowsBeforeLimit =
             if (bare.matches("(?is).*\\bLIMIT\\s+\\d+\\s*$")) {
               val noLimit = bare.replaceAll("(?is)\\bLIMIT\\s+\\d+\\s*$", "")
               scala.util.Try(
                 graft.ChSql.sqlSplit(spark, noLimit, sfDir)._1.count())
                 .toOption
-            } else None
+            } else {
+              // a LIMIT inside the FROM subquery still reports
+              // rows_before_limit_at_least = rows the limit emitted —
+              // unless the optimizer proved the source empty (a
+              // constant-false WHERE folds to an empty LocalRelation
+              // and the pipeline never reads; 00006 vs 00017)
+              val subLimit =
+                "(?is)\\(\\s*(SELECT[^()]*?\\bLIMIT\\s+\\d+)\\s*\\)".r
+                  .findFirstMatchIn(bare).map(_.group(1))
+              subLimit.flatMap { sub =>
+                val mainDf = scala.util.Try(
+                  graft.ChSql.sqlSplit(spark, bare, sfDir)._1)
+                val provedEmpty = mainDf.toOption.exists { d =>
+                  d.queryExecution.optimizedPlan.collectFirst {
+                    case l: org.apache.spark.sql.catalyst.plans.logical
+                        .LocalRelation if l.data.isEmpty => l
+                  }.isDefined
+                }
+                if (provedEmpty) Some(0L)
+                else scala.util.Try(
+                  graft.ChSql.sqlSplit(spark, sub, sfDir)._1.count())
+                  .toOption
+              }
+            }
           if (fmt.equalsIgnoreCase("xml"))
             out ++= graft.formats.ChOutputFormats.renderXmlDoc(
               schema, rows, names, types,
@@ -545,7 +585,7 @@ object Golden {
         // NULL-producing constructs, every NULL is a join gap.
         val outerJoin = clean.matches(
           "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
-          !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull).*") &&
+          !clean.matches("(?is).*(\\bNULL\\b|Nullable|OrNull|nullIf|toNullable).*") &&
           !clean.matches("(?is).*\\bjoin_use_nulls\\s*=\\s*1\\b.*") &&
           !settings.get("join_use_nulls").exists(_ == "1")
         val base = if (outerJoin) graft.ChSql.fillJoinDefaults(base0,
@@ -565,6 +605,18 @@ object Golden {
         out ++= formatDf(base)
         totals.foreach { t => out += ""; out ++= formatDf(t) } // CH prints
         // the totals row after an empty separator line (TSV contract)
+        val wantExtremes = settings.get("extremes").exists(_ == "1") ||
+          clean.matches("(?is).*\\bSETTINGS\\b[^;]*\\bextremes\\s*=\\s*1\\b.*")
+        if (wantExtremes) {
+          val rws = base.collect().toSeq
+          if (rws.nonEmpty) {
+            val (mn, mx) = extremesOf(rws, base.schema.length)
+            val two = spark.createDataFrame(
+              java.util.Arrays.asList(mn, mx), base.schema)
+            out += ""
+            out ++= formatDf(two)
+          }
+        }
       }
       out.toSeq
     }
