@@ -3176,7 +3176,7 @@ object ChSql {
       // one sort key.
       val diverges = (!isDesc && nullsFirst) || (isDesc && !nullsFirst)
       if (diverges && !inOver) {
-        val key = "(?is)\\s*(ASC|DESC)(ENDING)?(\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+        val key = "(?is)(\\s+(ASC|DESC)(ENDING)?)?(\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
           .replaceAllIn(item, "").trim
         if (key.nonEmpty && !key.contains("(") &&
           !key.toLowerCase.contains("collate")) {
