@@ -824,6 +824,17 @@ object ChSql {
       prev = s
       s = replaceOutsideStrings(s, "\\bArray\\(([^()]*)\\)", "ARRAY<$1>")
       s = replaceOutsideStrings(s, "\\bMap\\(([^()]*)\\)", "MAP<$1>")
+      // Nested(a T, b U) → ARRAY<STRUCT<a: T, b: U>> (CH stores Nested
+      // as parallel arrays read back as an array-of-tuples; ref
+      // src/DataTypes/DataTypeNested.h)
+      s = replaceFnOutsideStrings(s, "\\bNested\\(([^()]*)\\)") { mm =>
+        val items = mm.group(1).split(",").toSeq.map(_.trim).map { it =>
+          val parts = it.split("\\s+", 2)
+          if (parts.length == 2) s"${parts(0)}: ${parts(1)}" else it
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"ARRAY<STRUCT<${items.mkString(", ")}>>")
+      }
       // Tuple(a T, b U) / Tuple(T, U) → STRUCT<a: T, b: U>
       s = replaceFnOutsideStrings(s, "\\bTuple\\(([^()]*)\\)") { mm =>
         val items = mm.group(1).split(",").toSeq.map(_.trim).zipWithIndex
@@ -1757,6 +1768,17 @@ object ChSql {
               else if (rest.matches("(?is)view\\s*\\(.*\\)")) {
                 val vopen = rest.indexOf('(')
                 Some("(" + rest.substring(vopen + 1, rest.length - 1) + ")")
+              } else if (rest.matches(
+                "(?is)[A-Za-z_]\\w*(\\s*[,.]\\s*[A-Za-z_]\\w*)?\\s*")) {
+                // remote(addr, [db,] table): every shard resolves to the
+                // local table (single-process model; ref
+                // src/TableFunctions/TableFunctionRemote.cpp) — default
+                // db folds to the bare view name, others to db__tbl
+                val parts = rest.split("[,.]").map(_.trim)
+                Some(
+                  if (parts.length == 1) parts(0)
+                  else if (parts(0).equalsIgnoreCase("default")) parts(1)
+                  else parts(0) + "__" + parts(1))
               } else None
             inner match {
               case None => from = mEnd
@@ -1777,34 +1799,46 @@ object ChSql {
     "double", "string", "varchar", "char", "date", "timestamp", "decimal",
     "boolean", "binary", "interval", "void", "long", "short", "byte")
 
-  /** CH inline parenthesized alias `(expr AS name)`: strip the alias and
-    * substitute `(expr)` for later bare references to `name`. Skips CAST
-    * type names and subquery groups. */
+  /** CH inline expression alias inside a function-call group — `f(expr
+    * AS name, …)` / `f(…, expr AS name)`: strip the alias and substitute
+    * `(expr)` for later bare references to `name` (ref
+    * src/Interpreters/QueryAliasesVisitor.cpp — an alias attaches to any
+    * subexpression and is visible query-wide). Skips CAST type names and
+    * subquery groups. */
   private[graft] def rewriteParenAlias(sql: String): String = {
     var s = sql
     var guard = 0
     var changed = true
-    while (changed && guard < 30) {
+    while (changed && guard < 40) {
       changed = false
       guard += 1
-      val re = "(?i)\\s+AS\\s+([A-Za-z_]\\w*)\\s*\\)".r
-      val hits = re.findAllMatchIn(s).toSeq
-      val usable = hits.find { m =>
+      // innermost enclosing '(' for every position (outside strings)
+      val openAt = {
+        val arr = new Array[Int](s.length + 1)
+        val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var inStr = false
+        var i = 0
+        while (i < s.length) {
+          arr(i) = if (stack.isEmpty) -1 else stack.last
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\\') { i += 1; if (i < s.length) arr(i) = arr(i - 1) }
+            else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') stack += i
+          else if (c == ')') { if (stack.nonEmpty) stack.remove(stack.length - 1) }
+          i += 1
+        }
+        arr(s.length) = if (stack.isEmpty) -1 else stack.last
+        arr
+      }
+      val re = "(?i)\\s+AS\\s+([A-Za-z_]\\w*)\\s*([,)])".r
+      val usable = re.findAllMatchIn(s).find { m =>
         val name = m.group(1)
         if (SparkTypeWords.contains(name.toLowerCase)) false
         else if (inSingleQuoted(s, m.start)) false
         else {
-          // matching open paren of the ')' that closes this group
-          val close = s.lastIndexOf(')', m.end - 1)
-          var depth = 0; var j = close; var open = -1
-          while (open < 0 && j >= 0) {
-            val c = s.charAt(j)
-            if (c == ')') depth += 1
-            else if (c == '(') { depth -= 1; if (depth == 0) open = j }
-            j -= 1
-          }
-          if (open < 0) false
-          else {
+          val open = openAt(m.start)
+          open >= 0 && {
             val content = s.substring(open + 1, m.start).trim
             !content.toUpperCase.startsWith("SELECT") && content.nonEmpty
           }
@@ -1812,14 +1846,7 @@ object ChSql {
       }
       usable.foreach { m =>
         val name = m.group(1)
-        val close = s.lastIndexOf(')', m.end - 1)
-        var depth = 0; var j = close; var open = -1
-        while (open < 0 && j >= 0) {
-          val c = s.charAt(j)
-          if (c == ')') depth += 1
-          else if (c == '(') { depth -= 1; if (depth == 0) open = j }
-          j -= 1
-        }
+        val open = openAt(m.start)
         // the aliased element starts after the last top-level comma
         val content = s.substring(open + 1, m.start)
         var d = 0; var lastComma = -1; var p = 0; var inStr = false
@@ -1834,7 +1861,7 @@ object ChSql {
           p += 1
         }
         val expr = content.substring(lastComma + 1).trim
-        // drop the ` AS name`
+        // drop the ` AS name` (keep the trailing ',' or ')')
         s = s.substring(0, m.start) + s.substring(m.end - 1)
         // substitute bare references (skip self-definition sites)
         if (!expr.equalsIgnoreCase(name))
@@ -2589,6 +2616,86 @@ object ChSql {
       }
       t
     }
+    // multi-item ARRAY JOIN `e1 AS a1, e2 AS a2, …` zips the parallel
+    // arrays positionally (CH requires equal sizes; ref
+    // src/Interpreters/ArrayJoinAction.h multiple columns) →
+    // LATERAL VIEW inline[_outer](arrays_zip(…)) with positional aliases.
+    // Bare column items shadow their source name — rename scope refs the
+    // same way the single bare-column form below does.
+    locally {
+      val re = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+".r
+      var from = 0
+      var guard = 0
+      while (guard < 8) {
+        guard += 1
+        val mOpt = re.findFirstMatchIn(s.substring(from))
+        if (mOpt.isEmpty) guard = 8
+        else {
+          val m = mOpt.get
+          val start = from + m.start
+          val itemsStart = from + m.end
+          val outer = m.group(1) != null
+          // scan the item list to the clause end at depth 0
+          val stops = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+            "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT", "JOIN",
+            "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ARRAY", "LATERAL",
+            "SEMI", "ANTI", "ASOF", "ANY", "ALL", "PREWHERE")
+          var i = itemsStart; var d = 0; var inStr = false; var end = -1
+          val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (end < 0 && i < s.length) {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') d += 1
+            else if (c == ')') { if (d == 0) end = i else d -= 1 }
+            else if (c == ';' && d == 0) end = i
+            else if (d == 0 && c == ',') commas += i
+            else if (d == 0 && c.isLetter &&
+              !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) {
+              if (stops.exists(w => s.regionMatches(true, i, w, 0, w.length) &&
+                (i + w.length >= s.length ||
+                  !(s.charAt(i + w.length).isLetterOrDigit ||
+                    s.charAt(i + w.length) == '_')))) end = i
+            }
+            i += 1
+          }
+          if (end < 0) end = s.length
+          if (commas.isEmpty) from = itemsStart
+          else {
+            val bounds = (itemsStart +: commas.map(_ + 1)) zip
+              (commas.toSeq :+ end)
+            val items = bounds.map { case (a, b) => s.substring(a, b).trim }
+            val AliasedRe = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+            val BareRe = "(?s)^[A-Za-z_]\\w*$".r
+            val parsed = items.map {
+              case AliasedRe(e, a) => Some((e, a, false))
+              case b if BareRe.findFirstIn(b).isDefined =>
+                Some((b, s"__aj_$b", true))
+              case _ => None
+            }
+            if (parsed.exists(_.isEmpty)) from = itemsStart
+            else {
+              val ps = parsed.flatten
+              val fn = if (outer) "inline_outer" else "inline"
+              // mask the source exprs behind sentinels: inside the ARRAY
+              // JOIN clause a shadowed name still means the SOURCE array
+              val repl = s" LATERAL VIEW $fn(arrays_zip(" +
+                ps.indices.map(k => s"__AJSRC${k}__").mkString(", ") +
+                s")) __ajz AS " + ps.map(_._2).mkString(", ") + " "
+              val bareNames = ps.filter(_._3).map(_._1)
+              s = s.substring(0, start) + repl + s.substring(end)
+              bareNames.foreach { nm =>
+                s = renameBareArrayJoinRefs(s, start, nm)
+              }
+              ps.zipWithIndex.foreach { case ((e, _, _), k) =>
+                s = s.replace(s"__AJSRC${k}__", e)
+              }
+              from = start + repl.length
+            }
+          }
+        }
+      }
+    }
     // ARRAY JOIN clause (ref src/Interpreters/ArrayJoinAction.h): the
     // aliased single-array form maps to LATERAL VIEW explode; LEFT ARRAY
     // JOIN keeps empty-array rows → explode_outer. (The alias-less form
@@ -2693,6 +2800,12 @@ object ChSql {
     // (result-shaping ones like extremes produce diffs the golden check
     // catches); strip them
     s = replaceOutsideStrings(s, "(?is)\\bSETTINGS\\s+\\w+\\s*=[^;)]*$", "")
+    // CH binds a branch's trailing ORDER BY/LIMIT/OFFSET to that branch,
+    // never to the whole UNION/EXCEPT/INTERSECT chain (ref
+    // InterpreterSelectWithUnionQuery — each child keeps its own
+    // modifiers; the global form requires an outer subquery). Spark reads
+    // them chain-global, so parenthesize branches that carry modifiers.
+    s = rewriteUnionBranchModifiers(s)
     // CH's implicit source table system.one has a single UInt8 column
     // `dummy` = 0 (ref src/Storages/System/StorageSystemOne.cpp); a CAST
     // keeps GROUP BY from reading the 0 as a column ordinal. Guarded so
@@ -3129,6 +3242,171 @@ object ChSql {
     }
     sql.substring(0, obM.get.start(1)) + rewritten.mkString(", ") + " " +
       sql.substring(obM.get.start(2))
+  }
+
+  /** Parenthesize set-op branches that carry their own ORDER BY/LIMIT/
+    * OFFSET so the modifier stays branch-local (CH semantics; Spark
+    * would bind a trailing modifier to the whole chain). Recurses into
+    * parenthesized groups — the pattern usually appears inside a FROM
+    * subquery (00098). */
+  private[graft] def rewriteUnionBranchModifiers(sql: String): String = {
+    def word(s: String, j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j + w.length >= s.length ||
+          !(s.charAt(j + w.length).isLetterOrDigit ||
+            s.charAt(j + w.length) == '_')) &&
+        (j == 0 || !(s.charAt(j - 1).isLetterOrDigit ||
+          s.charAt(j - 1) == '_'))
+    def fix(s: String): String = {
+      // recurse into top-level paren groups first
+      val sb = new StringBuilder
+      var i = 0; var inStr = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) {
+          sb.append(c)
+          if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 1 }
+          else if (c == '\'') inStr = false
+        } else if (c == '\'') { inStr = true; sb.append(c) }
+        else if (c == '(') {
+          var d = 1; var j = i + 1; var inS2 = false
+          while (j < s.length && d > 0) {
+            val c2 = s.charAt(j)
+            if (inS2) { if (c2 == '\\') j += 1 else if (c2 == '\'') inS2 = false }
+            else if (c2 == '\'') inS2 = true
+            else if (c2 == '(') d += 1
+            else if (c2 == ')') d -= 1
+            j += 1
+          }
+          if (d == 0) {
+            sb.append('(').append(fix(s.substring(i + 1, j - 1))).append(')')
+            i = j - 1
+          } else sb.append(c)
+        } else sb.append(c)
+        i += 1
+      }
+      val t = sb.toString
+      // split at depth-0 set-op separators
+      val seps = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      i = 0; var d = 0; inStr = false
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') d += 1
+        else if (c == ')') d -= 1
+        else if (d == 0 && (word(t, i, "UNION") || word(t, i, "EXCEPT") ||
+          word(t, i, "INTERSECT"))) {
+          val kw = if (word(t, i, "UNION")) 5
+            else if (word(t, i, "EXCEPT")) 6 else 9
+          val ext = "(?is)^\\s+(ALL|DISTINCT)\\b".r
+            .findPrefixMatchOf(t.substring(i + kw)).map(_.end).getOrElse(0)
+          seps += ((i, i + kw + ext))
+          i = i + kw + ext - 1
+        }
+        i += 1
+      }
+      if (seps.isEmpty) return t
+      val starts = 0 +: seps.map(_._2)
+      val ends = seps.map(_._1) :+ t.length
+      val branches = starts.zip(ends).map { case (a, b) => t.substring(a, b) }
+      def hasModifier(br: String): Boolean = {
+        var k = 0; var dep = 0; var inS = false
+        while (k < br.length) {
+          val c = br.charAt(k)
+          if (inS) { if (c == '\\') k += 1 else if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(') dep += 1
+          else if (c == ')') dep -= 1
+          else if (dep == 0 && (word(br, k, "LIMIT") || word(br, k, "OFFSET") ||
+            (word(br, k, "ORDER") &&
+              "(?is)^ORDER\\s+BY\\b".r.findPrefixMatchOf(br.substring(k)).isDefined)))
+            return true
+          k += 1
+        }
+        false
+      }
+      def alreadyWrapped(br: String): Boolean = {
+        val tr = br.trim
+        if (!tr.startsWith("(")) return false
+        var dep = 0; var k = 0; var inS = false
+        while (k < tr.length) {
+          val c = tr.charAt(k)
+          if (inS) { if (c == '\\') k += 1 else if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(') dep += 1
+          else if (c == ')') { dep -= 1; if (dep == 0) return k == tr.length - 1 }
+          k += 1
+        }
+        false
+      }
+      val out = new StringBuilder
+      branches.zipWithIndex.foreach { case (br, k) =>
+        if (k > 0) out.append(t.substring(seps(k - 1)._1, seps(k - 1)._2))
+        val tr = br.trim
+        if (hasModifier(br) && !alreadyWrapped(br) &&
+          "(?is)^(SELECT|WITH)\\b".r.findPrefixMatchOf(tr).isDefined) {
+          // keep any trailing semicolon outside the wrap
+          val semi = tr.endsWith(";")
+          val core = if (semi) tr.dropRight(1).trim else tr
+          out.append(" (").append(core).append(")")
+          if (semi) out.append(";")
+          out.append(" ")
+        } else out.append(br)
+      }
+      out.toString
+    }
+    fix(sql)
+  }
+
+  /** Rename bare references to ARRAY-JOIN-shadowed column `name` to
+    * `__aj_name` within the innermost (SELECT …) scope enclosing `pos`
+    * — skipping nested subqueries (their `name` is the pre-explode
+    * source column) and string literals. Shared by the single- and
+    * multi-item bare ARRAY JOIN rewrites. */
+  private def renameBareArrayJoinRefs(s: String, pos: Int,
+      name: String): String = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val strSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+    var inStr = false
+    var strStart = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') { inStr = false; strSpans += ((strStart, i)) }
+      }
+      else if (c == '\'') { inStr = true; strStart = i }
+      else if (c == '(') {
+        val isSub = s.substring(i + 1).matches("(?is)\\s*SELECT\\b.*")
+        stack += ((i, isSub))
+      } else if (c == ')') {
+        if (stack.nonEmpty) {
+          val (open, isSub) = stack.remove(stack.length - 1)
+          if (isSub) spans += ((open, i))
+        }
+      }
+      i += 1
+    }
+    val scope = spans.filter(sp => sp._1 < pos && pos <= sp._2)
+      .sortBy(sp => sp._2 - sp._1).headOption.getOrElse((0, s.length - 1))
+    def masked(p: Int): Boolean =
+      p < scope._1 || p > scope._2 ||
+        spans.exists(sp => sp != scope && sp._1 >= scope._1 &&
+          sp._2 <= scope._2 && p >= sp._1 && p <= sp._2) ||
+        strSpans.exists(sp => p >= sp._1 && p <= sp._2)
+    val rex = s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(name)}(?![\\w`])".r
+    val sb = new StringBuilder
+    var last = 0
+    for (mm <- rex.findAllMatchIn(s)) {
+      if (!masked(mm.start)) {
+        sb.append(s.substring(last, mm.start)).append(s"__aj_$name")
+        last = mm.end
+      }
+    }
+    sb.append(s.substring(last)).toString
   }
 
   private[graft] def chNullOrderText(sql0: String): String = {

@@ -15,9 +15,40 @@ import org.apache.spark.sql.functions._
 object ch {
 
   // ---- conversions (ref src/Functions/FunctionsConversion.h) ----
-  def toInt8(c: Column): Column = c.cast("tinyint")
-  def toInt16(c: Column): Column = c.cast("smallint")
-  def toInt32(c: Column): Column = c.cast("int")
+  /** CH integer CAST wraps modulo 2^N on numeric overflow (ref
+    * FunctionsConversion.h static_cast semantics); Spark's ANSI cast
+    * throws. Numeric sources take the legacy (wrapping) cast; everything
+    * else (strings especially) keeps ANSI parse-or-throw. */
+  def wrapCast(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.types._
+    val e = EE(c)
+    val numericSrc = e.resolved && (e.dataType.isInstanceOf[NumericType] ||
+      e.dataType == BooleanType)
+    val intTarget = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    if (numericSrc && intTarget) CC(Cast(e, dt, None, EvalMode.LEGACY))
+    else c.cast(dt)
+  }
+  /** Unsigned-width wrap: CH toUIntN(v) keeps the low N bits (ref
+    * FunctionsConversion.h) — carried one signed width up. */
+  private def uintWrap(c: Column, mask: Long,
+      carrier: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{expression => EE}
+    import org.apache.spark.sql.types._
+    val e = EE(c)
+    if (e.resolved && (e.dataType.isInstanceOf[NumericType] ||
+        e.dataType == BooleanType))
+      (wrapCast(c, LongType).bitwiseAND(lit(mask))).cast(carrier)
+    else c.cast(carrier)
+  }
+  def toInt8(c: Column): Column =
+    wrapCast(c, org.apache.spark.sql.types.ByteType)
+  def toInt16(c: Column): Column =
+    wrapCast(c, org.apache.spark.sql.types.ShortType)
+  def toInt32(c: Column): Column =
+    wrapCast(c, org.apache.spark.sql.types.IntegerType)
   def toInt64(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
     val e = EE(c)
@@ -30,13 +61,23 @@ object ch {
         org.apache.spark.sql.types.TimestampType ||
         e.dataType == org.apache.spark.sql.types.TimestampNTZType))
       c.cast("double").cast("bigint")
-    else c.cast("bigint")
+    else if (e.resolved && e.dataType ==
+        org.apache.spark.sql.types.DecimalType(20, 0))
+      // the UInt64 carrier: values past Long.MaxValue reinterpret as the
+      // signed 64-bit pattern (CH wrap; ref FunctionsConversion.h)
+      when(c > lit(Long.MaxValue),
+        (c.cast("decimal(21,0)") -
+          lit(new java.math.BigDecimal("18446744073709551616")))
+          .cast("bigint"))
+        .otherwise(c.cast("bigint"))
+    else wrapCast(c, org.apache.spark.sql.types.LongType)
   }
   // UInt64 has no Spark twin (SURVEY §1.2) — widest signed integer
-  def toUInt8(c: Column): Column = c.cast("smallint")
-  def toUInt16(c: Column): Column = c.cast("int")
-  def toUInt32(c: Column): Column = c.cast("bigint")
-  def toUInt64(c: Column): Column = c.cast("bigint")
+  def toUInt8(c: Column): Column = uintWrap(c, 0xFFL, "smallint")
+  def toUInt16(c: Column): Column = uintWrap(c, 0xFFFFL, "int")
+  def toUInt32(c: Column): Column = uintWrap(c, 0xFFFFFFFFL, "bigint")
+  def toUInt64(c: Column): Column =
+    wrapCast(c, org.apache.spark.sql.types.LongType)
   def toFloat32(c: Column): Column = c.cast("float")
   def toFloat64(c: Column): Column = c.cast("double")
   // FixedString -> String conversion cuts the \0 padding back off (ref
@@ -254,8 +295,24 @@ object ch {
 
   // ---- strings (ref src/Functions/{lengthUTF8,substring,trim}.cpp …) ----
   def lengthUTF8(c: Column): Column = length(c)
-  def lowerUTF8(c: Column): Column = lower(c)
-  def upperUTF8(c: Column): Column = upper(c)
+  // direct Catalyst nodes: functions.lower/upper emit UNRESOLVED calls
+  // that would resolve into the ASCII-only `lower`/`upper` registered
+  // below (same trap as rand/factorial/hex)
+  def lowerUTF8(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    CC(org.apache.spark.sql.catalyst.expressions.Lower(EE(c)))
+  }
+  def upperUTF8(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    CC(org.apache.spark.sql.catalyst.expressions.Upper(EE(c)))
+  }
+  // CH's plain lower/upper are ASCII-only byte transforms (ref
+  // src/Functions/LowerUpperImpl.h — flips bit 0x20 for [A-Za-z] only);
+  // non-ASCII bytes pass through. translate() keeps it codegen'd.
+  private val azU = ('A' to 'Z').mkString
+  private val azL = ('a' to 'z').mkString
+  def lowerAscii(c: Column): Column = translate(c, azU, azL)
+  def upperAscii(c: Column): Column = translate(c, azL, azU)
   def substringUTF8(c: Column, p: Column, l: Column): Column = c.substr(p, l)
   def concatWithSeparator(sep: String, cols: Seq[Column]): Column =
     concat_ws(sep, cols: _*)
@@ -333,8 +390,13 @@ object ch {
       when(p <= length(h) + 1, p).otherwise(lit(0)))
       .otherwise(call_function("locate", n, h, p))
   }
+  // ASCII case-fold + byte offsets (ref PositionCaseInsensitiveASCII)
   def positionCaseInsensitive(h: Column, n: Column): Column =
-    call_function("locate", lower(n), lower(h))
+    position(lowerAscii(h), lowerAscii(n))
+  // Unicode case-fold + character offsets (ref PositionCaseInsensitiveUTF8)
+  def positionCaseInsensitiveUTF8(h: Column, n: Column): Column =
+    when(length(n) === 0, lit(1))
+      .otherwise(call_function("locate", lowerUTF8(n), lowerUTF8(h)))
   def matchCh(c: Column, re: String): Column = c.rlike(re)
   /** CH extract/extractAll take the FIRST capture group when the pattern
     * has one, else the whole match (ref src/Functions/extract.cpp,
@@ -482,7 +544,11 @@ object ch {
   def arrayFirst(f: Column => Column, a: Column): Column = get(filter(a, f), lit(0))
   def arrayFirstIndex(f: Column => Column, a: Column): Column =
     coalesce(array_position(transform(a, f), lit(true)), lit(0L))
-  def arrayEnumerate(a: Column): Column = sequence(lit(1), size(a))
+  // sequence(1, 0) would count DOWN to [1,0] — an empty array must
+  // enumerate to [] (ref src/Functions/array/arrayEnumerate.cpp)
+  def arrayEnumerate(a: Column): Column =
+    when(size(a) > 0, sequence(lit(1), size(a)))
+      .otherwise(array().cast("array<int>"))
   // vector math (ref arrayDistance.cpp, arrayNorm.cpp) — see also
   // graft.operators.Similarity for the search operators built on these
   def dotProduct(a: Column, b: Column): Column =

@@ -374,6 +374,8 @@ object ChRegistry {
     f("chLength") { case Seq(a) => C(ChLength(a)) }
     f1("lengthUTF8")(ch.lengthUTF8)
     f1("lowerUTF8")(ch.lowerUTF8); f1("upperUTF8")(ch.upperUTF8)
+    f1("lower")(ch.lowerAscii); f1("upper")(ch.upperAscii)
+    f1("lcase")(ch.lowerAscii); f1("ucase")(ch.upperAscii)
     f("substringUTF8") {
       // clamp a wild 64-bit offset into int range (ubsan-pinned 01665);
       // the clamped value is far beyond any string so semantics hold
@@ -395,7 +397,8 @@ object ChRegistry {
     }
     f("positionCaseInsensitive") {
       case Seq(h, n) => ch.positionCaseInsensitive(C(h), C(n))
-      case Seq(h, n, p) => ch.position3Chars(lower(C(h)), lower(C(n)), C(p))
+      case Seq(h, n, p) =>
+        ch.position3(ch.lowerAscii(C(h)), ch.lowerAscii(C(n)), C(p))
     }
     f("match") { case Seq(c, re) => ch.matchCh(C(c), litStr(re)) }
     f("extract") { case Seq(c, re) => ch.extract(C(c), litStr(re)) }
@@ -468,7 +471,7 @@ object ChRegistry {
     f2("arrayElement")(ch.arrayElement)
     f2("has")(ch.has); f2("hasAll")(ch.hasAll); f2("hasAny")(ch.hasAny)
     f2("indexOf")(ch.indexOf); f2("countEqual")(ch.countEqual)
-    f1("emptyArrayInt64")(_ => ch.emptyArrayInt64())
+    f("emptyArrayInt64")(_ => ch.emptyArrayInt64())
     // containsNull=false: CH Array(T) elements are non-Nullable, and the
     // arrayElement out-of-range default (vs NULL) contract depends on it
     for ((n, t) <- Seq("UInt8" -> "smallint", "UInt16" -> "int",
@@ -1825,8 +1828,9 @@ object ChRegistry {
     f1("regexpQuoteMeta")(ch.regexpQuoteMeta)
     f2("hasSubstr")(ch.hasSubstr)
     f("positionCaseInsensitiveUTF8") {
-      case Seq(h, n) => ch.positionCaseInsensitive(C(h), C(n))
-      case Seq(h, n, p) => ch.position3Chars(lower(C(h)), lower(C(n)), C(p))
+      case Seq(h, n) => ch.positionCaseInsensitiveUTF8(C(h), C(n))
+      case Seq(h, n, p) =>
+        ch.position3Chars(ch.lowerUTF8(C(h)), ch.lowerUTF8(C(n)), C(p))
     }
     f("positionUTF8") {
       case Seq(h, n) =>
@@ -2740,13 +2744,16 @@ object ChRegistry {
     // lambda HOF on Spark's builtin (overriding the builtin name breaks
     // lambda binding for every internal functions.transform use).
     f("chTransform") {
+      // failOnError=false: a no-match position of 0 probes index -1,
+      // which must yield NULL for the coalesce fallback (not ANSI-throw)
       case Seq(x, from, to) =>
         // 3-arg: unmatched values pass through unchanged
         coalesce(C(GetArrayItem(E(C(to)),
-          E(array_position(C(from), C(x)) - 1))), C(x))
+          E(array_position(C(from), C(x)) - 1), failOnError = false)), C(x))
       case Seq(x, from, to, dflt) =>
         coalesce(C(GetArrayItem(E(C(to)),
-          E(array_position(C(from), C(x)) - 1))), C(dflt))
+          E(array_position(C(from), C(x)) - 1), failOnError = false)),
+          C(dflt))
     }
 
     // wave 4 long tail (each pinned by a golden file when listed in

@@ -38,7 +38,7 @@ object TextAnalysis {
     * the tokenized text most; CJK short-circuits on script detection.
     * Returns ISO code or 'und' when nothing matches. */
   def languageId(text: Column): Column = {
-    val toks = split(lower(text), "[\\s\\p{Punct}]+")
+    val toks = split(ch.lowerUTF8(text), "[\\s\\p{Punct}]+")
     val scores = stopwordLists.keys.toSeq.sorted.map(l =>
       struct(stopwordHits(toks, l).as("score"), lit(l).as("lang")))
     val best = array_max(array(scores: _*))
@@ -74,7 +74,7 @@ object TextAnalysis {
     * set — robust to word order and duplication (bag-of-words identity). */
   def fingerprint(text: Column): Column =
     md5(to_binary(
-      array_join(array_sort(array_distinct(split(lower(text), "\\s+"))), " "),
+      array_join(array_sort(array_distinct(split(ch.lowerUTF8(text), "\\s+"))), " "),
       lit("utf-8")))
 
   /** 64-bit rolling hash over the token sequence — order-sensitive

@@ -679,7 +679,8 @@ object DdlEmu {
               uniq.schema(c).dataType ==
                 org.apache.spark.sql.types.StringType)
               graft.functions.ch.toDateTime(uniq.col(c))
-            else col(c).cast(target.schema(n).dataType)
+            else graft.functions.ch.wrapCast(uniq.col(c),
+              target.schema(n).dataType)
           casted.as(n) }
         val rows = uniq.select(byPos: _*)
         val defMap = defExprs.getOrElse(name, Map.empty)

@@ -253,8 +253,11 @@ object Round8Queries {
         |  ('res10',       CAST(10 AS BIGINT)),
         |  ('string_to',   CAST(617420388351344639 AS BIGINT))
         |) AS t(op, v) ORDER BY op""".stripMargin) { (s, dir) =>
+      // outer subquery: CH binds a trailing ORDER BY to the LAST union
+      // branch, so the global sort needs the wrap (same in both dialects)
       ChSql.sql(s,
-        """SELECT 'base_cell' AS op,
+        """SELECT op, v FROM (
+        |SELECT 'base_cell' AS op,
         |       toInt64(h3GetBaseCell(612916788725809151)) AS v
         |UNION ALL SELECT 'center15',
         |       toInt64(h3ToCenterChild(577023702256844799, 15))
@@ -271,6 +274,6 @@ object Round8Queries {
         |       toInt64(h3GetResolution(621807531097128959))
         |UNION ALL SELECT 'string_to',
         |       toInt64(stringToH3('89184926cc3ffff'))
-        |ORDER BY op""".stripMargin, dir)
+        |) ORDER BY op""".stripMargin, dir)
     })
 }
