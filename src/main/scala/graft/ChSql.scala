@@ -199,7 +199,8 @@ object ChSql {
     "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",
     "exponentialTimeDecayedAvg", "exponentialTimeDecayedMax",
     "stochasticLinearRegression", "stochasticLogisticRegression",
-    "windowFunnel", "sequenceMatch", "sequenceCount")
+    "windowFunnel", "sequenceMatch", "sequenceCount",
+    "uniqCombined", "uniqCombined64")
 
   private[graft] def rewriteParamAggs(sql: String): String = {
     var s = sql
@@ -219,30 +220,46 @@ object ChSql {
       }
       -1
     }
+    // combinator-suffixed forms (topKArrayState(10)(x),
+    // uniqCombinedState(17)(x)…) carry params the same way — peel the
+    // suffix chain down to a known parametric base
+    val combSuffixes = Seq("SimpleState", "OrDefault", "OrNull", "ForEach",
+      "Resample", "Distinct", "State", "Merge", "Array", "Map", "If")
+    def isParamName(n: String): Boolean =
+      paramAggs.contains(n) || {
+        var base = n
+        var again = true
+        while (again) {
+          again = false
+          combSuffixes.find(suf => base.length > suf.length &&
+            base.endsWith(suf)).foreach { suf =>
+            base = base.dropRight(suf.length); again = true
+          }
+        }
+        base != n && paramAggs.contains(base)
+      }
     while (changed) {
       changed = false
-      for (name <- paramAggs if !changed) {
-        var idx = s.indexOf(name + "(")
-        while (idx >= 0 && !changed) {
-          val boundary = idx == 0 ||
-            (!Character.isLetterOrDigit(s.charAt(idx - 1)) &&
-              s.charAt(idx - 1) != '_')
-          val pEnd = if (boundary) balancedEnd(s, idx + name.length) else -1
+      val idRe = "(?<![\\w.])[A-Za-z_]\\w*(?=\\()".r
+      for (m <- idRe.findAllMatchIn(s) if !changed) {
+        val name = m.matched
+        if (isParamName(name)) {
+          val pEnd = balancedEnd(s, m.end)
           if (pEnd > 0) {
             var j = pEnd + 1
             while (j < s.length && s.charAt(j).isWhitespace) j += 1
             if (j < s.length && s.charAt(j) == '(') {
               val aEnd = balancedEnd(s, j)
               if (aEnd > 0) {
-                val params = s.substring(idx + name.length + 1, pEnd).trim
+                val params = s.substring(m.end + 1, pEnd).trim
                 val args = s.substring(j + 1, aEnd).trim
-                s = s.substring(0, idx) +
-                  s"$name($args, $params)" + s.substring(aEnd + 1)
+                val sep = if (args.isEmpty || params.isEmpty) "" else ", "
+                s = s.substring(0, m.start) +
+                  s"$name($args$sep$params)" + s.substring(aEnd + 1)
                 changed = true
               }
             }
           }
-          if (!changed) idx = s.indexOf(name + "(", idx + 1)
         }
       }
     }
@@ -1763,6 +1780,11 @@ object ChSql {
             val inner: Option[String] =
               if (rest.matches("(?is)system\\s*[,.]\\s*one(\\s*,.*)?"))
                 Some("(SELECT CAST(0 AS TINYINT) AS __one)")
+              else if (rest.matches(
+                "(?is)system\\s*[,.]\\s*numbers(_mt)?\\s*"))
+                // bounded stand-in for the infinite generator (reads are
+                // always under LIMIT; same contract as the main path)
+                Some("(SELECT id AS number FROM range(10000000))")
               else if (rest.matches("(?is)numbers(?:_mt)?\\s*\\(.*"))
                 Some(rest)
               else if (rest.matches("(?is)view\\s*\\(.*\\)")) {
@@ -2244,11 +2266,18 @@ object ChSql {
           s"WHERE (${mm.group(1)}) AND (${mm.group(2)})"
         else java.util.regex.Matcher.quoteReplacement(mm.matched)
     }
-    s = s.replaceAll("(?i)\\bPREWHERE\\b", "WHERE")
+    // a table may itself be NAMED prewhere (00140) — only the keyword
+    // position (not right after FROM/JOIN/TABLE/INTO) converts
+    s = s.replaceAll(
+      "(?i)(?<!\\b(FROM|JOIN|TABLE|INTO)\\s{1,8})\\bPREWHERE\\b", "WHERE")
     // FINAL modifier after a table ref
     s = s.replaceAll("(?i)\\bFINAL\\b", "")
-    // GLOBAL IN / GLOBAL NOT IN
+    // GLOBAL IN / GLOBAL NOT IN / GLOBAL <kind> JOIN (the GLOBAL
+    // broadcast marker is execution-strategy-only; ref
+    // src/Interpreters/GlobalSubqueriesVisitor.h)
     s = s.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", "$1IN")
+    s = s.replaceAll("(?i)\\bGLOBAL\\s+(?=(ANY|ALL|INNER|LEFT|RIGHT|" +
+      "FULL|CROSS|SEMI|ANTI|ASOF|JOIN)\\b)", "")
     // join strictness modifiers (ref src/Parsers/ASTTablesInSelectQuery.h):
     // ALL is CH's default (= ANSI); ANY keeps the first match per left row —
     // identical when the right key is unique, which each pinned golden
@@ -2794,12 +2823,40 @@ object ChSql {
     // (identifier+string); an identity call restores the subquery parse
     s = s.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
       "(SELECT materialize($1)")
+    // enable_positional_arguments=0: GROUP BY/ORDER BY integers are
+    // literal constants, not ordinals (ref Settings.h
+    // enable_positional_arguments; default 1) — `n+0` defeats Spark's
+    // ordinal resolution, then constant-folds back to the literal
+    val posArgsOff = s.matches(
+      "(?is).*\\benable_positional_arguments\\s*=\\s*0.*") ||
+      (try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.ch.enable_positional_arguments", "1") == "0"
+      catch { case _: Throwable => false })
+    if (posArgsOff)
+      s = replaceFnOutsideStrings(s,
+        "(?i)\\b(GROUP\\s+BY|ORDER\\s+BY)\\s+(\\d+(?:\\s*,\\s*\\d+)*)") {
+        mm => java.util.regex.Matcher.quoteReplacement(
+          mm.group(1) + " " + mm.group(2).split(",")
+            .map(t => s"(${t.trim}+0)").mkString(", "))
+      }
     // use_nulls rollup ordinal pinning must see the SETTINGS clause
     s = rewriteRollupOrderOrdinals(s)
     // session-tuning SETTINGS at statement end don't change results here
     // (result-shaping ones like extremes produce diffs the golden check
     // catches); strip them
     s = replaceOutsideStrings(s, "(?is)\\bSETTINGS\\s+\\w+\\s*=[^;)]*$", "")
+    // SETTINGS may also sit at the end of a subquery, right before the
+    // ')' (ref ParserSelectQuery — SETTINGS is a per-select clause)
+    s = s.replaceAll(
+      "(?is)\\s+SETTINGS\\s+\\w+\\s*=\\s*(?:'[^']*'|[\\w.]+)" +
+        "(\\s*,\\s*\\w+\\s*=\\s*(?:'[^']*'|[\\w.]+))*\\s*(?=\\))", "")
+    // MySQL-compat `LIMIT offset, count` (ref ParserSelectQuery limit
+    // parsing) → LIMIT count OFFSET offset. The `LIMIT n, k BY` form was
+    // already rewritten away by rewriteLimitByTop, so a bare match here
+    // is the plain pagination form.
+    s = replaceOutsideStrings(s,
+      "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)(?!\\s*(,|BY\\b))",
+      "LIMIT $2 OFFSET $1")
     // CH binds a branch's trailing ORDER BY/LIMIT/OFFSET to that branch,
     // never to the whole UNION/EXCEPT/INTERSECT chain (ref
     // InterpreterSelectWithUnionQuery — each child keeps its own
@@ -3181,7 +3238,21 @@ object ChSql {
     injectGroupingId(translated) match {
       case Some(withGid) =>
         try {
-          val df = spark.sql(withGid)
+          val df0 = spark.sql(withGid)
+          // no user ORDER BY: CH emits keyed rows first (key order for
+          // the fixed-width hash tables the tests exercise), then each
+          // subtotal level, grand total last (ref RollupTransform
+          // sequential set output) — sort on (__gid, keys) to pin it
+          val hasOrder =
+            "(?is)\\bORDER\\s+BY\\b".r.findFirstIn(translated).isDefined
+          val df =
+            if (hasOrder) df0
+            else {
+              val keyCols = keys.flatMap(k =>
+                df0.schema.fields.find(f => normName(f.name) == normName(k)))
+                .map(f => col(s"`${f.name}`").asc_nulls_last)
+              df0.orderBy((col("__gid").asc +: keyCols).toSeq: _*)
+            }
           resort(df.select(df.schema.fields.filter(_.name != "__gid").map { f =>
             val i = keyNorms.indexOf(normName(f.name))
             if (i < 0) col(s"`${f.name}`")
@@ -3598,8 +3669,37 @@ object ChSql {
       else {
         // totals-only run: empty grouping set, keyed rows filtered out.
         // A following HAVING gets the grouping-set guard merged in.
+        // ROLLUP/CUBE/GROUPING SETS combine with TOTALS in CH (ref
+        // TotalsHavingTransform — totals are one more output stream):
+        // reduce the modifier to its bare key list first.
         val afterTotals = q.substring(m.get.end)
-        val gs = s"GROUP BY GROUPING SETS ((${m.get.group(1)}), ())"
+        val rawKeys = m.get.group(1).trim
+        val keys =
+          if (rawKeys.matches("(?is)^(ROLLUP|CUBE)\\s*\\(.*\\)\\s*$"))
+            rawKeys.replaceFirst("(?is)^(ROLLUP|CUBE)\\s*\\(", "")
+              .trim.stripSuffix(")")
+          else if (rawKeys.matches("(?is)^GROUPING\\s+SETS\\s*\\(.*\\)\\s*$")) {
+            // union of every column mentioned across the sets
+            val inner = rawKeys
+              .replaceFirst("(?is)^GROUPING\\s+SETS\\s*\\(", "")
+              .trim.stripSuffix(")")
+            val toks = inner.split("[(),]").map(_.trim).filter(_.nonEmpty)
+            toks.distinct.mkString(", ")
+          }
+          else rawKeys.replaceAll("(?is)\\s+WITH\\s+(ROLLUP|CUBE)\\b", "")
+        // positional-arguments-off: a bare integer key is the literal,
+        // not an ordinal (same transform translate applies to GROUP BY)
+        val posOff = q.matches(
+          "(?is).*\\benable_positional_arguments\\s*=\\s*0.*") ||
+          (try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+            "graft.ch.enable_positional_arguments", "1") == "0"
+          catch { case _: Throwable => false })
+        val keysP =
+          if (posOff) keys.split(",").map { t =>
+            if (t.trim.matches("\\d+")) s"(${t.trim}+0)" else t
+          }.mkString(", ")
+          else keys
+        val gs = s"GROUP BY GROUPING SETS (($keysP), ())"
         val totQ =
           if (afterTotals.matches("(?is)\\s*HAVING\\b.*"))
             q.substring(0, m.get.start) + gs + afterTotals.replaceFirst(

@@ -41,6 +41,7 @@ object ChOutputFormats {
     "prettyspacenoescapesmonoblock")
 
   private val others = Set("vertical", "values", "csv", "csvwithnames",
+    "csvwithnamesandtypes",
     "tsvraw", "tabseparatedraw", "jsoneachrow", "lineasstring",
     "json", "jsoncompact", "jsonstrings", "jsoncompactstrings",
     "xml", "markdown", "jsoncompacteachrow", "jsoncompactstringseachrow")
@@ -413,12 +414,22 @@ object ChOutputFormats {
     case other => graft.golden.Golden.fmt(other)
   }
 
-  /** CSV: strings/dates quoted with double-quote doubling, numbers
-    * bare, NULL as \N (ref SerializationString::serializeTextCSV). */
+  /** CSV: strings/dates quoted with double-quote doubling (raw newlines
+    * survive inside the quotes), numbers bare, NULL as \N unless
+    * output_format_csv_null_representation overrides, tuples flattened
+    * into one cell per element (ref SerializationString/
+    * SerializationTuple::serializeTextCSV). */
   private def csv(schema: StructType, rows: Seq[Row],
       withNames: Boolean): Seq[String] = {
+    val nullRep =
+      try {
+        val c = org.apache.spark.sql.internal.SQLConf.get
+        c.getConfString("graft.ch.format_csv_null_representation",
+          c.getConfString(
+            "graft.ch.output_format_csv_null_representation", "\\N"))
+      } catch { case _: Throwable => "\\N" }
     def csvCell(v: Any): String = v match {
-      case null => "\\N"
+      case null => nullRep
       case s: String => "\"" + s.replace("\"", "\"\"") + "\""
       case b: Array[Byte] => csvCell(new String(b,
         java.nio.charset.StandardCharsets.UTF_8))
@@ -430,14 +441,21 @@ object ChOutputFormats {
       case b: Boolean => if (b) "1" else "0"
       case a: scala.collection.Seq[_] =>
         "\"" + graft.golden.Golden.fmt(a).replace("\"", "\"\"") + "\""
-      case r: Row => "\"" + graft.golden.Golden.fmt(r)
-        .replace("\"", "\"\"") + "\""
+      // tuple: one CSV cell per element (SerializationTuple writes the
+      // elements comma-separated, each CSV-escaped on its own)
+      case r: Row => r.toSeq.map(csvCell).mkString(",")
       case other => graft.golden.Golden.fmt(other)
     }
     val hdr = if (withNames)
       Seq(schema.fields.map(f => "\"" + f.name.replace("\"", "\"\"") +
         "\"").mkString(",")) else Seq.empty
-    hdr ++ rows.map(r => r.toSeq.map(csvCell).mkString(","))
+    // cells may carry raw newlines (kept inside quotes) — assemble the
+    // full text, then split so each physical line is one output line
+    val body = rows.map(r => r.toSeq.map(csvCell).mkString(","))
+    (hdr ++ body).mkString("\n").split("\n", -1).toSeq match {
+      case Seq("") => Seq.empty
+      case lines => lines
+    }
   }
 
   // ------------------------------------------------------------ JSON rows

@@ -127,12 +127,20 @@ object ch {
   def toSecond(c: Column): Column = second(c)
   // toStartOfYear/Quarter/Month/toMonday return Date for ANY input in CH
   // (ref DateTimeTransforms.h: UInt16 execute overloads for all four
-  // input types) — Spark's trunc() carries that DateType result
-  def toStartOfYear(c: Column): Column = trunc(c, "year")
-  def toStartOfQuarter(c: Column): Column = trunc(c, "quarter")
-  def toStartOfMonth(c: Column): Column = trunc(c, "month")
-  def toStartOfWeek(c: Column): Column = trunc(c, "week")
-  def toMonday(c: Column): Column = trunc(c, "week")
+  // input types) — the TruncDate node carries that DateType result
+  // (built directly: functions.trunc emits an UNRESOLVED "trunc" call,
+  // which resolves into the registered CH numeric trunc)
+  private def truncDate(c: Column, unit: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
+    CC(org.apache.spark.sql.catalyst.expressions.TruncDate(
+      EE(c.cast("date")),
+      org.apache.spark.sql.catalyst.expressions.Literal(unit)))
+  }
+  def toStartOfYear(c: Column): Column = truncDate(c, "year")
+  def toStartOfQuarter(c: Column): Column = truncDate(c, "quarter")
+  def toStartOfMonth(c: Column): Column = truncDate(c, "month")
+  def toStartOfWeek(c: Column): Column = truncDate(c, "week")
+  def toMonday(c: Column): Column = truncDate(c, "week")
   def toStartOfDay(c: Column): Column = date_trunc("day", c)
   def toStartOfHour(c: Column): Column = date_trunc("hour", c)
   def toStartOfMinute(c: Column): Column = date_trunc("minute", c)
@@ -478,12 +486,39 @@ object ch {
 
   // ---- arrays (ref src/Functions/array/) ----
   def arrayElement(a: Column, i: Column): Column = element_at(a, i)
-  def has(a: Column, v: Column): Column = array_contains(a, v)
+  def has(a: Column, v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{expression => EE}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    EE(v) match {
+      // has(arr, NULL) asks for a NULL element (ref
+      // src/Functions/array/has.cpp null-searching path); Spark's
+      // array_contains rejects a NULL needle
+      case Literal(null, _) => exists(a, _.isNull)
+      // null ELEMENTS never match a non-null needle: 0, not Spark's
+      // three-valued NULL (has.cpp)
+      case _ => coalesce(array_contains(a, v), lit(false))
+    }
+  }
   def hasAll(a: Column, b: Column): Column = size(array_except(b, a)) === 0
   def hasAny(a: Column, b: Column): Column = arrays_overlap(a, b)
-  def indexOf(a: Column, v: Column): Column = array_position(a, v)
-  def countEqual(a: Column, v: Column): Column =
-    size(filter(a, x => x === v))
+  def indexOf(a: Column, v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{expression => EE}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    EE(v) match {
+      // NULL needle finds the first NULL element (indexOf.cpp)
+      case Literal(null, _) =>
+        array_position(transform(a, _.isNull), lit(true))
+      case _ => coalesce(array_position(a, v), lit(0L))
+    }
+  }
+  def countEqual(a: Column, v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{expression => EE}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    EE(v) match {
+      case Literal(null, _) => size(filter(a, _.isNull))
+      case _ => size(filter(a, x => x === v))
+    }
+  }
   // range(0) is [] — Spark's sequence(0, -1) would count DOWN
   def rangeCh(n: Column): Column =
     when(n > 0, sequence(lit(0), n - 1))

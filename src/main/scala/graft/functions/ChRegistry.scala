@@ -183,6 +183,22 @@ object ChRegistry {
     tzf("toYear")(ch.toYear); tzf("toQuarter")(ch.toQuarter)
     tzf("toMonth")(ch.toMonth); tzf("toDayOfMonth")(ch.toDayOfMonth)
     tzf("toDayOfWeek")(ch.toDayOfWeek); tzf("toDayOfYear")(ch.toDayOfYear)
+    // mode/tz forms (ref DateLUTImpl.h WeekDayMode): base is Monday=1..7;
+    // Sunday-start rotates (res%7+1), zero-based subtracts one
+    f("toDayOfWeek") {
+      case Seq(a) => ch.toDayOfWeek(zonedWall(a))
+      case es @ (a +: rest) =>
+        val base = rest.lastOption.collect {
+          case Literal(s: UTF8String, _) =>
+            ch.toDayOfWeek(from_utc_timestamp(
+              C(a).cast("timestamp"), s.toString))
+        }.getOrElse(ch.toDayOfWeek(zonedWall(a)))
+        val mode = litInt(es(1))
+        val sunday = mode == 2 || mode == 3
+        val zeroBased = mode == 1 || mode == 2
+        val r1 = if (sunday) base % 7 + 1 else base
+        if (zeroBased) r1 - 1 else r1
+    }
     tzf("toHour")(ch.toHour); tzf("toMinute")(ch.toMinute)
     tzf("toSecond")(ch.toSecond)
     tzf("toStartOfYear")(ch.toStartOfYear)
@@ -1873,9 +1889,18 @@ object ChRegistry {
     // sketch: uniqCombined K=17 → 2^17 registers ≈ rsd 0.003; uniqHLL12
     // = 2^12 registers ≈ rsd 0.016; uniqTheta default 4096 samples ≈
     // rsd 0.016.
-    f1("uniqCombined")(c => approx_count_distinct(c, 0.003))
-    f1("uniqHLL12")(c => approx_count_distinct(c, 0.016))
-    f1("uniqTheta")(c => approx_count_distinct(c, 0.016))
+    // multi-arg forms sketch the tuple; an appended precision param
+    // (uniqCombined(17)(x) → uniqCombined(x, 17)) rides along as a
+    // constant struct field — it never changes the cardinality
+    f("uniqCombined") { case c +: rest =>
+      if (rest.isEmpty) approx_count_distinct(C(c), 0.003)
+      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.003) }
+    f("uniqHLL12") { case c +: rest =>
+      if (rest.isEmpty) approx_count_distinct(C(c), 0.016)
+      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.016) }
+    f("uniqTheta") { case c +: rest =>
+      if (rest.isEmpty) approx_count_distinct(C(c), 0.016)
+      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.016) }
     f1("medianExact")(c =>
       QuantileVariants.exactLowHigh(c, lit(0.5), high = true))
     // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
@@ -3007,10 +3032,22 @@ object ChRegistry {
         val p = pow(lit(10.0), litInt(n))
         signum(C(a)) * floor(abs(C(a)) * p) / p
     }
+    // trunc = truncate alias in CH (FunctionsRound.cpp); the 2-arg
+    // string form keeps Spark's own date-trunc behavior
+    f("trunc") {
+      case Seq(a) => signum(C(a)) * floor(abs(C(a)))
+      case Seq(a, u @ Literal(_: UTF8String, _)) =>
+        C(org.apache.spark.sql.catalyst.expressions.TruncDate(a, u))
+      case Seq(a, n) =>
+        val p = pow(lit(10.0), litInt(n))
+        signum(C(a)) * floor(abs(C(a)) * p) / p
+    }
     // sketch, not exact: at scale an exact distinct where the user asked
     // for uniqCombined64 would shuffle every key (same rsd tier as
     // uniqCombined — the 64 variant only widens the hash)
-    f1("uniqCombined64")(c => approx_count_distinct(c, 0.003))
+    f("uniqCombined64") { case c +: rest =>
+      if (rest.isEmpty) approx_count_distinct(C(c), 0.003)
+      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.003) }
     // one random value per query, all rows (ref FunctionConstantBase);
     // drawn once per session — constant across rows is the contract
     locally {

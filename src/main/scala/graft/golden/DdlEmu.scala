@@ -608,6 +608,8 @@ object DdlEmu {
         recordChTypes(name, colDefs)
         register(spark, name, emptyDf(spark, d))
         true
+      case alterColsRe(name, ops) =>
+        handleAlterColumns(spark, sfDir, name, ops)
       case alterUpdateRe(name, assigns, cond) =>
         val target = spark.table(name)
         val assigned = splitTop(assigns).map { a =>
@@ -637,7 +639,7 @@ object DdlEmu {
         true
       case insertRe(name, colList, body) =>
         val target = spark.table(name)
-        val names = Option(colList)
+        val names0 = Option(colList)
           .map(_.stripPrefix("(").stripSuffix(")")
             .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
           .getOrElse(target.schema.fieldNames.toSeq)
@@ -645,7 +647,7 @@ object DdlEmu {
           "(?is)^FORMAT\\s+(\\w+)\\s+(.*)$".r.findFirstMatchIn(body.trim)
         val rows0 =
           if (body.trim.toUpperCase.startsWith("VALUES"))
-            valuesDf(spark, sfDir, body.trim.drop(6).trim, names.length)
+            valuesDf(spark, sfDir, body.trim.drop(6).trim, names0.length)
           else if (fmtBody.isDefined) {
             // inline-data INSERT (`INSERT INTO t FORMAT CSV 1,2`): the
             // payload rides the DescFormat VALUES-subquery machinery;
@@ -654,7 +656,7 @@ object DdlEmu {
             val fmt = fmtBody.get.group(1)
             val payload = fmtBody.get.group(2)
             if (fmt.equalsIgnoreCase("Values"))
-              valuesDf(spark, sfDir, payload.trim, names.length)
+              valuesDf(spark, sfDir, payload.trim, names0.length)
             else {
               val sub = graft.formats.DescFormat.selectSql(fmt,
                 payload.replace("\\", "\\\\"),
@@ -668,8 +670,58 @@ object DdlEmu {
         // columns with CH type defaults (0 / '' / zero-date); positional
         // rename first — a SELECT can emit duplicate names (n1.number,
         // n2.number, … in 02457) that col(name) cannot address
-        val uniq = rows0.toDF(
+        val uniq0 = rows0.toDF(
           rows0.columns.indices.map(i => s"__ins$i"): _*)
+        // a column-list-less INSERT into a table with Nested columns
+        // supplies one flattened array per SUBCOLUMN (ref
+        // DataTypeNested/NestedUtils::flatten) — expand the names so the
+        // zip below reassembles them
+        val names1 =
+          if (colList != null) names0
+          else {
+            val declared = chTypes.getOrElse(name, Map.empty)
+            val expanded = target.schema.fields.toSeq.flatMap { f =>
+              f.dataType match {
+                case org.apache.spark.sql.types.ArrayType(
+                    st: org.apache.spark.sql.types.StructType, _)
+                  if declared.get(f.name).exists(
+                    _.matches("(?is)^Nested\\s*\\(.*")) =>
+                  st.fields.toSeq.map(sf => s"${f.name}.${sf.name}")
+                case _ => Seq(f.name)
+              }
+            }
+            if (expanded.length == uniq0.columns.length) expanded else names0
+          }
+        // Nested subcolumn insert (`nest.x, nest.y` parallel arrays; ref
+        // src/DataTypes/DataTypeNested — stored as an array of tuples
+        // here): zip the provided arrays into the struct-array column
+        val (names2, uniq) =
+          if (!names1.exists(_.contains("."))) (names1, uniq0)
+          else {
+            import org.apache.spark.sql.functions.arrays_zip
+            val groups = names1.zipWithIndex.filter(_._1.contains("."))
+              .groupBy(_._1.split("\\.")(0))
+            var outNames = Seq.empty[String]
+            var outCols = Seq.empty[org.apache.spark.sql.Column]
+            val done = scala.collection.mutable.Set.empty[String]
+            names1.zipWithIndex.foreach { case (n, i) =>
+              if (!n.contains(".")) {
+                outNames :+= n; outCols :+= uniq0.col(uniq0.columns(i))
+              } else {
+                val pfx = n.split("\\.")(0)
+                if (done.add(pfx)) {
+                  val subs = groups(pfx)
+                  outNames :+= pfx
+                  outCols :+= arrays_zip(subs.map { case (_, j) =>
+                    uniq0.col(uniq0.columns(j)) }: _*)
+                }
+              }
+            }
+            (outNames,
+              uniq0.select(outCols.zipWithIndex.map { case (c, i) =>
+                c.as(s"__insz$i") }: _*))
+          }
+        val names = names2
         val byPos = names.zip(uniq.columns).map { case (n, c) =>
           // DateTime columns accept digit strings as unix timestamps
           // (ref ReadHelpers.h readDateTimeTextImpl numeric path)
@@ -829,6 +881,111 @@ object DdlEmu {
       }
     }
     parts.toSeq
+  }
+
+  private val alterColsRe =
+    ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+" +
+      "((?:ADD|DROP|RENAME|MODIFY|CLEAR|COMMENT)\\s+COLUMN\\b.*)$").r
+
+  /** ALTER TABLE column operations over the staged/in-memory tables
+    * (ref src/Storages/AlterCommands.cpp): ADD/DROP/RENAME/MODIFY/CLEAR
+    * COLUMN, comma-chained. Existing rows materialize the new column's
+    * DEFAULT (or the type default); CLEAR resets values; MODIFY recasts
+    * in place. */
+  private def handleAlterColumns(spark: SparkSession, sfDir: String,
+      name: String, opsText: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.types.DataType
+    var df = spark.table(name)
+    var stagedDf = staged.get(name)
+    var cols = decls.get(name).map(_.cols).getOrElse(
+      df.schema.fields.map(f => f.name -> f.dataType.sql).toSeq)
+    def chExpr(e: String) = expr(graft.ChSql.translate(e).trim)
+    val addRe = "(?is)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(.*)$".r
+    val dropColRe = "(?is)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?`?(\\w+)`?\\s*$".r
+    val renColRe = ("(?is)^RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?" +
+      "`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*$").r
+    val modRe = "(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(.*)$".r
+    val clearRe = "(?is)^CLEAR\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?`?(\\w+)`?.*$".r
+    splitTop(opsText).foreach { op0 =>
+      val op = op0.trim
+      op match {
+        case addRe(defn0) =>
+          var d = defn0.trim
+          var pos = cols.length
+          val afterM = "(?is)\\s+AFTER\\s+`?(\\w+)`?\\s*$".r.findFirstMatchIn(d)
+          if (afterM.isDefined) {
+            d = d.substring(0, afterM.get.start)
+            pos = cols.indexWhere(_._1 == afterM.get.group(1)) + 1
+            if (pos == 0) pos = cols.length
+          } else if (d.matches("(?is).*\\s+FIRST\\s*$")) {
+            d = d.replaceAll("(?is)\\s+FIRST\\s*$", ""); pos = 0
+          }
+          val (cn, ct) = parseCols(d).head
+          if (!cols.exists(_._1 == cn)) {
+            val dt = DataType.fromDDL(ct)
+            val defE = "(?is)\\b(?:DEFAULT|MATERIALIZED)\\s+(.*)$".r
+              .findFirstMatchIn(d).map(_.group(1).trim)
+            recordDefaults(name, d); recordChTypes(name, d)
+            val v = defE.map(e => chExpr(e).cast(dt))
+              .getOrElse(defaultFor(dt)).as(cn)
+            def insert(frame: DataFrame): DataFrame = {
+              val keep = frame.columns.filterNot(_ == "__graft_seq")
+              val before = keep.take(pos).map(c => col(s"`$c`"))
+              val after = keep.drop(pos).map(c => col(s"`$c`")) ++
+                (if (frame.columns.contains("__graft_seq"))
+                  Seq(col("__graft_seq")) else Nil)
+              frame.select((before :+ v) ++ after: _*)
+            }
+            df = insert(df); stagedDf = stagedDf.map(insert)
+            cols = (cols.take(pos) :+ (cn -> ct)) ++ cols.drop(pos)
+          }
+        case dropColRe(cn) =>
+          df = df.drop(cn); stagedDf = stagedDf.map(_.drop(cn))
+          cols = cols.filterNot(_._1 == cn)
+        case renColRe(a, b) =>
+          df = df.withColumnRenamed(a, b)
+          stagedDf = stagedDf.map(_.withColumnRenamed(a, b))
+          cols = cols.map { case (n, t) => (if (n == a) b else n) -> t }
+          chTypes.get(name).foreach { m =>
+            m.get(a).foreach(t => chTypes(name) = m - a + (b -> t)) }
+          defExprs.get(name).foreach { m =>
+            m.get(a).foreach(e => defExprs(name) = m - a + (b -> e)) }
+        case modRe(defn0) =>
+          val d = defn0.trim
+          // type-less MODIFY (DEFAULT/TTL/REMOVE …) only updates metadata
+          if (!d.matches("(?is)^`?\\w+`?\\s+(DEFAULT|MATERIALIZED|ALIAS|TTL|REMOVE|COMMENT)\\b.*") &&
+            d.matches("(?is)^`?\\w+`?\\s+\\S.*")) {
+            val (cn, ct) = parseCols(d).head
+            if (cols.exists(_._1 == cn)) {
+              val dt = DataType.fromDDL(ct)
+              recordChTypes(name, d)
+              def recast(frame: DataFrame): DataFrame =
+                frame.select(frame.columns.map { c =>
+                  if (c == cn)
+                    graft.functions.ch.wrapCast(col(s"`$c`"), dt).as(c)
+                  else col(s"`$c`") }.toSeq: _*)
+              df = recast(df); stagedDf = stagedDf.map(recast)
+              cols = cols.map { case (n, t) => n -> (if (n == cn) ct else t) }
+            }
+          } else recordDefaults(name, d)
+        case clearRe(cn) =>
+          if (cols.exists(_._1 == cn)) {
+            val dt = DataType.fromDDL(cols.find(_._1 == cn).get._2)
+            def clear(frame: DataFrame): DataFrame =
+              frame.select(frame.columns.map { c =>
+                if (c == cn) defaultFor(dt).as(c) else col(s"`$c`")
+              }.toSeq: _*)
+            df = clear(df); stagedDf = stagedDf.map(clear)
+          }
+        case _ => // COMMENT COLUMN and unknown tails: metadata no-ops
+      }
+    }
+    decls(name) = Decl(cols)
+    register(spark, name, df)
+    stagedDf.foreach { st => staged(name) = st; publish(spark, name) }
+    refreshViews(spark, sfDir)
+    true
   }
 
   private def defaultFor(dt: org.apache.spark.sql.types.DataType) = {

@@ -551,6 +551,19 @@ object Golden {
           else out ++= graft.formats.ChOutputFormats.renderJsonDoc(
             fmt, schema, rows, ctx, names, types,
             totalsRows.flatMap(_.headOption), extremes, rowsBeforeLimit)
+        } else if (fmt.equalsIgnoreCase("CSVWithNamesAndTypes")) {
+          // names row, CH type-name row, then the CSV body (ref
+          // CSVRowOutputFormat::writePrefix with_names/with_types)
+          val types = graft.ChSql.selectItemTypeNames(bare)
+            .filter(_.length == schema.length)
+            .getOrElse(sys.error(
+              "CSVWithNamesAndTypes: select-item types not inferable"))
+          val rendered = graft.formats.ChOutputFormats.render(
+            "csvwithnames", schema, blocks.filter(_.nonEmpty), ctx)
+          out ++= rendered.take(1)
+          out += types.map(t =>
+            "\"" + t.replace("\"", "\"\"") + "\"").mkString(",")
+          out ++= rendered.drop(1)
         } else {
           out ++= graft.formats.ChOutputFormats.render(
             fmt, schema, blocks.filter(_.nonEmpty), ctx)

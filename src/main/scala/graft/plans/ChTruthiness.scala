@@ -34,6 +34,12 @@ object ChTruthinessRule extends Rule[LogicalPlan] {
           if (isNum(l) || isNum(r)) && l.resolved && r.resolved =>
         Or(toBool(l), toBool(r))
       case n @ Not(c) if isNum(c) => Not(toBool(c))
+      // numeric CASE WHEN / If conditions: non-zero is true (ref
+      // FunctionsConditional if.cpp UInt8 condition)
+      case cw: CaseWhen if cw.branches.exists(b => isNum(b._1)) =>
+        cw.copy(branches = cw.branches.map { case (c, v) =>
+          (toBool(c), v) })
+      case i @ If(p, a, b) if isNum(p) => If(toBool(p), a, b)
       // CH booleans are UInt8 in comparisons too: `x >= (expr IS NOT
       // NULL)` compares against 0/1 (ref FunctionsComparison.cpp)
       case c: BinaryComparison
