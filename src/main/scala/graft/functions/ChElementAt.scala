@@ -21,10 +21,20 @@ case class ChToDate(child: Expression)
         DoubleType | _: DecimalType =>
       input.asInstanceOf[java.lang.Number].intValue() // epoch days
     case StringType =>
-      try org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .stringToDate(input.asInstanceOf[UTF8String])
-        .map(Integer.valueOf).orNull
-      catch { case _: Exception => null }
+      // CH readDateText accepts ANY single non-digit separator
+      // (YYYY*M*D; ref src/IO/ReadHelpers.h readDateTextImpl)
+      val s = input.asInstanceOf[UTF8String].toString
+      "^(\\d{4})\\D(\\d{1,2})\\D(\\d{1,2})".r.findFirstMatchIn(s) match {
+        case Some(m) =>
+          try Integer.valueOf(java.time.LocalDate.of(m.group(1).toInt,
+            m.group(2).toInt, m.group(3).toInt).toEpochDay.toInt)
+          catch { case _: Exception => null }
+        case _ =>
+          try org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToDate(input.asInstanceOf[UTF8String])
+            .map(Integer.valueOf).orNull
+          catch { case _: Exception => null }
+      }
     case TimestampType | TimestampNTZType =>
       Math.floorDiv(input.asInstanceOf[java.lang.Long], 86400000000L).toInt
     case u: DateTime64UDT =>

@@ -85,7 +85,21 @@ object ch {
   // ordinary strings, which never carry trailing NULs
   def toStringCh(c: Column): Column =
     rtrim(c.cast("string"), "\u0000")
-  def toDateCh(c: Column): Column = c.cast("date")
+  def toDateCh(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{expression => EE}
+    val e = EE(c)
+    // CH readDateText accepts ANY non-digit separator (YYYY*M*D — ref
+    // src/IO/ReadHelpers.h readDateTextImpl); strict failures keep the
+    // ANSI cast's error
+    if (e.resolved && e.dataType == org.apache.spark.sql.types.StringType) {
+      val re = "^(\\d{4})\\D(\\d{1,2})\\D(\\d{1,2})"
+      when(c.rlike(re), make_date(
+        regexp_extract(c, re, 1).cast("int"),
+        regexp_extract(c, re, 2).cast("int"),
+        regexp_extract(c, re, 3).cast("int")))
+        .otherwise(c.cast("date"))
+    } else c.cast("date")
+  }
   /** String DateTime parse treats an all-digit string as a unix
     * timestamp (ref src/IO/ReadHelpers.h readDateTimeTextImpl: 5th char
     * not '-' → numeric path); 'YYYY-MM-DD…' parses as text. */
@@ -362,10 +376,21 @@ object ch {
         }))
     else None
   }
+  // UUIDs surface as canonical strings here; empty(UUID) means the
+  // all-zero UUID (ref FunctionEmpty UUID specialization)
+  private val zeroUuid = "00000000-0000-0000-0000-000000000000"
+  private def isStringTyped(c: Column): Boolean = {
+    val e = org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+    e.resolved && e.dataType == org.apache.spark.sql.types.StringType
+  }
   def emptyCh(c: Column): Column =
-    isZeroIp(c).getOrElse(length(c) === 0)
+    isZeroIp(c).getOrElse(
+      if (isStringTyped(c)) length(c) === 0 || c === zeroUuid
+      else length(c) === 0)
   def notEmptyCh(c: Column): Column =
-    isZeroIp(c).map(!_).getOrElse(length(c) > 0)
+    isZeroIp(c).map(!_).getOrElse(
+      if (isStringTyped(c)) length(c) > 0 && !(c === zeroUuid)
+      else length(c) > 0)
 
   // search/replace (ref position.cpp, match.cpp, replaceAll.cpp)
   // CH position: BYTE offsets (UTF-8), empty needle found at 1 (ref

@@ -1936,7 +1936,12 @@ object ChRegistry {
       case Seq(x, p) => timingPick(C(x), C(p)) }
     f1("medianTiming")(c => timingPick(c, lit(0.5)))
     f("quantiles") { case x +: ps =>
-      call_function("percentile", C(x), array(ps.map(C): _*)) }
+      // empty input yields [nan], never NULL (ref
+      // AggregateFunctionQuantile.h insertResultInto on empty state;
+      // pinned by 01936)
+      coalesce(
+        call_function("percentile", C(x), array(ps.map(C): _*)),
+        array(ps.map(_ => lit(Double.NaN)): _*)) }
     f("quantilesExact") { case x +: ps =>
       array(ps.map(p =>
         QuantileVariants.exactLowHigh(C(x), C(p).cast("double"),

@@ -288,6 +288,35 @@ object PipelineQueries {
             x => round(x.cast("double"), 6).cast("decimal(16,6)").cast("string")),
             ",").as("features"))
         .orderBy("doc_id")
+    },
+
+    // C4-style corpus cleaning (public C4 pipeline rules re-expressed):
+    // language gate → word-count gate → mean-word-length gate → token
+    // blocklist → exact dedup (one md5 shuffle) → per-source survival
+    // stats. The oracle replays every rule in DuckDB.
+    Q.df("q_corpus_clean",
+      """WITH base AS (
+        |  SELECT *, len(string_split(text, ' ')) AS wc,
+        |         (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |           / len(string_split(text, ' ')) AS mwl
+        |  FROM documents WHERE lang = 'en'),
+        |filt AS (
+        |  SELECT * FROM base
+        |  WHERE wc BETWEEN 40 AND 75 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND NOT list_contains(string_split(text, ' '), 'crash')
+        |    AND NOT list_contains(string_split(text, ' '), 'error')),
+        |ded AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |                               ORDER BY doc_id) AS rn
+        |  FROM filt)
+        |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+        |       CAST(sum(wc) AS BIGINT) AS total_words,
+        |       round(avg(wc), 2) AS avg_words
+        |FROM ded WHERE rn = 1
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.CorpusClean.clean(
+        Tables.load(s, dir, "documents"), keepLang = "en",
+        minWords = 40, maxWords = 75, blocked = Seq("crash", "error"))
     }
   )
 }
