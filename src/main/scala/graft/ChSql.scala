@@ -2278,6 +2278,10 @@ object ChSql {
     s = s.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", "$1IN")
     s = s.replaceAll("(?i)\\bGLOBAL\\s+(?=(ANY|ALL|INNER|LEFT|RIGHT|" +
       "FULL|CROSS|SEMI|ANTI|ASOF|JOIN)\\b)", "")
+    // CH puts strictness BEFORE the side: SEMI LEFT JOIN ≡ Spark's
+    // LEFT SEMI JOIN (ref ASTTablesInSelectQuery strictness order)
+    s = s.replaceAll("(?i)\\b(SEMI|ANTI)\\s+LEFT\\s+(OUTER\\s+)?JOIN\\b",
+      "LEFT $1 JOIN")
     // join strictness modifiers (ref src/Parsers/ASTTablesInSelectQuery.h):
     // ALL is CH's default (= ANSI); ANY keeps the first match per left row —
     // identical when the right key is unique, which each pinned golden
@@ -3029,10 +3033,108 @@ object ChSql {
 
   /** Run a ClickHouse-dialect query: register CH function names + fixture
     * views, translate, execute. */
+  // SQL-surface ASOF JOIN over bare tables (ref ASTTablesInSelectQuery
+  // JoinStrictness::Asof): USING(k…, t) — last column is the ordering
+  // key, inequality >= — or ON with name-equal equi keys plus one
+  // inequality. Routed through the AsofJoin operator (union+window, one
+  // shuffle) and re-entered with table qualifiers flattened.
+  private val AsofSqlRe =
+    ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+ASOF\\s+" +
+      "(LEFT\\s+|INNER\\s+)?JOIN\\s+(\\w+)\\s+" +
+      "(?:USING\\s*\\(?([\\w\\s,]+?)\\)?|ON\\s+(.+?))\\s*" +
+      "(ORDER\\s+BY\\s+.+?)?;?\\s*$").r
+
+  private def asofSql(spark: SparkSession, chQuery: String, sfDir: String,
+      m: scala.util.matching.Regex.Match): Option[DataFrame] = {
+    val (sel, t1, t2) = (m.group(1), m.group(2), m.group(4))
+    val joinType =
+      if (m.group(3) != null && m.group(3).trim.equalsIgnoreCase("LEFT"))
+        "left" else "inner"
+    val orderText = Option(m.group(7)).getOrElse("")
+    // equi pairs (leftCol, rightCol) + ordering pair + inequality
+    val parsed: Option[(Seq[(String, String)], String, String, String)] =
+      if (m.group(5) != null) {
+        val ks = m.group(5).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (ks.size >= 2)
+          Some((ks.init.map(k => (k, k)), ks.last, ks.last, ">="))
+        else None
+      } else {
+        val conds = m.group(6).split("(?i)\\bAND\\b").map(_.trim).toSeq
+        val eqRe = s"(?i)^($t1|$t2)\\.(\\w+)\\s*==?\\s*($t1|$t2)\\.(\\w+)$$".r
+        val ineqRe = s"(?i)^($t1|$t2)\\.(\\w+)\\s*(<=|>=|<|>)\\s*($t1|$t2)\\.(\\w+)$$".r
+        val eqs = conds.collect {
+          case eqRe(ta, a, tb, b) if !ta.equalsIgnoreCase(tb) =>
+            if (ta.equalsIgnoreCase(t1)) (a, b) else (b, a)
+        }
+        val ineqs = conds.collect {
+          case ineqRe(ta, a, op, tb, b) if !ta.equalsIgnoreCase(tb) =>
+            // normalize to left-table-first
+            if (ta.equalsIgnoreCase(t1)) (a, b, op)
+            else (b, a, op match {
+              case "<=" => ">="; case ">=" => "<="
+              case "<" => ">"; case ">" => "<" })
+        }
+        if (eqs.size == conds.size - 1 && ineqs.size == 1)
+          Some((eqs, ineqs.head._1, ineqs.head._2, ineqs.head._3))
+        else None
+      }
+    parsed.flatMap { case (onPairs, tKeyL, tKeyR, ineq) =>
+      try {
+        val left = spark.table(t1)
+        val right0 = spark.table(t2)
+        if (!onPairs.forall { case (l, r) =>
+            left.columns.contains(l) && right0.columns.contains(r) } ||
+          !left.columns.contains(tKeyL) ||
+          !right0.columns.contains(tKeyR))
+          return None
+        // duplicate the right's key columns into the payload so
+        // `t2.key` stays the RIGHT side's value — NULL (→ type default)
+        // on non-matched left rows, not the left key — and align
+        // right-side key NAMES to the left's (the operator joins on
+        // shared names)
+        val withKeyCopies = onPairs.map(_._2).distinct
+          .foldLeft(right0)((d, k) =>
+            d.withColumn(s"__r_$k", org.apache.spark.sql.functions.col(k)))
+        val keyAligned = onPairs.foldLeft(withKeyCopies) {
+          case (d, (l, r)) => if (l == r) d else d.withColumnRenamed(r, l) }
+        val on = onPairs.map(_._1)
+        val tKey = tKeyL
+        val right = right0.columns
+          .filterNot(c => onPairs.exists(_._2 == c))
+          .foldLeft(keyAligned)((d, c) =>
+            d.withColumnRenamed(c, s"__r_$c"))
+        val joined0 = graft.operators.AsofJoin.join(
+          left, right, on, tKey, s"__r_$tKeyR", ineq, joinType)
+        // join_use_nulls=0: non-matched right columns take type defaults
+        // BEFORE the select list computes over them (toString(B.t) must
+        // see epoch 0, not NULL)
+        val joined =
+          if (joinType == "left")
+            fillJoinDefaults(joined0,
+              c => graft.golden.DdlEmu.isDeclaredNullable(
+                c.stripPrefix("__r_")))
+          else joined0
+        joined.createOrReplaceTempView("__asof_sql")
+        def remap(x: String): String = {
+          val r = replaceOutsideStrings(x,
+            s"(?i)\\b$t2\\.(\\w+)", "__r_$1")
+          replaceOutsideStrings(r, s"(?i)\\b$t1\\.(\\w+)", "$1")
+        }
+        Some(sql(spark,
+          s"SELECT ${remap(sel)} FROM __asof_sql ${remap(orderText)}",
+          sfDir))
+      } catch { case _: Exception => None }
+    }
+  }
+
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame = {
     ChRegistry.register(spark)
     ChRegistry.ensureSynthesized(spark, chQuery)
     Tables.register(spark, sfDir)
+    val asofM = AsofSqlRe.findFirstMatchIn(chQuery.trim.stripSuffix(";"))
+      .filter(_ => !chQuery.matches("(?is).*\\bJOIN\\s*\\(.*"))
+    val asofDf = asofM.flatMap(asofSql(spark, chQuery, sfDir, _))
+    if (asofDf.isDefined) return asofDf.get
     if (graft.functions.UserDefinedSqlFunctions.maybeExecute(spark, chQuery))
       spark.emptyDataFrame
     else FillRe.findFirstMatchIn(chQuery.trim.stripSuffix(";")) match {

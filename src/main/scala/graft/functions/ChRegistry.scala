@@ -1526,6 +1526,36 @@ object ChRegistry {
     // dictionaries (ref FunctionsExternalDictionaries.h): dictionaries
     // registered via Dictionaries.createDictionary resolve as map-literal
     // probes — CH's RAM-resident dictionary model
+    // joinGet('t', 'attr', key): probe a StorageJoin table (ref
+    // src/Functions/FunctionJoinGet.cpp / StorageJoin::joinGet) — the
+    // table view is already the deduped ANY state (DdlEmu), so the probe
+    // is a bounded collected map; a miss yields the value type's default
+    // (joinGet) or NULL (joinGetOrNull), matching the Any-Left contract
+    def joinGetMap(t: Expression, a: Expression, k: Expression)
+        : (Column, org.apache.spark.sql.types.DataType) = {
+      val tbl = litStr(t); val attr = litStr(a)
+      val df = spark.table(tbl)
+      val keyCol = graft.golden.DdlEmu.joinEngineKeys(tbl)
+        .flatMap(_.headOption).getOrElse(df.columns.head)
+      val rows = df.select(col(s"`$keyCol`"), col(s"`$attr`"))
+        .limit(100001).collect()
+      require(rows.length <= 100000,
+        s"joinGet: '$tbl' exceeds the 100K in-memory probe bound")
+      val vType = df.schema(attr).dataType
+      val kType = df.schema(keyCol).dataType
+      val entries = rows.filter(r => !r.isNullAt(0)).flatMap(r =>
+        Seq(lit(r.get(0)).cast(kType), lit(r.get(1)).cast(vType))).toSeq
+      val m =
+        if (entries.isEmpty)
+          map().cast(org.apache.spark.sql.types.MapType(kType, vType))
+        else map(entries: _*)
+      (try_element_at(m, C(k).cast(kType)), vType)
+    }
+    f("joinGet") { case Seq(t, a, k) =>
+      val (probe, vType) = joinGetMap(t, a, k)
+      graft.ChSql.defaultLit(vType).map(d => coalesce(probe, d))
+        .getOrElse(probe) }
+    f("joinGetOrNull") { case Seq(t, a, k) => joinGetMap(t, a, k)._1 }
     f("dictGet") { case Seq(d, a, k) =>
       graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k)) }
     f("dictGetOrDefault") { case Seq(d, a, k, dv) =>

@@ -157,6 +157,21 @@ object DdlEmu {
     val m = "(?is)^ENGINE\\s*=?\\s*(\\w+)\\s*(\\((.*?)\\))?\\s*(.*)$".r
       .findFirstMatchIn(tail).getOrElse(return None)
     val engName = m.group(1)
+    // ENGINE Join(ANY, LEFT, k): the storage DEDUPS at insert — first
+    // row per key wins, last with join_any_take_last_row=1 (ref
+    // src/Storages/StorageJoin.cpp); ALL-strictness keeps every row
+    if (engName.equalsIgnoreCase("join")) {
+      val args = Option(m.group(3)).map(splitTop(_).map(_.trim))
+        .getOrElse(Seq.empty).filter(_.nonEmpty)
+      if (args.length >= 3 && args.head.equalsIgnoreCase("any")) {
+        val takeLast = m.group(4) != null && m.group(4).matches(
+          "(?is).*join_any_take_last_row\\s*=\\s*1.*")
+        return Some(EngineSpec("joinany",
+          args.drop(2).map(_.stripPrefix("`").stripSuffix("`")), Nil,
+          if (takeLast) Some("last") else None, None))
+      }
+      return None
+    }
     val kind = engName.toLowerCase match {
       case "summingmergetree" => "summing"
       case "replacingmergetree" => "replacing"
@@ -268,6 +283,18 @@ object DdlEmu {
           .reduceOption(_ || _).getOrElse(lit(true))
         g.filter(keep)
           .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
+      case "joinany" =>
+        // StorageJoin ANY: first row per key (insertion order), last
+        // with join_any_take_last_row=1
+        val pick: String => org.apache.spark.sql.Column = c =>
+          if (spec.ver.contains("last")) max_by(col(c), col("__graft_seq"))
+          else min_by(col(c), col("__graft_seq"))
+        val aggs = dataCols.map(c => pick(c).as(c)) :+
+          min(col("__graft_seq")).as("__graft_seq")
+        (if (keyAliases.isEmpty) withKeys.groupBy()
+         else withKeys.groupBy(keyAliases.map(col): _*))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
       case _ =>
         // collapsing (ref CollapsingSortedAlgorithm::insertRows, with
         // only_positive_sign=false — the merge path): per key, when the
@@ -302,10 +329,22 @@ object DdlEmu {
     }
   }
 
-  /** Re-register the public view and the FINAL view from staged rows. */
+  /** Key columns of a StorageJoin(ANY,…) table, for joinGet probes. */
+  def joinEngineKeys(name: String): Option[Seq[String]] =
+    engines.get(name).filter(_.kind == "joinany").map(_.keys)
+
+  /** Re-register the public view and the FINAL view from staged rows.
+    * StorageJoin dedups at INSERT time, so its public view is already
+    * the merged state. */
   private def publish(spark: SparkSession, name: String): Unit =
     staged.get(name).foreach { df =>
-      val pub = df.drop("__graft_seq")
+      val pub0 = df.drop("__graft_seq")
+      val pub = engines.get(name).filter(_.kind == "joinany").flatMap {
+        sp =>
+          try Some(mergeTransform(df, sp, chTypes.getOrElse(name, Map.empty))
+            .drop("__graft_seq"))
+          catch { case _: Exception => None }
+      }.getOrElse(pub0)
       pub.createOrReplaceTempView(name)
       engines.get(name).foreach { spec =>
         try mergeTransform(df, spec, chTypes.getOrElse(name, Map.empty))
@@ -626,15 +665,40 @@ object DdlEmu {
             case None => s"`$n`"
           }
         }
-        register(spark, name, graft.ChSql.sql(spark,
-          s"SELECT ${items.mkString(", ")} FROM `$name`", sfDir))
+        // engine-typed tables mutate their STAGED rows (the view is
+        // re-derived by publish); plain tables rebuild the view
+        staged.get(name) match {
+          case Some(st) =>
+            val mutated = st.columns.map { n =>
+              assigned.get(n) match {
+                case Some(e) =>
+                  val dt = st.schema(n).dataType
+                  expr(s"CASE WHEN (${graft.ChSql.translate(cond).trim}) " +
+                    s"THEN (${graft.ChSql.translate(e).trim}) " +
+                    s"ELSE `$n` END").cast(dt).as(n)
+                case None => col(s"`$n`")
+              }
+            }
+            staged(name) = st.select(mutated.toSeq: _*)
+            publish(spark, name)
+          case None =>
+            register(spark, name, graft.ChSql.sql(spark,
+              s"SELECT ${items.mkString(", ")} FROM `$name`", sfDir))
+        }
         refreshViews(spark, sfDir)
         true
       case alterDeleteRe(name, cond) =>
         // NULL condition = not deleted (CH treats it as 0)
-        register(spark, name, graft.ChSql.sql(spark,
-          s"SELECT * FROM `$name` WHERE NOT ($cond) OR ($cond) IS NULL",
-          sfDir))
+        staged.get(name) match {
+          case Some(st) =>
+            val c = expr(graft.ChSql.translate(cond).trim)
+            staged(name) = st.filter(!c || c.isNull)
+            publish(spark, name)
+          case None =>
+            register(spark, name, graft.ChSql.sql(spark,
+              s"SELECT * FROM `$name` WHERE NOT ($cond) OR ($cond) IS NULL",
+              sfDir))
+        }
         refreshViews(spark, sfDir)
         true
       case insertRe(name, colList, body) =>
