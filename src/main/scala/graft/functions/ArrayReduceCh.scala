@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 object ArrayReduceCh {
 
   private val Resample = """(\w+)Resample\(\s*(-?\d+)\s*,\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
+  private val UpTo = """uniqUpTo\(\s*(\d+)\s*\)""".r
 
   def build(name: String, arrs: Seq[Column]): Column = name.trim match {
     case Resample(base, s, e, st) =>
@@ -28,6 +29,12 @@ object ArrayReduceCh {
     case "uniq" | "uniqExact" =>
       size(array_distinct(arrs.head)).cast("bigint")
     case "groupArray" => arrs.head
+    case "groupUniqArray" => array_distinct(arrs.head)
+    case UpTo(k) =>
+      // uniqUpTo(K): exact distinct up to K, K+1 past it (ref
+      // AggregateFunctionUniqUpTo.h)
+      least(size(array_distinct(arrs.head)).cast("bigint"),
+        lit(k.toLong + 1))
     case "quantileBFloat16" | "medianBFloat16" =>
       QuantileVariants.bfloat16Arr(arrs.head, lit(0.5))
     case "simpleLinearRegression" => simpleLinReg(arrs(0), arrs(1))

@@ -268,4 +268,112 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ---------------------------------------------------- product quantizer
+  // PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011 — the FAISS PQ/IVF-PQ layout): split each
+  // d-dim vector into m subvectors, k-means each subspace to `ksub`
+  // centroids, store m small codes per vector. float32 d·4 bytes →
+  // m bytes-ish per vector; queries never touch a float vector — an
+  // asymmetric-distance LUT (m × ksub, broadcast as a literal) turns
+  // each candidate distance into m array lookups.
+
+  /** Per-subspace codebooks: codebooks(j)(c) = centroid c of subspace j.
+    * Driver-side k-means fit — index-build cost, amortized exactly like
+    * [[ivfTopK]]'s coarse quantizer (SCALE.md's quarantine note). */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int,
+      ksub: Int = 16, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val slices = corpus.select(array_to_vector(
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub))
+        .as("__features"))
+      new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("__features").fit(slices)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
+  /** Literal column of one subspace's codebook. */
+  private def bookLit(book: Array[Array[Double]]): Column =
+    array(book.map(c => array(c.map(lit): _*)): _*)
+
+  /** Encode vectors to PQ codes (array<int> of length m, one centroid
+    * id per subspace) — pure columnar expressions over codebook
+    * literals, fully codegen'd, no UDFs. */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      codeCol: String = "pq_code"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def subvec(j: Int) =
+      slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val codes = (0 until m).map { j =>
+      val dists = transform(bookLit(codebooks(j)), c => l2sq(subvec(j), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Approximate top-k nearest (L2) neighbors via PQ asymmetric
+    * distance. The corpus side reads ONLY the m-byte codes; the per-query
+    * LUT (m×ksub distances) is computed once per query row and the
+    * candidate distance is m element_at lookups — the standard ADC scan.
+    * 100 TB shape: codes are tiny and columnar, the scan is a broadcast
+    * of the (small) query side against the code column, no float
+    * vectors move. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      queryId: String, corpusId: String, vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      rerank: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val encoded = pqEncode(corpus, vecCol, codebooks)
+      .select(col(corpusId).as("neighbor_id"), col("pq_code"))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def subvec(j: Int) =
+      slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
+    // LUT: luts(j)(c) = ||q_j - centroid_c||² for subspace j
+    val lut = array((0 until m).map { j =>
+      transform(bookLit(codebooks(j)), c => l2sq(subvec(j), c))
+    }: _*)
+    val q = queries.select(col(queryId).as("query_id"), lut.as("__lut"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = encoded.join(broadcast(q.drop("__qv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("__lut"), col("pq_code"),
+          (l, c) => element_at(l, c + 1)),
+          lit(0.0), (acc, v) => acc + v))
+    // ADC shortlist (rerank·k per query), then exact refine on only the
+    // shortlisted float vectors — the FAISS IVFPQ+refine shape: the full
+    // corpus moves as m-byte codes, floats are touched k·rerank rows per
+    // query via an equi join
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    val shortlist = scored.withColumn("__srk", row_number().over(sw))
+      .filter(col("__srk") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    val refined = shortlist
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qv"))),
+        Seq("query_id"))
+      .withColumn("l2_dist", round(sqrt(l2sq(col("__qv"), col("__cv"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id"))
+    refined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("l2_dist"),
+        col("rk").as("rank"))
+  }
 }

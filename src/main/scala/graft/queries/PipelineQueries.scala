@@ -155,6 +155,17 @@ object PipelineQueries {
         "vec_id", "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
     },
 
+    // PQ ANN (product quantization + asymmetric-distance shortlist +
+    // exact refine — the FAISS PQ/IVFPQ+refine layout): the corpus moves
+    // as m-byte codes; recall vs brute force pinned in PqAnnSpec
+    Q.dfOnly("q_ann_pq") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, "embedding", m = 16, ksub = 32)
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 3, books, rerank = 8)
+    },
+
     // Language ID + quality + token counts (ref detectLanguage,
     // FunctionsLanguageClassification.cpp). On this fixture only English
     // stopwords occur, which the oracle encodes directly.

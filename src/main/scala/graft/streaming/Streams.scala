@@ -94,4 +94,21 @@ object Streams {
       .queryName(queryName)
       .outputMode(outputMode)
       .start()
+
+  /** Streaming exact dedup for continuous ingest (the streaming twin of
+    * the batch exact-dedup pipeline op): keep the first event per key
+    * within the watermark horizon, so state is bounded by the lateness
+    * window instead of growing forever. ≈ ReplacingMergeTree semantics
+    * applied at ingest time (ref ReplacingSortedAlgorithm — here the
+    * dedup happens before the sink instead of at merge time).
+    *
+    * Scale: state is a per-key store partitioned by the dedup columns
+    * (one shuffle); the watermark evicts expired keys every microbatch,
+    * so steady-state memory is rate × lateness, independent of stream
+    * length.
+    */
+  def dedupStream(df: DataFrame, timeCol: String, lateness: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

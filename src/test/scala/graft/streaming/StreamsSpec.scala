@@ -45,6 +45,32 @@ class StreamsSpec extends SparkSpec {
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("streaming exact dedup keeps the first event per key within " +
+      "the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val deduped = Streams.dedupStream(
+      input.toDF.toDF("ts", "k", "v"), "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1.0),
+        (ts("2024-01-01 00:02:00"), "a", 2.0), // dup within horizon
+        (ts("2024-01-01 00:03:00"), "b", 3.0))
+      q.processAllAvailable()
+      // push the watermark past the horizon, then re-emit key a: the
+      // state for a expired, so this one is a NEW first occurrence
+      input.addData((ts("2024-01-01 01:00:00"), "c", 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 01:01:00"), "a", 5.0))
+      q.processAllAvailable()
+      val vs = spark.table("dedup_out").select($"k", $"v")
+        .as[(String, Double)].collect().toSeq.sorted
+      assert(vs == Seq(("a", 1.0), ("a", 5.0), ("b", 3.0), ("c", 4.0)))
+    } finally q.stop()
+  }
+
   test("file-stream e2e: readStream → tumble agg → foreachBatch sink, " +
       "late rows watermark-dropped") {
     // Kafka-shaped pipeline with a real (non-Memory) source: files arrive
