@@ -2848,12 +2848,16 @@ object ChSql {
     // session-tuning SETTINGS at statement end don't change results here
     // (result-shaping ones like extremes produce diffs the golden check
     // catches); strip them
-    s = replaceOutsideStrings(s, "(?is)\\bSETTINGS\\s+\\w+\\s*=[^;)]*$", "")
-    // SETTINGS may also sit at the end of a subquery, right before the
-    // ')' (ref ParserSelectQuery — SETTINGS is a per-select clause)
+    // quote-aware strips FIRST (the segmented strip below cannot span a
+    // quoted value and would leave the bare literal behind):
+    // subquery-end form (before ')') and statement-end form
     s = s.replaceAll(
       "(?is)\\s+SETTINGS\\s+\\w+\\s*=\\s*(?:'[^']*'|[\\w.]+)" +
         "(\\s*,\\s*\\w+\\s*=\\s*(?:'[^']*'|[\\w.]+))*\\s*(?=\\))", "")
+    s = s.replaceAll(
+      "(?is)\\s+SETTINGS\\s+\\w+\\s*=\\s*(?:'[^']*'|[\\w.]+)" +
+        "(\\s*,\\s*\\w+\\s*=\\s*(?:'[^']*'|[\\w.]+))*\\s*;?\\s*$", "")
+    s = replaceOutsideStrings(s, "(?is)\\bSETTINGS\\s+\\w+\\s*=[^;)]*$", "")
     // MySQL-compat `LIMIT offset, count` (ref ParserSelectQuery limit
     // parsing) → LIMIT count OFFSET offset. The `LIMIT n, k BY` form was
     // already rewritten away by rewriteLimitByTop, so a bare match here
