@@ -92,10 +92,41 @@ object ChBoolAggRule extends Rule[LogicalPlan] {
     }
 }
 
+/** CH integer arithmetic WRAPS on overflow (two's-complement; ref
+  * src/Functions/FunctionBinaryArithmetic.h — plain C++ arithmetic, no
+  * overflow checks), while Spark's ANSI operators throw. Downgrade
+  * +,-,* over integral operands to legacy (wrapping) evaluation.
+  * Decimal arithmetic stays ANSI — CH DOES raise DECIMAL_OVERFLOW. */
+object ChWrapArithmeticRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+  private def integral(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
+  private def legacyCtx(c: NumericEvalContext): NumericEvalContext =
+    c.copy(evalMode = EvalMode.LEGACY)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case a: Add if a.evalContext.evalMode == EvalMode.ANSI &&
+          integral(a.left) && integral(a.right) =>
+        a.copy(evalContext = legacyCtx(a.evalContext))
+      case s: Subtract if s.evalContext.evalMode == EvalMode.ANSI &&
+          integral(s.left) && integral(s.right) =>
+        s.copy(evalContext = legacyCtx(s.evalContext))
+      case m: Multiply if m.evalContext.evalMode == EvalMode.ANSI &&
+          integral(m.left) && integral(m.right) =>
+        m.copy(evalContext = legacyCtx(m.evalContext))
+    }
+}
+
 /** SparkSessionExtensions installer (wired in Engine.session). */
 class ChExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChTruthinessRule)
+    ext.injectResolutionRule(_ => ChWrapArithmeticRule)
     ext.injectResolutionRule(_ => ChDateArithRule)
     ext.injectResolutionRule(_ => ChBoolAggRule)
     ext.injectResolutionRule(_ => ChIpCoercionRule)
