@@ -1085,28 +1085,6 @@ object ChSql {
   private[graft] def rewriteAliasRefs(sql: String): String = {
     var s = sql
     val AliasRe = "(?is)^(.*\\S)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
-    // bare (AS-less) alias `t1.a t1_a` — accepted only when the
-    // expression ends in a value-like token (not an operator/keyword)
-    // and the alias is not a unit/modifier word
-    val BareAliasRe = "(?is)^(.*[\\w)\\]'`])\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
-    val badLast = Set("and", "or", "not", "xor", "in", "like", "ilike",
-      "is", "between", "when", "then", "else", "case", "end",
-      "distinct", "interval", "as", "over", "escape", "regexp",
-      "rlike", "div", "mod", "union", "all", "any", "select", "by",
-      "from", "cast", "null", "true", "false")
-    val badAlias = Set("day", "days", "month", "months", "year",
-      "years", "hour", "hours", "minute", "minutes", "second",
-      "seconds", "week", "weeks", "quarter", "quarters", "asc", "desc",
-      "first", "last", "nulls", "following", "preceding", "row",
-      "rows", "range", "unbounded", "end", "over", "filter", "from",
-      "to", "step", "null", "true", "false", "totals", "fill", "ties",
-      "offset", "collate", "string", "integer", "int", "bigint",
-      "double", "float", "date", "timestamp", "boolean", "varchar")
-    def bareOk(expr: String, name: String): Boolean = {
-      val lastWord = "[A-Za-z_]+$".r.findFirstIn(expr.trim)
-      lastWord.forall(w => !badLast(w.toLowerCase)) &&
-        !badAlias(name.toLowerCase)
-    }
     var searchFrom = 0
     var guard = 0
     while (guard < 16) {
@@ -1160,8 +1138,6 @@ object ChSql {
         items += list.substring(st)
         val bindings = items.zipWithIndex.collect {
           case (AliasRe(expr, name), k) if expr.trim != name => (k, expr, name)
-          case (BareAliasRe(expr, name), k)
-            if expr.trim != name && bareOk(expr, name) => (k, expr, name)
         }
         // WHERE clause substitution
         if (whereAt >= 0 && whereAt < blockEnd) {
@@ -1183,54 +1159,6 @@ object ChSql {
           }
           if (changed)
             s = s.substring(0, whereAt) + where + s.substring(whereEnd)
-        }
-        // ON clause substitution — select aliases are visible in join
-        // conditions too (00845 `… ON t1_a = t2.a`); each depth-0 ON
-        // span ends at the next clause keyword
-        if (bindings.nonEmpty) {
-          val stops = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-            "SETTINGS", "UNION", "JOIN", "INNER", "LEFT", "RIGHT",
-            "FULL", "CROSS", "SEMI", "ANTI", "ASOF", "ANY", "ALL",
-            "GLOBAL", "LATERAL", "FORMAT")
-          var i2 = selIdx; var d2 = 0; var inS2 = false
-          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-          var onStart = -1
-          val bEnd = math.min(blockEnd, s.length)
-          while (i2 < bEnd) {
-            val c = s.charAt(i2)
-            if (inS2) { if (c == '\\') i2 += 1 else if (c == '\'') inS2 = false }
-            else if (c == '\'') inS2 = true
-            else if (c == '(') d2 += 1
-            else if (c == ')') d2 -= 1
-            else if (d2 == 0 && c.isLetter && (i2 == 0 ||
-              !(s.charAt(i2 - 1).isLetterOrDigit || s.charAt(i2 - 1) == '_'))) {
-              def at2(w: String) =
-                s.regionMatches(true, i2, w, 0, w.length) &&
-                  (i2 + w.length >= s.length ||
-                    !(s.charAt(i2 + w.length).isLetterOrDigit ||
-                      s.charAt(i2 + w.length) == '_'))
-              if (at2("ON") && onStart < 0) onStart = i2 + 2
-              else if (onStart >= 0 && stops.exists(at2)) {
-                spans += ((onStart, i2)); onStart = -1
-              }
-            }
-            i2 += 1
-          }
-          if (onStart >= 0) spans += ((onStart, bEnd))
-          for ((a, b) <- spans.reverse) {
-            var seg = s.substring(a, b)
-            var ch2 = false
-            bindings.foreach { case (_, expr, name) =>
-              val q = java.util.regex.Pattern.quote(name)
-              val re = s"(?i)(?<![\\w.`])$q(?![\\w`])"
-              if (re.r.findFirstIn(seg).isDefined) {
-                seg = replaceOutsideStrings(seg, re,
-                  java.util.regex.Matcher.quoteReplacement(s"($expr)"))
-                ch2 = true
-              }
-            }
-            if (ch2) s = s.substring(0, a) + seg + s.substring(b)
-          }
         }
         // other select-list items may reference an alias too (CH
         // QueryAliasesVisitor scope is the whole statement)
@@ -2354,27 +2282,6 @@ object ChSql {
     // LEFT SEMI JOIN (ref ASTTablesInSelectQuery strictness order)
     s = s.replaceAll("(?i)\\b(SEMI|ANTI)\\s+LEFT\\s+(OUTER\\s+)?JOIN\\b",
       "LEFT $1 JOIN")
-    // CH resolves the ORIGINAL table name through its alias (`FROM
-    // table1 AS t1 … ON table1.a = …`; ref TreeRewriter alias
-    // registration). Flat statements only — a subquery keeps its own
-    // scope. Spark rejects the original name once aliased.
-    if (!s.matches("(?is).*\\(\\s*SELECT\\b.*")) {
-      val kw = Set("join", "inner", "left", "right", "full", "cross",
-        "on", "using", "where", "group", "order", "limit", "settings",
-        "having", "union", "any", "all", "semi", "anti", "asof",
-        "global", "final", "array", "lateral", "prewhere", "as", "into",
-        "format", "with", "sample", "values", "select", "intersect",
-        "except", "offset", "window")
-      val tblRe =
-        "(?i)\\b(FROM|JOIN)\\s+`?([A-Za-z_]\\w*)`?\\s+(?:AS\\s+)?`?([A-Za-z_]\\w*)`?".r
-      for (m <- tblRe.findAllMatchIn(s).toSeq) {
-        val (tbl, al) = (m.group(2), m.group(3))
-        if (!kw(al.toLowerCase) && !kw(tbl.toLowerCase) &&
-          !al.equalsIgnoreCase(tbl))
-          s = replaceOutsideStrings(s,
-            s"(?i)\\b${java.util.regex.Pattern.quote(tbl)}\\.", al + ".")
-      }
-    }
     // join strictness modifiers (ref src/Parsers/ASTTablesInSelectQuery.h):
     // ALL is CH's default (= ANSI); ANY keeps the first match per left row —
     // identical when the right key is unique, which each pinned golden
