@@ -22,69 +22,104 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.ChExtensions)
+    def builder() = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+    val spark = builder().withExtensions(new graft.plans.ChExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // VANILLA control session: the SAME query builders on a session with
+    // ZERO engine extensions, sharing the SparkContext. Interleaved with
+    // the engine samples it separates host noise (both drift together,
+    // ratio ~1) from engine-session overhead (ratio grows) — the recorded
+    // artifact carries the per-query engine/control ratio so cross-round
+    // comparisons survive host-speed changes (r9 profile conclusion).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val control = builder().getOrCreate()
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
 
-    // one Dataset per query: construction + analysis happen once (a
-    // prepared statement); each timed run still executes the full scan +
-    // compute through the noop sink (no data is cached between runs)
-    val built = scala.collection.mutable.HashMap
+    // one Dataset per query per session: construction + analysis happen
+    // once (a prepared statement); each timed run still executes the full
+    // scan + compute through the noop sink (no data cached between runs)
+    val builtE = scala.collection.mutable.HashMap
       .empty[String, org.apache.spark.sql.DataFrame]
-    def force(name: String): Unit =
-      built.getOrElseUpdate(name, SparkEntry.queries(name)(spark, sfDir))
+    val builtC = scala.collection.mutable.HashMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    def force(sess: SparkSession,
+        cache: scala.collection.mutable.HashMap[String, org.apache.spark.sql.DataFrame],
+        name: String): Unit = {
+      SparkSession.setActiveSession(sess)
+      cache.getOrElseUpdate(name, SparkEntry.queries(name)(sess, sfDir))
         .write.format("noop").mode("overwrite").save()
+    }
 
     // warmup: JVM + codegen + parquet footer caches. Guarded — a broken
     // warmup query must degrade to a cold first headline run, not zero the
     // round's entire perf signal (round-6 post-mortem).
-    try force("q_prewhere")
+    try force(spark, builtE, "q_prewhere")
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    try force(control, builtC, "q_prewhere")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] control warmup failed: ${e.getMessage}") }
 
-    // Median-of-7 per query, with the runs INTERLEAVED (round-robin over
-    // the headline set) rather than back-to-back runs per query: the
-    // host shows multi-second sustained slow windows (VM steal), and
-    // back-to-back runs let one window poison every sample of one query.
-    // Interleaving spreads a window across queries so each median
-    // tolerates it. `value`/`queries` carry medians; `queries_min` floors.
-    // (r9 profile: identical-plan engine-vs-raw in one JVM differ ≤8%;
-    // the same query's wall time varies >2x across host windows, so more
-    // interleaved rounds = better slow-window rejection.)
+    // Median-of-7 per query, runs INTERLEAVED round-robin over the
+    // headline set AND between engine/control: the host shows
+    // multi-second sustained slow windows (VM steal); interleaving spreads
+    // a window across queries and across the two sessions so each median
+    // and each ratio tolerates it.
     val runs = 7
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val samples = headline.map(n => n -> scala.collection.mutable.ArrayBuffer
-      .empty[Double]).toMap
-    (1 to runs).foreach { _ =>
-      headline.foreach { name =>
-        val t0 = System.nanoTime()
-        try force(name)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+    def sampleBuf() = headline.map(n => n ->
+      scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    val engineSamples = sampleBuf()
+    val controlSamples = sampleBuf()
+    def timed(sess: SparkSession,
+        cache: scala.collection.mutable.HashMap[String, org.apache.spark.sql.DataFrame],
+        samples: Map[String, scala.collection.mutable.ArrayBuffer[Double]],
+        name: String, tag: String): Unit = {
+      val t0 = System.nanoTime()
+      try force(sess, cache, name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $tag $name failed: ${e.getMessage}")
+        errors(if (tag == "engine") name else s"${name}__control") =
+          Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200) }
-        samples(name) += (System.nanoTime() - t0) / 1e9
+      samples(name) += (System.nanoTime() - t0) / 1e9
+    }
+    (1 to runs).foreach { r =>
+      headline.foreach { name =>
+        // alternate which session goes first so page-cache warmth from
+        // the first run doesn't systematically favor the second
+        if (r % 2 == 1) {
+          timed(spark, builtE, engineSamples, name, "engine")
+          timed(control, builtC, controlSamples, name, "control")
+        } else {
+          timed(control, builtC, controlSamples, name, "control")
+          timed(spark, builtE, engineSamples, name, "engine")
+        }
       }
     }
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val results = headline.map { name =>
-      val times = samples(name).sorted
-      (name, times(times.size / 2), times.head)
+      (name, med(engineSamples(name).toSeq), engineSamples(name).min,
+        med(controlSamples(name).toSeq))
     }
-    def obj(f: ((String, Double, Double)) => Double): String = results
-      .map { r => "\"" + r._1 + f"\":${f(r)}%.3f" }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + f"\":${f(r)}%.3f" }
+        .mkString("{", ",", "}")
     val errObj = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"errors":$errObj,"sf":"$sfDir"}""")
+    val controlTotal = results.map(_._4).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"control":${obj(_._4)},"ratio":${obj(r => if (r._4 > 0) r._2 / r._4 else -1.0)},"control_total":$controlTotal%.3f,"errors":$errObj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1082,9 +1082,83 @@ object ChSql {
     * WHERE (ref src/Interpreters/QueryAliasesVisitor.cpp); Spark's WHERE
     * runs before the projection. Substitute `(expr)` for alias references
     * in each SELECT block's WHERE clause. */
+  /** CH resolves a qualified reference through the ORIGINAL table name
+    * even when the table carries an alias (`FROM table1 AS t1 JOIN …
+    * ON table1.a = …`; ref src/Interpreters/DatabaseAndTableWithAlias —
+    * matches either alias or table name). Spark only accepts the alias,
+    * so rewrite `name.` → `alias.`. Guards (advice r9): the lookbehind
+    * excludes dotted-qualified occurrences (`db.tbl.col`, struct access
+    * `x.tbl.f`), and a table aliased more than once in the statement
+    * (`FROM t AS a JOIN t AS b`) is skipped entirely — a blanket rewrite
+    * would silently pick one side. */
+  private[graft] def rewriteTableAliasQualifiers(sql: String): String = {
+    if (!sql.contains(".")) return sql
+    val pairRe = ("(?i)\\b(FROM|JOIN)\\s+`?([A-Za-z_]\\w*)`?" +
+      "(?:\\s+AS\\s+|\\s+)`?([A-Za-z_]\\w*)`?(?![\\w`(.])").r
+    val kw = Set("on", "using", "where", "group", "having", "order",
+      "limit", "settings", "union", "join", "inner", "left", "right",
+      "full", "cross", "semi", "anti", "asof", "any", "all", "global",
+      "final", "sample", "prewhere", "array", "format", "as", "with",
+      "values", "select", "intersect", "except", "window", "qualify",
+      "lateral", "offset", "into")
+    val pairs = pairRe.findAllMatchIn(sql)
+      .filter(m => !inSingleQuoted(sql, m.start))
+      .map(m => (m.group(2), m.group(3)))
+      .filter { case (n, a) => !kw(a.toLowerCase) && !n.equalsIgnoreCase(a) }
+      .toList
+    val uniq = pairs.groupBy(_._1.toLowerCase).collect {
+      case (_, ps) if ps.map(_._2.toLowerCase).distinct.size == 1 =>
+        ps.head._1 -> ps.head._2
+    }
+    var s = sql
+    uniq.foreach { case (name, alias) =>
+      val q = java.util.regex.Pattern.quote(name)
+      // only qualified column references (`name.col`), never the name in
+      // FROM/JOIN position itself (no dot there)
+      s = replaceOutsideStrings(s, s"(?i)(?<![\\w.`])$q\\s*\\.(?=\\s*[A-Za-z_`*])",
+        java.util.regex.Matcher.quoteReplacement(alias) + ".")
+    }
+    s
+  }
+
   private[graft] def rewriteAliasRefs(sql: String): String = {
     var s = sql
     val AliasRe = "(?is)^(.*\\S)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    // bare (AS-less) select alias `t1.a t1_a` (ref Parsers/ParserAlias —
+    // AS is optional). Spark parses the item itself; this regex only
+    // COLLECTS the binding so it can substitute into ON/WHERE. Guarded:
+    // the expression must end in a value-like token (identifier, `)`,
+    // `]`, quote) whose last word is not an operator/keyword, and the
+    // alias must not be a keyword-ish word that actually continues the
+    // expression (interval units, ASC/DESC, frame words, type names).
+    val BareAliasRe = "(?is)^(.*[\\w)\\]'`])\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+    val bareBadLast = Set("and", "or", "not", "xor", "in", "like",
+      "ilike", "is", "between", "when", "then", "else", "case",
+      "distinct", "interval", "as", "over", "escape", "regexp", "rlike",
+      "div", "mod", "union", "all", "any", "select", "by", "from",
+      "where", "cast", "null", "true", "false", "exists", "global")
+    val bareBadAlias = Set("day", "days", "month", "months", "year",
+      "years", "hour", "hours", "minute", "minutes", "second", "seconds",
+      "week", "weeks", "quarter", "quarters", "asc", "desc", "first",
+      "last", "nulls", "following", "preceding", "row", "rows", "range",
+      "groups", "unbounded", "end", "over", "filter", "from", "to",
+      "step", "null", "true", "false", "totals", "fill", "ties",
+      "offset", "collate", "string", "integer", "int", "bigint",
+      "double", "float", "date", "timestamp", "boolean", "varchar",
+      "uint8", "uint16", "uint32", "uint64", "int8", "int16", "int32",
+      "int64", "float32", "float64", "apply", "except", "replace",
+      // SQL keywords can never be real aliases — a truncated item must
+      // not bind one (round-9 regression defense)
+      "as", "on", "using", "where", "group", "having", "order", "limit",
+      "settings", "union", "join", "inner", "left", "right", "full",
+      "cross", "semi", "anti", "asof", "any", "all", "global", "select",
+      "by", "with", "format", "and", "or", "not", "in", "is", "between",
+      "case", "when", "then", "else", "like", "ilike", "distinct")
+    def bareOk(expr: String, name: String): Boolean = {
+      val lastWord = "[A-Za-z_]+$".r.findFirstIn(expr.trim)
+      lastWord.forall(w => !bareBadLast(w.toLowerCase)) &&
+        !bareBadAlias(name.toLowerCase)
+    }
     var searchFrom = 0
     var guard = 0
     while (guard < 16) {
@@ -1099,15 +1173,26 @@ object ChSql {
       var whereEnd = -1
       var blockEnd = s.length
       var inStr = false
+      // depth-0 JOIN ON condition spans (select aliases are visible in
+      // join conditions in CH — QueryAliasesVisitor scope; pinned by
+      // 00845/00820): [start, end) offsets in the PRE-EDIT s
+      val onSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var onOpen = -1
       while (i < s.length && blockEnd == s.length) {
         val c = s.charAt(i)
         if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
         else if (c == '\'') inStr = true
         else if (c == '(') d += 1
         else if (c == ')') { if (d == 0) blockEnd = i else d -= 1 }
-        else if (d == 0 && c.isLetter && !s.charAt(i - 1).isLetterOrDigit) {
+        else if (d == 0 && c.isLetter &&
+            !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) {
+          // word boundary must treat '_' as a word character: an alias
+          // like `having_check` is NOT the HAVING keyword (this very
+          // check was the round-9 01511 regression)
           def at(w: String) = s.regionMatches(true, i, w, 0, w.length) &&
-            (i + w.length >= s.length || !s.charAt(i + w.length).isLetterOrDigit)
+            (i + w.length >= s.length ||
+              !(s.charAt(i + w.length).isLetterOrDigit ||
+                s.charAt(i + w.length) == '_'))
           if (listEnd < 0 && (at("FROM") || at("WHERE") || at("GROUP") ||
             at("HAVING") || at("ORDER") || at("LIMIT") || at("UNION") ||
             at("LATERAL"))) listEnd = i
@@ -1116,9 +1201,19 @@ object ChSql {
             at("HAVING") || at("ORDER") || at("LIMIT") || at("UNION")))
             whereEnd = i
           if (at("UNION")) blockEnd = i
+          if (onOpen < 0 && at("ON")) onOpen = i + 2
+          else if (onOpen >= 0 && (at("WHERE") || at("GROUP") ||
+            at("HAVING") || at("ORDER") || at("LIMIT") || at("SETTINGS") ||
+            at("FORMAT") || at("UNION") || at("JOIN") || at("INNER") ||
+            at("LEFT") || at("RIGHT") || at("FULL") || at("CROSS") ||
+            at("SEMI") || at("ANTI") || at("ASOF") || at("GLOBAL") ||
+            at("ANY") || at("ALL"))) {
+            onSpans += ((onOpen, i)); onOpen = -1
+          }
         }
         i += 1
       }
+      if (onOpen >= 0) onSpans += ((onOpen, blockEnd))
       if (listEnd < 0) listEnd = blockEnd
       if (whereAt >= 0 && whereEnd < 0) whereEnd = blockEnd
       locally {
@@ -1138,6 +1233,8 @@ object ChSql {
         items += list.substring(st)
         val bindings = items.zipWithIndex.collect {
           case (AliasRe(expr, name), k) if expr.trim != name => (k, expr, name)
+          case (BareAliasRe(expr, name), k)
+            if expr.trim != name && bareOk(expr, name) => (k, expr, name)
         }
         // WHERE clause substitution
         if (whereAt >= 0 && whereAt < blockEnd) {
@@ -1145,7 +1242,7 @@ object ChSql {
           var changed = false
           bindings.foreach { case (_, expr, name) =>
             val q = java.util.regex.Pattern.quote(name)
-            val re = s"(?i)(?<![\\w.`])$q(?![\\w`])"
+            val re = s"(?i)(?<![\\w.`])$q(?![\\w`])(?!\\s*\\.)"
             // a name that is also a lambda parameter in this WHERE is the
             // lambda's, not the select alias's (CH scoping)
             val isLambdaParam =
@@ -1160,6 +1257,25 @@ object ChSql {
           if (changed)
             s = s.substring(0, whereAt) + where + s.substring(whereEnd)
         }
+        // JOIN ON spans (between listEnd and whereAt, so their offsets
+        // survive the WHERE edit above; apply right-to-left so earlier
+        // spans stay valid as later ones change length)
+        if (bindings.nonEmpty && onSpans.nonEmpty) {
+          onSpans.reverseIterator.foreach { case (st, en) =>
+            var span = s.substring(st, en)
+            var changed = false
+            bindings.foreach { case (_, expr, name) =>
+              val q = java.util.regex.Pattern.quote(name)
+              val re = s"(?i)(?<![\\w.`])$q(?![\\w`])(?!\\s*\\.)"
+              if (re.r.findFirstIn(span).isDefined) {
+                span = replaceOutsideStrings(span, re,
+                  java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+                changed = true
+              }
+            }
+            if (changed) s = s.substring(0, st) + span + s.substring(en)
+          }
+        }
         // other select-list items may reference an alias too (CH
         // QueryAliasesVisitor scope is the whole statement)
         if (bindings.nonEmpty) {
@@ -1169,7 +1285,7 @@ object ChSql {
             bindings.foreach { case (j, expr, name) =>
               if (j != k) {
                 val q = java.util.regex.Pattern.quote(name)
-                val re = s"(?i)(?<!\\bAS\\s)(?<![\\w.`])$q(?![\\w`])"
+                val re = s"(?i)(?<!\\bAS\\s)(?<![\\w.`])$q(?![\\w`])(?!\\s*\\.)"
                 val isLambdaParam =
                   s"(?i)(?:\\(\\s*$q\\s*(?:,\\s*\\w+\\s*)*\\)\\s*->|(?<![\\w.`])$q\\s*(?:,\\s*\\w+\\s*)*->)".r
                     .findFirstIn(it).isDefined
@@ -1746,6 +1862,21 @@ object ChSql {
     k
   }
 
+  /** True when the statement contains a LIMIT keyword outside string
+    * literals — the precondition for bounding system.numbers. A session
+    * `max_rows_to_read` setting (SET … carried as graft.ch.* conf by the
+    * golden harness) also bounds the read (ref
+    * src/QueryPipeline/SizeLimits), so it counts too; an UNBOUNDED read
+    * stays unhandled so the caller rejects it instead of silently
+    * returning finite rows. */
+  private[graft] def hasLimitKeyword(sql: String): Boolean =
+    "(?i)\\bLIMIT\\b".r.findAllMatchIn(sql)
+      .exists(m => !inSingleQuoted(sql, m.start)) ||
+      org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+        scala.util.Try(
+          s.conf.getOption("graft.ch.max_rows_to_read").isDefined)
+          .getOrElse(false))
+
   /** remote('addr', system, one | numbers(...) | view(select ...)) →
     * local subquery replicated shardCount(addr) times. Unknown target
     * forms are left untouched (the golden check rejects them). */
@@ -1782,9 +1913,14 @@ object ChSql {
                 Some("(SELECT CAST(0 AS TINYINT) AS __one)")
               else if (rest.matches(
                 "(?is)system\\s*[,.]\\s*numbers(_mt)?\\s*"))
-                // bounded stand-in for the infinite generator (reads are
-                // always under LIMIT; same contract as the main path)
-                Some("(SELECT id AS number FROM range(10000000))")
+                // bounded stand-in for the infinite generator — only
+                // valid when the statement actually carries the LIMIT
+                // the contract assumes; an unbounded read (count() with
+                // no LIMIT) must stay unhandled so the golden check
+                // rejects it instead of silently returning finite rows
+                (if (hasLimitKeyword(sql))
+                   Some("(SELECT id AS number FROM range(10000000))")
+                 else None)
               else if (rest.matches("(?is)numbers(?:_mt)?\\s*\\(.*"))
                 Some(rest)
               else if (rest.matches("(?is)view\\s*\\(.*\\)")) {
@@ -2409,12 +2545,15 @@ object ChSql {
     s = replaceOutsideStrings(s,
       "(?i)\\b(FROM|JOIN)\\s+`?system`?\\s*\\.\\s*`?one`?(?![\\w`])",
       "$1 (SELECT CAST(0 AS TINYINT) AS dummy)")
-    // system.numbers: the infinite generator table — always read under
-    // a LIMIT in the tests; a wide lazy range() suffices (Spark pushes
-    // the LIMIT into the range scan)
-    s = s.replaceAll(
-      "(?i)\\bFROM\\s+`?system`?\\.`?numbers(?:_mt)?`?(?![\\w`])",
-      "FROM (SELECT id AS number FROM range(10000000))")
+    // system.numbers: the infinite generator table. A wide lazy range()
+    // stands in ONLY when the statement carries a LIMIT (Spark pushes
+    // the LIMIT into the range scan); without one, CH never terminates,
+    // so the form stays unhandled and the golden check rejects it
+    // rather than silently returning finite results.
+    if (hasLimitKeyword(s))
+      s = s.replaceAll(
+        "(?i)\\bFROM\\s+`?system`?\\.`?numbers(?:_mt)?`?(?![\\w`])",
+        "FROM (SELECT id AS number FROM range(10000000))")
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`
@@ -2898,6 +3037,14 @@ object ChSql {
     // literal is not a realistic golden shape)
     s = s.replaceAll(
       "(?i)\\bIN\\s+('(?:[^'\\\\]|\\\\.)*')(?![\\w.(\\[])", "IN ($1)")
+    // `x IN table_name` — the RHS is a table / Set-engine storage (ref
+    // src/Interpreters/PreparedSets + StorageSet: a bare identifier
+    // after IN names a set source) → subquery form. The lookahead skips
+    // the parenthesized/list/db-qualified forms handled above; keyword
+    // RHS (e.g. half-written SQL) is left for the parser to reject.
+    s = replaceOutsideStrings(s,
+      "(?i)\\bIN\\s+`?([A-Za-z_]\\w*)`?(?![\\w`.(\\[])(?!\\s*\\()",
+      "IN (SELECT * FROM $1)")
     // an all-NULL tuple never matches IN in CH (NULL equality is never
     // true; Spark's struct IN would treat null fields as equal) — 01774.
     // Runs after the IN-set sugar above so every set form is
@@ -3003,6 +3150,10 @@ object ChSql {
         }
       }
     }
+    // qualified references through the original table name of an
+    // aliased table (`FROM t AS a … ON t.x = …`) — before the alias
+    // rewrites so they see the alias-qualified form
+    s = rewriteTableAliasQualifiers(s)
     // CH inline parenthesized aliases `(expr AS name)` (ref
     // src/Interpreters/QueryAliasesVisitor.cpp: an alias attaches to any
     // subexpression and is visible query-wide)
@@ -3131,10 +3282,234 @@ object ChSql {
     }
   }
 
-  def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame = {
+  /** EXPLAIN statement surface (ref src/Parsers/ASTExplainQuery.h:20-27:
+    * AST | SYNTAX | QUERY TREE | PLAN | PIPELINE | ESTIMATE). Byte
+    * parity with the reference's renderings is impossible (its
+    * plan/pipeline nodes are engine-specific), so the contract is "the
+    * statement succeeds with the meaningful Spark analogue": SYNTAX →
+    * the dialect-translated SQL text (CH prints its rewritten query),
+    * AST → the parsed logical plan tree, QUERY TREE → the analyzed plan,
+    * PLAN (default) → the optimized logical plan, PIPELINE → the
+    * physical plan, ESTIMATE → per-scan row/size estimates off plan
+    * statistics. Divergence documented in COVERAGE.md. */
+  private val ExplainRe =
+    "(?is)^\\s*EXPLAIN\\s+(AST\\b|SYNTAX\\b|QUERY\\s+TREE|PIPELINE\\b|ESTIMATE\\b|PLAN\\b)?\\s*(.*)$".r
+
+  private def explainDf(spark: SparkSession, kind0: String,
+      rest0: String, sfDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val kind = Option(kind0).map(_.trim.toUpperCase.replaceAll("\\s+", " "))
+      .getOrElse("PLAN")
+    // EXPLAIN options (`header = 1, actions = 1, indexes = 1, ...`)
+    // precede the statement; skip to the first statement keyword
+    val rest = "(?is)\\b(SELECT|WITH)\\b".r.findFirstMatchIn(rest0)
+      .map(m => rest0.substring(m.start)).getOrElse(rest0)
+    def linesDf(lines: Seq[String]): DataFrame =
+      spark.createDataFrame(
+        lines.map(org.apache.spark.sql.Row(_)).asJava,
+        StructType(Seq(StructField("explain", StringType, nullable = false))))
+    def planLines(p: org.apache.spark.sql.catalyst.trees.TreeNode[_])
+        : Seq[String] =
+      p.treeString.linesIterator.filter(_.nonEmpty).toSeq
+    kind match {
+      case "SYNTAX" =>
+        linesDf(translate(rest).trim.linesIterator.toSeq)
+      case "AST" =>
+        linesDf(planLines(
+          spark.sessionState.sqlParser.parsePlan(translate(rest))))
+      case "QUERY TREE" =>
+        // the reference rejects EXPLAIN QUERY TREE under the old
+        // analyzer (allow_experimental_analyzer=0 → NOT_IMPLEMENTED;
+        // pinned by 02703)
+        if (spark.conf.getOption("graft.ch.allow_experimental_analyzer")
+            .contains("0"))
+          throw new UnsupportedOperationException(
+            "NOT_IMPLEMENTED: EXPLAIN QUERY TREE requires a new analyzer")
+        linesDf(planLines(sqlImpl(spark, rest, sfDir)
+          .queryExecution.analyzed))
+      case "PIPELINE" =>
+        linesDf(planLines(sqlImpl(spark, rest, sfDir)
+          .queryExecution.executedPlan))
+      case "ESTIMATE" =>
+        // CH returns (database, table, parts, rows, marks); the analogue
+        // estimates rows/bytes off optimizer statistics per leaf scan
+        val opt = sqlImpl(spark, rest, sfDir).queryExecution.optimizedPlan
+        val rows = opt.collectLeaves().map { leaf =>
+          val name = leaf match {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.catalogTable.map(_.identifier.table).getOrElse("scan")
+            case other => other.nodeName
+          }
+          org.apache.spark.sql.Row("default", name, 1L,
+            leaf.stats.rowCount.map(_.longValue).getOrElse(-1L),
+            leaf.stats.sizeInBytes.longValue)
+        }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("database", StringType, nullable = false),
+          StructField("table", StringType, nullable = false),
+          StructField("parts", LongType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("bytes", LongType, nullable = false))))
+      case _ => // PLAN (the default when no kind is given)
+        linesDf(planLines(sqlImpl(spark, rest, sfDir)
+          .queryExecution.optimizedPlan))
+    }
+  }
+
+  /** All CH statement execution funnels through here. CH-only analysis
+    * behavior (wrapping integer arithmetic) is scoped to this call via
+    * [[graft.plans.ChAnalysisScope]] so Spark-native DataFrame pipelines
+    * sharing the session keep ANSI overflow semantics. */
+  def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame =
+    graft.plans.ChAnalysisScope.active.withValue(true) {
+      val q = chQuery.trim.stripSuffix(";")
+      ExplainRe.findFirstMatchIn(q) match {
+        case Some(m) =>
+          ChRegistry.register(spark)
+          ChRegistry.ensureSynthesized(spark, q)
+          Tables.register(spark, sfDir)
+          explainDf(spark, m.group(1), m.group(2), sfDir)
+        case None => sqlImpl(spark, chQuery, sfDir)
+      }
+    }
+
+  /** CH output-column naming over multi-table joins (old-analyzer
+    * TranslateQualifiedNamesVisitor, ref
+    * src/Interpreters/TranslateQualifiedNamesVisitor.cpp): a qualified
+    * reference or a star-expanded column keeps its QUALIFIED display name
+    * (`t1.a`) when the short column name exists in two or more of the
+    * statement's joined tables, and shortens to the bare name otherwise
+    * (pinned by 00820/00847 Pretty headers: `t1.a … t3.b` qualified, a
+    * join-unique `c` bare). Spark always shortens, so the rewrite makes
+    * the CH name explicit with an alias, and expands `*` / `t.*` itself
+    * so each expanded column can carry its CH name.
+    *
+    * Applies only to the narrow shape where the naming is observable and
+    * derivable: a top-level SELECT over ≥2 PLAIN named tables joined
+    * with ON/CROSS (no USING — that dedups join keys, no subqueries, no
+    * ARRAY JOIN, no UNION), every table resolvable in the session. */
+  private def rewriteJoinItemNames(spark: SparkSession,
+      sql0: String): String = {
+    val sql = sql0
+    val selM = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
+      .findFirstMatchIn(sql).getOrElse(return sql0)
+    // depth-0 clause offsets
+    var d = 0; var inStr = false; var i = selM.end
+    var fromAt = -1; var fromEnd = -1
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') d += 1
+      else if (c == ')') { if (d == 0) return sql0 else d -= 1 }
+      else if (d == 0 && c.isLetter &&
+          !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_' ||
+            sql.charAt(i - 1) == '.')) {
+        def at(w: String) = sql.regionMatches(true, i, w, 0, w.length) &&
+          (i + w.length >= sql.length ||
+            !(sql.charAt(i + w.length).isLetterOrDigit ||
+              sql.charAt(i + w.length) == '_'))
+        // ASOF has its own SQL path (asofSql remap would see the
+        // injected aliases); SEMI/ANTI expose only the left side, so a
+        // star expansion over all tables would reference missing columns
+        if (at("UNION") || at("USING") || at("ARRAY") || at("ASOF") ||
+          at("SEMI") || at("ANTI")) return sql0
+        if (fromAt < 0 && at("FROM")) fromAt = i
+        else if (fromAt >= 0 && fromEnd < 0 && (at("WHERE") || at("GROUP") ||
+          at("HAVING") || at("ORDER") || at("LIMIT") || at("SETTINGS") ||
+          at("FORMAT") || at("WINDOW"))) fromEnd = i
+      }
+      i += 1
+    }
+    if (fromAt < 0) return sql0
+    if (fromEnd < 0) fromEnd = sql.length
+    val fromSec = sql.substring(fromAt, fromEnd)
+    // subquery sources and comma-joins are out of this rewrite's scope
+    // (parens INSIDE ON conditions are fine)
+    if ("(?is)\\b(FROM|JOIN)\\s*\\(".r.findFirstIn(fromSec).isDefined)
+      return sql0
+    locally {
+      var dd = 0; var inS = false
+      for (c <- fromSec) {
+        if (inS) { if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(') dd += 1
+        else if (c == ')') dd -= 1
+        else if (c == ',' && dd == 0) return sql0
+      }
+    }
+    // table refs: FROM/JOIN <name> [[AS] alias]
+    val refRe = ("(?i)\\b(FROM|JOIN)\\s+`?([A-Za-z_]\\w*)`?" +
+      "(?:\\s+(?:AS\\s+)?`?([A-Za-z_]\\w*)`?)?").r
+    val kw = Set("on", "using", "where", "group", "having", "order",
+      "limit", "settings", "union", "join", "inner", "left", "right",
+      "full", "cross", "semi", "anti", "asof", "any", "all", "global",
+      "final", "sample", "prewhere", "format", "window")
+    val refs = refRe.findAllMatchIn(fromSec).map { m =>
+      val name = m.group(2)
+      val alias = Option(m.group(3)).filter(a => !kw(a.toLowerCase))
+        .getOrElse(name)
+      (name, alias)
+    }.toList
+    if (refs.size < 2 || kw(refs.map(_._1.toLowerCase).head)) return sql0
+    val cols: List[(String, Seq[String])] = refs.map { case (name, alias) =>
+      alias -> (scala.util.Try(spark.table(name).columns.toSeq)
+        .getOrElse(return sql0))
+    }
+    // short name → number of tables carrying it
+    val tableCount = cols.flatMap(_._2.distinct)
+      .groupBy(_.toLowerCase).view.mapValues(_.size).toMap
+    def chName(alias: String, col: String): String =
+      if (tableCount.getOrElse(col.toLowerCase, 0) >= 2) s"$alias.$col"
+      else col
+    // split the select list on depth-0 commas
+    val list = sql.substring(selM.end, fromAt)
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var st = 0; d = 0; inStr = false
+    for (j <- 0 until list.length) {
+      val c = list.charAt(j)
+      if (inStr) { if (c == '\\') { } else if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ',' && d == 0) { items += list.substring(st, j); st = j + 1 }
+    }
+    items += list.substring(st)
+    val QualId = "^\\s*`?([A-Za-z_]\\w*)`?\\.`?([A-Za-z_]\\w*)`?\\s*$".r
+    val QualStar = "^\\s*`?([A-Za-z_]\\w*)`?\\.\\*\\s*$".r
+    var changed = false
+    val out = items.map {
+      case it @ QualId(q, c) if cols.exists(_._1.equalsIgnoreCase(q)) =>
+        val n = chName(q, c)
+        if (n == c) it
+        else { changed = true; s"$q.$c AS `$n`" }
+      case it @ QualStar(q) =>
+        cols.find(_._1.equalsIgnoreCase(q)) match {
+          case Some((alias, cs)) =>
+            changed = true
+            cs.map(c => s"$alias.`$c` AS `${chName(alias, c)}`")
+              .mkString(", ")
+          case None => it
+        }
+      case it if it.trim == "*" =>
+        changed = true
+        cols.flatMap { case (alias, cs) =>
+          cs.map(c => s"$alias.`$c` AS `${chName(alias, c)}`")
+        }.mkString(", ")
+      case it => it
+    }
+    if (!changed) sql0
+    else sql.substring(0, selM.end) + out.mkString(",") +
+      sql.substring(fromAt)
+  }
+
+  private def sqlImpl(spark: SparkSession, chQuery0: String,
+      sfDir: String): DataFrame = {
     ChRegistry.register(spark)
-    ChRegistry.ensureSynthesized(spark, chQuery)
+    ChRegistry.ensureSynthesized(spark, chQuery0)
     Tables.register(spark, sfDir)
+    val chQuery = rewriteJoinItemNames(spark, chQuery0)
     val asofM = AsofSqlRe.findFirstMatchIn(chQuery.trim.stripSuffix(";"))
       .filter(_ => !chQuery.matches("(?is).*\\bJOIN\\s*\\(.*"))
     val asofDf = asofM.flatMap(asofSql(spark, chQuery, sfDir, _))

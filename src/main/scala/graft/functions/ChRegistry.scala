@@ -1531,31 +1531,44 @@ object ChRegistry {
     // table view is already the deduped ANY state (DdlEmu), so the probe
     // is a bounded collected map; a miss yields the value type's default
     // (joinGet) or NULL (joinGetOrNull), matching the Any-Left contract
-    def joinGetMap(t: Expression, a: Expression, k: Expression)
+    def joinGetMap(t: Expression, a: Expression, ks: Seq[Expression])
         : (Column, org.apache.spark.sql.types.DataType) = {
       val tbl = litStr(t); val attr = litStr(a)
       val df = spark.table(tbl)
-      val keyCol = graft.golden.DdlEmu.joinEngineKeys(tbl)
-        .flatMap(_.headOption).getOrElse(df.columns.head)
-      val rows = df.select(col(s"`$keyCol`"), col(s"`$attr`"))
+      // composite-key Join tables probe on a struct over ALL declared
+      // keys — probing only the first would silently match on a partial
+      // key and return wrong attribute values
+      val keyCols: Seq[String] = graft.golden.DdlEmu.joinEngineKeys(tbl)
+        .filter(_.nonEmpty).getOrElse(Seq(df.columns.head))
+      require(ks.length == keyCols.length,
+        s"joinGet: '$tbl' declares ${keyCols.length} key column(s) " +
+          s"(${keyCols.mkString(", ")}) but ${ks.length} probe value(s) " +
+          "were given")
+      val rows = df.select((keyCols :+ attr).map(c => col(s"`$c`")): _*)
         .limit(100001).collect()
       require(rows.length <= 100000,
         s"joinGet: '$tbl' exceeds the 100K in-memory probe bound")
       val vType = df.schema(attr).dataType
-      val kType = df.schema(keyCol).dataType
-      val entries = rows.filter(r => !r.isNullAt(0)).flatMap(r =>
-        Seq(lit(r.get(0)).cast(kType), lit(r.get(1)).cast(vType))).toSeq
-      val m =
-        if (entries.isEmpty)
-          map().cast(org.apache.spark.sql.types.MapType(kType, vType))
-        else map(entries: _*)
-      (try_element_at(m, C(k).cast(kType)), vType)
+      val kTypes = keyCols.map(df.schema(_).dataType)
+      val n = keyCols.length
+      def keyOf(vals: Seq[Column]): Column =
+        if (n == 1) vals.head.cast(kTypes.head)
+        else struct(vals.zip(kTypes).map { case (v, t) => v.cast(t) }: _*)
+      val entries = rows
+        .filter(r => (0 until n).forall(i => !r.isNullAt(i)))
+        .flatMap(r => Seq(keyOf((0 until n).map(i => lit(r.get(i)))),
+          lit(r.get(n)).cast(vType))).toSeq
+      val probe =
+        if (entries.isEmpty) lit(null).cast(vType)
+        else try_element_at(map(entries: _*), keyOf(ks.map(C)))
+      (probe, vType)
     }
-    f("joinGet") { case Seq(t, a, k) =>
-      val (probe, vType) = joinGetMap(t, a, k)
+    f("joinGet") { case t +: a +: ks if ks.nonEmpty =>
+      val (probe, vType) = joinGetMap(t, a, ks)
       graft.ChSql.defaultLit(vType).map(d => coalesce(probe, d))
         .getOrElse(probe) }
-    f("joinGetOrNull") { case Seq(t, a, k) => joinGetMap(t, a, k)._1 }
+    f("joinGetOrNull") { case t +: a +: ks if ks.nonEmpty =>
+      joinGetMap(t, a, ks)._1 }
     f("dictGet") { case Seq(d, a, k) =>
       graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k)) }
     f("dictGetOrDefault") { case Seq(d, a, k, dv) =>
@@ -1919,18 +1932,33 @@ object ChRegistry {
     // sketch: uniqCombined K=17 → 2^17 registers ≈ rsd 0.003; uniqHLL12
     // = 2^12 registers ≈ rsd 0.016; uniqTheta default 4096 samples ≈
     // rsd 0.016.
-    // multi-arg forms sketch the tuple; an appended precision param
-    // (uniqCombined(17)(x) → uniqCombined(x, 17)) rides along as a
-    // constant struct field — it never changes the cardinality
-    f("uniqCombined") { case c +: rest =>
-      if (rest.isEmpty) approx_count_distinct(C(c), 0.003)
-      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.003) }
-    f("uniqHLL12") { case c +: rest =>
-      if (rest.isEmpty) approx_count_distinct(C(c), 0.016)
-      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.016) }
-    f("uniqTheta") { case c +: rest =>
-      if (rest.isEmpty) approx_count_distinct(C(c), 0.016)
-      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.016) }
+    // multi-arg forms sketch the tuple. An appended precision param
+    // (uniqCombined(17)(x) → uniqCombined(x, 17) after
+    // rewriteParamAggs) is a trailing INTEGER LITERAL, not a column —
+    // it must be dropped, not struct-wrapped: struct() is never NULL,
+    // so wrapping would count NULL rows as one extra distinct value
+    // where CH (and the 1-arg form) skip them. For uniqCombined the
+    // param is HLL precision K → rsd ≈ 1.04/sqrt(2^K).
+    def uniqArgs(args: Seq[Expression]): (Seq[Expression], Option[Int]) =
+      args match {
+        case init :+ Literal(k: Int, _) if init.nonEmpty => (init, Some(k))
+        case init :+ Literal(k: Long, _) if init.nonEmpty =>
+          (init, Some(k.toInt))
+        case _ => (args, None)
+      }
+    def uniqSketch(args: Seq[Expression], defRsd: Double,
+        paramRsd: Int => Double): Column = {
+      val (cols, param) = uniqArgs(args)
+      val rsd = param.map(paramRsd).getOrElse(defRsd)
+      if (cols.sizeIs == 1) approx_count_distinct(C(cols.head), rsd)
+      else approx_count_distinct(struct(cols.map(C): _*), rsd)
+    }
+    val combinedRsd = (k: Int) =>
+      math.max(1.04 / math.sqrt(math.pow(2, k.max(4).min(20))), 0.001)
+    f("uniqCombined")(es => uniqSketch(es, 0.003, combinedRsd))
+    f("uniqCombined64")(es => uniqSketch(es, 0.003, combinedRsd))
+    f("uniqHLL12")(es => uniqSketch(es, 0.016, _ => 0.016))
+    f("uniqTheta")(es => uniqSketch(es, 0.016, _ => 0.016))
     f1("medianExact")(c =>
       QuantileVariants.exactLowHigh(c, lit(0.5), high = true))
     // parameterized quantile family: ChSql.rewriteParamAggs turns CH's
@@ -3077,12 +3105,8 @@ object ChRegistry {
         val p = pow(lit(10.0), litInt(n))
         signum(C(a)) * floor(abs(C(a)) * p) / p
     }
-    // sketch, not exact: at scale an exact distinct where the user asked
-    // for uniqCombined64 would shuffle every key (same rsd tier as
-    // uniqCombined — the 64 variant only widens the hash)
-    f("uniqCombined64") { case c +: rest =>
-      if (rest.isEmpty) approx_count_distinct(C(c), 0.003)
-      else approx_count_distinct(struct((c +: rest).map(C): _*), 0.003) }
+    // uniqCombined64 registered with the uniq sketch tier above (the 64
+    // variant only widens the hash; same rsd tier as uniqCombined)
     // one random value per query, all rows (ref FunctionConstantBase);
     // drawn once per session — constant across rows is the contract
     locally {

@@ -105,8 +105,12 @@ object DdlEmu {
     * forgets a section's declarations. */
   private val nullableDeclared = scala.collection.concurrent.TrieMap
     .empty[String, Set[String]]
-  def isDeclaredNullable(col: String): Boolean =
-    nullableDeclared.values.exists(_.contains(col.toLowerCase))
+  def isDeclaredNullable(col: String): Boolean = {
+    // output columns may carry a CH qualified display name (`t.a`, the
+    // join-naming rewrite) — nullability is declared on the short name
+    val short = col.toLowerCase.split('.').last
+    nullableDeclared.values.exists(_.contains(short))
+  }
   /** Per-file reset (the map is session-global; one test's declarations
     * must not leak into the next file's fill decisions). */
   def resetNullables(): Unit = {

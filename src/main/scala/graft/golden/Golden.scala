@@ -368,8 +368,12 @@ object Golden {
       chunk.linesIterator.nextOption().exists(
         _.matches("\\s*--\\s*\\{\\s*(server|client)Error.*"))
     }
-    val actual = try runChunks(spark, sfDir, chunks, annotatesPrev, settings)
-    finally settings.keys.foreach(k => spark.conf.unset("graft.ch." + k))
+    // the whole golden file is CH statements — DDL emulation analyzes
+    // CH-translated expressions outside ChSql.sql, so scope CH-only
+    // analysis behavior (wrapping int arithmetic) over the full run
+    val actual = try graft.plans.ChAnalysisScope.active.withValue(true) {
+      runChunks(spark, sfDir, chunks, annotatesPrev, settings)
+    } finally settings.keys.foreach(k => spark.conf.unset("graft.ch." + k))
     // CH's runner compares whole files; trailing empty lines (e.g. an
     // empty-string result at EOF) are normalized away on BOTH sides the
     // same way `expected` is above

@@ -92,11 +92,21 @@ object ChBoolAggRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Marks analysis triggered from the CH translation path (ChSql.sql).
+  * CH-only analysis rules that would be wrong for Spark-native pipelines
+  * sharing the session gate on it; analysis runs eagerly on the calling
+  * thread (Dataset.ofRows), so a DynamicVariable scopes it exactly. */
+object ChAnalysisScope {
+  val active = new scala.util.DynamicVariable[Boolean](false)
+}
+
 /** CH integer arithmetic WRAPS on overflow (two's-complement; ref
   * src/Functions/FunctionBinaryArithmetic.h — plain C++ arithmetic, no
   * overflow checks), while Spark's ANSI operators throw. Downgrade
   * +,-,* over integral operands to legacy (wrapping) evaluation.
-  * Decimal arithmetic stays ANSI — CH DOES raise DECIMAL_OVERFLOW. */
+  * Decimal arithmetic stays ANSI — CH DOES raise DECIMAL_OVERFLOW.
+  * Scoped to CH statement analysis ([[ChAnalysisScope]]) — Spark-native
+  * DataFrame pipelines in the same session keep ANSI overflow errors. */
 object ChWrapArithmeticRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
   private def integral(e: Expression): Boolean =
@@ -109,7 +119,8 @@ object ChWrapArithmeticRule extends Rule[LogicalPlan] {
     c.copy(evalMode = EvalMode.LEGACY)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithPruning(_ => true) {
+    if (!ChAnalysisScope.active.value) plan
+    else plan.transformAllExpressionsWithPruning(_ => true) {
       case a: Add if a.evalContext.evalMode == EvalMode.ANSI &&
           integral(a.left) && integral(a.right) =>
         a.copy(evalContext = legacyCtx(a.evalContext))
