@@ -2052,8 +2052,9 @@ object ChSql {
     * bindings stay in scope. None when any item's type is not statically
     * inferable — the caller then reports the format as unsupported
     * rather than risking a wrong types row. */
-  def selectItemTypeNames(chQuery: String): Option[Seq[String]] = {
-    val q = chQuery.trim
+  /** Top-level select-list span and items of a statement: (listStart,
+    * listEnd, items). None when the statement is not a leading SELECT. */
+  private def topSelectItemSpans(q: String): Option[(Int, Int, Seq[String])] = {
     val selRe = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
     val m = selRe.findFirstMatchIn(q).getOrElse(return None)
     // top-level select list: to depth-0 FROM/WHERE/… or end
@@ -2091,6 +2092,65 @@ object ChSql {
       b += q.substring(st, end)
       b.toSeq.map(_.trim).filter(_.nonEmpty)
     }
+    Some((m.end, end, items))
+  }
+
+  /** CH Bool DISPLAY semantics for select items (ref
+    * src/DataTypes/Serializations/SerializationBool.cpp: Bool renders
+    * true/false; UInt8 comparison results render 1/0). Spark has one
+    * BooleanType for both, so any top-level item whose STATIC CH type is
+    * Bool (true/false literals, toBool, and logical ops over Bool — the
+    * 02179 rules live in ChTypes) is wrapped in toBool(…), whose
+    * ChBoolWrap UDT carries the display distinction to the output
+    * formats. Items whose type is not statically Bool are untouched. */
+  /** Set by the DDL emulation: true while any staged table declares a
+    * Bool column (cheap gate for [[rewriteBoolDisplay]] when the
+    * statement text itself carries no bool token). */
+  @volatile var anyDeclaredBool: () => Boolean = () => false
+
+  private[graft] def rewriteBoolDisplay(sql: String,
+      origItems: Option[Seq[String]] = None): String = {
+    val low = sql.toLowerCase
+    if (!(low.contains("true") || low.contains("false") ||
+        low.contains("bool") || anyDeclaredBool())) return sql
+    val q = sql
+    val (st, en, items) = topSelectItemSpans(q).getOrElse(return sql)
+    if (items.isEmpty) return sql
+    val types = selectItemTypeNames(q).getOrElse(return sql)
+    if (types.length != items.length) return sql
+    val boolIdx = types.zipWithIndex.collect {
+      case (t, i) if t == "Bool" || t == "Nullable(Bool)" ||
+        t == "LowCardinality(Bool)" => i
+    }.toSet
+    if (boolIdx.isEmpty) return sql
+    // a UNION's branches must keep a common type — wrapping only the
+    // first branch would break the union; leave set operations alone
+    if ("(?is)\\bUNION\\b".r.findFirstIn(q).isDefined) return sql
+    val AliasTail = "(?is)^(.*?)(\\s+AS\\s+`?[A-Za-z_]\\w*`?)\\s*$".r
+    val BareId = "^\\s*`?([A-Za-z_]\\w*)`?\\s*$".r
+    val rebuilt = items.zipWithIndex.map { case (it, i) =>
+      if (!boolIdx(i)) it
+      else if (it.trim.toLowerCase.startsWith("tobool(")) it
+      else it match {
+        case AliasTail(e, a) => s"toBool($e)$a"
+        // a plain column keeps its name in named output formats
+        case BareId(id) => s"toBool($id) AS `$id`"
+        // other expressions: CH names the column by the expression TEXT
+        // (IAST::getColumnName); alias to the ORIGINAL statement's item
+        // text so named formats match when the source is already
+        // canonical (CAST('x', 'Bool') — 02152)
+        case e =>
+          val name = origItems.filter(_.length == items.length)
+            .map(_(i)).getOrElse(e).trim.replace("`", "``")
+          s"toBool($e) AS `$name`"
+      }
+    }
+    q.substring(0, st) + rebuilt.mkString(", ") + " " + q.substring(en)
+  }
+
+  def selectItemTypeNames(chQuery: String): Option[Seq[String]] = {
+    val q = chQuery.trim
+    val (_, _, items) = topSelectItemSpans(q).getOrElse(return None)
     if (items.isEmpty) return None
     def stripAlias(it: String): String = {
       val noAs =
@@ -2348,11 +2408,16 @@ object ChSql {
     // `chElementAt(t, 1)` and wraps it positionally
     // scalar WITH macros expand FIRST so later passes (toTypeName
     // folding especially) see literal values instead of alias names
+    // original top-level item texts — the CH column names for the Bool
+    // display wrap (captured before any rewrite mangles the text)
+    val preItems = topSelectItemSpans(chSql1.trim.stripSuffix(";"))
+      .map(_._3)
+    var s0 = rewriteTypeIntrospection(rewriteCastCall(
+      rewriteColonCast(rewriteScalarWithDeep(rewriteUntuple(
+        rewriteStringEscapes(chSql1))))))
+    s0 = rewriteBoolDisplay(s0, preItems)
     var s = rewriteSortHof(rewriteHofs(rewriteTupleAccess(rewriteBrackets(
-      rewriteParamAggs(rewriteTernary(
-        rewriteChTypes(rewriteTypeIntrospection(rewriteCastCall(
-          rewriteColonCast(rewriteScalarWithDeep(rewriteUntuple(
-            rewriteStringEscapes(chSql1)))))))))))))
+      rewriteParamAggs(rewriteTernary(rewriteChTypes(s0)))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
     // 3/4-arg form to chTransform so the 2-arg lambda HOF keeps Spark's
     // builtin (ref src/Functions/transform.cpp)
@@ -3361,9 +3426,26 @@ object ChSql {
     * behavior (wrapping integer arithmetic) is scoped to this call via
     * [[graft.plans.ChAnalysisScope]] so Spark-native DataFrame pipelines
     * sharing the session keep ANSI overflow semantics. */
+  private val ShowCreateRe =
+    "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TEMPORARY\\s+)?(?:TABLE\\s+)?`?([\\w.]+)`?\\s*$".r
+
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame =
     graft.plans.ChAnalysisScope.active.withValue(true) {
       val q = chQuery.trim.stripSuffix(";")
+      ShowCreateRe.findFirstMatchIn(q).foreach { m =>
+        // SHOW CREATE TABLE renders the stored definition (ref
+        // src/Interpreters/InterpreterShowCreateQuery.cpp)
+        val ddl = graft.golden.DdlEmu.showCreate(m.group(1)).getOrElse(
+          throw new org.apache.spark.sql.AnalysisException(
+            "TABLE_OR_VIEW_NOT_FOUND",
+            Map("relationName" -> s"`${m.group(1)}`")))
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(ddl)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("statement",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+      }
       ExplainRe.findFirstMatchIn(q) match {
         case Some(m) =>
           ChRegistry.register(spark)

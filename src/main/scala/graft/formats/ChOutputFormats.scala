@@ -407,6 +407,9 @@ object ChOutputFormats {
 
   private def quoted(v: Any): String = v match {
     case null => "NULL"
+    // Values keeps raw true/false regardless of bool_*_representation
+    // (SerializationBool::serializeTextQuoted)
+    case b: graft.functions.ChBool => if (b.b) "true" else "false"
     case s: String => "'" + s.replace("\\", "\\\\")
       .replace("'", "\\'") + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
@@ -439,6 +442,9 @@ object ChOutputFormats {
       // comparison results are UInt8 in CH: 1/0, not true/false
       // (SerializationNumber<UInt8>::serializeTextCSV)
       case b: Boolean => if (b) "1" else "0"
+      // the Bool display type prints its representation, UNQUOTED
+      // (SerializationBool::serializeTextCSV)
+      case b: graft.functions.ChBool => graft.golden.Golden.boolRep(b.b)
       case a: scala.collection.Seq[_] =>
         "\"" + graft.golden.Golden.fmt(a).replace("\"", "\"\"") + "\""
       // tuple: one CSV cell per element (SerializationTuple writes the
@@ -484,6 +490,8 @@ object ChOutputFormats {
     case (null, _) => "null"
     case (s: String, _) => jsonStr(s, escSlash)
     case (b: Boolean, _) => if (b) "true" else "false"
+    // JSON keeps raw booleans regardless of bool_*_representation
+    case (b: graft.functions.ChBool, _) => if (b.b) "true" else "false"
     case (l: java.lang.Long, _) =>
       if (quote64) "\"" + l + "\"" else l.toString
     case (i: java.lang.Integer, _) => i.toString

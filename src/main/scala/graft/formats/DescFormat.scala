@@ -210,12 +210,16 @@ object DescFormat {
         j match {
           case SI.JInt(n) => s"CAST($n AS $ty)"
           case SI.JStr(s) => s"CAST(${s.trim} AS $ty)"
+          // bools merged into a numeric column read as 1/0
+          // (input_format_json_read_bools_as_numbers)
+          case SI.JBool(b) => s"CAST(${if (b) 1 else 0} AS $ty)"
           case other => s"CAST(NULL AS $ty)"
         }
       case _: SI.TFloat => j match {
         case SI.JInt(n) => s"CAST('$n' AS DOUBLE)"
         case SI.JFloat(d) => s"CAST('$d' AS DOUBLE)"
         case SI.JStr(s) => s"CAST('${s.trim}' AS DOUBLE)"
+        case SI.JBool(b) => s"CAST(${if (b) 1 else 0} AS DOUBLE)"
         case other => s"CAST(NULL AS DOUBLE)"
       }
       case _: SI.TString => j match {

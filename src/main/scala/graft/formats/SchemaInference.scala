@@ -32,7 +32,8 @@ object SchemaInference {
       inferDatetimes: Boolean = true,
       objectType: Boolean = false,
       objectsAsStrings: Boolean = true,
-      numbersAsStrings: Boolean = false)
+      numbersAsStrings: Boolean = false,
+      boolsAsNumbers: Boolean = true)
 
   object Settings {
     def from(get: String => Option[String]): Settings = {
@@ -49,7 +50,9 @@ object SchemaInference {
         objectsAsStrings =
           b("input_format_json_read_objects_as_strings", true),
         numbersAsStrings =
-          b("input_format_json_read_numbers_as_strings", false))
+          b("input_format_json_read_numbers_as_strings", false),
+        boolsAsNumbers =
+          b("input_format_json_read_bools_as_numbers", true))
     }
   }
 
@@ -311,6 +314,17 @@ object SchemaInference {
         Some(nul(TFloat(x.fromString && y.fromString),
           x.nullable || y.nullable))
       case (x: TBool, y: TBool) => Some(nul(TBool(), x.nullable || y.nullable))
+      // input_format_json_read_bools_as_numbers (default 1, ref
+      // Core/Settings.h): a column mixing true/false with numbers reads
+      // the bools as numbers
+      case (x: TBool, y: TInt) if st.boolsAsNumbers =>
+        Some(nul(TInt(y.fromString, y.unsigned), x.nullable || y.nullable))
+      case (x: TInt, y: TBool) if st.boolsAsNumbers =>
+        Some(nul(TInt(x.fromString, x.unsigned), x.nullable || y.nullable))
+      case (x: TBool, y: TFloat) if st.boolsAsNumbers =>
+        Some(nul(TFloat(y.fromString), x.nullable || y.nullable))
+      case (x: TFloat, y: TBool) if st.boolsAsNumbers =>
+        Some(nul(TFloat(x.fromString), x.nullable || y.nullable))
       case (x: TDate, y: TDate) => Some(nul(TDate(), x.nullable || y.nullable))
       case (x: TDateTime, y: TDateTime) =>
         Some(nul(TDateTime(), x.nullable || y.nullable))

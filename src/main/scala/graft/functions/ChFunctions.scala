@@ -31,6 +31,25 @@ object ch {
     if (numericSrc && intTarget) CC(Cast(e, dt, None, EvalMode.LEGACY))
     else c.cast(dt)
   }
+  /** CH Bool text parsing (ref SerializationBool.cpp deserializeText):
+    * the fixed word set plus the session's bool_true_representation /
+    * bool_false_representation, case-insensitively. */
+  def parseBool(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, lower, trim, when}
+    def rep(key: String): Option[String] =
+      try Option(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.ch." + key, null)).map(_.toLowerCase)
+      catch { case _: Throwable => None }
+    val trues = Seq("true", "1", "enabled", "enable", "on", "yes", "y",
+      "t") ++ rep("bool_true_representation")
+    val falses = Seq("false", "0", "disabled", "disable", "off", "no",
+      "n", "f") ++ rep("bool_false_representation")
+    val l = lower(trim(c))
+    when(l.isin(trues: _*), lit(true))
+      .when(l.isin(falses: _*), lit(false))
+      .otherwise(c.cast("boolean"))
+  }
+
   /** Unsigned-width wrap: CH toUIntN(v) keeps the low N bits (ref
     * FunctionsConversion.h) — carried one signed width up. */
   private def uintWrap(c: Column, mask: Long,

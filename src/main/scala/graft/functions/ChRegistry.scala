@@ -1080,6 +1080,8 @@ object ChRegistry {
     // accepts CH's full vocabulary (ref DataTypeBool serialization:
     // true/false, 1/0, enabled/disabled, on/off, yes/no, t/f, y/n)
     f("toBool") { case Seq(a) =>
+      if (a.resolved && a.dataType.isInstanceOf[BoolUDT]) C(a) // idempotent
+      else {
       val isStr = a.resolved && (a.dataType match {
         case org.apache.spark.sql.types.StringType => true
         case _ => false
@@ -1098,8 +1100,13 @@ object ChRegistry {
         })) C(a) =!= lit(0)
         else C(a).cast("boolean")
       C(ChBoolWrap(E(b)))
+      }
     }
     f1("toLowCardinality")(c => c)
+    // runtime toTypeName tier — fires only when the static fold in
+    // ChSql.rewriteTypeIntrospection could not prove the CH type
+    f("toTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
+    f("toColumnTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
     locally {
       def dt64(name: String, mode: Int): Unit = f(name) {
         case Seq(c, sc) => C(ToDateTime64(c, litInt(sc), None, mode))

@@ -576,8 +576,10 @@ object ChTypes {
         case _ => None
       }
       case Un("not", x) => go(x, scope).map {
-        case Nullable(_) => Nullable(UInt8)
-        case _ => UInt8
+        // NOT over the Bool display type stays Bool; numeric stays UInt8
+        // (ref FunctionsLogical registration + 02179 pins)
+        case Nullable(t) => Nullable(if (stripLC(t) == BoolT) BoolT else UInt8)
+        case t => if (stripLC(t) == BoolT) BoolT else UInt8
       }
       case Bin(op, l, r) if Seq("+", "-", "*", "/", "%").contains(op) =>
         for (lt <- go(l, scope); rt <- go(r, scope); t <- arith(op, lt, rt))
@@ -588,9 +590,15 @@ object ChTypes {
           if (stripLC(lt).isInstanceOf[Nullable] ||
             stripLC(rt).isInstanceOf[Nullable]) Nullable(UInt8) else UInt8
       case Bin("and" | "or", l, r) =>
-        for (lt <- go(l, scope); rt <- go(r, scope)) yield
+        // result is Bool when ANY operand is Bool, else UInt8 (02179:
+        // toTypeName(1 and true) = Bool, toTypeName(1 and 10) = UInt8)
+        for (lt <- go(l, scope); rt <- go(r, scope)) yield {
+          def core(t: T): T = stripN(stripLC(t))
+          val out = if (core(lt) == BoolT || core(rt) == BoolT) BoolT
+            else UInt8
           if (stripLC(lt).isInstanceOf[Nullable] ||
-            stripLC(rt).isInstanceOf[Nullable]) Nullable(UInt8) else UInt8
+            stripLC(rt).isInstanceOf[Nullable]) Nullable(out) else out
+        }
       case Bin("||", l, r) =>
         for (_ <- go(l, scope); _ <- go(r, scope)) yield Str
       case Fn(name, args) => fnType(name, args, scope, go)
@@ -901,9 +909,14 @@ object ChTypes {
       case "reinterpretAsFixedString" =>
         argT(0).map(t => Scalar(
           s"FixedString(${math.max(bits(stripN(stripLC(t))) / 8, 1)})"))
-      case "xor" =>
-        allT.map(ts => if (ts.exists(t =>
-          stripLC(t).isInstanceOf[Nullable])) Nullable(UInt8) else UInt8)
+      case "xor" | "and" | "or" | "not" =>
+        // Bool when any operand is Bool, else UInt8 (02179)
+        allT.map { ts =>
+          val out = if (ts.exists(t => stripN(stripLC(t)) == BoolT)) BoolT
+            else UInt8
+          if (ts.exists(t => stripLC(t).isInstanceOf[Nullable]))
+            Nullable(out) else out
+        }
       case "groupBitAnd" | "groupBitOr" | "groupBitXor" |
           "sumWithOverflow" => argT(0)
       // (keys, values) arrays in → Tuple(Array(K), Array(V)) out; the

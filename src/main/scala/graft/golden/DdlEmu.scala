@@ -116,7 +116,7 @@ object DdlEmu {
   def resetNullables(): Unit = {
     nullableDeclared.clear(); defExprs.clear()
     engines.clear(); staged.clear(); chTypes.clear()
-    viewDefs.clear()
+    viewDefs.clear(); createdDdl.clear()
   }
 
   /** Per-file session cleanup: drop helper views this emulation registered
@@ -403,6 +403,47 @@ object DdlEmu {
   // surface declared types to the dialect's toTypeName folding
   graft.ChSql.declaredColumnType = (c: String) =>
     chTypes.values.flatMap(_.get(c)).headOption
+  // cheap gate for the Bool display rewrite
+  graft.ChSql.anyDeclaredBool = () => chTypes.values.exists(_.values
+    .exists(t => t.matches("(?is)\\s*(Nullable\\s*\\(\\s*)?Bool\\s*\\)?\\s*")))
+  /** Canonical CREATE text per table, for SHOW CREATE TABLE (ref
+    * src/Interpreters/InterpreterShowCreateQuery.cpp renders the stored
+    * AST: one backquoted column per line, ENGINE tail as declared,
+    * MergeTree-family tables get the default index_granularity appended
+    * when the statement declared no SETTINGS). Best-effort textual
+    * canonicalization — tests declare canonical type names. */
+  private val createdDdl =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def showCreate(name: String): Option[String] = createdDdl.get(name)
+  private def recordDdl(table: String, colDefs: String,
+      engTail: String): Unit = {
+    val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty).map { cd =>
+      val sp = cd.indexWhere(_.isWhitespace)
+      if (sp <= 0) cd
+      else {
+        val n = cd.take(sp).stripPrefix("`").stripSuffix("`")
+        val rest = cd.drop(sp).trim.replaceAll("\\s+", " ")
+        s"`$n` $rest"
+      }
+    }
+    var eng = Option(engTail).map(_.trim.stripSuffix(";").trim)
+      .filter(_.nonEmpty)
+      .map(_.replaceAll("(?is)^ENGINE\\s*=?\\s*", "ENGINE = ")
+        .replaceAll("\\s+", " "))
+      .getOrElse("ENGINE = Memory")
+    // CH prints MergeTree() as MergeTree and appends default SETTINGS
+    eng = eng.replaceAll("(?i)^(ENGINE = \\w*MergeTree)\\(\\)", "$1")
+    if (eng.matches("(?is).*MergeTree\\b.*") &&
+        !eng.matches("(?is).*\\bSETTINGS\\b.*"))
+      eng += "\nSETTINGS index_granularity = 8192"
+    // ORDER BY/PARTITION BY/etc. clauses each on their own line
+    eng = eng.replaceAll(
+      "(?i)\\s+(ORDER BY|PARTITION BY|PRIMARY KEY|SAMPLE BY|TTL|SETTINGS)\\b",
+      "\n$1")
+    createdDdl(table) = "CREATE TABLE default." + table + "\n(\n" +
+      cols.map("    " + _).mkString(",\n") + "\n)\n" + eng
+  }
+
   private def recordChTypes(table: String, colDefs: String): Unit = {
     val m = splitTop(colDefs).flatMap { cd =>
       val t = cd.trim
@@ -611,7 +652,7 @@ object DdlEmu {
       case dropRe(name) =>
         viewDefs.remove(name)
         spark.catalog.dropTempView(name); decls.remove(name)
-        nullableDeclared.remove(name)
+        nullableDeclared.remove(name); createdDdl.remove(name)
         engines.remove(name); staged.remove(name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
@@ -632,7 +673,7 @@ object DdlEmu {
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
-        recordChTypes(name, colDefs)
+        recordChTypes(name, colDefs); recordDdl(name, colDefs, engTail)
         register(spark, name, emptyDf(spark, d))
         parseEngine(engTail) match {
           case Some(spec) =>
@@ -648,7 +689,7 @@ object DdlEmu {
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
-        recordChTypes(name, colDefs)
+        recordChTypes(name, colDefs); recordDdl(name, colDefs, null)
         register(spark, name, emptyDf(spark, d))
         true
       case alterColsRe(name, ops) =>
@@ -799,6 +840,13 @@ object DdlEmu {
               uniq.schema(c).dataType ==
                 org.apache.spark.sql.types.StringType)
               graft.functions.ch.toDateTime(uniq.col(c))
+            // Bool text accepts the CH word set and the session's
+            // bool_*_representation (SerializationBool)
+            else if (target.schema(n).dataType ==
+                org.apache.spark.sql.types.BooleanType &&
+              uniq.schema(c).dataType ==
+                org.apache.spark.sql.types.StringType)
+              graft.functions.ch.parseBool(uniq.col(c))
             else graft.functions.ch.wrapCast(uniq.col(c),
               target.schema(n).dataType)
           casted.as(n) }
@@ -924,10 +972,28 @@ object DdlEmu {
   private def valuesDf(spark: SparkSession, sfDir: String, tuples: String,
       width: Int): DataFrame = {
     val rows = splitTuples(tuples)
-    val selects = rows.map { r =>
-      val items = splitTop(r, angled = false)
-      items.zipWithIndex.map { case (v, i) => s"$v AS __c$i" }
-        .mkString("SELECT ", ", ", "")
+    val matrix = rows.map(r => splitTop(r, angled = false))
+    // CH VALUES may mix bool and numeric literals in one column
+    // ((false, …), (0, …) into a Bool column — 02114); Spark's UNION
+    // refuses BOOLEAN vs INT, so normalize bools to 1/0 in positions
+    // that mix kinds (the by-position cast restores the declared type)
+    def kind(v: String): String = {
+      val t = v.trim.toLowerCase
+      if (t == "true" || t == "false") "bool"
+      else if (t.matches("[+-]?\\d+(\\.\\d+)?")) "num" else "other"
+    }
+    val w = matrix.map(_.length).maxOption.getOrElse(0)
+    val mixed = (0 until w).filter { i =>
+      val ks = matrix.flatMap(_.lift(i)).map(kind).toSet
+      ks("bool") && ks.size > 1
+    }.toSet
+    val selects = matrix.map { items =>
+      items.zipWithIndex.map { case (v0, i) =>
+        val v = if (mixed(i) && kind(v0) == "bool") {
+          if (v0.trim.equalsIgnoreCase("true")) "1" else "0"
+        } else v0
+        s"$v AS __c$i"
+      }.mkString("SELECT ", ", ", "")
     }
     graft.ChSql.sql(spark, selects.mkString(" UNION ALL "), sfDir)
   }

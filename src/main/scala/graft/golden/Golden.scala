@@ -10,11 +10,23 @@ import java.nio.file.{Files, Paths}
   */
 object Golden {
 
+  /** bool_true_representation / bool_false_representation (ref
+    * SerializationBool.cpp — governs Bool TEXT formats: TSV, CSV,
+    * Pretty, Vertical; JSON and nested Values keep raw true/false). */
+  def boolRep(b: Boolean): String = {
+    val key = if (b) "graft.ch.bool_true_representation"
+      else "graft.ch.bool_false_representation"
+    val dflt = if (b) "true" else "false"
+    try org.apache.spark.sql.internal.SQLConf.get.getConfString(key, dflt)
+    catch { case _: Throwable => dflt }
+  }
+
   /** CH TabSeparated formatting of one value (top level). */
   def fmt(v: Any): String = v match {
     case null => "\\N"
     case ip: graft.functions.ChIPv4 => ip.toString
     case ip: graft.functions.ChIPv6 => ip.toString
+    case b: graft.functions.ChBool => escapeTsv(boolRep(b.b))
     case t: graft.functions.ChDT64 => t.toString
     case s: String => escapeTsv(s)
     case b: Boolean => if (b) "1" else "0"
@@ -36,6 +48,7 @@ object Golden {
   /** Nested (inside arrays/tuples) formatting: strings get quoted. */
   private def fmtNested(v: Any): String = v match {
     case null => "NULL"
+    case b: graft.functions.ChBool => if (b.b) "true" else "false"
     case ip: graft.functions.ChIPv4 => "'" + ip.toString + "'"
     case ip: graft.functions.ChIPv6 => "'" + ip.toString + "'"
     case t: graft.functions.ChDT64 => "'" + t.toString + "'"
@@ -340,7 +353,32 @@ object Golden {
       i += 1
     }
     raw += sb.toString
-    raw.toSeq
+    // INSERT … FORMAT <fmt> inline data carries no terminating ';'
+    // (clickhouse-client contract): data starting on the SAME line as
+    // the FORMAT keyword is that one line; data starting on the next
+    // line runs until the first EMPTY line. Either way the chunk may
+    // have swallowed following statements — split them back out.
+    // Values data still ends at ';' (the parser reads it as SQL).
+    def splitFmtData(chunk: String): Seq[String] =
+      "(?is)^(\\s*INSERT\\s+INTO\\b.*?\\bFORMAT\\s+(?!Values\\b)\\w+)([^\\S\\n]*)(.*)$".r
+        .findFirstMatchIn(chunk) match {
+        case Some(m) =>
+          val payload = m.group(3)
+          val sameLine = payload.takeWhile(_ != '\n')
+          if (sameLine.trim.nonEmpty) {
+            val rest = payload.drop(sameLine.length)
+            if (rest.trim.nonEmpty)
+              (m.group(1) + m.group(2) + sameLine) +: splitFmtData(rest)
+            else Seq(chunk)
+          } else "\\n[ \\t]*\\n".r.findFirstMatchIn(payload) match {
+            case Some(blank) if payload.substring(blank.end).trim.nonEmpty =>
+              (m.group(1) + m.group(2) + payload.substring(0, blank.start)) +:
+                splitFmtData(payload.substring(blank.end))
+            case _ => Seq(chunk)
+          }
+        case None => Seq(chunk)
+      }
+    raw.toSeq.flatMap(splitFmtData)
   }
 
   private val EchoMarker = "\\s*--\\s*\\{\\s*(echo|echoOn|echoOff)\\s*\\}\\s*".r
@@ -380,11 +418,15 @@ object Golden {
     (actual.reverse.dropWhile(_.isEmpty).reverse, expected)
   }
 
+  /** Sentinel marking a line emitted WITHOUT a trailing newline
+    * (FORMAT Values) — merged with the following line in a final pass. */
+  private val ValuesNoNl = " __graft_values_no_nl__"
+
   private def runChunks(spark: SparkSession, sfDir: String,
       chunks: Seq[String], annotatesPrev: Seq[Boolean],
       settings: scala.collection.mutable.Map[String, String]): Seq[String] = {
     var echo = false
-    chunks.zipWithIndex.flatMap { case (chunk, ci) =>
+    val all = chunks.zipWithIndex.flatMap { case (chunk, ci) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       // peel marker/comment lines, toggling echo state in order; a
       // leading line that only annotates the PREVIOUS statement is
@@ -571,6 +613,11 @@ object Golden {
         } else {
           out ++= graft.formats.ChOutputFormats.render(
             fmt, schema, blocks.filter(_.nonEmpty), ctx)
+          // Values writes NO trailing row delimiter (ref
+          // ValuesRowOutputFormat) — the next statement's first output
+          // line lands on the same line; mark it for the merge pass
+          if (fmt.equalsIgnoreCase("values") && out.nonEmpty)
+            out(out.length - 1) = out.last + ValuesNoNl
           // JSONEachRow silently DROPS the totals stream (ref
           // JSONEachRowRowOutputFormat: no writeTotals)
           if (!fmt.equalsIgnoreCase("jsoneachrow"))
@@ -636,6 +683,24 @@ object Golden {
         }
       }
       out.toSeq
+    }
+    // merge Values' no-trailing-newline lines with the following line
+    if (!all.exists(_.endsWith(ValuesNoNl))) all
+    else {
+      val res = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pend: Option[String] = None
+      all.foreach { l =>
+        val joined = pend match {
+          case Some(p) => p + l
+          case None => l
+        }
+        pend = None
+        if (joined.endsWith(ValuesNoNl))
+          pend = Some(joined.stripSuffix(ValuesNoNl))
+        else res += joined
+      }
+      pend.foreach(res += _)
+      res.toSeq
     }
   }
 }
