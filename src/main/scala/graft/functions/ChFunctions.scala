@@ -29,6 +29,15 @@ object ch {
     val intTarget = dt == ByteType || dt == ShortType ||
       dt == IntegerType || dt == LongType
     if (numericSrc && intTarget) CC(Cast(e, dt, None, EvalMode.LEGACY))
+    // CH integer conversions of temporal types take the underlying
+    // number (Date = days since epoch, DateTime = unix seconds; ref
+    // FunctionsConversion.h ToNumberImpl); Spark refuses the cast
+    else if (e.resolved && e.dataType == DateType && intTarget)
+      org.apache.spark.sql.functions.datediff(c,
+        org.apache.spark.sql.functions.lit("1970-01-01").cast(DateType))
+        .cast(dt)
+    else if (e.resolved && e.dataType == TimestampType && intTarget)
+      org.apache.spark.sql.functions.unix_timestamp(c).cast(dt)
     else c.cast(dt)
   }
   /** CH Bool text parsing (ref SerializationBool.cpp deserializeText):
@@ -59,6 +68,9 @@ object ch {
     val e = EE(c)
     if (e.resolved && (e.dataType.isInstanceOf[NumericType] ||
         e.dataType == BooleanType))
+      (wrapCast(c, LongType).bitwiseAND(lit(mask))).cast(carrier)
+    else if (e.resolved &&
+        (e.dataType == DateType || e.dataType == TimestampType))
       (wrapCast(c, LongType).bitwiseAND(lit(mask))).cast(carrier)
     else c.cast(carrier)
   }

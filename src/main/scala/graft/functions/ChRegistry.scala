@@ -1107,6 +1107,51 @@ object ChRegistry {
     // ChSql.rewriteTypeIntrospection could not prove the CH type
     f("toTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
     f("toColumnTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
+    // ---- stored aggregate states for NON-distributive bases (ref
+    // src/Columns/ColumnAggregateFunction.h — AggregateFunction(...)
+    // columns hold resumable states). Distributive bases (sum/min/max/
+    // any/count/groupArray) keep the value-is-the-state model in
+    // CombinatorChain; the bases below need a real partial state:
+    //  - uniq/uniqExact: the distinct SET (exact at golden sizes — CH's
+    //    uniq is exact below its sampling threshold; the engine's SCALE
+    //    tier for sketch columns is UniqState's HLL binary)
+    //  - avg: (sum, count) pair
+    //  - quantile/quantiles/median: the raw value list, merged by R-7
+    //    interpolation over the union (matches the reservoir tier)
+    locally {
+      def flat(s: Expression) = flatten(collect_list(C(s)))
+      def uniqSt(x: Expression) = array_sort(collect_set(C(x)))
+      def uniqMg(s: Expression) =
+        size(array_distinct(flat(s))).cast("bigint")
+      f("uniqState") { case Seq(x) => uniqSt(x) }
+      f("uniqExactState") { case Seq(x) => uniqSt(x) }
+      f("uniqMerge") { case Seq(s) => uniqMg(s) }
+      f("uniqExactMerge") { case Seq(s) => uniqMg(s) }
+      f("avgState") { case Seq(x) =>
+        struct(sum(C(x).cast("double")).as("s"), count(C(x)).as("c")) }
+      f("avgMerge") { case Seq(s) =>
+        sum(C(s).getField("s")) / sum(C(s).getField("c")) }
+      def qOverArray(arr: Column, p: Column): Column = {
+        val sorted = array_sort(arr)
+        val n = size(sorted)
+        val h = (n.cast("double") - 1) * p
+        val lo = floor(h)
+        val frac = h - lo
+        val vLo = element_at(sorted, (lo + 1).cast("int"))
+        val vHi = element_at(sorted, least((lo + 2).cast("int"), n))
+        vLo.cast("double") * (lit(1.0) - frac) + vHi.cast("double") * frac
+      }
+      def qState(x: Expression) = collect_list(C(x).cast("double"))
+      f("quantileState") { case x +: _ => qState(x) }
+      f("quantilesState") { case x +: _ => qState(x) }
+      f("medianState") { case Seq(x) => qState(x) }
+      f("quantileMerge") { case s +: ps =>
+        qOverArray(flat(s), ps.headOption.map(C(_).cast("double"))
+          .getOrElse(lit(0.5))) }
+      f("medianMerge") { case Seq(s) => qOverArray(flat(s), lit(0.5)) }
+      f("quantilesMerge") { case s +: ps =>
+        array(ps.map(p => qOverArray(flat(s), C(p).cast("double"))): _*) }
+    }
     locally {
       def dt64(name: String, mode: Int): Unit = f(name) {
         case Seq(c, sc) => C(ToDateTime64(c, litInt(sc), None, mode))
@@ -1372,9 +1417,12 @@ object ChRegistry {
     f("uniqExactArray")(uniqArrayTuples)
     f("uniqUpToArray") { case es :+ n =>
       least(uniqArrayTuples(es), lit(litInt(n).toLong + 1)) }
-    f1("uniqState")(UniqState.uniqState)
-    f1("uniqMerge")(UniqState.uniqMerge)
-    f1("uniqMergeState")(UniqState.uniqMergeState)
+    // uniqState/uniqMerge SQL surface uses the EXACT set state (the
+    // stored-state tier above — CH's uniq is exact below its sampling
+    // threshold, which covers every golden); the HLL sketch tier
+    // (UniqState) stays the documented scale path via the DataFrame API
+    f("uniqMergeState") { case Seq(s) =>
+      array_sort(array_distinct(flatten(collect_list(C(s))))) }
 
     // arrayJoin: CH's row-exploding function (ref
     // src/Functions/array/arrayJoin.cpp) = Spark's explode generator
@@ -2631,9 +2679,38 @@ object ChRegistry {
       timestamp_micros((C(c) / 1000L).cast("bigint")) }
     // tuple element-wise inequality count (ref tupleHammingDistance.cpp)
     f2("tupleHammingDistance")((a, b) => C(TupleHamming(E(a), E(b))))
-    // finalizeAggregation: our -State columns already carry final-typed
-    // values for the simple tiers (sketch states go through UniqState)
-    f1("finalizeAggregation")(c => c)
+    // finalizeAggregation: distributive -State values ARE the final
+    // value (identity); stored non-distributive states finalize per the
+    // column's DECLARED AggregateFunction type (uniq set → count, avg
+    // pair → quotient, quantile list → interpolated median)
+    f("finalizeAggregation") { case Seq(e) =>
+      val declared = (e match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(a.nameParts.last)
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          Some(a.name)
+        case _ => None
+      }).flatMap(n => graft.ChSql.declaredColumnType(n))
+      val fn = declared.flatMap(t =>
+        "(?is)^\\s*AggregateFunction\\s*\\(\\s*([A-Za-z_]\\w*).*".r
+          .findFirstMatchIn(t).map(_.group(1).toLowerCase))
+      fn match {
+        case Some("uniq") | Some("uniqexact") =>
+          size(array_distinct(C(e))).cast("bigint")
+        case Some("avg") =>
+          C(e).getField("s") / C(e).getField("c")
+        case Some("quantile") | Some("median") =>
+          val sorted = array_sort(C(e))
+          val n = size(sorted)
+          val h = (n.cast("double") - 1) * lit(0.5)
+          val lo = floor(h); val frac = h - lo
+          element_at(sorted, (lo + 1).cast("int")).cast("double") *
+            (lit(1.0) - frac) +
+            element_at(sorted, least((lo + 2).cast("int"), n))
+              .cast("double") * frac
+        case _ => C(e)
+      }
+    }
     // FixedString(n) = \0-padded bytes; String conversion trims the
     // padding back off (ref src/Columns/ColumnFixedString.h)
     // FixedString(n) is n BYTES: pad with NULs to the byte width (a

@@ -173,10 +173,16 @@ object CombinatorChain {
     val (base, chain) = parse(name).getOrElse(
       throw new IllegalArgumentException(s"unknown aggregate $name"))
     var args = args0
-    // -If conditions sit after the value args, outermost last
+    // -If conditions sit after the value args, outermost last. An -If
+    // INSIDE a -Merge (anyIfMerge) was already applied when the STATE
+    // was built — the merge call takes only the state, no condition
+    // (ref AggregateFunctionCombinatorIf: the combinator transforms the
+    // nested function, so Merge(If(f)) has If's argument baked in).
+    val mergeIdx = chain.indexOf(CMerge)
     val conds = scala.collection.mutable.ArrayBuffer.empty[Column]
-    chain.reverse.foreach {
-      case CIf => conds += args.last; args = args.dropRight(1)
+    chain.zipWithIndex.reverse.foreach {
+      case (CIf, idx) if mergeIdx < 0 || idx > mergeIdx =>
+        conds += args.last; args = args.dropRight(1)
       case _ =>
     }
     // CH conditions are UInt8 0/1 — normalize to boolean
@@ -185,7 +191,7 @@ object CombinatorChain {
     // nested function, so inner If sees the per-position calls)
     val ifIdx = chain.indexOf(CIf)
     val feIdx = chain.indexOf(CForEach)
-    val elementwiseIf = ifIdx >= 0 && feIdx > ifIdx
+    val elementwiseIf = ifIdx >= 0 && feIdx > ifIdx && conds.nonEmpty
     val cond: Option[Column] =
       if (elementwiseIf) None
       else conds.map(_.cast("boolean")).reduceOption(_ && _)

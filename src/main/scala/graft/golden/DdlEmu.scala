@@ -180,6 +180,7 @@ object DdlEmu {
       case "summingmergetree" => "summing"
       case "replacingmergetree" => "replacing"
       case "collapsingmergetree" => "collapsing"
+      case "aggregatingmergetree" => "aggregating"
       case _ => return None
     }
     val args = Option(m.group(3)).map(splitTop(_).map(_.trim))
@@ -286,6 +287,42 @@ object DdlEmu {
         val keep = sums.map(c => coalesce(col(c) =!= 0, lit(false)))
           .reduceOption(_ || _).getOrElse(lit(true))
         g.filter(keep)
+          .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
+      case "aggregating" =>
+        // AggregatingMergeTree merge: rows with an equal sort key
+        // combine by MERGING each AggregateFunction column's state (ref
+        // src/Processors/Merges/Algorithms/AggregatingSortedAlgorithm);
+        // plain and SimpleAggregateFunction columns keep first/fn value
+        val aggFnRe =
+          "(?is)^\\s*(Simple)?AggregateFunction\\s*\\(\\s*([A-Za-z_]\\w*).*".r
+        val aggs = dataCols.map { c =>
+          val isKey = spec.keys.contains(c)
+          val m = types.get(c).flatMap(aggFnRe.findFirstMatchIn)
+          if (isKey || m.isEmpty) min_by(col(c), col("__graft_seq")).as(c)
+          else {
+            val fn = m.get.group(2).toLowerCase
+            val e = fn match {
+              case "uniq" | "uniqexact" | "groupuniqarray" =>
+                array_sort(array_distinct(flatten(collect_list(col(c)))))
+              case "grouparray" | "quantile" | "quantiles" | "median" =>
+                flatten(collect_list(col(c)))
+              case "sum" | "count" | "sumwithoverflow" =>
+                sum(col(c)).cast(df.schema(c).dataType)
+              case "min" => min(col(c))
+              case "max" => max(col(c))
+              case "any" => min_by(col(c), col("__graft_seq"))
+              case "anylast" => max_by(col(c), col("__graft_seq"))
+              case "avg" => struct(
+                sum(col(c).getField("s")).as("s"),
+                sum(col(c).getField("c")).as("c"))
+              case _ => min_by(col(c), col("__graft_seq"))
+            }
+            e.as(c)
+          }
+        } :+ min(col("__graft_seq")).as("__graft_seq")
+        (if (keyAliases.isEmpty) withKeys.groupBy()
+         else withKeys.groupBy(keyAliases.map(col): _*))
+          .agg(aggs.head, aggs.tail: _*)
           .select(dataCols.head, dataCols.tail :+ "__graft_seq": _*)
       case "joinany" =>
         // StorageJoin ANY: first row per key (insertion order), last
@@ -936,10 +973,36 @@ object DdlEmu {
       }
       // Enum columns hold the NAME (CH renders the string); numeric
       // identities surface through the chEnum CAST path, not storage
+      val aggFnRe = ("(?is)^\\s*(Simple)?AggregateFunction\\s*\\(\\s*" +
+        "([A-Za-z_]\\w*)(\\s*\\([^)]*\\))?\\s*(?:,\\s*(.*?))?\\)\\s*$").r
       val typ2 =
         if (typ.matches("(?is)\\s*(Nullable\\s*\\(\\s*)?Enum(8|16)?\\s*\\(.*"))
           "STRING"
-        else graft.ChSql.rewriteChTypes(typ)
+        else typ match {
+          // AggregateFunction(f, T…) columns hold the engine's stored
+          // state for f (ref ColumnAggregateFunction.h; representations
+          // in ChRegistry's stored-state tier / CombinatorChain)
+          case aggFnRe(simple, fn, _, argTypes) =>
+            val t1 = Option(argTypes).map(a =>
+              splitTop(a).headOption.map(_.trim).getOrElse("String"))
+              .getOrElse("String")
+            val sparkT1 = graft.ChSql.rewriteChTypes(t1)
+            if (simple != null) sparkT1
+            else fn.toLowerCase match {
+              case "uniq" | "uniqexact" | "groupuniqarray" | "grouparray" =>
+                s"ARRAY<$sparkT1>"
+              case "avg" => "STRUCT<s: DOUBLE, c: BIGINT>"
+              case "quantile" | "quantiles" | "median" => "ARRAY<DOUBLE>"
+              case "count" => "BIGINT"
+              case "sum" | "sumwithoverflow" =>
+                if (sparkT1.matches("(?i)TINYINT|SMALLINT|INT|BIGINT"))
+                  "BIGINT"
+                else if (sparkT1.matches("(?i)FLOAT|DOUBLE")) "DOUBLE"
+                else sparkT1
+              case _ => sparkT1
+            }
+          case other => graft.ChSql.rewriteChTypes(other)
+        }
       name -> typ2
     }
 
