@@ -1877,6 +1877,42 @@ object ChSql {
           s.conf.getOption("graft.ch.max_rows_to_read").isDefined)
           .getOrElse(false))
 
+  /** Live table names, supplied by the DDL emulation (for the merge()
+    * table function). */
+  @volatile var knownTables: () => Seq[String] = () => Seq.empty
+
+  /** merge([db,] 'tableNameRegex') table function (ref
+    * src/TableFunctions/TableFunctionMerge.cpp / StorageMerge): reads
+    * the union of every table whose name matches, alphabetically; the
+    * `_table` virtual column carries the source table's name when the
+    * statement asks for it. */
+  private[graft] def rewriteMergeTvf(sql: String): String = {
+    if (!sql.toLowerCase.contains("merge(")) return sql
+    val re = ("(?i)\\bmerge\\s*\\(\\s*(?:currentDatabase\\s*\\(\\s*\\)" +
+      "|'[^']*'|`?\\w+`?)\\s*,\\s*'([^']*)'\\s*\\)").r
+    val wantsTable = "(?i)\\b_table\\b".r.findFirstIn(sql).isDefined
+    re.replaceAllIn(sql, m => {
+      if (inSingleQuoted(sql, m.start)) java.util.regex.Matcher
+        .quoteReplacement(m.matched)
+      else {
+        // the SQL literal carries doubled backslashes ('^t\\d+$')
+        val pat = m.group(1).replace("\\\\", "\\")
+        val tables = knownTables().filter(t =>
+          scala.util.Try(java.util.regex.Pattern.compile(pat)
+            .matcher(t).find()).getOrElse(false)).sorted
+        if (tables.isEmpty)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          val branches = tables.map(t =>
+            if (wantsTable) s"SELECT '$t' AS _table, * FROM `$t`"
+            else s"SELECT * FROM `$t`")
+          java.util.regex.Matcher.quoteReplacement(
+            "(" + branches.mkString(" UNION ALL ") + ")")
+        }
+      }
+    })
+  }
+
   /** remote('addr', system, one | numbers(...) | view(select ...)) →
     * local subquery replicated shardCount(addr) times. Unknown target
     * forms are left untouched (the golden check rejects them). */
@@ -1926,6 +1962,15 @@ object ChSql {
               else if (rest.matches("(?is)view\\s*\\(.*\\)")) {
                 val vopen = rest.indexOf('(')
                 Some("(" + rest.substring(vopen + 1, rest.length - 1) + ")")
+              } else if (rest.matches(
+                "(?is)currentDatabase\\s*\\(\\s*\\)\\s*,\\s*['`]?[A-Za-z_]\\w*['`]?\\s*")) {
+                // remote(addr, currentDatabase(), t) — the current db is
+                // the default one, so the shard target is the local view
+                // (the table name may be a quoted string literal)
+                Some(rest.replaceFirst(
+                  "(?is)currentDatabase\\s*\\(\\s*\\)\\s*,\\s*", "")
+                  .trim.stripPrefix("`").stripSuffix("`")
+                  .stripPrefix("'").stripSuffix("'"))
               } else if (rest.matches(
                 "(?is)[A-Za-z_]\\w*(\\s*[,.]\\s*[A-Za-z_]\\w*)?\\s*")) {
                 // remote(addr, [db,] table): every shard resolves to the
@@ -2605,6 +2650,7 @@ object ChSql {
     // address pattern runs the same local subquery here, so the result
     // is the underlying table replicated shard-count times
     s = rewriteRemote(s)
+    s = rewriteMergeTvf(s)
     // explicit system.one (the implicit one-row source; ref
     // src/Storages/System/StorageSystemOne.cpp), bare or backquoted
     s = replaceOutsideStrings(s,

@@ -98,6 +98,8 @@ object DdlEmu {
     * can cast to them and TRUNCATE can rebuild the empty frame. */
   private case class Decl(cols: Seq[(String, String)])
   private val decls = scala.collection.concurrent.TrieMap.empty[String, Decl]
+  // table inventory for the merge() table function
+  graft.ChSql.knownTables = () => decls.keys.toSeq
 
   /** Column names DECLARED Nullable(...) per LIVE table: the join-gap
     * default fill (join_use_nulls=0) must leave those NULL while
