@@ -93,6 +93,15 @@ object DialectQueries {
         dir)
     },
 
+    // EXPLAIN surface (ref src/Parsers/ASTExplainQuery.h): the statement
+    // succeeds with the Spark-analogue plan rendering; rows-only check
+    // (no SQL-expressible oracle for a plan dump)
+    Q.dfOnly("q_explain_plan") { (s, dir) =>
+      ChSql.sql(s,
+        """EXPLAIN SELECT l_returnflag, sum(l_quantity) AS q
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin, dir)
+    },
+
     // CH numeric truthiness in AND/OR/NOT/WHERE (ChTruthinessRule)
     Q.df("q_truthiness",
       """SELECT n_nationkey FROM nation

@@ -113,6 +113,34 @@ class Round10FixesSpec extends SparkSpec {
     }
   }
 
+  // ---- table-name-through-alias guards (advice r9: the rewrite must
+  // skip dotted-qualified occurrences and double-aliased tables) ----
+
+  test("rewriteTableAliasQualifiers rewrites table-name refs to the alias") {
+    val out = ChSql.rewriteTableAliasQualifiers(
+      "SELECT t.a FROM tbl AS t JOIN u AS v ON tbl.a = u.b")
+    assert(out.contains("ON t.a = v.b"), out)
+  }
+
+  test("rewriteTableAliasQualifiers skips dotted-qualified and double aliases") {
+    // db.tbl.col must not become db.t.col
+    val a = ChSql.rewriteTableAliasQualifiers(
+      "SELECT db.tbl.a FROM tbl AS t WHERE tbl.a > 0")
+    assert(a.contains("db.tbl.a") && a.contains("WHERE t.a > 0"), a)
+    // a table aliased twice is ambiguous — no rewrite at all
+    val b = ChSql.rewriteTableAliasQualifiers(
+      "SELECT 1 FROM tbl AS x JOIN tbl AS y ON tbl.a = y.a")
+    assert(b.contains("tbl.a"), b)
+  }
+
+  test("keyword scanner treats underscore as a word character") {
+    // `having_check` must not read as the HAVING keyword (r9 regression)
+    val out = ChSql.rewriteAliasRefs(
+      "SELECT date AS period, 1 AS having_check FROM t GROUP BY period " +
+        "HAVING having_check != -1")
+    assert(out.contains("1 AS having_check"), out)
+  }
+
   // ---- wrap-arithmetic scoping ----
 
   test("CH statements wrap integer overflow; native pipelines stay ANSI") {
