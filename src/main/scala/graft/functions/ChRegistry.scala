@@ -1103,6 +1103,16 @@ object ChRegistry {
       }
     }
     f1("toLowCardinality")(c => c)
+    // sleep/sleepEachRow return 0 without delaying — tests use them to
+    // exercise scheduling, which has no analogue here (ref
+    // src/Functions/sleep.h returns UInt8 0)
+    f1("sleep")(_ => lit(0).cast("tinyint"))
+    f1("sleepEachRow")(_ => lit(0).cast("tinyint"))
+    // integer exponentials (ref src/Functions/intExp2.cpp/intExp10.cpp)
+    f1("intExp2")(n => expr("1").cast("bigint") *
+      call_function("shiftleft", lit(1L), n.cast("int")))
+    f1("intExp10")(n =>
+      pow(lit(10.0), n.cast("int")).cast("decimal(38,0)").cast("bigint"))
     // runtime toTypeName tier — fires only when the static fold in
     // ChSql.rewriteTypeIntrospection could not prove the CH type
     f("toTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
