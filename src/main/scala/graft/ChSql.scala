@@ -1110,8 +1110,22 @@ object ChSql {
       case (_, ps) if ps.map(_._2.toLowerCase).distinct.size == 1 =>
         ps.head._1 -> ps.head._2
     }
+    // advice r10: a table that ALSO appears in FROM/JOIN position
+    // WITHOUT an alias anywhere in the statement (typically inside a
+    // subquery that uses it unaliased in its own scope, `… t AS a WHERE
+    // a.x IN (SELECT t.y FROM t)`) must not be rewritten — `t.y` there
+    // resolves against the unaliased scan, and substituting the outer
+    // alias would silently turn it into a correlated outer reference
+    def hasUnaliasedUse(name: String): Boolean = {
+      val q = java.util.regex.Pattern.quote(name)
+      val allRe = s"(?i)\\b(FROM|JOIN)\\s+`?$q`?(?![\\w`(.])".r
+      val total = allRe.findAllMatchIn(sql)
+        .count(m => !inSingleQuoted(sql, m.start))
+      val aliased = pairs.count(_._1.equalsIgnoreCase(name))
+      total > aliased
+    }
     var s = sql
-    uniq.foreach { case (name, alias) =>
+    uniq.filterNot(p => hasUnaliasedUse(p._1)).foreach { case (name, alias) =>
       val q = java.util.regex.Pattern.quote(name)
       // only qualified column references (`name.col`), never the name in
       // FROM/JOIN position itself (no dot there)
@@ -1862,24 +1876,91 @@ object ChSql {
     k
   }
 
-  /** True when the statement contains a LIMIT keyword outside string
-    * literals — the precondition for bounding system.numbers. A session
-    * `max_rows_to_read` setting (SET … carried as graft.ch.* conf by the
-    * golden harness) also bounds the read (ref
-    * src/QueryPipeline/SizeLimits), so it counts too; an UNBOUNDED read
-    * stays unhandled so the caller rejects it instead of silently
-    * returning finite rows. */
-  private[graft] def hasLimitKeyword(sql: String): Boolean =
-    "(?i)\\bLIMIT\\b".r.findAllMatchIn(sql)
-      .exists(m => !inSingleQuoted(sql, m.start)) ||
-      org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
-        scala.util.Try(
-          s.conf.getOption("graft.ch.max_rows_to_read").isDefined)
-          .getOrElse(false))
+  /** Bound for a system.numbers scan at position `pos`, or None when the
+    * read is genuinely unbounded (the caller must then leave the form
+    * unhandled so the golden check rejects it instead of silently
+    * returning finite rows — advice r10). Two ways a bound arises:
+    *
+    *  - a LIMIT that lexically GOVERNS the scan: it appears after the
+    *    scan at the scan's paren depth or an enclosing one (CH pushes
+    *    LIMIT through projection subqueries, ref
+    *    src/Processors/QueryPlan/LimitStep), and the SELECT block that
+    *    directly reads the scan is not an aggregation (a LIMIT over
+    *    `SELECT count() FROM system.numbers` limits the 1-row aggregate
+    *    result, not the infinite read). A LIMIT inside a DEEPER subquery
+    *    or before the scan bounds something else and does not count.
+    *  - session max_rows_to_read (SET … carried as graft.ch.* conf by
+    *    the golden harness) WITH read_overflow_mode='break' (ref
+    *    src/QueryPipeline/SizeLimits): the read stops at the bound, so
+    *    the stand-in range() takes it as its size. The default overflow
+    *    mode ('throw') makes the reference raise TOO_MANY_ROWS — not a
+    *    finite result, so it yields no bound here.
+    */
+  private[graft] def numbersBound(sql: String, pos: Int): Option[Long] = {
+    def governingLimit: Boolean = {
+      // the scan must not be directly under an aggregation: scan back to
+      // the nearest SELECT at the same depth and inspect its select list
+      val before = sql.substring(0, pos)
+      var d = 0; var selAt = -1; var i = before.length - 1
+      while (selAt < 0 && i >= 0) {
+        val c = before.charAt(i)
+        if (c == ')') d += 1
+        else if (c == '(') { if (d == 0 && selAt < 0) i = 0 else d -= 1 }
+        else if (d == 0 && (c == 't' || c == 'T') && i >= 5 &&
+          before.substring(i - 5, i + 1).equalsIgnoreCase("select") &&
+          (i == 5 || !Character.isLetterOrDigit(before.charAt(i - 6))) &&
+          (i + 1 >= before.length ||
+            !Character.isLetterOrDigit(before.charAt(i + 1))))
+          selAt = i - 5
+        i -= 1
+      }
+      val selectList =
+        if (selAt < 0) "" else before.substring(selAt, pos)
+      val aggRe = ("(?i)\\b(count|sum|min|max|avg|uniq\\w*|any|" +
+        "group_concat|groupArray\\w*|quantile\\w*)\\s*\\(").r
+      if (aggRe.findFirstIn(selectList).isDefined ||
+        "(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(selectList).isDefined)
+        return false
+      // forward scan: LIMIT at relative depth <= 0 governs the scan
+      var depth = 0; var j = pos; var inStr = false
+      while (j < sql.length) {
+        val c = sql.charAt(j)
+        if (inStr) { if (c == '\\') j += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth <= 0 && (c == 'l' || c == 'L') &&
+          j + 5 <= sql.length &&
+          sql.substring(j, j + 5).equalsIgnoreCase("limit") &&
+          (j == 0 || !Character.isLetterOrDigit(sql.charAt(j - 1))) &&
+          (j + 5 == sql.length ||
+            !Character.isLetterOrDigit(sql.charAt(j + 5))))
+          return true
+        j += 1
+      }
+      false
+    }
+    lazy val settingBound: Option[Long] =
+      org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
+        scala.util.Try {
+          val mode = s.conf.getOption("graft.ch.read_overflow_mode")
+            .getOrElse("throw").trim.stripPrefix("'").stripSuffix("'")
+          if (mode.equalsIgnoreCase("break"))
+            s.conf.getOption("graft.ch.max_rows_to_read")
+              .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          else None
+        }.toOption.flatten
+      }
+    if (governingLimit) Some(10000000L) else settingBound
+  }
 
   /** Live table names, supplied by the DDL emulation (for the merge()
     * table function). */
   @volatile var knownTables: () => Seq[String] = () => Seq.empty
+  /** Declared column names of a live table (merge() schema unification
+    * check). */
+  @volatile var knownTableColumns: String => Option[Seq[String]] =
+    _ => None
 
   /** merge([db,] 'tableNameRegex') table function (ref
     * src/TableFunctions/TableFunctionMerge.cpp / StorageMerge): reads
@@ -1891,6 +1972,15 @@ object ChSql {
     val re = ("(?i)\\bmerge\\s*\\(\\s*(?:currentDatabase\\s*\\(\\s*\\)" +
       "|'[^']*'|`?\\w+`?)\\s*,\\s*'([^']*)'\\s*\\)").r
     val wantsTable = "(?i)\\b_table\\b".r.findFirstIn(sql).isDefined
+    // advice r10: `_table` is a VIRTUAL column in the reference — star
+    // expansion excludes it (ref src/Storages/StorageMerge.cpp virtuals).
+    // Injecting it as a real UNION ALL column is only faithful when the
+    // statement has no bare `*` whose expansion would pick it up; with
+    // both present, leave the form unhandled rather than diverge. The
+    // injected column goes AFTER the data columns so explicit
+    // `SELECT x, _table` projections see the data columns first.
+    val bareStar = "(?i)(\\bselect\\s+(?:distinct\\s+)?|,\\s*)\\*"
+      .r.findAllMatchIn(sql).exists(m => !inSingleQuoted(sql, m.start))
     re.replaceAllIn(sql, m => {
       if (inSingleQuoted(sql, m.start)) java.util.regex.Matcher
         .quoteReplacement(m.matched)
@@ -1900,11 +1990,17 @@ object ChSql {
         val tables = knownTables().filter(t =>
           scala.util.Try(java.util.regex.Pattern.compile(pat)
             .matcher(t).find()).getOrElse(false)).sorted
-        if (tables.isEmpty)
+        // StorageMerge unifies branch schemas BY NAME; UNION ALL is
+        // positional — reject table sets whose declared columns differ
+        val cols = tables.map(knownTableColumns)
+        // a mismatch needs two KNOWN declarations that differ; tables
+        // without recorded declarations can't be judged, so pass them
+        val schemasAgree = cols.flatten.distinct.size <= 1
+        if (tables.isEmpty || (wantsTable && bareStar) || !schemasAgree)
           java.util.regex.Matcher.quoteReplacement(m.matched)
         else {
           val branches = tables.map(t =>
-            if (wantsTable) s"SELECT '$t' AS _table, * FROM `$t`"
+            if (wantsTable) s"SELECT *, '$t' AS _table FROM `$t`"
             else s"SELECT * FROM `$t`")
           java.util.regex.Matcher.quoteReplacement(
             "(" + branches.mkString(" UNION ALL ") + ")")
@@ -1950,13 +2046,13 @@ object ChSql {
               else if (rest.matches(
                 "(?is)system\\s*[,.]\\s*numbers(_mt)?\\s*"))
                 // bounded stand-in for the infinite generator — only
-                // valid when the statement actually carries the LIMIT
-                // the contract assumes; an unbounded read (count() with
-                // no LIMIT) must stay unhandled so the golden check
-                // rejects it instead of silently returning finite rows
-                (if (hasLimitKeyword(sql))
-                   Some("(SELECT id AS number FROM range(10000000))")
-                 else None)
+                // valid when a LIMIT actually governs this scan (or
+                // max_rows_to_read applies under break mode); an
+                // unbounded read (count() with no LIMIT) must stay
+                // unhandled so the golden check rejects it instead of
+                // silently returning finite rows
+                numbersBound(s, mStart).map(b =>
+                  s"(SELECT id AS number FROM range($b))")
               else if (rest.matches("(?is)numbers(?:_mt)?\\s*\\(.*"))
                 Some(rest)
               else if (rest.matches("(?is)view\\s*\\(.*\\)")) {
@@ -2656,15 +2752,31 @@ object ChSql {
     s = replaceOutsideStrings(s,
       "(?i)\\b(FROM|JOIN)\\s+`?system`?\\s*\\.\\s*`?one`?(?![\\w`])",
       "$1 (SELECT CAST(0 AS TINYINT) AS dummy)")
-    // system.numbers: the infinite generator table. A wide lazy range()
-    // stands in ONLY when the statement carries a LIMIT (Spark pushes
-    // the LIMIT into the range scan); without one, CH never terminates,
-    // so the form stays unhandled and the golden check rejects it
-    // rather than silently returning finite results.
-    if (hasLimitKeyword(s))
-      s = s.replaceAll(
-        "(?i)\\bFROM\\s+`?system`?\\.`?numbers(?:_mt)?`?(?![\\w`])",
-        "FROM (SELECT id AS number FROM range(10000000))")
+    // system.numbers: the infinite generator table. A lazy range()
+    // stands in ONLY when the scan is actually bounded — a LIMIT that
+    // lexically governs this scan, or max_rows_to_read under
+    // read_overflow_mode='break' (numbersBound); otherwise CH never
+    // terminates, so the form stays unhandled and the golden check
+    // rejects it rather than silently returning finite results.
+    locally {
+      val numRe =
+        "(?i)\\bFROM\\s+`?system`?\\.`?numbers(?:_mt)?`?(?![\\w`])".r
+      val ms = numRe.findAllMatchIn(s).toList
+        .filter(m => !inSingleQuoted(s, m.start))
+      if (ms.nonEmpty) {
+        val sb = new java.lang.StringBuilder; var at = 0
+        ms.foreach { m =>
+          sb.append(s, at, m.start)
+          sb.append(numbersBound(s, m.start) match {
+            case Some(b) => s"FROM (SELECT id AS number FROM range($b))"
+            case None => m.matched
+          })
+          at = m.end
+        }
+        sb.append(s, at, s.length)
+        s = sb.toString
+      }
+    }
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`

@@ -39,3 +39,15 @@ case class ChBoolWrap(child: Expression)
   override protected def withNewChildInternal(c: Expression): ChBoolWrap =
     copy(child = c)
 }
+
+/** Strip the Bool display tag back to a plain boolean (the physical
+  * representation is already a boolean, so this is a no-op at runtime —
+  * it only exists because Cast refuses UDT sources). */
+case class ChBoolUnwrap(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "fromBool"
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def withNewChildInternal(c: Expression): ChBoolUnwrap =
+    copy(child = c)
+}

@@ -24,6 +24,10 @@ object ch {
     import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
     import org.apache.spark.sql.types._
     val e = EE(c)
+    // a Bool-display-tagged value (BoolUDT) is physically a boolean:
+    // strip the tag first so INSERT into a declared Bool column works
+    if (e.resolved && e.dataType.isInstanceOf[BoolUDT])
+      return wrapCast(CC(ChBoolUnwrap(e)), dt)
     val numericSrc = e.resolved && (e.dataType.isInstanceOf[NumericType] ||
       e.dataType == BooleanType)
     val intTarget = dt == ByteType || dt == ShortType ||

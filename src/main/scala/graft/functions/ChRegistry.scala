@@ -1114,9 +1114,20 @@ object ChRegistry {
     f1("intExp10")(n =>
       pow(lit(10.0), n.cast("int")).cast("decimal(38,0)").cast("bigint"))
     // runtime toTypeName tier — fires only when the static fold in
-    // ChSql.rewriteTypeIntrospection could not prove the CH type
-    f("toTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
-    f("toColumnTypeName") { case Seq(a) => C(ChTypeNameOf(a)) }
+    // ChSql.rewriteTypeIntrospection could not prove the CH type. For a
+    // direct column reference, thread the DECLARED CH type text through
+    // so distinctions Spark's lattice can't carry (Bool, UInt64,
+    // LowCardinality, FixedString(N)) survive (advice r10)
+    def declaredOf(e: Expression): Option[String] = (e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        Some(a.name)
+      case _ => None
+    }).flatMap(n => graft.ChSql.declaredColumnType(n))
+    f("toTypeName") { case Seq(a) => C(ChTypeNameOf(a, declaredOf(a))) }
+    f("toColumnTypeName") { case Seq(a) =>
+      C(ChTypeNameOf(a, declaredOf(a))) }
     // ---- stored aggregate states for NON-distributive bases (ref
     // src/Columns/ColumnAggregateFunction.h — AggregateFunction(...)
     // columns hold resumable states). Distributive bases (sum/min/max/

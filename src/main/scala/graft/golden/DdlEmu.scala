@@ -100,6 +100,9 @@ object DdlEmu {
   private val decls = scala.collection.concurrent.TrieMap.empty[String, Decl]
   // table inventory for the merge() table function
   graft.ChSql.knownTables = () => decls.keys.toSeq
+  // declared column names, for merge()'s schema-unification check
+  graft.ChSql.knownTableColumns =
+    (t: String) => decls.get(t).map(_.cols.map(_._1))
 
   /** Column names DECLARED Nullable(...) per LIVE table: the join-gap
     * default fill (join_use_nulls=0) must leave those NULL while
@@ -442,9 +445,11 @@ object DdlEmu {
   // surface declared types to the dialect's toTypeName folding
   graft.ChSql.declaredColumnType = (c: String) =>
     chTypes.values.flatMap(_.get(c)).headOption
-  // cheap gate for the Bool display rewrite
+  // cheap gate for the Bool display rewrite — Bool inside ANY wrapper
+  // (Nullable, LowCardinality, Array, Tuple) counts (advice r10)
   graft.ChSql.anyDeclaredBool = () => chTypes.values.exists(_.values
-    .exists(t => t.matches("(?is)\\s*(Nullable\\s*\\(\\s*)?Bool\\s*\\)?\\s*")))
+    .exists(t =>
+      "(?i)(?<![A-Za-z])Bool(?![A-Za-z])".r.findFirstIn(t).isDefined))
   /** Canonical CREATE text per table, for SHOW CREATE TABLE (ref
     * src/Interpreters/InterpreterShowCreateQuery.cpp renders the stored
     * AST: one backquoted column per line, ENGINE tail as declared,

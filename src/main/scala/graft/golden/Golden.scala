@@ -529,8 +529,24 @@ object Golden {
           }
         var schema: org.apache.spark.sql.types.StructType = null
         var totalsRows: Option[Seq[Row]] = None
+        val jsonDoc = Set("json", "jsoncompact", "jsonstrings",
+          "jsoncompactstrings", "xml")(fmt.toLowerCase)
+        // JSON/XML document formats report rows_before_limit_at_least:
+        // when the statement ends in LIMIT n, execute the PRE-limit plan
+        // ONCE and slice the first n rows locally — one job serves both
+        // the body and the counter instead of a second full execution.
+        // collect() preserves partition order (and sort order when the
+        // statement has ORDER BY), so take(n) is exactly the rows a
+        // CollectLimit would emit.
+        val preLimit: Option[(String, Int)] =
+          if (jsonDoc && branches.length == 1)
+            "(?is)^(.*)\\bLIMIT\\s+(\\d+)\\s*$".r.findFirstMatchIn(bare)
+              .map(m => (m.group(1), m.group(2).toInt))
+          else None
+        var preLimitCount: Option[Long] = None
         val blocks = branches.flatMap { b =>
-          val (df0, tot) = graft.ChSql.sqlSplit(spark, b, sfDir)
+          val bExec = preLimit.map(_._1).getOrElse(b)
+          val (df0, tot) = graft.ChSql.sqlSplit(spark, bExec, sfDir)
           val outerJoin = b.matches(
             "(?is).*\\b(LEFT|RIGHT|FULL)\\s+(OUTER\\s+)?(ARRAY\\s+)?JOIN\\b.*") &&
             !b.matches("(?is).*(\\bNULL\\b|Nullable|OrNull|nullIf|toNullable).*") &&
@@ -540,14 +556,18 @@ object Golden {
             DdlEmu.isDeclaredNullable) else df0
           schema = df.schema
           tot.foreach(t => totalsRows = Some(t.collect().toSeq))
-          val rows = df.collect().toSeq
+          val rowsAll = df.collect().toSeq
+          val rows = preLimit match {
+            case Some((_, n)) =>
+              preLimitCount = Some(rowsAll.length.toLong)
+              rowsAll.take(n)
+            case None => rowsAll
+          }
           if (blockSize == Long.MaxValue || rows.isEmpty) Seq(rows)
           else rows.grouped(blockSize.toInt).toSeq
         }
         val ctx = graft.formats.ChOutputFormats.Ctx(k =>
           settings.get(k).map(_.stripPrefix("'").stripSuffix("'")))
-        val jsonDoc = Set("json", "jsoncompact", "jsonstrings",
-          "jsoncompactstrings", "xml")(fmt.toLowerCase)
         if (jsonDoc) {
           // the JSON document formats carry meta (CH names + types),
           // totals/extremes sections, and rows_before_limit_at_least
@@ -561,12 +581,8 @@ object Golden {
               Some(extremesOf(rows, schema.length))
             else None
           val rowsBeforeLimit =
-            if (bare.matches("(?is).*\\bLIMIT\\s+\\d+\\s*$")) {
-              val noLimit = bare.replaceAll("(?is)\\bLIMIT\\s+\\d+\\s*$", "")
-              scala.util.Try(
-                graft.ChSql.sqlSplit(spark, noLimit, sfDir)._1.count())
-                .toOption
-            } else {
+            if (preLimit.isDefined) preLimitCount
+            else {
               // a LIMIT inside the FROM subquery still reports
               // rows_before_limit_at_least = rows the limit emitted —
               // unless the optimizer proved the source empty (a

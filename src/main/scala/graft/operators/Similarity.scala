@@ -38,6 +38,22 @@ object Similarity {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Per-query top-k of scored (query_id, neighbor_id, score) rows via
+    * the bounded-k aggregate: the map side combines each partition down
+    * to ≤k entries per query BEFORE the shuffle, so the exchange moves
+    * partitions·|q| small buffers instead of every scored pair — the
+    * difference between shuffling k·|q| rows and n·|q| rows at corpus
+    * scale. Ids go through as bigint (ANN ids are integral). */
+  private def topKByScore(scored: DataFrame, scoreName: String,
+      k: Int): DataFrame = {
+    val top = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col(scoreName), col("neighbor_id").cast("bigint")).as("__top"))
+    top.select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as(scoreName), (col("pos") + 1).as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Scores are rounded (6 dp) BEFORE ranking so ranking is deterministic
     * across summation orders; ties broken by corpus id. */
@@ -51,12 +67,7 @@ object Similarity {
       col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
-        col("rk").as("rank"))
+    topKByScore(scored, "cos_sim", k)
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded, reproducible). */
@@ -219,12 +230,7 @@ object Similarity {
       .select(col(corpusId).as("neighbor_id"), col("__cc"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosineInt8(col("__qc"), col("__cc")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
-        col("rk").as("rank"))
+    topKByScore(scored, "cos_sim", k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH buckets
@@ -333,6 +339,20 @@ object Similarity {
       queryId: String, corpusId: String, vecCol: String, k: Int,
       codebooks: Array[Array[Array[Double]]],
       rerank: Int = 4): DataFrame = {
+    val shortlist = pqAdcShortlist(queries, corpus, queryId, corpusId,
+      vecCol, k, codebooks, rerank)
+    pqRefine(shortlist, queries, corpus, queryId, corpusId, vecCol, k)
+  }
+
+  /** ADC stage of [[pqTopK]]: the (query_id, neighbor_id) shortlist of
+    * the rerank·k best candidates per query by PQ asymmetric distance.
+    * The corpus side reads ONLY the m-byte codes. Exposed separately so
+    * the refine stage can be verified independently (the shortlist is
+    * the approximate part; the refine is deterministic exact L2). */
+  def pqAdcShortlist(queries: DataFrame, corpus: DataFrame,
+      queryId: String, corpusId: String, vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      rerank: Int = 4): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val encoded = pqEncode(corpus, vecCol, codebooks)
@@ -346,28 +366,37 @@ object Similarity {
     val lut = array((0 until m).map { j =>
       transform(bookLit(codebooks(j)), c => l2sq(subvec(j), c))
     }: _*)
-    val q = queries.select(col(queryId).as("query_id"), lut.as("__lut"),
-      col(vecCol).cast("array<double>").as("__qv"))
-    val scored = encoded.join(broadcast(q.drop("__qv")))
+    val q = queries.select(col(queryId).as("query_id"), lut.as("__lut"))
+    val scored = encoded.join(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
         aggregate(zip_with(col("__lut"), col("pq_code"),
           (l, c) => element_at(l, c + 1)),
           lit(0.0), (acc, v) => acc + v))
-    // ADC shortlist (rerank·k per query), then exact refine on only the
-    // shortlisted float vectors — the FAISS IVFPQ+refine shape: the full
-    // corpus moves as m-byte codes, floats are touched k·rerank rows per
-    // query via an equi join
+    // ADC shortlist (rerank·k per query) — the FAISS IVFPQ+refine shape:
+    // the full corpus moves as m-byte codes
     val sw = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    val shortlist = scored.withColumn("__srk", row_number().over(sw))
+    scored.withColumn("__srk", row_number().over(sw))
       .filter(col("__srk") <= k * rerank)
       .select("query_id", "neighbor_id")
+  }
+
+  /** Refine stage of [[pqTopK]]: exact L2 over only the shortlisted
+    * float vectors (k·rerank rows per query via an equi join), then the
+    * final top-k. Deterministic given the shortlist. */
+  def pqRefine(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, queryId: String, corpusId: String,
+      vecCol: String, k: Int): DataFrame = {
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val q = queries.select(col(queryId).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
     val refined = shortlist
       .join(corpus.select(col(corpusId).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv")), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("__qv"))),
-        Seq("query_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("l2_dist", round(sqrt(l2sq(col("__qv"), col("__cv"))), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2_dist").asc, col("neighbor_id"))

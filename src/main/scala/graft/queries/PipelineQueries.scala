@@ -157,13 +157,28 @@ object PipelineQueries {
 
     // PQ ANN (product quantization + asymmetric-distance shortlist +
     // exact refine — the FAISS PQ/IVFPQ+refine layout): the corpus moves
-    // as m-byte codes; recall vs brute force pinned in PqAnnSpec
-    Q.dfOnly("q_ann_pq") { (s, dir) =>
+    // as m-byte codes; recall vs brute force pinned in PqAnnSpec. The
+    // refine stage is deterministic exact L2 over the ADC shortlist, so
+    // it gets a REAL oracle: the run records the (bounded, queries×k×
+    // rerank = 240-row) shortlist and the dynamic oracle SQL embeds it
+    // as a VALUES list for DuckDB to recompute the refine bit-for-bit;
+    // only the approximate ADC stage itself stays spec-verified (recall).
+    Q.dfDynOracle("q_ann_pq")(() => PqOracle.oracleSql) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val books = Similarity.pqTrain(emb, "embedding", m = 16, ksub = 32)
-      Similarity.pqTopK(
-        emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "vec_id", "embedding", k = 3, books, rerank = 8)
+      val queries = emb.filter(col("vec_id") < 10)
+      val shortlist = Similarity.pqAdcShortlist(
+        queries, emb, "vec_id", "vec_id", "embedding", k = 3, books,
+        rerank = 8)
+      // bounded collect (10 queries × 24 candidates), justified: it is
+      // the oracle parameter, not part of the distributed data path —
+      // Similarity.pqTopK itself stays collect-free
+      PqOracle.shortlist = shortlist.collect().toSeq
+        .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+      Similarity.pqRefine(shortlist, queries, emb,
+          "vec_id", "vec_id", "embedding", k = 3)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
     },
 
     // Language ID + quality + token counts (ref detectLanguage,

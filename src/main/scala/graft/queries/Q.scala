@@ -12,7 +12,11 @@ import graft.Tables
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // oracle text resolved at DUMP time (after the query ran) — for
+    // oracles parameterized by bounded engine-computed state, e.g. the
+    // PQ ADC shortlist whose deterministic refine DuckDB recomputes
+    oracleDyn: Option[() => Option[String]] = None)
 
 object Q {
   /** Query expressed in SQL that is valid in BOTH Spark SQL and DuckDB —
@@ -34,9 +38,17 @@ object Q {
   def dfOnly(name: String)(f: (SparkSession, String) => DataFrame): Q =
     Q(name, f, None)
 
+  /** DataFrame-API implementation whose oracle SQL is built AFTER the
+    * query ran (Verify dumps oracle_sql.json last), from bounded state
+    * the run recorded; None when the query did not run this session. */
+  def dfDynOracle(name: String)(oracle: () => Option[String])(
+      f: (SparkSession, String) => DataFrame): Q =
+    Q(name, f, None, Some(oracle))
+
   def toMaps(qs: Seq[Q]): (Map[String, (SparkSession, String) => DataFrame], Map[String, String]) = {
     val runs = qs.map(q => q.name -> q.run).toMap
-    val oracles = qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    val oracles = qs.flatMap(q =>
+      q.oracleDyn.flatMap(_()).orElse(q.oracle).map(q.name -> _)).toMap
     (runs, oracles)
   }
 }
