@@ -591,7 +591,17 @@ object ChSql {
       .toList.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
     val resolving = scala.collection.mutable.Set.empty[String]
     val memo = scala.collection.mutable.Map.empty[String, Option[ChTypes.T]]
+    // union-parallel alias types, filled in after EnvMap exists: CH
+    // unifies UNION branch select items POSITIONALLY to the least
+    // supertype (ref src/DataTypes/getLeastSupertype.cpp via
+    // InterpreterSelectWithUnionQuery::getCommonHeader), and the
+    // branch-1 alias carries the unified type — `(SELECT 1 AS x UNION
+    // ALL SELECT -1)` makes x Int16 even though branch 1 alone is UInt8
+    var unionOverridesV: Map[String, ChTypes.T] = null
+    var computingUnion = false
     def lookup(name: String): Option[ChTypes.T] = {
+      if (!computingUnion && unionOverridesV != null &&
+        unionOverridesV.contains(name)) return unionOverridesV.get(name)
       // alias bindings FIRST: a subquery may redefine `number`
       // (01455: CAST(number, 'Nullable(UInt8)') AS number)
       val bound = memo.getOrElseUpdate(name, {
@@ -616,6 +626,96 @@ object ChSql {
       def removed(key: String) = this
       def updated[V1 >: ChTypes.T](k: String, v: V1) = this
     }
+    def computeUnionOverrides(): Map[String, ChTypes.T] = {
+      if (!"(?i)\\bUNION\\b".r.findFirstIn(sql).isDefined)
+        return Map.empty
+      // candidate scopes: the whole statement plus every parenthesized
+      // block whose own top level contains a UNION
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      locally {
+        val stack = scala.collection.mutable.Stack[Int]()
+        var inS = false
+        var i = 0
+        while (i < sql.length) {
+          val c = sql.charAt(i)
+          if (inS) {
+            if (c == '\\') i += 1 else if (c == '\'') inS = false
+          }
+          else if (c == '\'') inS = true
+          else if (c == '(') stack.push(i)
+          else if (c == ')' && stack.nonEmpty) spans += ((stack.pop() + 1, i))
+          i += 1
+        }
+        spans += ((0, sql.length))
+      }
+      def splitUnion(text: String): Seq[String] = {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; var inStr = false; var at = 0; var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (inStr) {
+            if (c == '\\') i += 1 else if (c == '\'') inStr = false
+          }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && (c == 'u' || c == 'U') &&
+            i + 5 <= text.length &&
+            text.substring(i, i + 5).equalsIgnoreCase("union") &&
+            (i == 0 || (!Character.isLetterOrDigit(text.charAt(i - 1)) &&
+              text.charAt(i - 1) != '_')) &&
+            (i + 5 == text.length ||
+              (!Character.isLetterOrDigit(text.charAt(i + 5)) &&
+                text.charAt(i + 5) != '_'))) {
+            parts += text.substring(at, i)
+            var j = i + 5
+            while (j < text.length && text.charAt(j).isWhitespace) j += 1
+            val m = "(?i)^(ALL|DISTINCT)\\b".r
+              .findFirstMatchIn(text.substring(j))
+            at = j + m.map(_.end).getOrElse(0)
+            i = at - 1
+          }
+          i += 1
+        }
+        parts += text.substring(at)
+        parts.toSeq
+      }
+      val out = scala.collection.mutable.LinkedHashMap
+        .empty[String, Option[ChTypes.T]]
+      for ((s0, e0) <- spans) {
+        val branches = splitUnion(sql.substring(s0, e0)).map(_.trim)
+        if (branches.length > 1 &&
+          branches.forall(_.matches("(?is)^SELECT\\b.*"))) {
+          val items = branches.map(b => topSelectItemSpans(b).map(_._3))
+          if (items.forall(_.isDefined) &&
+            items.flatMap(_.map(_.length)).distinct.size == 1) {
+            val AliasT = "(?is)^(.*\\S)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+            val BareId = "^\\s*`?([A-Za-z_]\\w*)`?\\s*$".r
+            for (i <- items.head.get.indices) {
+              val nameOpt = items.head.get(i) match {
+                case AliasT(_, a) => Some(a)
+                case BareId(a) => Some(a)
+                case _ => None
+              }
+              nameOpt.filterNot(out.contains).foreach { nm =>
+                val ts = items.map(_.get(i)).map { it =>
+                  val e = it match { case AliasT(x, _) => x; case x => x }
+                  ChTypes.parse(e).flatMap(ChTypes.infer(_, EnvMap))
+                }
+                out(nm) = ts.reduce[Option[ChTypes.T]] {
+                  case (Some(x), Some(y)) => ChTypes.superType(x, y)
+                  case _ => None
+                }
+              }
+            }
+          }
+        }
+      }
+      out.collect { case (k, Some(t)) => k -> t }.toMap
+    }
+    computingUnion = true
+    try unionOverridesV = computeUnionOverrides()
+    finally computingUnion = false
     // fold each toTypeName(...) call, innermost-last
     var s = sql
     var changed = true
@@ -1962,6 +2062,101 @@ object ChSql {
   @volatile var knownTableColumns: String => Option[Seq[String]] =
     _ => None
 
+  /** Star-visible columns of a table that HIDES some (ALIAS/MATERIALIZED
+    * declarations): None = no hidden columns, expand normally. */
+  @volatile var starVisibleColumns: String => Option[Seq[String]] =
+    _ => None
+
+  /** Session settings `limit` / `offset` (ref Settings.h + 01596): the
+    * setting offset skips rows WITHIN the query's own LIMIT window and
+    * the setting limit caps what remains —
+    * start = queryOffset + settingOffset,
+    * rows  = min(settingLimit, queryLimit - settingOffset). Composes the
+    * two windows into one LIMIT/OFFSET on the statement itself. */
+  private[graft] def applySettingsLimitOffset(sql: String): String = {
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(return sql)
+    def cf(k: String): Long =
+      scala.util.Try(sess.conf.getOption("graft.ch." + k)).toOption.flatten
+        .map(_.trim).flatMap(v => scala.util.Try(v.toLong).toOption)
+        .getOrElse(0L)
+    val slim = cf("limit"); val soff = cf("offset")
+    if (slim <= 0 && soff <= 0) return sql
+    val t = sql.trim.stripSuffix(";")
+    if (!t.matches("(?is)^SELECT\\b.*")) return sql
+    // only plain single selects: set operations / LIMIT BY / WITH TIES
+    // keep their own semantics and stay untouched
+    if (t.matches("(?is).*\\b(UNION|INTERSECT|EXCEPT|LIMIT\\s+\\d+\\s+BY|WITH\\s+TIES)\\b.*"))
+      return sql
+    def fold(e: String): Option[Long] = {
+      val x = e.trim
+      if (x.matches("\\d+")) Some(x.toLong)
+      else if (x.matches("[\\d\\s*+/-]+")) scala.util.Try {
+        val toks = x.replaceAll("\\s+", "")
+          .split("(?<=[-+*/])|(?=[-+*/])").toSeq
+        var acc = toks.head.toLong; var i = 1
+        while (i + 1 <= toks.length - 1) {
+          val op = toks(i); val v = toks(i + 1).toLong
+          acc = op match {
+            case "+" => acc + v; case "-" => acc - v
+            case "*" => acc * v; case "/" => acc / v
+          }
+          i += 2
+        }
+        acc
+      }.toOption
+      else None
+    }
+    def balanced(x: String) = x.count(_ == '(') == x.count(_ == ')')
+    val LimOff = ("(?is)^(.*?)\\s+LIMIT\\s+([^()]+?)" +
+      "(?:\\s+OFFSET\\s+([^()]+?))?\\s*$").r
+    val LimComma =
+      "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\s*$".r
+    val OffOnly = "(?is)^(.*?)\\s+OFFSET\\s+([^()]+?)\\s*$".r
+    val (body, qlim, qoff): (String, Option[Long], Long) = t match {
+      case LimComma(b, o, l) if balanced(b) =>
+        (b, Some(l.toLong), o.toLong)
+      case LimOff(b, l, o) if balanced(b) && fold(l).isDefined &&
+          (o == null || fold(o).isDefined) =>
+        (b, fold(l), Option(o).flatMap(fold).getOrElse(0L))
+      case OffOnly(b, o) if balanced(b) && fold(o).isDefined =>
+        (b, None, fold(o).get)
+      case _ => (t, None, 0L)
+    }
+    val start = qoff + soff
+    val avail = qlim.map(l => math.max(0L, l - soff))
+    val cap = if (slim > 0) Some(slim) else None
+    val n = (avail, cap) match {
+      case (Some(a), Some(c)) => Some(math.min(a, c))
+      case (x, y) => x.orElse(y)
+    }
+    (n, start) match {
+      case (Some(nn), 0L) => s"$body LIMIT $nn"
+      case (Some(nn), st) => s"$body LIMIT $nn OFFSET $st"
+      case (None, st) if st > 0 => s"$body OFFSET $st"
+      case _ => sql
+    }
+  }
+
+  /** `SELECT * FROM t` over a table with ALIAS/MATERIALIZED columns →
+    * explicit ordinary-column list: the reference excludes those from
+    * star expansion (ref src/Interpreters/TranslateQualifiedNamesVisitor
+    * .cpp — asterisks expand to ordinary columns only), while the
+    * registered view must still carry them for explicit references. */
+  private[graft] def rewriteStarHidden(sql: String): String = {
+    if (!sql.contains("*")) return sql
+    replaceFnOutsideStrings(sql,
+      "(?i)\\bSELECT\\s+\\*\\s+FROM\\s+(`?)([A-Za-z_]\\w*)`?(?![\\w`.(])") { m =>
+      starVisibleColumns(m.group(2)) match {
+        case Some(cols) if cols.nonEmpty =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} " +
+              s"FROM `${m.group(2)}`")
+        case _ => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
+    }
+  }
+
   /** merge([db,] 'tableNameRegex') table function (ref
     * src/TableFunctions/TableFunctionMerge.cpp / StorageMerge): reads
     * the union of every table whose name matches, alphabetically; the
@@ -2542,9 +2737,15 @@ object ChSql {
   }
 
   def translate(chSql: String): String = {
+    // CH double-quoted tokens are IDENTIFIERS (standard SQL; strings are
+    // single-quoted only — ref src/Parsers/Lexer.cpp DoubleQuotedString
+    // → identifier), while Spark reads "…" as a string literal: convert
+    // simple double-quoted identifiers to backticks outside strings
+    val chSql0 = replaceOutsideStrings(chSql,
+      "\"([A-Za-z_]\\w*)\"(?!\\s*:)", "`$1`")
     // known-database qualifiers fold first (`db.tbl` → `db__tbl` temp
     // views — DdlEmu registers the names); pure identifier renaming
-    val chSql1 = ChDatabases.foldQualified(chSql, replaceOutsideStrings)
+    val chSql1 = ChDatabases.foldQualified(chSql0, replaceOutsideStrings)
     // tuple access runs AFTER brackets so `t[1].1` sees the rewritten
     // `chElementAt(t, 1)` and wraps it positionally
     // scalar WITH macros expand FIRST so later passes (toTypeName
@@ -2597,7 +2798,8 @@ object ChSql {
     // PREWHERE behaves as WHERE once pushdown applies; PREWHERE a WHERE b
     // conjoins (ref MergeTreeWhereOptimizer: both filters apply)
     s = replaceFnOutsideStrings(s,
-      "(?i)\\bPREWHERE\\s+(.+?)\\s+WHERE\\s+(.+?)" +
+      "(?i)(?<!\\b(?:FROM|JOIN|TABLE|INTO)\\s{1,8})" +
+        "\\bPREWHERE\\s+(.+?)\\s+WHERE\\s+(.+?)" +
         "(?=\\s+(?:GROUP|ORDER|LIMIT|SETTINGS|HAVING|WINDOW|UNION|FORMAT)\\b|\\s*$)") {
       mm =>
         // only same-level pairs: an unbalanced capture means the WHERE
@@ -2747,6 +2949,7 @@ object ChSql {
     // is the underlying table replicated shard-count times
     s = rewriteRemote(s)
     s = rewriteMergeTvf(s)
+    s = rewriteStarHidden(s)
     // explicit system.one (the implicit one-row source; ref
     // src/Storages/System/StorageSystemOne.cpp), bare or backquoted
     s = replaceOutsideStrings(s,
@@ -3394,6 +3597,9 @@ object ChSql {
       throw new IllegalArgumentException(
         "LIMIT n BY is not translated textually; use row_number() OVER " +
           "(PARTITION BY cols ORDER BY ...) <= n (see q_limit_by)")
+    // session settings limit/offset compose with the statement's own
+    // window (SET limit = 5; SELECT …)
+    s = applySettingsLimitOffset(s)
     s
   }
 
@@ -3586,10 +3792,33 @@ object ChSql {
     * sharing the session keep ANSI overflow semantics. */
   private val ShowCreateRe =
     "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TEMPORARY\\s+)?(?:TABLE\\s+)?`?([\\w.]+)`?\\s*$".r
+  private val DescTableRe =
+    "(?is)^\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?`?([\\w.]+)`?\\s*$".r
 
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame =
     graft.plans.ChAnalysisScope.active.withValue(true) {
       val q = chQuery.trim.stripSuffix(";")
+      DescTableRe.findFirstMatchIn(q)
+        .filter(m => !m.group(1).contains("."))
+        .foreach { m =>
+        // DESCRIBE TABLE: one row per DECLARED column (stored,
+        // MATERIALIZED, ALIAS — declaration order) with CH type text and
+        // default kind/expression (ref
+        // src/Interpreters/InterpreterDescribeQuery.cpp) — maintained
+        // through ALTER, unlike SHOW CREATE which renders the recorded
+        // CREATE statement
+        graft.golden.DdlEmu.describeTable(m.group(1)).foreach { ds =>
+          import scala.jdk.CollectionConverters._
+          val st = org.apache.spark.sql.types.StructType(
+            Seq("name", "type", "default_type", "default_expression",
+              "comment", "codec_expression", "ttl_expression")
+              .map(n => org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.StringType, nullable = false)))
+          return spark.createDataFrame(
+            ds.map(c => org.apache.spark.sql.Row(
+              c.name, c.typ, c.kind, c.expr, "", "", "")).asJava, st)
+        }
+      }
       ShowCreateRe.findFirstMatchIn(q).foreach { m =>
         // SHOW CREATE TABLE renders the stored definition (ref
         // src/Interpreters/InterpreterShowCreateQuery.cpp)

@@ -1463,10 +1463,20 @@ object ChRegistry {
       f1("toModifiedJulianDay")(c => datediff(c.cast("date"), mjdEpoch))
       f1("toModifiedJulianDayOrNull")(c =>
         datediff(c.try_cast("date"), mjdEpoch))
+      // supported day range = 0000-01-01 .. 9999-12-31 (ref
+      // src/Functions/GregorianDate.h:329 — out-of-range throws; the
+      // OrNull form yields NULL)
+      def mjdInRange(n: Column): Column =
+        n.cast("long").between(-678941L, 2973119L)
       f1("fromModifiedJulianDay")(n =>
-        date_format(date_add(mjdEpoch, n.cast("int")), "yyyy-MM-dd"))
+        when(n.isNull, lit(null).cast("string"))
+          .when(mjdInRange(n),
+            date_format(date_add(mjdEpoch, n.cast("int")), "yyyy-MM-dd"))
+          .otherwise(raise_error(concat(lit("Modified Julian Day "),
+            n.cast("string"), lit(" is out of range")))))
       f1("fromModifiedJulianDayOrNull")(n =>
-        date_format(date_add(mjdEpoch, n.try_cast("int")), "yyyy-MM-dd"))
+        when(mjdInRange(n),
+          date_format(date_add(mjdEpoch, n.try_cast("int")), "yyyy-MM-dd")))
     }
     // runningAccumulate (ref src/Functions/runningAccumulate.cpp) over
     // the simple additive -State tiers (sumState/countState — the

@@ -483,6 +483,25 @@ object ChTypes {
     case (x, y) if isInt(x) && isFloat(y) => superType(y, x)
     case (Scalar("Date"), Scalar("DateTime")) => Some(DateTimeT)
     case (Scalar("DateTime"), Scalar("Date")) => Some(DateTimeT)
+    // String absorbs FixedString (ref getLeastSupertype.cpp)
+    case (Scalar("String"), Scalar(n)) if n.startsWith("FixedString") =>
+      Some(Str)
+    case (Scalar(n), Scalar("String")) if n.startsWith("FixedString") =>
+      Some(Str)
+    // Decimal pair: max integer digits + max scale (ref
+    // getLeastSupertype.cpp decimal branch)
+    case (Scalar(d1), Scalar(d2))
+        if d1.startsWith("Decimal(") && d2.startsWith("Decimal(") =>
+      val Re = "Decimal\\((\\d+),\\s*(\\d+)\\)".r
+      (Re.findFirstMatchIn(d1), Re.findFirstMatchIn(d2)) match {
+        case (Some(a), Some(b)) =>
+          val (p1, s1) = (a.group(1).toInt, a.group(2).toInt)
+          val (p2, s2) = (b.group(1).toInt, b.group(2).toInt)
+          val s = math.max(s1, s2)
+          val p = math.min(76, math.max(p1 - s1, p2 - s2) + s)
+          Some(Scalar(s"Decimal($p, $s)"))
+        case _ => None
+      }
     case _ => None
   }
   private def stripN(t: T): T = t match {
@@ -564,7 +583,21 @@ object ChTypes {
       case TupL(items) =>
         val ts = items.map(go(_, scope))
         if (ts.forall(_.isDefined)) Some(Tup(ts.map(_.get))) else None
-      case CastE(_, tpe) => parseTypeText(tpe)
+      case CastE(inner, tpe) =>
+        // cast_keep_nullable=1 (ref Settings.h + FunctionsConversion.h
+        // CastOverloadResolver): CAST of a Nullable source to a
+        // non-Nullable target KEEPS the Nullable wrapper; default (0)
+        // strips it (01322_cast_keep_nullable)
+        val keepNullable = try {
+          org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("graft.ch.cast_keep_nullable", "0").trim == "1"
+        } catch { case _: Throwable => false }
+        parseTypeText(tpe).map { t =>
+          if (keepNullable && !t.isInstanceOf[Nullable] &&
+            go(inner, scope).exists(_.isInstanceOf[Nullable]))
+            Nullable(t)
+          else t
+        }
       case Un("-", IntL(v)) => Some(literalIntType(-v))
       case Un("-", FloL(_)) => Some(Float64)
       case Un("-", x) => go(x, scope).flatMap {

@@ -32,13 +32,17 @@ object HtmlText {
     def checkAndSkip(p: String): Boolean =
       if (startsWith(p)) { src += p.length; true } else false
 
-    // <!-- ... --> ; also tolerates the malformed <!--> <!---> forms
+    // <!-- ... --> ; also tolerates the malformed <!--> <!---> forms.
+    // An unterminated comment consumes only what was scanned — the
+    // remaining text is still emitted (ref extractTextFromHTML.cpp:96
+    // breaks without advancing src to end, so `Hello<!--->world` keeps
+    // `world`).
     def processComment(): Boolean = {
       if (!checkAndSkip("<!--")) return false
       var done = false
       while (!done) {
         val gt = s.indexOf('>', src)
-        if (gt < 0) { src = end; done = true }
+        if (gt < 0 || gt >= end) done = true
         else {
           if (gt > src + 2 && s.charAt(gt - 1) == '-' &&
             s.charAt(gt - 2) == '-') { src = gt + 1; done = true }

@@ -103,6 +103,16 @@ object DdlEmu {
   // declared column names, for merge()'s schema-unification check
   graft.ChSql.knownTableColumns =
     (t: String) => decls.get(t).map(_.cols.map(_._1))
+  // star expansion excludes ALIAS/MATERIALIZED columns (the view carries
+  // them for explicit references, so ChSql must expand `*` itself)
+  graft.ChSql.starVisibleColumns = (t0: String) => {
+    val t = t0.stripPrefix("__graft_final_")
+    val hidden = aliasExprs.get(t).exists(_.nonEmpty) ||
+      matCols.get(t).exists(_.nonEmpty)
+    if (!hidden) None
+    else decls.get(t).map(_.cols.map(_._1)
+      .filterNot(matCols.getOrElse(t, Set.empty)))
+  }
 
   /** Column names DECLARED Nullable(...) per LIVE table: the join-gap
     * default fill (join_use_nulls=0) must leave those NULL while
@@ -120,6 +130,8 @@ object DdlEmu {
     * must not leak into the next file's fill decisions). */
   def resetNullables(): Unit = {
     nullableDeclared.clear(); defExprs.clear()
+    aliasExprs.clear(); matCols.clear(); descColsMap.clear()
+    distributedAlias.clear()
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
   }
@@ -391,10 +403,12 @@ object DdlEmu {
             .drop("__graft_seq"))
           catch { case _: Exception => None }
       }.getOrElse(pub0)
-      pub.createOrReplaceTempView(name)
+      withAliasCols(name, withDeclaredDt64(name, pub))
+        .createOrReplaceTempView(name)
       engines.get(name).foreach { spec =>
-        try mergeTransform(df, spec, chTypes.getOrElse(name, Map.empty))
-          .drop("__graft_seq")
+        try withAliasCols(name, withDeclaredDt64(name,
+          mergeTransform(df, spec, chTypes.getOrElse(name, Map.empty))
+            .drop("__graft_seq")))
           .createOrReplaceTempView(s"__graft_final_$name")
         catch { case _: Exception => engines.remove(name) }
       }
@@ -418,8 +432,121 @@ object DdlEmu {
     * type default. */
   private val defExprs =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
-  private def recordDefaults(table: String, colDefs: String): Unit = {
-    val m = splitTop(colDefs).flatMap { cd =>
+  /** ALIAS columns per table, in declared order: NEVER stored — computed
+    * from the row at READ time (ref src/Storages/ColumnDefault.h:
+    * ColumnDefaultKind::Alias), so they live on the registered view, not
+    * in the staged data, and star expansion excludes them. */
+  private val aliasExprs =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  /** MATERIALIZED column names per table: stored (computed at INSERT)
+    * but, like ALIAS, excluded from `SELECT *` (ref
+    * src/Interpreters/TranslateQualifiedNamesVisitor.cpp — asterisks
+    * expand to ordinary columns only). */
+  private val matCols =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  /** Distributed(…) tables registered as live views over their local
+    * table: INSERTs forward to the underlying storage (ref
+    * src/Storages/StorageDistributed.cpp write path). */
+  private val distributedAlias =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** (name, expr, declaredType?) when the def declares an ALIAS column —
+    * the type is optional (`c ALIAS a + b`). */
+  private def aliasSplit(cd: String): Option[(String, String, Option[String])] = {
+    val t = cd.trim
+    val sp = t.indexWhere(_.isWhitespace)
+    if (sp <= 0) return None
+    val name = t.take(sp).stripPrefix("`").stripSuffix("`")
+    val rest = t.drop(sp).trim
+    "(?is)^(.*?)\\bALIAS\\b\\s+(.*)$".r.findFirstMatchIn(rest).flatMap { mm =>
+      val pre = mm.group(1).trim
+      if (pre.matches("(?is).*\\b(DEFAULT|MATERIALIZED)\\b.*")) None
+      else {
+        var e = mm.group(2).trim
+        for (kw <- Seq("CODEC", "COMMENT", "TTL")) {
+          val i = e.toUpperCase.indexOf(" " + kw)
+          if (i >= 0) e = e.take(i).trim
+        }
+        Some((name, e, if (pre.isEmpty) None else Some(pre)))
+      }
+    }
+  }
+  private def recordAliases(table: String, colDefs: String): Unit = {
+    val as = splitTop(colDefs).flatMap(aliasSplit).map(a => a._1 -> a._2)
+    if (as.nonEmpty) aliasExprs(table) = as else aliasExprs.remove(table)
+  }
+
+  /** DESCRIBE TABLE rows (ref src/Interpreters/InterpreterDescribeQuery
+    * .cpp): one row per DECLARED column — stored, MATERIALIZED and ALIAS
+    * alike, in declaration order — with the CH type text and the default
+    * kind/expression. Maintained through CREATE and ALTER so DESC after
+    * ALTER reflects the live structure (unlike SHOW CREATE, which renders
+    * the recorded CREATE). */
+  final case class DescCol(name: String, typ: String, kind: String,
+      expr: String)
+  private val descColsMap =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DescCol]]
+  def describeTable(name: String): Option[Seq[DescCol]] =
+    descColsMap.get(name.stripPrefix("__graft_final_"))
+  private def parseDescCol(cd: String): Option[DescCol] = {
+    val t = cd.trim
+    val sp = t.indexWhere(_.isWhitespace)
+    if (sp <= 0) {
+      // bare name, no type (illegal in CH) — skip
+      return None
+    }
+    val name = t.take(sp).stripPrefix("`").stripSuffix("`")
+    var rest = t.drop(sp).trim
+    // strip declaration tails that DESC reports in their own columns
+    for (kw <- Seq("CODEC", "COMMENT", "TTL")) {
+      val i = rest.toUpperCase.indexOf(" " + kw)
+      if (i >= 0) rest = rest.take(i).trim
+    }
+    val m = "(?is)^(.*?)\\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL)\\b\\s*(.*)$"
+      .r.findFirstMatchIn(rest)
+    m match {
+      case Some(mm) =>
+        Some(DescCol(name, mm.group(1).trim.replaceAll("\\s+", " "),
+          mm.group(2).toUpperCase, mm.group(3).trim))
+      case None =>
+        Some(DescCol(name, rest.replaceAll("\\s+", " "), "", ""))
+    }
+  }
+  private def recordDescCols(table: String, colDefs: String): Unit = {
+    val ds = splitTop(colDefs).flatMap(parseDescCol)
+    if (ds.nonEmpty) descColsMap(table) = ds else descColsMap.remove(table)
+  }
+  private def descInsert(table: String, dc: DescCol,
+      after: Option[String], first: Boolean): Unit = {
+    val cur = descColsMap.getOrElse(table, Nil).filterNot(_.name == dc.name)
+    val pos =
+      if (first) 0
+      else after.map(a => cur.indexWhere(_.name == a) + 1)
+        .filter(_ > 0).getOrElse(cur.length)
+    descColsMap(table) = (cur.take(pos) :+ dc) ++ cur.drop(pos)
+  }
+  /** Substitute ALIAS column references in an expression with their
+    * definitions (INSERT defaults and ALTER ADDs may reference them,
+    * but only the view carries them). */
+  private def expandAliases(table: String, e0: String): String = {
+    val as = aliasExprs.getOrElse(table, Nil)
+    var e = e0
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 4) {
+      changed = false; rounds += 1
+      for ((n, ae) <- as) {
+        val re = s"(?i)(?<![\\w.`])${java.util.regex.Pattern.quote(n)}(?![\\w`])"
+        val e2 = e.replaceAll(re,
+          java.util.regex.Matcher.quoteReplacement(s"($ae)"))
+        if (e2 != e) { e = e2; changed = true }
+      }
+    }
+    e
+  }
+  private def recordDefaults(table: String, colDefs: String,
+      merge: Boolean = false): Unit = {
+    val defs = splitTop(colDefs).filter(cd => aliasSplit(cd).isEmpty)
+    val m0 = defs.flatMap { cd =>
       val t = cd.trim
       val sp = t.indexWhere(_.isWhitespace)
       if (sp <= 0) None
@@ -436,7 +563,20 @@ object DdlEmu {
           }
       }
     }.toMap
+    // ALTER ADD/MODIFY passes ONE column def: merge it into the table's
+    // map instead of clobbering the other columns' defaults
+    val m = if (merge) defExprs.getOrElse(table, Map.empty) ++ m0 else m0
     if (m.nonEmpty) defExprs(table) = m else defExprs.remove(table)
+    val mats0 = defs.flatMap { cd =>
+      val t = cd.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      if (sp > 0 && t.drop(sp).matches("(?is).*\\bMATERIALIZED\\b.*"))
+        Some(t.take(sp).stripPrefix("`").stripSuffix("`"))
+      else None
+    }.toSet
+    val mats = if (merge) matCols.getOrElse(table, Set.empty) ++ mats0
+      else mats0
+    if (mats.nonEmpty) matCols(table) = mats else matCols.remove(table)
   }
   /** Declared CH type text per column (summing-merge width wrap and
     * toTypeName folding over staged tables). */
@@ -662,6 +802,9 @@ object DdlEmu {
           df.createOrReplaceTempView(b)
           spark.catalog.dropTempView(a)
           decls.remove(a).foreach(decls(b) = _)
+          aliasExprs.remove(a).foreach(aliasExprs(b) = _)
+          matCols.remove(a).foreach(matCols(b) = _)
+          descColsMap.remove(a).foreach(descColsMap(b) = _)
           chTypes.remove(a).foreach(chTypes(b) = _)
           nullableDeclared.remove(a).foreach(nullableDeclared(b) = _)
           defExprs.remove(a).foreach(defExprs(b) = _)
@@ -678,16 +821,50 @@ object DdlEmu {
         val srcDf = spark.table(src)
         decls(name) = decls.getOrElse(src,
           Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
-        register(spark, name, srcDf.limit(0))
+        // a Distributed(…) table over a local table READS it live (the
+        // single-process model resolves every shard to the local data,
+        // ref src/Storages/StorageDistributed.cpp) — register it as a
+        // view so mutations of the underlying table stay visible
+        if (stmt.matches("(?is).*\\bENGINE\\s*=?\\s*Distributed\\s*\\(.*")) {
+          distributedAlias(name) = src
+          viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
+          registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
+        } else register(spark, name, srcDf.limit(0))
         true
       case createViewRe(mat, name, colDefs, toTarget, select) =>
         registerView(spark, sfDir, name, colDefs, select)
         viewDefs.put(name, (colDefs, select))
         // TO-form: reads usually target the destination table; point it
-        // at the same deferred select
+        // at the same deferred select. Columns the TARGET declares that
+        // the select does not produce take their declared DEFAULT (or
+        // the type default) — the reference's insert pipeline pads them
+        // (ref src/Interpreters/addMissingDefaults.cpp; 02459).
         Option(toTarget).foreach { dst =>
-          viewDefs.put(dst, (colDefs, select))
-          try registerView(spark, sfDir, dst, colDefs, select)
+          val sel2 = (for {
+            d <- decls.get(dst)
+            df <- scala.util.Try(
+              graft.ChSql.sql(spark, select, sfDir)).toOption
+            outCols = df.columns.toSeq
+            if d.cols.exists(c => !outCols.contains(c._1))
+          } yield {
+            def typeDefault(sparkT: String): String =
+              sparkT.trim.toUpperCase match {
+                case "STRING" => "''"
+                case "DATE" => "toDate(0)"
+                case "TIMESTAMP" => "toDateTime(0)"
+                case t if t.startsWith("ARRAY") => "[]"
+                case _ => "0"
+              }
+            val items = d.cols.map { case (n, t) =>
+              if (outCols.contains(n)) s"`$n`"
+              else defExprs.getOrElse(dst, Map.empty).get(n)
+                .map(e => s"($e) AS `$n`")
+                .getOrElse(s"${typeDefault(t)} AS `$n`")
+            }
+            s"SELECT ${items.mkString(", ")} FROM ($select)"
+          }).getOrElse(select)
+          viewDefs.put(dst, (colDefs, sel2))
+          try registerView(spark, sfDir, dst, colDefs, sel2)
           catch { case _: Exception => }
         }
         true
@@ -697,6 +874,8 @@ object DdlEmu {
         viewDefs.remove(name)
         spark.catalog.dropTempView(name); decls.remove(name)
         nullableDeclared.remove(name); createdDdl.remove(name)
+        aliasExprs.remove(name); matCols.remove(name)
+        descColsMap.remove(name); distributedAlias.remove(name)
         engines.remove(name); staged.remove(name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
@@ -717,6 +896,7 @@ object DdlEmu {
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
+        recordAliases(name, colDefs); recordDescCols(name, colDefs)
         recordChTypes(name, colDefs); recordDdl(name, colDefs, engTail)
         register(spark, name, emptyDf(spark, d))
         parseEngine(engTail) match {
@@ -733,13 +913,14 @@ object DdlEmu {
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
+        recordAliases(name, colDefs); recordDescCols(name, colDefs)
         recordChTypes(name, colDefs); recordDdl(name, colDefs, null)
         register(spark, name, emptyDf(spark, d))
         true
       case alterColsRe(name, ops) =>
         handleAlterColumns(spark, sfDir, name, ops)
       case alterUpdateRe(name, assigns, cond) =>
-        val target = spark.table(name)
+        val target = storedDf(spark, name)
         val assigned = splitTop(assigns).map { a =>
           val eq = a.indexOf('=')
           a.take(eq).trim.stripPrefix("`").stripSuffix("`") ->
@@ -790,14 +971,21 @@ object DdlEmu {
         }
         refreshViews(spark, sfDir)
         true
-      case insertRe(name, colList, body) =>
-        val target = spark.table(name)
+      case insertRe(name0, colList, body) =>
+        // an INSERT into a Distributed alias writes the local table
+        val name = distributedAlias.getOrElse(name0, name0)
+        val target = storedDf(spark, name)
         val names0 = Option(colList)
           .map(_.stripPrefix("(").stripSuffix(")")
             .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
           .getOrElse(target.schema.fieldNames.toSeq)
         val fmtBody =
           "(?is)^FORMAT\\s+(\\w+)\\s+(.*)$".r.findFirstMatchIn(body.trim)
+        // input_format_null_as_default scopes to INPUT FORMATS (VALUES,
+        // CSV, …; ref Settings.h) — an INSERT SELECT is not an input
+        // format, and wrapping its projection would perturb its plan
+        val isFormatInsert = body.trim.toUpperCase.startsWith("VALUES") ||
+          fmtBody.isDefined
         val rows0 =
           if (body.trim.toUpperCase.startsWith("VALUES"))
             valuesDf(spark, sfDir, body.trim.drop(6).trim, names0.length)
@@ -893,7 +1081,49 @@ object DdlEmu {
               graft.functions.ch.parseBool(uniq.col(c))
             else graft.functions.ch.wrapCast(uniq.col(c),
               target.schema(n).dataType)
-          casted.as(n) }
+          // input_format_null_as_default (default 1, ref Settings.h):
+          // a NULL inserted into a CH-non-Nullable column takes the
+          // column's DEFAULT (or the type default) instead — only
+          // Nullable columns store the NULL (01596)
+          val nullAsDefault = scala.util.Try(spark.conf.get(
+            "graft.ch.input_format_null_as_default", "1"))
+            .getOrElse("1").trim != "0"
+          // only fires when the column's DECLARED CH type is recorded
+          // and provably non-Nullable (CTAS tables record no types —
+          // their nullability is unknown, leave NULLs alone)
+          val declaredNonNullable = chTypes.get(name)
+            .flatMap(_.get(n)).exists(t =>
+              !t.matches("(?is)\\s*(LowCardinality\\s*\\(\\s*)?Nullable\\b.*"))
+          // only atomic targets: container/state columns (Map, Array,
+          // stored AggregateFunction structs) have no castable zero here
+          val atomicTarget = target.schema(n).dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => false
+            case _ => true
+          }
+          // no wrap when the source can't produce NULL — keeps the
+          // original plan (and its observed group output order) intact
+          val casted2 =
+            if (!nullAsDefault || !isFormatInsert || !declaredNonNullable ||
+              !atomicTarget || !uniq.schema(c).nullable)
+              casted
+            else {
+              // a literal default expression can be evaluated in this
+              // select; column-referencing defaults fall back to the
+              // type default (they cannot see sibling VALUES here)
+              val dfltE = defExprs.getOrElse(name, Map.empty).get(n)
+                .filter(e => !e.matches("(?is).*[A-Za-z_]\\w*.*") ||
+                  e.matches("(?is)^\\s*'(?:[^'\\\\]|\\\\.)*'\\s*$") ||
+                  e.matches("(?is)^\\s*[-+0-9.eE\\s]+$"))
+                .flatMap(e => scala.util.Try(
+                  expr(graft.ChSql.translate(e).trim)
+                    .cast(target.schema(n).dataType)).toOption)
+              org.apache.spark.sql.functions.coalesce(casted,
+                dfltE.getOrElse(defaultFor(target.schema(n).dataType)
+                  .cast(target.schema(n).dataType)))
+            }
+          casted2.as(n) }
         val rows = uniq.select(byPos: _*)
         val defMap = defExprs.getOrElse(name, Map.empty)
         val computed = target.schema.fieldNames.toSeq
@@ -907,11 +1137,28 @@ object DdlEmu {
         // inserted row (they may reference the provided columns)
         val filled = if (computed.isEmpty) filled0 else {
           filled0.createOrReplaceTempView("__graft_ins_src")
+          // declared integer types convert with CH WRAPPING semantics
+          // (cityHash64 defaults overflow Long — ref
+          // FunctionsConversion.h static_cast), so emit the CH
+          // conversion function instead of an ANSI CAST where one exists
+          def convFn(n: String): Option[String] =
+            chTypes.get(name).flatMap(_.get(n)).map(_.trim).collect {
+              case t @ ("UInt8" | "UInt16" | "UInt32" | "UInt64" |
+                   "Int8" | "Int16" | "Int32" | "Int64" |
+                   "Float32" | "Float64" | "String" | "Date" |
+                   "DateTime") => "to" + t
+            }
           val items = target.schema.fieldNames.toSeq.map { n =>
-            if (computed.contains(n))
-              s"CAST((${defMap(n)}) AS ${target.schema(n).dataType.sql})" +
-                s" AS `$n`"
-            else s"`$n`"
+            if (computed.contains(n)) {
+              // the default may reference ALIAS columns, which exist
+              // only on the registered view — inline their definitions
+              val e = expandAliases(name, defMap(n))
+              convFn(n) match {
+                case Some(f) => s"$f(($e)) AS `$n`"
+                case None =>
+                  s"CAST(($e) AS ${target.schema(n).dataType.sql}) AS `$n`"
+              }
+            } else s"`$n`"
           }
           graft.ChSql.sql(spark,
             s"SELECT ${items.mkString(", ")} FROM __graft_ins_src", sfDir)
@@ -934,7 +1181,11 @@ object DdlEmu {
         val srcDf = spark.table(src)
         decls(name) = decls.getOrElse(src,
           Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
-        register(spark, name, srcDf.limit(0))
+        if (stmt.matches("(?is).*\\bENGINE\\s*=?\\s*Distributed\\s*\\(.*")) {
+          distributedAlias(name) = src
+          viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
+          registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
+        } else register(spark, name, srcDf.limit(0))
         true
       case ctasRe(name, engTail, select) =>
         val df = graft.ChSql.sql(spark, select.trim, sfDir)
@@ -956,8 +1207,73 @@ object DdlEmu {
     }
   }
 
+  /** Append the table's ALIAS columns (computed from the stored row —
+    * always current, the CH read-time contract) to the frame that backs
+    * its public view. */
+  private def withAliasCols(name: String, df: DataFrame): DataFrame =
+    aliasExprs.get(name.stripPrefix("__graft_final_")) match {
+      case Some(as) if as.nonEmpty =>
+        try as.foldLeft(df) { case (d, (n, e)) =>
+          d.withColumn(n,
+            org.apache.spark.sql.functions.expr(
+              graft.ChSql.translate(e).trim))
+        } catch { case _: Exception => df }
+      case _ => df
+    }
+
+  /** Columns DECLARED DateTime64(p[, 'tz']) display with exactly p
+    * fractional digits (ref src/DataTypes/DataTypeDateTime64.cpp) —
+    * storage is a plain timestamp, so the public view re-tags them with
+    * the scale-carrying DateTime64 UDT (same machinery the
+    * toDateTime64() function results ride). */
+  private def withDeclaredDt64(name: String, df: DataFrame): DataFrame = {
+    val tmap = chTypes.getOrElse(name.stripPrefix("__graft_final_"),
+      Map.empty)
+    val Dt64Re =
+      "(?is)^\\s*DateTime64\\s*\\(\\s*(\\d+)\\s*(?:,\\s*'([^']*)')?\\s*\\)\\s*$".r
+    val hits = df.columns.flatMap { c =>
+      tmap.get(c).flatMap(t => Dt64Re.findFirstMatchIn(t))
+        .map(m => c -> ((m.group(1).toInt, Option(m.group(2)))))
+    }.toMap
+    if (hits.isEmpty) df
+    else try df.select(df.columns.map { c =>
+      hits.get(c) match {
+        case Some((sc, tz))
+            if df.schema(c).dataType ==
+              org.apache.spark.sql.types.TimestampType =>
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.ToDateTime64(
+              org.apache.spark.sql.graftbridge.ColumnBridge
+                .expression(df.col(s"`$c`")), sc, tz)).as(c)
+        case _ => df.col(s"`$c`")
+      }
+    }.toSeq: _*)
+    catch { case _: Exception => df }
+  }
+
   private def register(spark: SparkSession, name: String, df: DataFrame): Unit =
-    df.createOrReplaceTempView(name)
+    withAliasCols(name, withDeclaredDt64(name, df))
+      .createOrReplaceTempView(name)
+
+  /** The table's view WITHOUT its ALIAS columns (mutation/insert paths
+    * must see only stored columns, or re-registration would duplicate
+    * the computed ones). */
+  private def storedDf(spark: SparkSession, name: String): DataFrame = {
+    val d0 = spark.table(name)
+    val as = aliasExprs.getOrElse(name, Nil).map(_._1)
+    val d = if (as.isEmpty) d0 else d0.drop(as: _*)
+    // untag DateTime64 display columns back to plain timestamps — the
+    // mutation/insert paths work on storage types (the coercion rule
+    // lowers the Cast over the UDT)
+    if (!d.schema.exists(_.dataType
+        .isInstanceOf[graft.functions.DateTime64UDT])) d
+    else d.select(d.columns.map { c =>
+      if (d.schema(c).dataType
+          .isInstanceOf[graft.functions.DateTime64UDT])
+        d.col(s"`$c`").cast("timestamp").as(c)
+      else d.col(s"`$c`")
+    }.toSeq: _*)
+  }
 
   private def emptyDf(spark: SparkSession, d: Decl): DataFrame =
     spark.sql(d.cols
@@ -968,11 +1284,28 @@ object DdlEmu {
     * pairs; DEFAULT/CODEC/COMMENT/TTL tails are dropped (storage-level
     * concerns). */
   private def parseCols(defs: String): Seq[(String, String)] =
-    splitTop(defs).map { cd =>
+    splitTop(defs).filter(cd => aliasSplit(cd).isEmpty).map { cd =>
       val trimmed = cd.trim
       val sp = trimmed.indexWhere(_.isWhitespace)
       val name = trimmed.take(sp).stripPrefix("`").stripSuffix("`")
       var typ = trimmed.drop(sp).trim
+      // type-less `col DEFAULT expr` / `col MATERIALIZED expr` (ref
+      // ParserCreateQuery.h columnDeclaration — the type is optional
+      // when a default expression is given): infer the Spark type from
+      // the expression via the CH type lattice; numeric fallback BIGINT
+      val tlRe = "(?is)^(?:DEFAULT|MATERIALIZED)\\s+(.*)$".r
+      tlRe.findFirstMatchIn(typ).foreach { mm =>
+        var e = mm.group(1).trim
+        for (kw <- Seq("CODEC", "COMMENT", "TTL")) {
+          val i = e.toUpperCase.indexOf(" " + kw)
+          if (i >= 0) e = e.take(i).trim
+        }
+        val inferred = graft.functions.ChTypes.parse(e)
+          .flatMap(graft.functions.ChTypes.infer(_, Map.empty))
+          .map(t => graft.ChSql.rewriteChTypes(t.name))
+        typ = inferred.getOrElse(
+          if (e.matches("(?s)^'.*")) "STRING" else "BIGINT")
+      }
       for (kw <- Seq("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
           "COMMENT", "TTL")) {
         val i = typ.toUpperCase.indexOf(" " + kw)
@@ -1100,7 +1433,7 @@ object DdlEmu {
       name: String, opsText: String): Boolean = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     import org.apache.spark.sql.types.DataType
-    var df = spark.table(name)
+    var df = storedDf(spark, name)
     var stagedDf = staged.get(name)
     var cols = decls.get(name).map(_.cols).getOrElse(
       df.schema.fields.map(f => f.name -> f.dataType.sql).toSeq)
@@ -1117,22 +1450,57 @@ object DdlEmu {
         case addRe(defn0) =>
           var d = defn0.trim
           var pos = cols.length
+          var descAfter: Option[String] = None
+          var descFirst = false
           val afterM = "(?is)\\s+AFTER\\s+`?(\\w+)`?\\s*$".r.findFirstMatchIn(d)
           if (afterM.isDefined) {
             d = d.substring(0, afterM.get.start)
+            descAfter = Some(afterM.get.group(1))
             pos = cols.indexWhere(_._1 == afterM.get.group(1)) + 1
             if (pos == 0) pos = cols.length
           } else if (d.matches("(?is).*\\s+FIRST\\s*$")) {
             d = d.replaceAll("(?is)\\s+FIRST\\s*$", ""); pos = 0
+            descFirst = true
           }
+          parseDescCol(d).foreach(dc =>
+            descInsert(name, dc, descAfter, descFirst))
+          aliasSplit(d) match {
+            case Some((an, ae, _)) =>
+              // ALIAS columns are never stored: record the definition
+              // and rebuild the views so reads compute it
+              if (!aliasExprs.getOrElse(name, Nil).exists(_._1 == an))
+                aliasExprs(name) =
+                  aliasExprs.getOrElse(name, Nil) :+ (an -> ae)
+              recordChTypes(name, d)
+            case None =>
           val (cn, ct) = parseCols(d).head
           if (!cols.exists(_._1 == cn)) {
             val dt = DataType.fromDDL(ct)
             val defE = "(?is)\\b(?:DEFAULT|MATERIALIZED)\\s+(.*)$".r
               .findFirstMatchIn(d).map(_.group(1).trim)
-            recordDefaults(name, d); recordChTypes(name, d)
+              // strip declaration tails the expression must not carry
+              .map { e0 =>
+                var e = e0
+                for (kw <- Seq("CODEC", "COMMENT", "TTL")) {
+                  val i = e.toUpperCase.indexOf(" " + kw)
+                  if (i >= 0) e = e.take(i).trim
+                }
+                // the default may reference ALIAS columns, which exist
+                // only on the view — inline their definitions
+                expandAliases(name, e)
+              }
+            recordDefaults(name, d, merge = true); recordChTypes(name, d)
+            if (d.matches("(?is)^`?\\w+`?\\s+Nullable\\s*\\(.*"))
+              nullableDeclared(name) = nullableDeclared
+                .getOrElse(name, Set.empty) + cn.toLowerCase
+            // a column declared Nullable backfills NULL, not the type
+            // default (ref src/DataTypes/DataTypeNullable.cpp
+            // getDefault = Null; 00571)
+            val declaredNullable =
+              d.matches("(?is)^`?\\w+`?\\s+Nullable\\s*\\(.*")
             val v = defE.map(e => chExpr(e).cast(dt))
-              .getOrElse(defaultFor(dt)).as(cn)
+              .getOrElse(if (declaredNullable) lit(null).cast(dt)
+                else defaultFor(dt)).as(cn)
             def insert(frame: DataFrame): DataFrame = {
               val keep = frame.columns.filterNot(_ == "__graft_seq")
               val before = keep.take(pos).map(c => col(s"`$c`"))
@@ -1144,9 +1512,14 @@ object DdlEmu {
             df = insert(df); stagedDf = stagedDf.map(insert)
             cols = (cols.take(pos) :+ (cn -> ct)) ++ cols.drop(pos)
           }
+          }
         case dropColRe(cn) =>
           df = df.drop(cn); stagedDf = stagedDf.map(_.drop(cn))
           cols = cols.filterNot(_._1 == cn)
+          descColsMap.get(name).foreach(ds =>
+            descColsMap(name) = ds.filterNot(_.name == cn))
+          aliasExprs.get(name).foreach(as =>
+            aliasExprs(name) = as.filterNot(_._1 == cn))
         case renColRe(a, b) =>
           df = df.withColumnRenamed(a, b)
           stagedDf = stagedDf.map(_.withColumnRenamed(a, b))
@@ -1155,6 +1528,8 @@ object DdlEmu {
             m.get(a).foreach(t => chTypes(name) = m - a + (b -> t)) }
           defExprs.get(name).foreach { m =>
             m.get(a).foreach(e => defExprs(name) = m - a + (b -> e)) }
+          descColsMap.get(name).foreach(ds => descColsMap(name) =
+            ds.map(c => if (c.name == a) c.copy(name = b) else c))
         case modRe(defn0) =>
           val d = defn0.trim
           // type-less MODIFY (DEFAULT/TTL/REMOVE …) only updates metadata
@@ -1171,8 +1546,12 @@ object DdlEmu {
                   else col(s"`$c`") }.toSeq: _*)
               df = recast(df); stagedDf = stagedDf.map(recast)
               cols = cols.map { case (n, t) => n -> (if (n == cn) ct else t) }
+              parseDescCol(d).foreach { dc =>
+                descColsMap.get(name).foreach(ds => descColsMap(name) =
+                  ds.map(c => if (c.name == dc.name) dc else c))
+              }
             }
-          } else recordDefaults(name, d)
+          } else recordDefaults(name, d, merge = true)
         case clearRe(cn) =>
           if (cols.exists(_._1 == cn)) {
             val dt = DataType.fromDDL(cols.find(_._1 == cn).get._2)

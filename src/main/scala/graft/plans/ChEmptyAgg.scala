@@ -53,6 +53,15 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
     case c: Cast =>
       c.child.dataType != org.apache.spark.sql.types.NullType
     case t: graft.functions.ChUIntTag => chNonNullable(t.child)
+    // a staged-table column is Spark-nullable by construction (views are
+    // built over CAST(NULL…) unions), but its CH nullability is the
+    // DECLARED one: sum over a declared non-Nullable column zero-fills
+    // even though the Spark attribute reports nullable (00584)
+    case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+      graft.ChSql.declaredColumnType(a.name) match {
+        case Some(t) => !t.matches("(?is)\\s*(Nullable|LowCardinality\\s*\\(\\s*Nullable)\\b.*")
+        case None => !a.nullable
+      }
     case other => !other.nullable
   }
 

@@ -138,4 +138,125 @@ class Round11FixesSpec extends SparkSpec {
       assert(r.getString(1) == "Nullable(Bool)", r.getString(1))
     } finally ddl("DROP TABLE r11b")
   }
+
+  // ---- ALIAS columns (computed at read, hidden from star) ----
+
+  test("ALIAS columns resolve explicitly, stay out of star expansion") {
+    ddl("CREATE TABLE r11a (a UInt32, b Int32, c UInt8 ALIAS a, " +
+      "d Int64 ALIAS b + 1) ENGINE = Memory")
+    ddl("INSERT INTO r11a (a, b) VALUES (7, 10)")
+    try {
+      val r = ch("SELECT a, c, d FROM r11a").collect().head
+      assert(r.get(1).toString.toLong == 7L && r.get(2).toString.toLong == 11L)
+      // star excludes ALIAS columns (ref TranslateQualifiedNamesVisitor)
+      assert(ch("SELECT * FROM r11a").columns.toSeq == Seq("a", "b"))
+      // WHERE on an alias column works (it lives on the view)
+      assert(ch("SELECT count() AS n FROM r11a WHERE c = 7")
+        .collect().head.getLong(0) == 1L)
+    } finally ddl("DROP TABLE r11a")
+  }
+
+  test("star rewrite leaves tables without hidden columns alone") {
+    // negative space: no ALIAS/MATERIALIZED → the rewrite must not fire
+    val sql = "SELECT * FROM lineitem WHERE l_quantity > 49"
+    assert(ChSql.rewriteStarHidden(sql) == sql)
+  }
+
+  // ---- DESC TABLE (CH 7-column shape, maintained through ALTER) ----
+
+  test("DESC TABLE reports CH types and default kinds after ALTER") {
+    ddl("CREATE TABLE r11d (x UInt32, z UInt64) ENGINE = Memory")
+    ddl("ALTER TABLE r11d ADD COLUMN y String MATERIALIZED toString(x) AFTER x")
+    try {
+      val rows = ch("DESC TABLE r11d").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+      assert(rows(1).getString(1) == "String" &&
+        rows(1).getString(2) == "MATERIALIZED" &&
+        rows(1).getString(3) == "toString(x)", rows.mkString("|"))
+    } finally ddl("DROP TABLE r11d")
+  }
+
+  // ---- union-positional supertype in the static toTypeName fold ----
+
+  test("toTypeName over UNION branches takes the least supertype") {
+    val r1 = ch("SELECT x, toTypeName(x) AS t FROM " +
+      "(SELECT 1 AS x UNION ALL SELECT -1) ORDER BY x DESC").collect()
+    assert(r1.forall(_.getString(1) == "Int16"), r1.mkString("|"))
+    val r2 = ch("SELECT toTypeName(x) AS t FROM " +
+      "(SELECT 1 AS x UNION ALL SELECT NULL)").collect()
+    assert(r2.forall(_.getString(0) == "Nullable(UInt8)"), r2.mkString("|"))
+    // negative space: subquery REBINDING (no union) keeps first-binding
+    // behavior — the 01455 class must not regress
+    val r3 = ch("SELECT toTypeName(number) AS t FROM " +
+      "(SELECT CAST(number, 'Nullable(UInt8)') AS number FROM numbers(1))")
+      .collect()
+    assert(r3.head.getString(0) == "Nullable(UInt8)", r3.mkString("|"))
+  }
+
+  // ---- input_format_null_as_default ----
+
+  test("NULL into a non-Nullable column takes the DEFAULT (VALUES only)") {
+    ddl("CREATE TABLE r11n (x Nullable(String) DEFAULT 'Hello', " +
+      "y String DEFAULT 'World') ENGINE = Memory")
+    ddl("INSERT INTO r11n VALUES (NULL, NULL)")
+    try {
+      val r = ch("SELECT x, y FROM r11n").collect().head
+      assert(r.isNullAt(0), "Nullable column keeps the NULL")
+      assert(r.getString(1) == "World", "non-Nullable takes the default")
+    } finally ddl("DROP TABLE r11n")
+  }
+
+  // ---- DateTime64(p) declared columns display p fractional digits ----
+
+  test("declared DateTime64 column renders its scale") {
+    ddl("CREATE TABLE r11t (dt6 DateTime64(6, 'UTC'), dt3 DateTime64(3, 'UTC')) ENGINE = Memory")
+    ddl("INSERT INTO r11t VALUES ('2019-09-16 19:20:33.123000', '2019-09-16 19:20:33.123')")
+    try {
+      val rows = graft.golden.Golden.formatDf(ch("SELECT dt6, dt3 FROM r11t"))
+      assert(rows.head == "2019-09-16 19:20:33.123000\t2019-09-16 19:20:33.123",
+        rows.head)
+      // comparisons across scales still work through the UDT lowering
+      assert(ch("SELECT dt6 = dt3 AS eq FROM r11t").collect().head
+        .get(0).toString == "true")
+    } finally ddl("DROP TABLE r11t")
+  }
+
+  // ---- session settings limit/offset ----
+
+  test("SET limit/offset compose with the statement's own window") {
+    try {
+      spark.conf.set("graft.ch.limit", "5")
+      val r = ch("SELECT number FROM numbers(100)").collect()
+      assert(r.length == 5)
+      spark.conf.set("graft.ch.offset", "3")
+      // query LIMIT 10 OFFSET 20 + setting (5, 3): start 23, rows
+      // min(5, 10-3) = 5
+      val r2 = ch("SELECT number FROM numbers(100) LIMIT 10 OFFSET 20")
+        .collect().map(_.getLong(0)).toSeq
+      assert(r2 == Seq(23L, 24L, 25L, 26L, 27L), r2)
+    } finally {
+      spark.conf.unset("graft.ch.limit")
+      spark.conf.unset("graft.ch.offset")
+    }
+  }
+
+  // ---- PREWHERE next to a table NAMED prewhere ----
+
+  test("PREWHERE+WHERE rewrite skips a table named prewhere") {
+    ddl("CREATE TABLE prewhere (x Array(UInt64), s String) ENGINE = Memory")
+    ddl("INSERT INTO prewhere VALUES ([1], 'a')")
+    try {
+      val n = ch("SELECT count() AS n FROM prewhere PREWHERE " +
+        "(length(s) >= 1) = 0 WHERE NOT ignore(x)").collect().head.getLong(0)
+      assert(n == 0L)
+    } finally ddl("DROP TABLE prewhere")
+  }
+
+  // ---- double-quoted identifiers ----
+
+  test("double-quoted tokens are identifiers, not strings") {
+    val r = ch("SELECT \"number\" FROM numbers(3) WHERE \"number\" > 1")
+      .collect()
+    assert(r.length == 1 && r.head.getLong(0) == 2L)
+  }
 }
