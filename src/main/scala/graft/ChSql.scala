@@ -917,6 +917,10 @@ object ChSql {
       "IntervalYear" -> "BIGINT")
     for ((a, b) <- words)
       s = replaceOutsideStrings(s, s"(?<![\\w])$a\\b", b)
+    // case-sensitive standard-SQL-ish aliases the factory registers
+    // (ref src/DataTypes/DataTypesNumber.cpp registerDataTypeNumbers):
+    // Int = Int32 — only the exact capitalized word, in type position
+    s = replaceOutsideStrings(s, "(?<![\\w])Int\\b(?!\\s*')", "INT")
     // tz-argument forms carry a STRING LITERAL, which splits the
     // outside-strings segmentation — match them with a plain replace
     // first, then the bare names segment-safely
@@ -939,8 +943,12 @@ object ChSql {
     prev = null
     while (prev != s) {
       prev = s
-      s = replaceOutsideStrings(s, "\\bArray\\(([^()]*)\\)", "ARRAY<$1>")
-      s = replaceOutsideStrings(s, "\\bMap\\(([^()]*)\\)", "MAP<$1>")
+      // one paren level inside tolerated: Array(DECIMAL(18, 8)) — the
+      // fixpoint loop still resolves deeper nesting inner-out
+      s = replaceOutsideStrings(s,
+        "\\bArray\\(((?:[^()]|\\([^()]*\\))*)\\)", "ARRAY<$1>")
+      s = replaceOutsideStrings(s,
+        "\\bMap\\(((?:[^()]|\\([^()]*\\))*)\\)", "MAP<$1>")
       // Nested(a T, b U) → ARRAY<STRUCT<a: T, b: U>> (CH stores Nested
       // as parallel arrays read back as an array-of-tuples; ref
       // src/DataTypes/DataTypeNested.h)

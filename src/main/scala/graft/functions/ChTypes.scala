@@ -63,6 +63,11 @@ object ChTypes {
     val bb = if (b > 128) 256 else if (b > 64) 128 else b
     Scalar((if (sgn) "Int" else "UInt") + bb)
   }
+  /** CH nextSize: widths double below 64 bits and CAP at 64 — there is
+    * no auto-promotion to Int128 (ref src/DataTypes/NumberTraits.h:32,
+    * "(U)Int64 backward compatibility"). Big-int operands (128/256)
+    * keep their own width. */
+  private def nextBits(b: Int): Int = if (b < 64) b * 2 else b
 
   // ---- expression AST ----
   sealed trait E
@@ -540,7 +545,7 @@ object ChTypes {
           Some(if (m > 32) Float64 else Float32)
         } else if (isInt(a) && isInt(b)) {
           val sgn = signed(a) || signed(b) || op == "-"
-          Some(intOf(sgn, math.max(bits(a), bits(b)) * 2))
+          Some(intOf(sgn, nextBits(math.max(bits(a), bits(b)))))
         } else (a, b) match {
           case (Scalar("Date"), t) if isInt(t) => Some(DateT)
           case (t, Scalar("Date")) if isInt(t) => Some(DateT)
@@ -554,7 +559,7 @@ object ChTypes {
         if (isFloat(a) || isFloat(b)) Some(Float64)
         else if (isInt(a) && isInt(b)) {
           val sgn = signed(a)
-          Some(intOf(sgn, if (sgn) bits(b) * 2 else bits(b)))
+          Some(intOf(sgn, if (sgn) nextBits(bits(b)) else bits(b)))
         } else None
       case _ => None
     }
@@ -601,10 +606,11 @@ object ChTypes {
       case Un("-", IntL(v)) => Some(literalIntType(-v))
       case Un("-", FloL(_)) => Some(Float64)
       case Un("-", x) => go(x, scope).flatMap {
-        case t if isInt(t) && !signed(t) => Some(intOf(sgn = true, bits(t) * 2))
+        case t if isInt(t) && !signed(t) =>
+          Some(intOf(sgn = true, nextBits(bits(t))))
         case t if isInt(t) || isFloat(t) => Some(t)
         case Nullable(t) if isInt(t) && !signed(t) =>
-          Some(Nullable(intOf(sgn = true, bits(t) * 2)))
+          Some(Nullable(intOf(sgn = true, nextBits(bits(t)))))
         case Nullable(t) if isInt(t) || isFloat(t) => Some(Nullable(t))
         case _ => None
       }

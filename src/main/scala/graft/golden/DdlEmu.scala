@@ -511,19 +511,58 @@ object DdlEmu {
         Some(DescCol(name, rest.replaceAll("\\s+", " "), "", ""))
     }
   }
+  /** A type-less `c ALIAS expr` / `c DEFAULT expr` declaration reports
+    * the INFERRED type in DESC/SHOW CREATE (ref InterpreterCreateQuery
+    * column default processing) — infer from siblings' declared types. */
+  private def inferDescTypes(ds: Seq[DescCol]): Seq[DescCol] = {
+    import graft.functions.ChTypes
+    val env: Map[String, ChTypes.T] = ds.flatMap(c =>
+      if (c.typ.nonEmpty) ChTypes.parseTypeText(c.typ).map(c.name -> _)
+      else None).toMap
+    ds.map(c =>
+      if (c.typ.nonEmpty || c.expr.isEmpty) c
+      else ChTypes.parse(c.expr).flatMap(ChTypes.infer(_, env))
+        .map(t => c.copy(typ = t.name)).getOrElse(c))
+  }
   private def recordDescCols(table: String, colDefs: String): Unit = {
-    val ds = splitTop(colDefs).flatMap(parseDescCol)
+    val ds = inferDescTypes(splitTop(colDefs).filterNot(isNonColumnDef)
+      .flatMap(parseDescCol))
     if (ds.nonEmpty) descColsMap(table) = ds else descColsMap.remove(table)
   }
   private def descInsert(table: String, dc: DescCol,
       after: Option[String], first: Boolean): Unit = {
-    val cur = descColsMap.getOrElse(table, Nil).filterNot(_.name == dc.name)
+    val cur = descColsMap.getOrElse(table, Nil)
+    // ADD COLUMN IF NOT EXISTS of an existing column is a no-op — it
+    // must not move or retype the original declaration
+    if (cur.exists(_.name == dc.name)) return
     val pos =
       if (first) 0
       else after.map(a => cur.indexWhere(_.name == a) + 1)
         .filter(_ > 0).getOrElse(cur.length)
-    descColsMap(table) = (cur.take(pos) :+ dc) ++ cur.drop(pos)
+    descColsMap(table) =
+      inferDescTypes((cur.take(pos) :+ dc) ++ cur.drop(pos))
   }
+
+  /** Re-render the canonical CREATE's column block from the live
+    * descCols registry, so SHOW CREATE reflects ALTERs (ref
+    * InterpreterShowCreateQuery renders the CURRENT metadata). */
+  private def regenDdl(name: String): Unit =
+    for (ds <- descColsMap.get(name); old <- createdDdl.get(name)) {
+      val open = old.indexOf("(\n")
+      val close = old.indexOf("\n)\n")
+      if (open >= 0 && close > open) {
+        val cols = ds.map { c =>
+          val kind =
+            if (c.kind.isEmpty) ""
+            else s" ${c.kind}" + (if (c.expr.isEmpty) "" else s" ${c.expr}")
+          val typ = if (c.typ.isEmpty) "" else s" ${c.typ}"
+          s"    `${c.name}`$typ$kind"
+        }
+        createdDdl(name) =
+          old.substring(0, open + 2) + cols.mkString(",\n") +
+            old.substring(close)
+      }
+    }
   /** Substitute ALIAS column references in an expression with their
     * definitions (INSERT defaults and ALTER ADDs may reference them,
     * but only the view carries them). */
@@ -545,7 +584,8 @@ object DdlEmu {
   }
   private def recordDefaults(table: String, colDefs: String,
       merge: Boolean = false): Unit = {
-    val defs = splitTop(colDefs).filter(cd => aliasSplit(cd).isEmpty)
+    val defs = splitTop(colDefs).filterNot(isNonColumnDef)
+      .filter(cd => aliasSplit(cd).isEmpty)
     val m0 = defs.flatMap { cd =>
       val t = cd.trim
       val sp = t.indexWhere(_.isWhitespace)
@@ -606,7 +646,13 @@ object DdlEmu {
       if (sp <= 0) cd
       else {
         val n = cd.take(sp).stripPrefix("`").stripSuffix("`")
-        val rest = cd.drop(sp).trim.replaceAll("\\s+", " ")
+        var rest = cd.drop(sp).trim.replaceAll("\\s+", " ")
+        // a type-less `c ALIAS/DEFAULT expr` renders with its INFERRED
+        // type (recordDescCols ran just before and inferred it)
+        if (rest.matches("(?is)^(ALIAS|DEFAULT|MATERIALIZED)\\b.*"))
+          descColsMap.get(table).flatMap(_.find(_.name == n))
+            .filter(_.typ.nonEmpty)
+            .foreach(c => rest = s"${c.typ} $rest")
         s"`$n` $rest"
       }
     }
@@ -898,6 +944,20 @@ object DdlEmu {
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
         recordAliases(name, colDefs); recordDescCols(name, colDefs)
         recordChTypes(name, colDefs); recordDdl(name, colDefs, engTail)
+        // explicit-column Distributed(cluster, db, local[, key]) — same
+        // live-view-over-the-local-table model as the AS-table form
+        val distTarget = Option(engTail).flatMap(t =>
+          ("(?is)Distributed\\s*\\(\\s*[^,]+,\\s*[^,]+,\\s*" +
+            "['`]?([A-Za-z_]\\w*)['`]?\\s*[,)]").r
+            .findFirstMatchIn(t).map(_.group(1)))
+          .filter(t => scala.util.Try(spark.table(t)).isSuccess)
+        if (distTarget.isDefined) {
+          val src = distTarget.get
+          distributedAlias(name) = src
+          viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
+          registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
+          return true
+        }
         register(spark, name, emptyDf(spark, d))
         parseEngine(engTail) match {
           case Some(spec) =>
@@ -1283,8 +1343,15 @@ object DdlEmu {
   /** Split `a Decimal32(4), b UInt64 DEFAULT 0, …` into (name, SparkType)
     * pairs; DEFAULT/CODEC/COMMENT/TTL tails are dropped (storage-level
     * concerns). */
+  /** Table-level declarations that are not columns: constraints,
+    * secondary indexes, projections (ref ParserCreateQuery.h) — storage
+    * concerns this engine drops. */
+  private def isNonColumnDef(cd: String): Boolean =
+    cd.trim.matches("(?is)^(CONSTRAINT|INDEX|PROJECTION|PRIMARY\\s+KEY)\\b.*")
+
   private def parseCols(defs: String): Seq[(String, String)] =
-    splitTop(defs).filter(cd => aliasSplit(cd).isEmpty).map { cd =>
+    splitTop(defs).filterNot(isNonColumnDef)
+      .filter(cd => aliasSplit(cd).isEmpty).map { cd =>
       val trimmed = cd.trim
       val sp = trimmed.indexWhere(_.isWhitespace)
       val name = trimmed.take(sp).stripPrefix("`").stripSuffix("`")
@@ -1565,6 +1632,7 @@ object DdlEmu {
       }
     }
     decls(name) = Decl(cols)
+    regenDdl(name)
     register(spark, name, df)
     stagedDf.foreach { st => staged(name) = st; publish(spark, name) }
     refreshViews(spark, sfDir)
