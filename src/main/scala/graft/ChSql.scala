@@ -539,6 +539,14 @@ object ChSql {
     * their columns too). */
   @volatile var declaredColumnType: String => Option[String] = _ => None
 
+  /** Declared CH type of a column restricted to a set of (lowercased)
+    * table names; an empty scope falls back to the global lookup. Scoped
+    * callers (ChEmptyAgg) use this so a cross-table column-name
+    * collision with differing declared nullability can't flip the
+    * empty-aggregate zero-fill for an unrelated table (advice r11). */
+  @volatile var declaredColumnTypeIn:
+      (String, Set[String]) => Option[String] = (_, _) => None
+
   private[graft] def rewriteTypeIntrospection(sql: String): String = {
     if (!sql.contains("toTypeName")) return sql
     import graft.functions.ChTypes
@@ -2005,48 +2013,77 @@ object ChSql {
     *    finite result, so it yields no bound here.
     */
   private[graft] def numbersBound(sql: String, pos: Int): Option[Long] = {
-    def governingLimit: Boolean = {
-      // the scan must not be directly under an aggregation: scan back to
-      // the nearest SELECT at the same depth and inspect its select list
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(j: Int, w: String): Boolean =
+      j + w.length <= sql.length &&
+        sql.substring(j, j + w.length).equalsIgnoreCase(w) &&
+        (j == 0 || !isWordChar(sql.charAt(j - 1))) &&
+        (j + w.length == sql.length || !isWordChar(sql.charAt(j + w.length)))
+    val aggRe = ("(?i)\\b(count|sum|min|max|avg|uniq\\w*|any|" +
+      "group_concat|groupArray\\w*|quantile\\w*)\\s*\\(").r
+    def aggregating(list: String): Boolean =
+      aggRe.findFirstIn(list).isDefined ||
+        "(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(list).isDefined
+    /** Value (limit+offset) of a LIMIT governing the scan, or None. A
+      * LIMIT at an enclosing paren depth only governs when EVERY select
+      * scope between the scan and it is a non-aggregating projection (CH
+      * pushes LIMIT through plain projections but an aggregation in
+      * between consumes the whole infinite read first — advice r11). */
+    def governingLimit: Option[Long] = {
+      // backward scan: select-list text per enclosing level (level 0 =
+      // the SELECT directly reading the scan; level k = k parens out)
       val before = sql.substring(0, pos)
-      var d = 0; var selAt = -1; var i = before.length - 1
-      while (selAt < 0 && i >= 0) {
+      val lists = scala.collection.mutable.Map.empty[Int, String]
+      val exitAt = scala.collection.mutable.Map(0 -> pos)
+      var level = 0; var d = 0; var i = before.length - 1
+      while (i >= 0) {
         val c = before.charAt(i)
         if (c == ')') d += 1
-        else if (c == '(') { if (d == 0 && selAt < 0) i = 0 else d -= 1 }
-        else if (d == 0 && (c == 't' || c == 'T') && i >= 5 &&
+        else if (c == '(') {
+          if (d > 0) d -= 1 else { level += 1; exitAt(level) = i }
+        } else if (d == 0 && !lists.contains(level) &&
+          (c == 't' || c == 'T') && i >= 5 &&
           before.substring(i - 5, i + 1).equalsIgnoreCase("select") &&
-          (i == 5 || !Character.isLetterOrDigit(before.charAt(i - 6))) &&
-          (i + 1 >= before.length ||
-            !Character.isLetterOrDigit(before.charAt(i + 1))))
-          selAt = i - 5
+          (i == 5 || !isWordChar(before.charAt(i - 6))) &&
+          (i + 1 >= before.length || !isWordChar(before.charAt(i + 1))))
+          lists(level) = before.substring(i - 5, exitAt(level))
         i -= 1
       }
-      val selectList =
-        if (selAt < 0) "" else before.substring(selAt, pos)
-      val aggRe = ("(?i)\\b(count|sum|min|max|avg|uniq\\w*|any|" +
-        "group_concat|groupArray\\w*|quantile\\w*)\\s*\\(").r
-      if (aggRe.findFirstIn(selectList).isDefined ||
-        "(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(selectList).isDefined)
-        return false
-      // forward scan: LIMIT at relative depth <= 0 governs the scan
+      if (!lists.contains(0) || aggregating(lists(0))) return None
+      // forward scan: LIMIT at relative depth <= 0 governs the scan —
+      // provided no GROUP BY was crossed at an intermediate scope and
+      // every enclosing select list up to the LIMIT's scope is a plain
+      // projection
       var depth = 0; var j = pos; var inStr = false
+      val groupDepths = scala.collection.mutable.Set.empty[Int]
       while (j < sql.length) {
         val c = sql.charAt(j)
         if (inStr) { if (c == '\\') j += 1 else if (c == '\'') inStr = false }
         else if (c == '\'') inStr = true
         else if (c == '(') depth += 1
         else if (c == ')') depth -= 1
-        else if (depth <= 0 && (c == 'l' || c == 'L') &&
-          j + 5 <= sql.length &&
-          sql.substring(j, j + 5).equalsIgnoreCase("limit") &&
-          (j == 0 || !Character.isLetterOrDigit(sql.charAt(j - 1))) &&
-          (j + 5 == sql.length ||
-            !Character.isLetterOrDigit(sql.charAt(j + 5))))
-          return true
+        else if (depth <= 0 && wordAt(j, "group")) groupDepths += depth
+        else if (depth <= 0 && wordAt(j, "limit")) {
+          val clean = (1 to -depth).forall(k =>
+            lists.get(k).exists(l => !aggregating(l))) &&
+            (depth to 0).forall(g => !groupDepths.contains(g))
+          if (!clean) return None
+          // parse the LIMIT's window: n | off, n | n OFFSET m — the
+          // stand-in range() must cover limit+offset rows (r11 verdict:
+          // a fixed 10M bound silently truncated LIMIT 20000000)
+          val tail = sql.substring(j + 5)
+          val v =
+            "(?is)^\\s*(\\d+)\\s*,\\s*(\\d+)".r.findFirstMatchIn(tail)
+              .map(m => m.group(1).toLong + m.group(2).toLong)
+              .orElse(
+                "(?is)^\\s*(\\d+)(?:\\s+OFFSET\\s+(\\d+))?".r
+                  .findFirstMatchIn(tail).map(m => m.group(1).toLong +
+                    Option(m.group(2)).map(_.toLong).getOrElse(0L)))
+          return Some(v.getOrElse(0L))
+        }
         j += 1
       }
-      false
+      None
     }
     lazy val settingBound: Option[Long] =
       org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
@@ -2059,7 +2096,10 @@ object ChSql {
           else None
         }.toOption.flatten
       }
-    if (governingLimit) Some(10000000L) else settingBound
+    governingLimit match {
+      case Some(v) => Some(math.max(v, 10000000L))
+      case None => settingBound
+    }
   }
 
   /** Live table names, supplied by the DDL emulation (for the merge()
@@ -2075,6 +2115,15 @@ object ChSql {
   @volatile var starVisibleColumns: String => Option[Seq[String]] =
     _ => None
 
+  /** Engine-internal statement marker: helper SELECTs the DDL emulation
+    * builds for itself (INSERT default computation, MV refresh, merge()
+    * unions) must NOT receive the session limit/offset window — in the
+    * reference that setting caps only the rows RETURNED to the client
+    * (ref Settings.h `limit`), never intermediate pipelines. DdlEmu sets
+    * this around its whole handler (advice r12). */
+  private[graft] val internalStatement =
+    new scala.util.DynamicVariable[Boolean](false)
+
   /** Session settings `limit` / `offset` (ref Settings.h + 01596): the
     * setting offset skips rows WITHIN the query's own LIMIT window and
     * the setting limit caps what remains —
@@ -2082,6 +2131,7 @@ object ChSql {
     * rows  = min(settingLimit, queryLimit - settingOffset). Composes the
     * two windows into one LIMIT/OFFSET on the statement itself. */
   private[graft] def applySettingsLimitOffset(sql: String): String = {
+    if (internalStatement.value) return sql
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
       .getOrElse(return sql)
     def cf(k: String): Long =
@@ -2102,16 +2152,25 @@ object ChSql {
       else if (x.matches("[\\d\\s*+/-]+")) scala.util.Try {
         val toks = x.replaceAll("\\s+", "")
           .split("(?<=[-+*/])|(?=[-+*/])").toSeq
-        var acc = toks.head.toLong; var i = 1
-        while (i + 1 <= toks.length - 1) {
-          val op = toks(i); val v = toks(i + 1).toLong
-          acc = op match {
-            case "+" => acc + v; case "-" => acc - v
-            case "*" => acc * v; case "/" => acc / v
+        // * and / bind tighter than + and - (the reference parses full
+        // operator precedence: `LIMIT 1+2*3` is 7, not 9 — advice r12)
+        def pass(ts: Seq[String], ops: Set[String]): Seq[String] = {
+          val out = scala.collection.mutable.Buffer(ts.head)
+          var i = 1
+          while (i + 1 < ts.length) {
+            val op = ts(i); val v = ts(i + 1)
+            if (ops(op)) {
+              val a = out.last.toLong; val b = v.toLong
+              out(out.length - 1) = (op match {
+                case "*" => a * b; case "/" => a / b
+                case "+" => a + b; case "-" => a - b
+              }).toString
+            } else { out += op; out += v }
+            i += 2
           }
-          i += 2
+          out.toSeq
         }
-        acc
+        pass(pass(toks, Set("*", "/")), Set("+", "-")).head.toLong
       }.toOption
       else None
     }

@@ -625,6 +625,16 @@ object DdlEmu {
   // surface declared types to the dialect's toTypeName folding
   graft.ChSql.declaredColumnType = (c: String) =>
     chTypes.values.flatMap(_.get(c)).headOption
+  // table-scoped variant: only the tables the caller's plan actually
+  // reads are consulted (empty scope = global, the legacy behavior)
+  graft.ChSql.declaredColumnTypeIn = (c: String, tables: Set[String]) => {
+    val maps =
+      if (tables.isEmpty) chTypes.values
+      else chTypes.collect {
+        case (t, m) if tables.contains(t.toLowerCase) => m
+      }
+    maps.flatMap(_.get(c)).headOption
+  }
   // cheap gate for the Bool display rewrite — Bool inside ANY wrapper
   // (Nullable, LowCardinality, Array, Tuple) counts (advice r10)
   graft.ChSql.anyDeclaredBool = () => chTypes.values.exists(_.values
@@ -790,8 +800,17 @@ object DdlEmu {
     true
   }
 
-  /** Returns true when `stmt` was a DDL/INSERT statement handled here. */
-  def handle(spark: SparkSession, sfDir: String, stmt0: String): Boolean = {
+  /** Returns true when `stmt` was a DDL/INSERT statement handled here.
+    * The whole handler runs as an engine-internal statement: helper
+    * SELECTs it builds (INSERT default padding, MV refresh, CREATE AS
+    * SELECT staging) must not receive the session limit/offset window —
+    * that setting caps only rows returned to the client (advice r12). */
+  def handle(spark: SparkSession, sfDir: String, stmt0: String): Boolean =
+    graft.ChSql.internalStatement.withValue(true)(
+      handleImpl(spark, sfDir, stmt0))
+
+  private def handleImpl(spark: SparkSession, sfDir: String,
+      stmt0: String): Boolean = {
     // CREATE DATABASE registers the qualifier BEFORE folding so its own
     // tables fold; every other statement folds known `db.tbl` names
     val stmt = stmt0 match {

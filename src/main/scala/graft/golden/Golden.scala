@@ -528,6 +528,7 @@ object Golden {
             else parts
           }
         var schema: org.apache.spark.sql.types.StructType = null
+        var bodyDf: org.apache.spark.sql.DataFrame = null
         var totalsRows: Option[Seq[Row]] = None
         val jsonDoc = Set("json", "jsoncompact", "jsonstrings",
           "jsoncompactstrings", "xml")(fmt.toLowerCase)
@@ -555,13 +556,21 @@ object Golden {
           val df = if (outerJoin) graft.ChSql.fillJoinDefaults(df0,
             DdlEmu.isDeclaredNullable) else df0
           schema = df.schema
+          bodyDf = df
           tot.foreach(t => totalsRows = Some(t.collect().toSeq))
-          val rowsAll = df.collect().toSeq
           val rows = preLimit match {
             case Some((_, n)) =>
-              preLimitCount = Some(rowsAll.length.toLong)
-              rowsAll.take(n)
-            case None => rowsAll
+              // collect a CAPPED prefix in the single job; only an
+              // overflow (a huge pre-LIMIT source, e.g. the 10M-row
+              // numbers stand-in) pays a second distributed count for
+              // the rows_before_limit counter (advice r11: the
+              // unbounded pre-LIMIT collect OOMs the driver)
+              val cap = math.max(n, 100000)
+              val head = df.limit(cap + 1).collect().toSeq
+              preLimitCount = Some(
+                if (head.length <= cap) head.length.toLong else df.count())
+              head.take(n)
+            case None => df.collect().toSeq
           }
           if (blockSize == Long.MaxValue || rows.isEmpty) Seq(rows)
           else rows.grouped(blockSize.toInt).toSeq
@@ -589,18 +598,33 @@ object Golden {
               // constant-false WHERE folds to an empty LocalRelation
               // and the pipeline never reads; 00006 vs 00017)
               val subLimit =
-                "(?is)\\(\\s*(SELECT[^()]*?\\bLIMIT\\s+\\d+)\\s*\\)".r
-                  .findFirstMatchIn(bare).map(_.group(1))
-              subLimit.flatMap { sub =>
-                val mainDf = scala.util.Try(
-                  graft.ChSql.sqlSplit(spark, bare, sfDir)._1)
-                val provedEmpty = mainDf.toOption.exists { d =>
-                  d.queryExecution.optimizedPlan.collectFirst {
+                "(?is)\\(\\s*(SELECT[^()]*?\\bLIMIT\\s+(\\d+))\\s*\\)".r
+                  .findFirstMatchIn(bare)
+              subLimit.flatMap { sm =>
+                val sub = sm.group(1)
+                // the body execution above already analyzed+ran `bare` —
+                // reuse its optimized plan for the proved-empty check
+                // instead of rebuilding the statement (r11 verdict #4)
+                val provedEmpty = branches.length == 1 && bodyDf != null &&
+                  bodyDf.queryExecution.optimizedPlan.collectFirst {
                     case l: org.apache.spark.sql.catalyst.plans.logical
                         .LocalRelation if l.data.isEmpty => l
                   }.isDefined
-                }
                 if (provedEmpty) Some(0L)
+                // when the outer statement visibly neither filters nor
+                // aggregates the subquery's rows, the body row count IS
+                // the rows the inner limit emitted — zero extra jobs
+                else if (branches.length == 1 &&
+                  bare.matches("(?is)\\s*SELECT\\s+[^()]*\\sFROM\\s*\\(.*\\)\\s*") &&
+                  !bare.matches("(?is).*\\bSELECT\\s+DISTINCT\\b.*") &&
+                  !bare.matches("(?is).*\\)\\s*(WHERE|GROUP|HAVING|LIMIT|" +
+                    "OFFSET|JOIN|ARRAY|,)(\\b|\\s).*"))
+                  Some(blocks.map(_.length.toLong).sum)
+                // otherwise one bounded job remains: Spark 4.1's limit
+                // operators expose no numOutputRows SQLMetric (checked
+                // r12), so the emitted-row count is re-derived by
+                // counting `sub` — itself capped by its own LIMIT, so
+                // the job reads at most LIMIT-many rows from the source
                 else scala.util.Try(
                   graft.ChSql.sqlSplit(spark, sub, sfDir)._1.count())
                   .toOption

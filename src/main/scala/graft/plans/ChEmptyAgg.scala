@@ -24,10 +24,18 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
             "graft.ch.aggregate_functions_null_for_empty", "0").trim
             != "1" =>
       var changed = false
+      // declared-nullability lookups below are scoped to the tables the
+      // plan actually reads — a cross-table column-name collision with
+      // differing declared nullability must not flip the zero-fill
+      // (advice r11; same failure mode ChTypeNameOf guards against)
+      val scope = agg.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          s.identifier.name.toLowerCase
+      }.toSet
       val rewritten = agg.aggregateExpressions.map { ne =>
         ne.transform {
           case ae @ AggregateExpression(f, _, false, None, _)
-              if ae.getTagValue(tag).isEmpty && defaultable(f) =>
+              if ae.getTagValue(tag).isEmpty && defaultable(f, scope) =>
             ae.setTagValue(tag, true)
             changed = true
             Coalesce(Seq(ae, Literal.default(ae.dataType)))
@@ -43,22 +51,32 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
   /** CH-visible non-nullability of an expression: a when(cond, v) mask
     * from -If doesn't make it Nullable, an explicit Nullable(T) cast
     * (KnownNullable) does; CH CAST (cast_keep_nullable=0) strips it. */
-  def chNonNullable(e: Expression): Boolean = e match {
+  def chNonNullable(e: Expression): Boolean = chNonNullable(e, Set.empty)
+
+  /** `scope`: lowercased names of the tables the caller's plan reads —
+    * restricts the declared-type lookup so a column-name collision in an
+    * UNRELATED table can't change the answer. Empty = global lookup. */
+  def chNonNullable(e: Expression, scope: Set[String]): Boolean = e match {
     case CaseWhen(branches, None) =>
-      branches.forall(b => chNonNullable(b._2))
+      branches.forall(b => chNonNullable(b._2, scope))
     case _: KnownNullable => false
     // CAST strips nullability — except of the NULL literal itself
     // (CAST(NULL AS T) stays Nullable(T); coercion wraps bare NULL
     // branch values this way)
     case c: Cast =>
       c.child.dataType != org.apache.spark.sql.types.NullType
-    case t: graft.functions.ChUIntTag => chNonNullable(t.child)
+    case t: graft.functions.ChUIntTag => chNonNullable(t.child, scope)
     // a staged-table column is Spark-nullable by construction (views are
     // built over CAST(NULL…) unions), but its CH nullability is the
     // DECLARED one: sum over a declared non-Nullable column zero-fills
     // even though the Spark attribute reports nullable (00584)
     case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
-      graft.ChSql.declaredColumnType(a.name) match {
+      val declared =
+        graft.ChSql.declaredColumnTypeIn(a.name, scope) match {
+          case None if scope.isEmpty => graft.ChSql.declaredColumnType(a.name)
+          case x => x
+        }
+      declared match {
         case Some(t) => !t.matches("(?is)\\s*(Nullable|LowCardinality\\s*\\(\\s*Nullable)\\b.*")
         case None => !a.nullable
       }
@@ -67,16 +85,16 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
 
   private def defaultable(
       f: org.apache.spark.sql.catalyst.expressions.aggregate
-        .AggregateFunction): Boolean = {
+        .AggregateFunction, scope: Set[String]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     f match {
       // a CH-Nullable input makes sum Nullable too: all-NULL input
       // yields NULL, not 0 (01281_sum_nullable)
-      case s: Sum => chNonNullable(s.child)
-      case Min(c) => chNonNullable(c)
-      case Max(c) => chNonNullable(c)
-      case First(c, _) => chNonNullable(c)
-      case Last(c, _) => chNonNullable(c)
+      case s: Sum => chNonNullable(s.child, scope)
+      case Min(c) => chNonNullable(c, scope)
+      case Max(c) => chNonNullable(c, scope)
+      case First(c, _) => chNonNullable(c, scope)
+      case Last(c, _) => chNonNullable(c, scope)
       case _ => false
     }
   }
