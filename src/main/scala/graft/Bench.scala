@@ -119,7 +119,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val controlTotal = results.map(_._4).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"control":${obj(_._4)},"ratio":${obj(r => if (r._4 > 0) r._2 / r._4 else -1.0)},"control_total":$controlTotal%.3f,"errors":$errObj,"sf":"$sfDir"}""")
+    // ratio_total = engine total / same-host vanilla-Spark control total.
+    // This is the PRIMARY per-round perf gate (BASELINE.md "Bench gate"):
+    // raw seconds drift with host speed (r11: engine and control both
+    // slowed 21-23% together), the interleaved same-JVM ratio does not.
+    val ratioTotal = if (controlTotal > 0) total / controlTotal else -1.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","ratio_total":$ratioTotal%.3f,"queries":${obj(_._2)},"queries_min":${obj(_._3)},"control":${obj(_._4)},"ratio":${obj(r => if (r._4 > 0) r._2 / r._4 else -1.0)},"control_total":$controlTotal%.3f,"errors":$errObj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,12 +138,50 @@ object PipelineQueries {
     },
 
     // int8 scalar-quantized ANN (FAISS-SQ8 layout): quarter the
-    // scan/shuffle bytes; recall vs float brute force in Int8AnnSpec
-    Q.dfOnly("q_ann_int8") { (s, dir) =>
+    // scan/shuffle bytes; recall vs float brute force in Int8AnnSpec.
+    // Deterministic end-to-end (per-vector maxabs scale → round-half-away
+    // int8 codes → exact integer dot products → 6-dp rounded cosine), so
+    // the oracle recomputes the SAME quantization in DuckDB — a real
+    // hash-compared oracle, not rows-only (r11 verdict #6).
+    Q.df("q_ann_int8",
+      """WITH z AS (
+        |  SELECT vec_id,
+        |         greatest(CAST(list_max(list_transform(embedding,
+        |                    x -> abs(x))) AS FLOAT),
+        |                  CAST(1e-30 AS FLOAT)) AS s,
+        |         embedding
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) / CAST(s AS DOUBLE)
+        |                  * 127.0) AS BIGINT)) AS code
+        |  FROM z),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(
+        |           CAST(list_sum(list_transform(range(1, 65),
+        |                  i -> q.code[i] * c.code[i])) AS DOUBLE) /
+        |           (sqrt(CAST(list_sum(list_transform(q.code,
+        |                   x -> x * x)) AS DOUBLE)) *
+        |            sqrt(CAST(list_sum(list_transform(c.code,
+        |                   x -> x * x)) AS DOUBLE))), 6) AS cos_sim
+        |  FROM codes q, codes c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.bruteForceTopKInt8(
-        emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "vec_id", "embedding", k = 3)
+          emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 3)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
     },
 
     // IVF ANN (k-means coarse quantizer + nprobe cell search) — the
