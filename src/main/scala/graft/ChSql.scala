@@ -514,6 +514,27 @@ object ChSql {
                       s"CAST(($expr) AS DECIMAL(${math.min(p, 38)}, $sc))"
                     case _ => s"$target(($expr) AS $tpe)"
                   }
+                } else if (nm == "accurateCastOrNull") {
+                  // same range checks, NULL instead of an error (ref
+                  // FunctionsConversion.h accurateCastOrNull; 01556):
+                  // Spark's unsigned stand-ins are wider signed types, so
+                  // TRY_CAST alone would accept -1 or 65536 into UInt16
+                  val decRe = "Decimal(32|64|128)\\((\\d+)\\)".r
+                  if (intBounds.contains(tpe)) {
+                    val (lo, hi) = intBounds(tpe)
+                    s"(CASE WHEN TRY_CAST(($expr) AS DECIMAL(38,0)) " +
+                      s"BETWEEN $lo AND $hi THEN " +
+                      s"TRY_CAST(($expr) AS $tpe) ELSE NULL END)"
+                  } else tpe match {
+                    case fixedRe(n) =>
+                      s"(CASE WHEN length($expr) <= $n THEN " +
+                        s"TRY_CAST(($expr) AS $tpe) ELSE NULL END)"
+                    case decRe(w, sc) =>
+                      val p = (if (w == "32") 10 else if (w == "64") 19
+                        else 38)
+                      s"TRY_CAST(($expr) AS DECIMAL(${math.min(p, 38)}, $sc))"
+                    case _ => s"$target(($expr) AS $tpe)"
+                  }
                 } else s"$target(($expr) AS $tpe)"
               s = s.substring(0, m.start) + rewritten + s.substring(end + 1)
               changed = true
@@ -2224,6 +2245,536 @@ object ChSql {
     }
   }
 
+  /** Column matchers + transformers (ref
+    * src/Parsers/ASTColumnsTransformers.cpp, ASTColumnsMatcher.cpp;
+    * tests 01470_columns_transformers*, 02343_analyzer_column_
+    * transformers_strict): select items of the form
+    * `[qual.]* | COLUMNS('re') | COLUMNS(a, b)` followed by a chain of
+    * `APPLY(fn) | APPLY fn | APPLY x->expr`,
+    * `EXCEPT [STRICT] (a, b) | EXCEPT [STRICT] a | EXCEPT 're'`,
+    * `REPLACE [STRICT] (expr AS col, …) | REPLACE [STRICT] expr AS col`
+    * expand against the star-visible declared columns of the single FROM
+    * table of the top-level select. Items that cannot be resolved (no
+    * FROM table, joins, subquery sources) are left unchanged for Spark
+    * analysis to accept or reject. STRICT forms throw when a named
+    * column matches nothing (ref NO_SUCH_COLUMN_IN_TABLE/BAD_ARGUMENTS),
+    * and a REPLACE naming the same column twice throws (01470's
+    * serverError 43 case). After an APPLY the items carry no column
+    * names, so a later EXCEPT/REPLACE matches nothing — reference
+    * behavior ("EXCEPT after APPLY will not match anything"). */
+  private[graft] def rewriteColumnTransformers(sql0: String): String = {
+    val low = sql0.toLowerCase
+    val hasTf = low.contains("apply") || low.contains("columns(") ||
+      low.contains("columns (") ||
+      "(?is)\\*\\s+(except|replace)\\b".r.findFirstIn(sql0).isDefined
+    if (!hasTf) return sql0
+    val qt = sql0.trim.stripSuffix(";")
+    if (!qt.matches("(?is)^\\s*SELECT\\b.*")) return sql0
+    val (st, en, items) = topSelectItemSpans(qt).getOrElse(return sql0)
+    // single plain FROM table (optionally aliased); table functions:
+    // numbers(N) exposes `number`
+    val tail = qt.substring(en)
+    val FromRe = ("(?is)^\\s*FROM\\s+(?:`([^`]+)`|([A-Za-z_]\\w*))" +
+      "(\\s*\\(\\s*[\\d\\s,]*\\))?(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?").r
+    val stopWords = Set("where", "group", "order", "limit", "having",
+      "settings", "union", "format", "inner", "left", "right", "full",
+      "cross", "join", "asof", "any", "global", "all", "semi", "anti",
+      "prewhere", "final", "sample", "on", "using", "array", "except",
+      "intersect", "window")
+    // FROM (SELECT …) subquery: the matcher expands to the subquery's
+    // OUTPUT names (each item's alias, or the bare identifier itself)
+    val SubqFromRe = "(?is)^\\s*FROM\\s*\\(\\s*SELECT\\b".r
+    val subqCols: Option[Seq[String]] =
+      SubqFromRe.findFirstMatchIn(tail).flatMap { sm =>
+        val open = tail.indexOf('(', sm.start)
+        val close = {
+          var depth = 0; var i = open; var end = -1; var inStr = false
+          while (end < 0 && i < tail.length) {
+            val c = tail.charAt(i)
+            if (inStr) { if (c == '\\') i += 1
+              else if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          end
+        }
+        if (close < 0) None
+        // a second relation after the subquery (join/comma) → ambiguous
+        else if (tail.substring(close + 1).matches(
+          "(?is)^\\s*(AS\\s+)?(`?[A-Za-z_]\\w*`?)?\\s*(,|(INNER|LEFT|" +
+            "RIGHT|FULL|CROSS|JOIN|ASOF|GLOBAL|ANY|ALL|SEMI|ANTI)\\b).*"))
+          None
+        else topSelectItemSpans(tail.substring(open + 1, close).trim)
+          .flatMap { case (_, _, innerItems) =>
+            val names = innerItems.map { it0 =>
+              val it = it0.trim
+              val asm = "(?is)^.*\\bAS\\s+(`([^`]+)`|[A-Za-z_]\\w*)\\s*$".r
+              it match {
+                case asm(g, bq) =>
+                  Option(bq).getOrElse(g)
+                case _ if it.matches("`[^`]+`") =>
+                  it.stripPrefix("`").stripSuffix("`")
+                case _ if it.matches("[A-Za-z_]\\w*") => it
+                case _ if it.matches("-?[\\d.]+") => it
+                case _ => ""
+              }
+            }
+            if (names.exists(_.isEmpty)) None else Some(names)
+          }
+      }
+    val fm = FromRe.findFirstMatchIn(tail)
+    val tbl = fm.map(m => Option(m.group(1)).getOrElse(m.group(2)))
+    val isTvf = fm.exists(_.group(3) != null)
+    val alias = fm.flatMap(m => Option(m.group(4)))
+      .filterNot(a => stopWords(a.toLowerCase))
+    // another relation after the first (join/comma) → ambiguous, bail
+    val afterFrom = fm.map(m => tail.substring(
+      m.end - alias.map(_ => 0).getOrElse(
+        Option(fm.get.group(4)).map(_.length + 1).getOrElse(0)))).getOrElse("")
+    if (afterFrom.matches("(?is)^\\s*(,|(INNER|LEFT|RIGHT|FULL|CROSS|" +
+        "ASOF|GLOBAL|ANY|ALL|SEMI|ANTI|JOIN)\\b).*")) return sql0
+    lazy val colsOpt: Option[Seq[String]] = subqCols.orElse(tbl.flatMap {
+      t =>
+        if (isTvf)
+          (if (t.equalsIgnoreCase("numbers")) Some(Seq("number")) else None)
+        else starVisibleColumns(t).orElse(knownTableColumns(t))
+    })
+    final case class It(expr: String, name: Option[String])
+    // chain tokenizer helpers over one item's text
+    def depth0KwIdx(s: String, from: Int): Int = {
+      var depth = 0; var inStr = false; var i = from
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && c.isLetter &&
+            (i == 0 || !(s.charAt(i - 1).isLetterOrDigit ||
+              s.charAt(i - 1) == '_'))) {
+          var we = i
+          while (we < s.length && (s.charAt(we).isLetterOrDigit ||
+            s.charAt(we) == '_')) we += 1
+          val w = s.substring(i, we).toLowerCase
+          if (w == "apply" || w == "except" || w == "replace") return i
+          i = we - 1
+        }
+        i += 1
+      }
+      -1
+    }
+    def balancedParen(s: String, open: Int): Int = {
+      var depth = 0; var inStr = false; var i = open
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    def unq(s: String): String =
+      s.trim.stripPrefix("`").stripSuffix("`")
+    def quoteId(n: String): String = s"`$n`"
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"BAD_ARGUMENTS: $msg")
+    // split a REPLACE piece `expr AS name` at its LAST depth-0 AS
+    def splitAs(piece: String): (String, String) = {
+      var depth = 0; var inStr = false; var i = 0; var last = -1
+      while (i < piece.length) {
+        val c = piece.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && (c == 'a' || c == 'A') &&
+          i + 1 < piece.length &&
+          (piece.charAt(i + 1) == 's' || piece.charAt(i + 1) == 'S') &&
+          (i == 0 || !(piece.charAt(i - 1).isLetterOrDigit ||
+            piece.charAt(i - 1) == '_' || piece.charAt(i - 1) == '`')) &&
+          (i + 2 >= piece.length || !(piece.charAt(i + 2).isLetterOrDigit ||
+            piece.charAt(i + 2) == '_'))) last = i
+        i += 1
+      }
+      if (last < 0) fail(s"REPLACE needs `expr AS column`: $piece")
+      (piece.substring(0, last).trim, unq(piece.substring(last + 2)))
+    }
+    def applyFn(fnText0: String, expr: String): String = {
+      val fnText = fnText0.trim
+      val lam = "(?s)^(\\w+)\\s*->\\s*(.+)$".r
+      fnText match {
+        case lam(p, body) =>
+          body.replaceAll("(?<![\\w.`])" +
+            java.util.regex.Pattern.quote(p) + "(?![\\w`])",
+            java.util.regex.Matcher.quoteReplacement(expr))
+        case f => s"$f($expr)"
+      }
+    }
+    // a REPLACE expr's reference to the replaced column means the item's
+    // CURRENT expression (chained `REPLACE(i+1 AS i) REPLACE(i+1 AS i)`
+    // composes to (i+1)+1 — 01470's multiple-REPLACE case)
+    def substName(pairExpr: String, n: String, cur: String): String = {
+      val qn = java.util.regex.Pattern.quote(n)
+      val repl = java.util.regex.Matcher.quoteReplacement(cur)
+      pairExpr
+        .replaceAll("`" + qn + "`", repl)
+        .replaceAll("(?<![\\w.`])" + qn + "(?![\\w`])", repl)
+    }
+    var anyChanged = false
+    val outItems = items.map { item0 =>
+      val item = item0.trim
+      // ---- matcher ----
+      val StarRe = "(?s)^\\*(?![\\w.])(.*)$".r
+      val QualStarRe = "(?s)^(?:`([^`]+)`|([A-Za-z_]\\w*))\\.\\*(.*)$".r
+      val ColsRe = "(?is)^COLUMNS\\s*\\((.*)$".r
+      val matched: Option[(Seq[It], String)] = item match {
+        case StarRe(rest) =>
+          colsOpt.map(cs => (cs.map(c => It(quoteId(c), Some(c))), rest))
+        case QualStarRe(q1, q2, rest) =>
+          val qn = Option(q1).getOrElse(q2)
+          if (tbl.contains(qn) || alias.contains(qn))
+            colsOpt.map(cs => (cs.map(c => It(quoteId(c), Some(c))), rest))
+          else None
+        case ColsRe(restAll) =>
+          val full = item
+          val open = full.toLowerCase.indexOf('(')
+          val close = balancedParen(full, open)
+          if (close < 0) None
+          else {
+            val inner = full.substring(open + 1, close).trim
+            val rest = full.substring(close + 1)
+            colsOpt.flatMap { cs =>
+              if (inner.startsWith("'") && inner.endsWith("'")) {
+                val re = inner.stripPrefix("'").stripSuffix("'").r
+                Some((cs.filter(c => re.findFirstIn(c).isDefined)
+                  .map(c => It(quoteId(c), Some(c))), rest))
+              } else if (inner.matches("(?s)[\\w`\\s,.]+")) {
+                val names = splitTopLevelCommas(inner).map(unq)
+                Some((names.map(c => It(quoteId(c), Some(c))), rest))
+              } else None
+            }
+          }
+        case _ => None
+      }
+      matched match {
+        case None => item0
+        case Some((_, rest0)) if rest0.trim.isEmpty &&
+            !item.toLowerCase.startsWith("columns") =>
+          item0 // bare `*` / `t.*`: existing star machinery handles it
+        case Some((init, rest0)) =>
+          var its = init
+          var rest = rest0.trim
+          var bad = false
+          while (rest.nonEmpty && !bad) {
+            val KwRe = "(?is)^(APPLY|EXCEPT|REPLACE)\\b(\\s+STRICT\\b)?(.*)$".r
+            rest match {
+              case KwRe(kw0, strict0, after0) =>
+                val kw = kw0.toUpperCase
+                val strict = strict0 != null
+                var after = after0.trim
+                // parenthesized argument?
+                val parenArg: Option[String] =
+                  if (after.startsWith("(")) {
+                    val close = balancedParen(after, 0)
+                    if (close < 0) { bad = true; None }
+                    else {
+                      val a = after.substring(1, close)
+                      rest = after.substring(close + 1).trim
+                      Some(a)
+                    }
+                  } else {
+                    val nxt = depth0KwIdx(after, 0)
+                    val a = if (nxt < 0) after else after.substring(0, nxt)
+                    rest = if (nxt < 0) "" else after.substring(nxt).trim
+                    Some(a.trim)
+                  }
+                parenArg.foreach { arg =>
+                  kw match {
+                    case "APPLY" =>
+                      if (arg.isEmpty) bad = true
+                      else its = its.map(it =>
+                        It(applyFn(arg, it.expr), None))
+                    case "EXCEPT" =>
+                      if (arg.startsWith("'") && arg.endsWith("'")) {
+                        val re = arg.stripPrefix("'").stripSuffix("'").r
+                        its = its.filterNot(it => it.name.exists(n =>
+                          re.findFirstIn(n).isDefined))
+                      } else {
+                        val names = splitTopLevelCommas(arg).map(unq)
+                          .filter(_.nonEmpty)
+                        if (names.isEmpty) bad = true
+                        else {
+                          if (strict) names.foreach { n =>
+                            if (!its.exists(_.name.contains(n)))
+                              fail(s"NO_SUCH_COLUMN_IN_TABLE: EXCEPT " +
+                                s"STRICT column $n matches nothing")
+                          }
+                          its = its.filterNot(it =>
+                            it.name.exists(names.contains))
+                        }
+                      }
+                    case "REPLACE" =>
+                      val pairs = splitTopLevelCommas(arg)
+                        .filter(_.trim.nonEmpty).map(splitAs)
+                      val tgt = pairs.map(_._2)
+                      if (tgt.distinct.length != tgt.length)
+                        fail("REPLACE names the same column twice: " +
+                          tgt.mkString(", "))
+                      if (strict) tgt.foreach { n =>
+                        if (!its.exists(_.name.contains(n)))
+                          fail(s"NO_SUCH_COLUMN_IN_TABLE: REPLACE " +
+                            s"STRICT column $n matches nothing")
+                      }
+                      val byName = pairs.map(p => p._2 -> p._1).toMap
+                      its = its.map { it =>
+                        it.name.flatMap(byName.get) match {
+                          case Some(e) =>
+                            It(s"(${substName(e, it.name.get, it.expr)})",
+                              it.name)
+                          case None => it
+                        }
+                      }
+                  }
+                }
+              case _ => bad = true
+            }
+          }
+          if (bad) item0
+          else {
+            anyChanged = true
+            its.map {
+              case It(e, Some(n)) if e != quoteId(n) => s"$e AS ${quoteId(n)}"
+              case It(e, _) => e
+            }.mkString(", ")
+          }
+      }
+    }
+    if (!anyChanged) sql0
+    else qt.substring(0, st) + outItems.mkString(", ") + " " +
+      qt.substring(en)
+  }
+
+  /** CH map literal `{k1: v1, k2: v2}` → `map(k1, v1, k2, v2)` (ref
+    * src/Parsers/ExpressionElementParsers.cpp ParserMapOfLiterals;
+    * tests 01550_create_map_type, 01651_map_functions). Recursive for
+    * nested maps; a brace pair whose content does not split into
+    * `key: value` items (e.g. a parameter placeholder) stays untouched. */
+  private[graft] def rewriteMapLiterals(sql: String): String = {
+    if (!sql.contains("{")) return sql
+    def splitColon(p: String): (String, String) = {
+      var depth = 0; var j = 0; var inS = false; var cut = -1
+      while (j < p.length && cut < 0) {
+        val c = p.charAt(j)
+        if (inS) { if (c == '\\') j += 1 else if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ':' && depth == 0 &&
+          (j + 1 >= p.length || p.charAt(j + 1) != ':') &&
+          (j == 0 || p.charAt(j - 1) != ':')) cut = j
+        j += 1
+      }
+      if (cut < 0) null
+      else (p.substring(0, cut).trim, p.substring(cut + 1).trim)
+    }
+    def parseBrace(start: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var j = start + 1; var inS = false; var closed = false
+      while (j < sql.length && !closed) {
+        val c = sql.charAt(j)
+        if (inS) {
+          sb.append(c)
+          if (c == '\\' && j + 1 < sql.length) {
+            sb.append(sql.charAt(j + 1)); j += 1
+          } else if (c == '\'') inS = false
+          j += 1
+        } else c match {
+          case '\'' => inS = true; sb.append(c); j += 1
+          case '{' => val (txt, nj) = parseBrace(j); sb.append(txt); j = nj
+          case '}' => closed = true; j += 1
+          case _ => sb.append(c); j += 1
+        }
+      }
+      val inner = sb.toString
+      if (!closed) ("{" + inner, j)
+      else if (inner.trim.isEmpty) ("map()", j)
+      else {
+        val parts = splitTopLevelCommas(inner).map(_.trim).filter(_.nonEmpty)
+        val kvs = parts.map(splitColon)
+        if (kvs.nonEmpty && kvs.forall(_ != null))
+          ("map(" + kvs.flatMap(kv => Seq(kv._1, kv._2))
+            .mkString(", ") + ")", j)
+        else ("{" + inner + "}", j)
+      }
+    }
+    val out = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\\' && i + 1 < sql.length) {
+          out.append(sql.charAt(i + 1)); i += 1
+        } else if (c == '\'') inStr = false
+        i += 1
+      } else if (c == '\'') { inStr = true; out.append(c); i += 1 }
+      else if (c == '{') { val (txt, ni) = parseBrace(i); out.append(txt); i = ni }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** GROUP BY ALL (ref src/Interpreters/TreeRewriter.cpp
+    * expandGroupByAll / recursivelyCollectMaxOrdinaryExpressions; test
+    * 02459_group_by_all): the grouping keys are the MAXIMAL non-aggregate
+    * subexpressions of the select items — a bare identifier is a key, a
+    * literal is not, a non-aggregate call whose arguments contain no
+    * aggregate replaces its argument keys with itself, an aggregate call
+    * contributes nothing. Select-list aliases of aggregate-containing
+    * expressions count as aggregates (the reference normalizes aliases
+    * before expanding). Spark's native GROUP BY ALL only infers from
+    * aggregate-free items, so the CH form expands here. Top-level select
+    * scope only; nested occurrences fall through to Spark's native form. */
+  private[graft] def rewriteGroupByAll(sql0: String): String = {
+    val GbaRe = "(?i)\\bGROUP\\s+BY\\s+ALL(?![\\w`])".r
+    val m0 = GbaRe.findAllMatchIn(sql0).find { m =>
+      val before = sql0.substring(0, m.start)
+      before.count(_ == '(') == before.count(_ == ')')
+    }.getOrElse(return sql0)
+    val qt = sql0
+    val (_, _, items) = topSelectItemSpans(qt.trim.stripSuffix(";"))
+      .getOrElse(return sql0)
+    val aggRe = ("(?i)\\b(count|sum|avg|min|max|any|anyLast|anyHeavy|" +
+      "argMin|argMax|uniq\\w*|quantile\\w*|median\\w*|groupArray\\w*|" +
+      "groupUniqArray|groupBitmap\\w*|corr|covarPop|covarSamp|" +
+      "stddevPop|stddevSamp|varPop|varSamp|skewPop|skewSamp|kurtPop|" +
+      "kurtSamp|topK|topKWeighted|entropy|histogram|deltaSum\\w*|" +
+      "first|last|first_value|last_value|count_distinct|countDistinct|" +
+      "collect_list|collect_set|bool_and|bool_or|sumMap|minMap|maxMap|" +
+      "avgWeighted|sumCount|sumKahan|boundingRatio|sequenceMatch|" +
+      "sequenceCount|windowFunnel|retention|maxIntersections\\w*)" +
+      "(If|Array|Map|State|Merge|Distinct|OrNull|OrDefault|Resample|" +
+      "ForEach|SimpleState)*\\s*\\(").r
+    def stripAlias(it: String): (String, Option[String]) = {
+      var depth = 0; var inStr = false; var i = 0; var last = -1
+      while (i < it.length) {
+        val c = it.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && (c == 'a' || c == 'A') &&
+          i + 1 < it.length &&
+          (it.charAt(i + 1) == 's' || it.charAt(i + 1) == 'S') &&
+          (i == 0 || !(it.charAt(i - 1).isLetterOrDigit ||
+            it.charAt(i - 1) == '_' || it.charAt(i - 1) == '`')) &&
+          (i + 2 >= it.length || !(it.charAt(i + 2).isLetterOrDigit ||
+            it.charAt(i + 2) == '_'))) last = i
+        i += 1
+      }
+      if (last < 0) (it.trim, None)
+      else {
+        val n = it.substring(last + 2).trim
+        if (n.matches("`[^`]+`|[A-Za-z_]\\w*"))
+          (it.substring(0, last).trim,
+            Some(n.stripPrefix("`").stripSuffix("`")))
+        else (it.trim, None)
+      }
+    }
+    val stripped = items.map(stripAlias)
+    // aliases whose expression carries an aggregate: references to them
+    // behave as the aggregate itself (post-normalization semantics)
+    val aggAliases = stripped.collect {
+      case (e, Some(n)) if aggRe.findFirstIn(e).isDefined => n
+    }.toSet
+    def splitArgs(inner: String): Seq[String] = splitTopLevelCommas(inner)
+    def isIdent(e: String) = e.matches("`[^`]+`|[A-Za-z_]\\w*")
+    def isLiteral(e: String) =
+      e.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") ||
+        e.matches("(?s)'([^'\\\\]|\\\\.)*'") ||
+        e.equalsIgnoreCase("null") || e.equalsIgnoreCase("true") ||
+        e.equalsIgnoreCase("false")
+    val FnCallRe = "(?s)^([A-Za-z_]\\w*)\\s*\\((.*)\\)$".r
+    def wholeCall(e: String): Option[(String, String)] = e match {
+      case FnCallRe(n, inner) =>
+        // the closing paren must be the partner of the opening one
+        var depth = 0; var inStr = false; var i = e.indexOf('(')
+        val open = i
+        var end = -1
+        while (end < 0 && i < e.length) {
+          val c = e.charAt(i)
+          if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end == e.length - 1) Some((n, inner)) else None
+      case _ => None
+    }
+    def splitDepth0Ops(e: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var inStr = false; var i = 0; var st = 0
+      while (i < e.length) {
+        val c = e.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && "+-*/%<>=!|&".indexOf(c) >= 0) {
+          if (i > st) parts += e.substring(st, i)
+          st = i + 1
+        }
+        i += 1
+      }
+      if (st < e.length) parts += e.substring(st)
+      parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    def collect(e0: String): (Boolean, Seq[String]) = {
+      val e = {
+        var x = e0.trim
+        while (x.startsWith("(") && wholeCall("p" + x).isDefined)
+          x = x.substring(1, x.length - 1).trim
+        x
+      }
+      if (isLiteral(e)) (false, Nil)
+      else if (isIdent(e)) {
+        val bare = e.stripPrefix("`").stripSuffix("`")
+        if (aggAliases(bare)) (true, Nil) else (false, Seq(e))
+      } else wholeCall(e) match {
+        case Some((n, inner)) =>
+          if (aggRe.findFirstIn(n + "(").isDefined) (true, Nil)
+          else {
+            val results = splitArgs(inner).map(collect)
+            val hasAgg = results.exists(_._1)
+            if (!hasAgg) (false, Seq(e)) else (true, results.flatMap(_._2))
+          }
+        case None =>
+          val parts = splitDepth0Ops(e)
+          if (parts.length <= 1) {
+            if (aggRe.findFirstIn(e).isDefined ||
+              aggAliases.exists(a => e.matches(
+                "(?s).*(?<![\\w.`])" + java.util.regex.Pattern.quote(a) +
+                  "(?![\\w`]).*")))
+              (true, Nil) // unparseable with an aggregate inside: no keys
+            else (false, Seq(e))
+          } else {
+            val results = parts.map(collect)
+            val hasAgg = results.exists(_._1)
+            if (!hasAgg) (false, Seq(e)) else (true, results.flatMap(_._2))
+          }
+      }
+    }
+    val keys = stripped.flatMap(s => collect(s._1)._2).distinct
+    val repl =
+      if (keys.isEmpty) "" else "GROUP BY " + keys.mkString(", ")
+    sql0.substring(0, m0.start) + repl + sql0.substring(m0.end)
+  }
+
   /** merge([db,] 'tableNameRegex') table function (ref
     * src/TableFunctions/TableFunctionMerge.cpp / StorageMerge): reads
     * the union of every table whose name matches, alphabetically; the
@@ -2822,8 +3373,8 @@ object ChSql {
     val preItems = topSelectItemSpans(chSql1.trim.stripSuffix(";"))
       .map(_._3)
     var s0 = rewriteTypeIntrospection(rewriteCastCall(
-      rewriteColonCast(rewriteScalarWithDeep(rewriteUntuple(
-        rewriteStringEscapes(chSql1))))))
+      rewriteColonCast(rewriteScalarWithDeep(rewriteGroupByAll(rewriteColumnTransformers(rewriteMapLiterals(rewriteUntuple(
+        rewriteStringEscapes(chSql1)))))))))
     s0 = rewriteBoolDisplay(s0, preItems)
     var s = rewriteSortHof(rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(rewriteChTypes(s0)))))))
@@ -3010,6 +3561,48 @@ object ChSql {
     }
     // zero-arg count() is valid CH (count(*) in ANSI)
     s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // CH any(x) = first non-null encountered (ref
+    // AggregateFunctionAny.cpp); Spark's builtin `any` is bool_or, so
+    // the call form maps to first(x, true). `anyIf`/`anyLast`/`ANY
+    // JOIN` are distinct tokens and unaffected.
+    s = {
+      var t = s
+      var scanning = true
+      while (scanning) {
+        scanning = false
+        def inString(pos: Int): Boolean = {
+          var q = false; var i = 0
+          while (i < pos) {
+            val c = t.charAt(i)
+            if (q && c == '\\') i += 1
+            else if (c == '\'') q = !q
+            i += 1
+          }
+          q
+        }
+        "(?i)(?<![\\w.`])any\\s*\\(".r.findAllMatchIn(t)
+          .find(m => !inString(m.start)).foreach { m =>
+          val open = m.end - 1
+          var depth = 0; var i = open; var end = -1; var inStr = false
+          while (end < 0 && i < t.length) {
+            val c = t.charAt(i)
+            if (inStr) { if (c == '\\') i += 1
+              else if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          if (end > 0) {
+            val args = t.substring(open + 1, end)
+            t = t.substring(0, m.start) + s"first($args, true)" +
+              t.substring(end + 1)
+            scanning = true
+          }
+        }
+      }
+      t
+    }
     // remote()/remoteSecure() table function (ref
     // src/TableFunctions/TableFunctionRemote.cpp): each shard in the
     // address pattern runs the same local subquery here, so the result
@@ -3050,24 +3643,32 @@ object ChSql {
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`
-    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\((\\d+)\\s*,\\s*(\\d+)\\)",
+    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)",
       "(SELECT id AS number FROM range($1, $1 + $2))")
-    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\((\\d+)\\)",
+    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+)\\)",
       "(SELECT id AS number FROM range($1))")
     // constant-EXPRESSION args (numbers(256-4, 4), numbers(pow(2,32)-64,
     // 64)): CH folds them in the parser; fold here so range() sees
     // literal bounds (Spark's TVF requires foldable ints)
     s = replaceFnOutsideStrings(s,
-      "(?i)\\bnumbers(?:_mt)?\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)") { mm =>
+      "(?i)\\bnumbers(?:_mt)?\\s*\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)") { mm =>
       val inner = mm.group(1)
       def foldArg(t: String): Option[Long] = {
+        // fold constant int-producing calls first (numbers(intExp2(8)),
+        // numbers(pow(2, 32) - 64) — CH folds them in the parser)
         val e = t.trim
-        if (e.matches("\\d+")) Some(e.toLong)
-        else if (e.matches("[\\d\\s+*/%-]+") &&
-          e.matches(".*\\d.*")) scala.util.Try {
+          .replaceAll("(?i)\\bintExp2\\s*\\(\\s*(\\d+)\\s*\\)", "POW2:$1")
+          .replaceAll("(?i)\\bpow(?:er)?\\s*\\(\\s*2\\s*,\\s*(\\d+)\\s*\\)",
+            "POW2:$1")
+        val e2 = "POW2:(\\d+)".r.replaceAllIn(e,
+          m => (1L << m.group(1).toInt).toString)
+        val e3 = e2
+        if (e3.matches("\\d+")) Some(e3.toLong)
+        else if (e3.matches("[\\d\\s+*/%-]+") &&
+          e3.matches(".*\\d.*")) scala.util.Try {
           // left-to-right int arithmetic on +-*/ (CH parser precedence
           // not needed for the patterns the tests use: a-b, a*b)
-          val toks = e.replaceAll("\\s+", "")
+          val toks = e3.replaceAll("\\s+", "")
             .split("(?<=[-+*/%])|(?=[-+*/%])").toSeq
           var acc = toks.head.toLong
           var i = 1
@@ -3117,7 +3718,7 @@ object ChSql {
     // scientific-notation count (numbers(1e6)) — CH accepts a Float64
     // literal and truncates it
     s = replaceFnOutsideStrings(s,
-      "(?i)\\bnumbers(?:_mt)?\\((\\d+(?:\\.\\d+)?[eE]\\d+)\\)") { mm =>
+      "(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+(?:\\.\\d+)?[eE]\\d+)\\)") { mm =>
       val n = mm.group(1).toDouble.toLong
       s"(SELECT id AS number FROM range($n))"
     }
@@ -3810,7 +4411,31 @@ object ChSql {
       p.treeString.linesIterator.filter(_.nonEmpty).toSeq
     kind match {
       case "SYNTAX" =>
-        linesDf(translate(rest).trim.linesIterator.toSeq)
+        // statements with column matchers/transformers render CH-style
+        // (the reference prints its REWRITTEN query: matcher expanded,
+        // multi-item select lists one per 4-space-indented line —
+        // 01470_columns_transformers2); everything else keeps the
+        // dialect-translated text, the documented Spark analogue
+        val tfGate = "(?is).*(\\bAPPLY\\b|\\bCOLUMNS\\s*\\(|" +
+          "\\*\\s+(EXCEPT|REPLACE)\\b).*"
+        if (rest.matches(tfGate)) {
+          val expanded = rewriteColumnTransformers(rest)
+            .trim.stripSuffix(";")
+          def strip(s: String): String =
+            s.replaceAll("`([A-Za-z_]\\w*)`", "$1").trim
+          topSelectItemSpans(expanded) match {
+            case Some((_, en, its)) =>
+              val tail = expanded.substring(en).trim
+                .replaceFirst("(?i)^from\\b", "FROM")
+              val head =
+                if (its.length == 1) Seq("SELECT " + strip(its.head))
+                else "SELECT" +: its.zipWithIndex.map { case (it, i) =>
+                  "    " + strip(it) + (if (i < its.length - 1) "," else "")
+                }
+              linesDf(head ++ (if (tail.isEmpty) Nil else Seq(tail)))
+            case None => linesDf(translate(rest).trim.linesIterator.toSeq)
+          }
+        } else linesDf(translate(rest).trim.linesIterator.toSeq)
       case "AST" =>
         linesDf(planLines(
           spark.sessionState.sqlParser.parsePlan(translate(rest))))
@@ -4137,8 +4762,8 @@ object ChSql {
         else if (c == '\'') inStr = false
       } else c match {
         case '\'' => cur.append(c); inStr = true
-        case '(' => depth += 1; cur.append(c)
-        case ')' => depth -= 1; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
         case ',' if depth == 0 => parts += cur.toString; cur.clear()
         case _ => cur.append(c)
       }

@@ -442,11 +442,17 @@ object ch {
     * the clamped start while it is ≤ len+1, else 0. */
   def position3(h: Column, n: Column, p0: Column): Column = {
     val p = greatest(p0.cast("int"), lit(1))
-    val hl = length(h)
+    // start_pos and the result are BYTE offsets (ref PositionImpl.h):
+    // slice the haystack as binary so a start inside a multi-byte
+    // sequence re-syncs on the needle's bytes exactly like the
+    // reference's byte-wise searcher (00233's 'абвабв' cases)
+    val hl = octet_length(h)
     when(length(n) === 0,
       when(p <= hl + 1, p).otherwise(lit(0)))
       .otherwise {
-        val rel = position(substring(h, p, lit(1073741823)), n)
+        val suffix = substring(h.cast("binary"), p, lit(1073741823))
+          .cast("string")
+        val rel = position(suffix, n)
         when(rel === 0, lit(0)).otherwise(rel + p - 1)
       }
   }

@@ -574,6 +574,7 @@ object ChRegistry {
     // maps / tuples
     f1("mapKeys")(ch.mapKeys); f1("mapValues")(ch.mapValues)
     f2("mapContains")(ch.mapContains)
+    f2("mapFromArrays")(map_from_arrays)
     f("tuple")(es => ch.tuple(es.map(C)))
     f("tupleElement") {
       // named-tuple access by element NAME (ref tupleElement.cpp)

@@ -32,6 +32,14 @@ object DdlEmu {
   // rewrite is irrelevant here, the view is rebuilt over the same rows
   private val alterUpdateRe =
     "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+UPDATE\\s+(.*?)\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
+  private val alterTtlRe =
+    ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+" +
+      "(?:MODIFY|MATERIALIZE)\\s+TTL\\s*(.*?)" +
+      "\\s*(?:SETTINGS\\s+.*)?$").r
+  /** Declared TTL expression per table (MODIFY TTL records; MATERIALIZE
+    * TTL / OPTIMIZE re-applies). */
+  private val ttlExprs = scala.collection.concurrent.TrieMap
+    .empty[String, String]
   private val alterDeleteRe =
     "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+DELETE\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
   private val renameRe =
@@ -853,8 +861,13 @@ object DdlEmu {
       case createDictRe(name, colDefs, tail) =>
         handleCreateDictionary(spark, sfDir, name, colDefs, tail)
       case dropDictRe(_) => true
-      case s if s.matches(
-        "(?is)^SYSTEM\\s+(STOP|START)\\s+(MERGES|TTL\\s+MERGES)\\b.*") =>
+      // SYSTEM server-management statements (ref
+      // src/Parsers/ASTSystemQuery.h): flush logs, drop caches,
+      // stop/start background activity, reload config/dictionaries —
+      // all no-output maintenance over state this engine either keeps
+      // implicitly fresh (lazy views re-read their sources, so RELOAD
+      // DICTIONARY is a no-op) or does not carry (query/mark caches)
+      case s if s.matches("(?is)^SYSTEM\\s+\\w+\\b.*") =>
         true
       case renameRe(pairs) if pairs.matches(
           "(?is)[\\w.`]+\\s+TO\\s+[\\w.`]+(\\s*,\\s*[\\w.`]+\\s+TO\\s+[\\w.`]+)*") =>
@@ -941,7 +954,7 @@ object DdlEmu {
         nullableDeclared.remove(name); createdDdl.remove(name)
         aliasExprs.remove(name); matCols.remove(name)
         descColsMap.remove(name); distributedAlias.remove(name)
-        engines.remove(name); staged.remove(name)
+        engines.remove(name); staged.remove(name); ttlExprs.remove(name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
         decls.get(name).foreach { d =>
@@ -1049,6 +1062,25 @@ object DdlEmu {
               sfDir))
         }
         refreshViews(spark, sfDir)
+        true
+      case alterTtlRe(name, ttlExpr) =>
+        // MODIFY/MATERIALIZE TTL (ref src/Storages/TTLDescription.cpp;
+        // 01070_modify_ttl): with the golden harness's synchronous
+        // mutations, rows whose TTL instant has passed are dropped
+        // immediately. The expression is recorded so later MATERIALIZE
+        // TTL / OPTIMIZE re-applies it.
+        val ex = ttlExpr.trim match {
+          case "" => ttlExprs.get(name).getOrElse("")
+          case e => ttlExprs(name) = e; e
+        }
+        if (ex.nonEmpty) staged.get(name).foreach { st =>
+          import org.apache.spark.sql.functions.{current_timestamp, expr}
+          val t = expr(graft.ChSql.translate(ex).trim)
+            .cast("timestamp")
+          staged(name) = st.filter(t.isNull || t > current_timestamp())
+          publish(spark, name)
+          refreshViews(spark, sfDir)
+        }
         true
       case insertRe(name0, colList, body) =>
         // an INSERT into a Distributed alias writes the local table
@@ -1443,8 +1475,8 @@ object DdlEmu {
       if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
         case '<' if angled => depth += 1
         case '>' if angled => depth -= 1
         case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1

@@ -133,10 +133,34 @@ object ChWrapArithmeticRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Map-typed arguments where CH overloads array semantics (ref
+  * src/Functions/array/has.cpp Map path, FunctionsComparison.cpp over
+  * Map columns; tests 01550/02021): `has(map, k)` built as
+  * array_contains resolves to the key-membership test, and map
+  * equality — which Spark rejects as unorderable — compares the
+  * key-sorted entry arrays (keys are unique, so sorted-entry equality
+  * IS map equality). */
+object ChMapArgRule extends Rule[LogicalPlan] {
+  private def isMap(e: Expression): Boolean =
+    e.resolved && e.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+  private def entries(e: Expression): Expression =
+    SortArray(MapEntries(e), Literal(true))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(_ => true) {
+      case ArrayContains(m, k) if isMap(m) => MapContainsKey(m, k)
+      case eq @ EqualTo(l, r) if isMap(l) && isMap(r) =>
+        EqualTo(entries(l), entries(r))
+      case eq @ EqualNullSafe(l, r) if isMap(l) && isMap(r) =>
+        EqualNullSafe(entries(l), entries(r))
+    }
+}
+
 /** SparkSessionExtensions installer (wired in Engine.session). */
 class ChExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChTruthinessRule)
+    ext.injectResolutionRule(_ => ChMapArgRule)
     ext.injectResolutionRule(_ => ChWrapArithmeticRule)
     ext.injectResolutionRule(_ => ChDateArithRule)
     ext.injectResolutionRule(_ => ChBoolAggRule)
