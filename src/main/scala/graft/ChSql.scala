@@ -978,24 +978,46 @@ object ChSql {
         "\\bArray\\(((?:[^()]|\\([^()]*\\))*)\\)", "ARRAY<$1>")
       s = replaceOutsideStrings(s,
         "\\bMap\\(((?:[^()]|\\([^()]*\\))*)\\)", "MAP<$1>")
+      // items split at commas OUTSIDE <> — an inner Tuple already
+      // rewritten to STRUCT<a: T, b: U> must stay one element (00521's
+      // Tuple(String, …, Tuple(UInt32, Date)) nesting)
+      def splitAngle(t: String): Seq[String] = {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; var st = 0
+        for (i <- t.indices) t.charAt(i) match {
+          case '<' | '(' => depth += 1
+          case '>' | ')' => depth -= 1
+          case ',' if depth == 0 => parts += t.substring(st, i); st = i + 1
+          case _ =>
+        }
+        parts += t.substring(st)
+        parts.toSeq.map(_.trim).filter(_.nonEmpty)
+      }
+      // `name Type` only when the first token is a plain identifier —
+      // a rewritten STRUCT<…> element carries spaces of its own
+      def named(it: String): Option[(String, String)] = {
+        val parts = it.split("\\s+", 2)
+        if (parts.length == 2 &&
+          parts(0).matches("`?[A-Za-z_]\\w*`?") &&
+          !parts(1).startsWith(":")) Some((parts(0), parts(1)))
+        else None
+      }
       // Nested(a T, b U) → ARRAY<STRUCT<a: T, b: U>> (CH stores Nested
       // as parallel arrays read back as an array-of-tuples; ref
       // src/DataTypes/DataTypeNested.h)
       s = replaceFnOutsideStrings(s, "\\bNested\\(([^()]*)\\)") { mm =>
-        val items = mm.group(1).split(",").toSeq.map(_.trim).map { it =>
-          val parts = it.split("\\s+", 2)
-          if (parts.length == 2) s"${parts(0)}: ${parts(1)}" else it
+        val items = splitAngle(mm.group(1)).map { it =>
+          named(it).map { case (n, t) => s"$n: $t" }.getOrElse(it)
         }
         java.util.regex.Matcher.quoteReplacement(
           s"ARRAY<STRUCT<${items.mkString(", ")}>>")
       }
       // Tuple(a T, b U) / Tuple(T, U) → STRUCT<a: T, b: U>
       s = replaceFnOutsideStrings(s, "\\bTuple\\(([^()]*)\\)") { mm =>
-        val items = mm.group(1).split(",").toSeq.map(_.trim).zipWithIndex
+        val items = splitAngle(mm.group(1)).zipWithIndex
           .map { case (it, i) =>
-            val parts = it.split("\\s+", 2)
-            if (parts.length == 2) s"${parts(0)}: ${parts(1)}"
-            else s"_${i + 1}: $it"
+            named(it).map { case (n, t) => s"$n: $t" }
+              .getOrElse(s"_${i + 1}: $it")
           }
         java.util.regex.Matcher.quoteReplacement(
           s"STRUCT<${items.mkString(", ")}>")
@@ -3561,6 +3583,60 @@ object ChSql {
     }
     // zero-arg count() is valid CH (count(*) in ANSI)
     s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // multi-argument GROUPING(a, b, …) (ref
+    // src/Functions/grouping.cpp, standard-compatibility mode — the
+    // 23.3 default): the bitmask Σ grouping(aᵢ)·2^(k-1-i). Spark's
+    // grouping() is single-argument and grouping_id() demands the full
+    // grouping column list, so the mask is assembled term by term.
+    s = {
+      var t = s
+      var scanning = true
+      while (scanning) {
+        scanning = false
+        "(?i)(?<![\\w.`])grouping\\s*\\(".r.findAllMatchIn(t).toSeq
+          .reverseIterator.find { m =>
+            val open = m.end - 1
+            var depth = 0; var i = open; var end = -1; var inStr = false
+            while (end < 0 && i < t.length) {
+              val c = t.charAt(i)
+              if (inStr) { if (c == '\\') i += 1
+                else if (c == '\'') inStr = false }
+              else if (c == '\'') inStr = true
+              else if (c == '(') depth += 1
+              else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+              i += 1
+            }
+            if (end < 0) false
+            else {
+              val args = splitTopLevelCommas(t.substring(open + 1, end))
+                .map(_.trim).filter(_.nonEmpty)
+              if (args.length <= 1) false
+              else {
+                val k = args.length
+                // force_grouping_standard_compatibility = 0 → the
+                // pre-22.12 convention: bit 1 = column IS in the set
+                val legacy = t.matches("(?is).*\\bforce_grouping_" +
+                  "standard_compatibility\\s*=\\s*0\\b.*") ||
+                  org.apache.spark.sql.SparkSession.getActiveSession
+                    .flatMap(sp => scala.util.Try(sp.conf.getOption(
+                      "graft.ch.force_grouping_standard_compatibility"))
+                      .toOption.flatten).contains("0")
+                val terms = args.zipWithIndex.map { case (a, j) =>
+                  val w = 1L << (k - 1 - j)
+                  val g = if (legacy) s"(1 - grouping($a))"
+                    else s"grouping($a)"
+                  if (w == 1L) g else s"$g * $w"
+                }
+                t = t.substring(0, m.start) +
+                  terms.mkString("(", " + ", ")") + t.substring(end + 1)
+                scanning = true
+                true
+              }
+            }
+          }
+      }
+      t
+    }
     // CH any(x) = first non-null encountered (ref
     // AggregateFunctionAny.cpp); Spark's builtin `any` is bool_or, so
     // the call form maps to first(x, true). `anyIf`/`anyLast`/`ANY

@@ -181,9 +181,13 @@ object ch {
   // which resolves into the registered CH numeric trunc)
   private def truncDate(c: Column, unit: String): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => CC, expression => EE}
-    CC(org.apache.spark.sql.catalyst.expressions.TruncDate(
+    val t = CC(org.apache.spark.sql.catalyst.expressions.TruncDate(
       EE(c.cast("date")),
       org.apache.spark.sql.catalyst.expressions.Literal(unit)))
+    // Date-returning rounders SATURATE at the epoch (ref
+    // DateLUTImpl.h — day index 0 is the floor; 02096): a truncation
+    // that lands before 1970-01-01 clamps to it
+    greatest(t, to_date(lit("1970-01-01")))
   }
   def toStartOfYear(c: Column): Column = truncDate(c, "year")
   def toStartOfQuarter(c: Column): Column = truncDate(c, "quarter")

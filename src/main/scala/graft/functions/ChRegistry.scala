@@ -223,6 +223,8 @@ object ChRegistry {
     tzf("toStartOfDay")(ch.toStartOfDay); tzf("toStartOfHour")(ch.toStartOfHour)
     tzf("toStartOfMinute")(ch.toStartOfMinute)
     tzf("toStartOfFiveMinutes")(ch.toStartOfFiveMinutes)
+    // pre-22.8 name kept as an alias (ref 02288 rename)
+    tzf("toStartOfFiveMinute")(ch.toStartOfFiveMinutes)
     tzf("toStartOfTenMinutes")(ch.toStartOfTenMinutes)
     tzf("toStartOfFifteenMinutes")(ch.toStartOfFifteenMinutes)
     tzf("toYYYYMM")(ch.toYYYYMM); tzf("toYYYYMMDD")(ch.toYYYYMMDD)
@@ -2697,7 +2699,7 @@ object ChRegistry {
     // DateTimeTransforms.h ToTimeImpl); optional tz picks the wall clock
     f("toTime") {
       case Seq(a) => C(E(to_timestamp(
-        concat(lit("1970-01-02 "), date_format(C(a), "HH:mm:ss")))))
+        concat(lit("1970-01-02 "), date_format(zonedWall(a), "HH:mm:ss")))))
       case Seq(a, t) => to_timestamp(concat(lit("1970-01-02 "),
         date_format(from_utc_timestamp(C(a).cast("timestamp"), C(t)),
           "HH:mm:ss")))

@@ -95,6 +95,17 @@ case class ChCustomWeek(child: Expression, mode: Int, kind: String)
     case DateType => input.asInstanceOf[Int]
     case TimestampType | TimestampNTZType =>
       Math.floorDiv(input.asInstanceOf[Long], 86400000000L).toInt
+    // a DateTime64 UDT value (ticks, scale, tz): the day boundary is
+    // taken in the VALUE's zone (02096 saturation tests feed
+    // toMonday(toDateTime(0, 'America/…')))
+    case _: DateTime64UDT =>
+      val r = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val micros = ChDT64.toMicros(r.getLong(0), r.getInt(1))
+      val zone = java.time.ZoneId.of(
+        if (r.isNullAt(2)) "UTC" else r.getUTF8String(2).toString)
+      java.time.Instant
+        .ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(zone).toLocalDate.toEpochDay.toInt
     case _ => input.asInstanceOf[Number].intValue()
   }
 
@@ -109,7 +120,9 @@ case class ChCustomWeek(child: Expression, mode: Int, kind: String)
         val monday = (mode & 1) != 0
         val dw = d.getDayOfWeek.getValue // 1=Mon..7=Sun
         val back = if (monday) dw - 1 else (if (dw == 7) 0 else dw)
-        (days - back)
+        // the Date RESULT saturates at epoch day 0 (DateLUTImpl.h;
+        // 02096's toStartOfWeek(toDate(0)) = 1970-01-01)
+        math.max(0, days - back)
       case _ =>
         CustomWeek.yearWeek(days, mode)._2
     }

@@ -40,6 +40,21 @@ object DdlEmu {
     * TTL / OPTIMIZE re-applies). */
   private val ttlExprs = scala.collection.concurrent.TrieMap
     .empty[String, String]
+  /** Column-level TTL expressions per table (MODIFY COLUMN … TTL). */
+  private val colTtlExprs = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, String]]
+  /** DETACHed tables' data, restored by ATTACH. */
+  private val detachedDf = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  /** DETACHed partitions' rows, keyed (table, partition-value text). */
+  private val detachedParts = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+  /** Replicated-table insert-block dedup keys (see insertRe). */
+  private val insertedBlocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+  private val alterPartRe =
+    ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+" +
+      "(DETACH|DROP|ATTACH)\\s+PARTITION\\s+(.+)$").r
   private val alterDeleteRe =
     "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+DELETE\\s+WHERE\\s+(.*?)\\s*(?:SETTINGS\\s+.*)?$".r
   private val renameRe =
@@ -139,7 +154,9 @@ object DdlEmu {
   def resetNullables(): Unit = {
     nullableDeclared.clear(); defExprs.clear()
     aliasExprs.clear(); matCols.clear(); descColsMap.clear()
-    distributedAlias.clear()
+    distributedAlias.clear(); replicaPrimary.clear()
+    ttlExprs.clear(); colTtlExprs.clear(); detachedDf.clear()
+    detachedParts.clear(); insertedBlocks.clear()
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
   }
@@ -456,6 +473,10 @@ object DdlEmu {
     * table: INSERTs forward to the underlying storage (ref
     * src/Storages/StorageDistributed.cpp write path). */
   private val distributedAlias =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** zookeeper path → first replica's table name (Replicated*MergeTree
+    * replicas share storage — see the createRe replica branch). */
+  private val replicaPrimary =
     scala.collection.concurrent.TrieMap.empty[String, String]
   /** (name, expr, declaredType?) when the def declares an ALIAS column —
     * the type is optional (`c ALIAS a + b`). */
@@ -946,6 +967,31 @@ object DdlEmu {
           catch { case _: Exception => }
         }
         true
+      // DETACH/ATTACH round-trip (ref src/Interpreters/
+      // InterpreterDropQuery.cpp detach path + ATTACH TABLE): DETACH
+      // hides the table from name resolution but keeps its data; ATTACH
+      // restores it. Data survives here because the staged/declared
+      // state maps are keyed by name and never dropped on DETACH.
+      case s if s.matches("(?is)^DETACH\\s+(TABLE|VIEW|DICTIONARY)\\b.*") =>
+        val nm = ("(?is)^DETACH\\s+(?:TABLE|VIEW|DICTIONARY)\\s+" +
+          "(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?.*$").r
+          .findFirstMatchIn(s).map(_.group(1)).getOrElse(return false)
+        scala.util.Try(storedDf(spark, nm)).foreach(df =>
+          detachedDf(nm) = df)
+        spark.catalog.dropTempView(nm)
+        true
+      case s if s.matches("(?is)^ATTACH\\s+(TABLE|VIEW|DICTIONARY)" +
+          "\\s+`?[\\w.]+`?\\s*$") =>
+        val nm = ("(?is)^ATTACH\\s+(?:TABLE|VIEW|DICTIONARY)\\s+" +
+          "`?([\\w.]+)`?\\s*$").r.findFirstMatchIn(s).get.group(1)
+        if (engines.contains(nm) && staged.contains(nm)) publish(spark, nm)
+        else detachedDf.remove(nm) match {
+          case Some(df) => df.createOrReplaceTempView(nm)
+          case None => Option(viewDefs.get(nm)).foreach { case (c, q) =>
+            registerView(spark, sfDir, nm, c, q) }
+        }
+        refreshViews(spark, sfDir)
+        true
       case dropViewRe(name) =>
         spark.catalog.dropTempView(name); viewDefs.remove(name); true
       case dropRe(name) =>
@@ -954,7 +1000,10 @@ object DdlEmu {
         nullableDeclared.remove(name); createdDdl.remove(name)
         aliasExprs.remove(name); matCols.remove(name)
         descColsMap.remove(name); distributedAlias.remove(name)
-        engines.remove(name); staged.remove(name); ttlExprs.remove(name)
+        engines.remove(name); staged.remove(name)
+        ttlExprs.remove(name); colTtlExprs.remove(name)
+        replicaPrimary.filterInPlace((_, v) => v != name)
+        insertedBlocks.removeIf(k => k._1 == name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
         decls.get(name).foreach { d =>
@@ -989,6 +1038,26 @@ object DdlEmu {
           viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
           registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
           return true
+        }
+        // Replicated*MergeTree replicas of the SAME zookeeper path are
+        // one logical table (ref src/Storages/StorageReplicatedMergeTree
+        // .cpp): the second CREATE registers a live view of the first,
+        // and INSERTs route to it — the single-process analogue of
+        // replication (00732 quorum tests)
+        val zkPath = Option(engTail).flatMap(t =>
+          "(?is)Replicated\\w*MergeTree\\s*\\(\\s*'([^']+)'\\s*,".r
+            .findFirstMatchIn(t).map(_.group(1)))
+        zkPath.foreach { p =>
+          replicaPrimary.get(p) match {
+            case Some(primary)
+                if scala.util.Try(spark.table(primary)).isSuccess =>
+              distributedAlias(name) = primary
+              viewDefs.put(name, (null, s"SELECT * FROM `$primary`"))
+              registerView(spark, sfDir, name, null,
+                s"SELECT * FROM `$primary`")
+              return true
+            case _ => replicaPrimary(p) = name
+          }
         }
         register(spark, name, emptyDf(spark, d))
         parseEngine(engTail) match {
@@ -1063,28 +1132,143 @@ object DdlEmu {
         }
         refreshViews(spark, sfDir)
         true
+      // projections are a physical-layout optimization (ref
+      // src/Storages/ProjectionsDescription.cpp) — reads stay correct
+      // without them, so the DDL is metadata-only here
+      case s if s.matches("(?is)^ALTER\\s+TABLE\\s+`?[\\w.]+`?\\s+" +
+          "(ADD|DROP|CLEAR|MATERIALIZE)\\s+PROJECTION\\b.*") =>
+        true
+      // table-settings tweaks don't change observable results here
+      case s if s.matches("(?is)^ALTER\\s+TABLE\\s+`?[\\w.]+`?\\s+" +
+          "(MODIFY|RESET)\\s+SETTING\\b.*") =>
+        true
+      // ALTER … DETACH/DROP/ATTACH PARTITION <value> (ref
+      // src/Storages/MergeTree/MergeTreeData.cpp partition ops): rows
+      // whose PARTITION BY expression equals the value move out (DETACH
+      // keeps them for re-ATTACH, DROP discards)
+      case alterPartRe(name, op0, valText0) =>
+        val op = op0.toUpperCase
+        val valText = valText0.trim.stripSuffix(";").trim
+        val pExpr = createdDdl.get(name).flatMap(d =>
+          ("(?is)\\bPARTITION\\s+BY\\s+(.+?)\\s*(?:ORDER\\s+BY|" +
+            "PRIMARY\\s+KEY|SAMPLE\\s+BY|SETTINGS|TTL|$).*").r
+            .findFirstMatchIn(d).map(_.group(1).trim))
+          // legacy MergeTree(dateCol, key, granularity) partitions by
+          // month (ref MergeTreeData.cpp old-syntax path)
+          .orElse(createdDdl.get(name).flatMap(d =>
+            "(?is)MergeTree\\s*\\(\\s*`?(\\w+)`?\\s*,".r
+              .findFirstMatchIn(d).map(m => s"toYYYYMM(${m.group(1)})")))
+        pExpr match {
+          case Some(px) if !valText.toUpperCase.startsWith("ID ") =>
+            import org.apache.spark.sql.functions.expr
+            val cond = expr(graft.ChSql.translate(
+              s"($px) = ($valText)").trim)
+            def split(frame: DataFrame): (DataFrame, DataFrame) =
+              (frame.filter(cond), frame.filter(!cond || cond.isNull))
+            val cur = staged.getOrElse(name, storedDf(spark, name))
+            // dropping/detaching a partition forgets its insert-block
+            // dedup ids (00516: the same data inserts again after DROP)
+            insertedBlocks.removeIf(k => k._1 == name)
+            op match {
+              case "DETACH" | "DROP" =>
+                val (moved, kept) = split(cur)
+                if (op == "DETACH")
+                  detachedParts((name, valText)) = moved
+                if (staged.contains(name)) {
+                  staged(name) = kept; publish(spark, name)
+                } else register(spark, name, kept)
+              case "ATTACH" =>
+                detachedParts.remove((name, valText)).foreach { m0 =>
+                  // columns ADDed while the part was detached
+                  // materialize their type default on re-attach
+                  def pad(m: DataFrame, tgt: DataFrame): DataFrame = {
+                    val added = tgt.schema.fields
+                      .filterNot(f => m.columns.contains(f.name))
+                      .foldLeft(m)((acc, f) => acc.withColumn(f.name,
+                        defaultFor(f.dataType)))
+                    // columns DROPped while detached disappear; order by
+                    // the live schema
+                    added.select(tgt.columns.map(c => col(s"`$c`")).toSeq: _*)
+                  }
+                  if (staged.contains(name)) {
+                    val m = pad(m0, staged(name))
+                    staged(name) = staged(name).unionByName(m)
+                    publish(spark, name)
+                  } else {
+                    val cur0 = storedDf(spark, name)
+                    register(spark, name, cur0.unionByName(pad(m0, cur0)))
+                  }
+                }
+            }
+            refreshViews(spark, sfDir)
+            true
+          case _ => false
+        }
       case alterTtlRe(name, ttlExpr) =>
         // MODIFY/MATERIALIZE TTL (ref src/Storages/TTLDescription.cpp;
         // 01070_modify_ttl): with the golden harness's synchronous
-        // mutations, rows whose TTL instant has passed are dropped
-        // immediately. The expression is recorded so later MATERIALIZE
-        // TTL / OPTIMIZE re-applies it.
+        // mutations, rows whose TTL instant has passed are dropped when
+        // the TTL materializes — on MODIFY (unless
+        // materialize_ttl_after_modify = 0) and on MATERIALIZE TTL.
+        val isModify = stmt.matches("(?is).*\\bMODIFY\\s+TTL\\b.*")
         val ex = ttlExpr.trim match {
           case "" => ttlExprs.get(name).getOrElse("")
           case e => ttlExprs(name) = e; e
         }
-        if (ex.nonEmpty) staged.get(name).foreach { st =>
+        val deferModify = isModify && scala.util.Try(
+          spark.conf.getOption("graft.ch.materialize_ttl_after_modify"))
+          .toOption.flatten.contains("0")
+        if (!deferModify && (ex.nonEmpty ||
+            colTtlExprs.get(name).exists(_.nonEmpty))) {
           import org.apache.spark.sql.functions.{current_timestamp, expr}
-          val t = expr(graft.ChSql.translate(ex).trim)
-            .cast("timestamp")
-          staged(name) = st.filter(t.isNull || t > current_timestamp())
-          publish(spark, name)
+          import org.apache.spark.sql.types.DataType
+          def materialize(frame: DataFrame): DataFrame = {
+            var f = frame
+            if (ex.nonEmpty) {
+              val t = expr(graft.ChSql.translate(ex).trim).cast("timestamp")
+              f = f.filter(t.isNull || t > current_timestamp())
+            }
+            // column TTLs: expired values reset to the type default
+            colTtlExprs.getOrElse(name, Map.empty).foreach {
+              case (cn, cex) =>
+                val t = expr(graft.ChSql.translate(cex).trim)
+                  .cast("timestamp")
+                val dflt = decls.get(name)
+                  .flatMap(_.cols.find(_._1 == cn)).map(c =>
+                    defaultFor(DataType.fromDDL(c._2)))
+                dflt.foreach { dv =>
+                  f = f.select(f.columns.map { c =>
+                    if (c == cn)
+                      org.apache.spark.sql.functions.when(
+                        t.isNull || t > current_timestamp(),
+                        col(s"`$c`")).otherwise(dv).as(c)
+                    else col(s"`$c`")
+                  }.toSeq: _*)
+                }
+            }
+            f
+          }
+          staged.get(name) match {
+            case Some(st) =>
+              staged(name) = materialize(st)
+              publish(spark, name)
+            case None =>
+              register(spark, name, materialize(storedDf(spark, name)))
+          }
           refreshViews(spark, sfDir)
         }
         true
       case insertRe(name0, colList, body) =>
         // an INSERT into a Distributed alias writes the local table
         val name = distributedAlias.getOrElse(name0, name0)
+        // Replicated tables DEDUPLICATE identical insert blocks (ref
+        // src/Storages/MergeTree/ReplicatedMergeTreeSink.cpp block-id
+        // dedup; 00226): an exact repeat of a VALUES payload is a no-op
+        if (body.trim.toUpperCase.startsWith("VALUES") &&
+            createdDdl.get(name).exists(_.contains("Replicated"))) {
+          val key = (name, colList, body.replaceAll("\\s+", " ").trim)
+          if (!insertedBlocks.add(key)) return true
+        }
         val target = storedDf(spark, name)
         val names0 = Option(colList)
           .map(_.stripPrefix("(").stripSuffix(")")
@@ -1649,7 +1833,20 @@ object DdlEmu {
           descColsMap.get(name).foreach(ds => descColsMap(name) =
             ds.map(c => if (c.name == a) c.copy(name = b) else c))
         case modRe(defn0) =>
-          val d = defn0.trim
+          var d = defn0.trim
+          // column-level TTL (ref TTLDescription.cpp column_ttl;
+          // 01070_materialize_ttl): record the expression — expired
+          // values reset to the column default when the TTL
+          // materializes — and strip it from the type declaration
+          val ttlM = ("(?is)^(`?\\w+`?\\s+\\w+(?:\\([^)]*\\))?)" +
+            "\\s+TTL\\s+(.+)$").r.findFirstMatchIn(d)
+          ttlM.foreach { m =>
+            val cn = m.group(1).trim.split("\\s+").head
+              .stripPrefix("`").stripSuffix("`")
+            colTtlExprs(name) = colTtlExprs.getOrElse(name,
+              Map.empty[String, String]) + (cn -> m.group(2).trim)
+            d = m.group(1).trim
+          }
           // type-less MODIFY (DEFAULT/TTL/REMOVE …) only updates metadata
           if (!d.matches("(?is)^`?\\w+`?\\s+(DEFAULT|MATERIALIZED|ALIAS|TTL|REMOVE|COMMENT)\\b.*") &&
             d.matches("(?is)^`?\\w+`?\\s+\\S.*")) {

@@ -442,7 +442,8 @@ object Golden {
           case l =>
             // blank lines directly after an { echo } marker are echoed
             // (clickhouse-test prints the marker chunk's text verbatim)
-            if (afterMarker && l.isBlank && kept.isEmpty) out += ""
+            if (afterMarker && l.isBlank && kept.forall(_.isBlank))
+              out += ""
             else afterMarker = false
             if (!(first && annotatesPrev(ci))) kept += l
         }

