@@ -2158,6 +2158,84 @@ object ChSql {
   @volatile var starVisibleColumns: String => Option[Seq[String]] =
     _ => None
 
+  /** LIVE VIEW refresh version, supplied by the DDL emulation (the
+    * `_version` virtual column; ref StorageLiveView.cpp). */
+  @volatile var liveViewVersion: String => Option[Long] = _ => None
+
+  /** user_files root for the file() table function (ref
+    * src/TableFunctions/TableFunctionFile.cpp — paths resolve under the
+    * server's user_files_path). */
+  val userFilesDir = "/tmp/graft_user_files"
+
+  /** Translate a bare CH type text to Spark DDL (public face of
+    * rewriteChTypes for single types — file() schemas, DdlEmu). */
+  private[graft] def chTypeToSpark(t: String): String =
+    rewriteChTypes(t).trim
+
+  /** `file('path', 'Format', 'schema')` reads under userFilesDir: the
+    * content parses through the DescFormat inference subquery and the
+    * declared schema applies by position. Reads happen at translate
+    * time — the golden harness model, where file() feeds small fixture
+    * files the same statement batch wrote. */
+  private[graft] def rewriteFileTvf(sql: String): String = {
+    val low = sql.toLowerCase
+    if (!low.contains("file(") && !low.contains("file (")) return sql
+    if (sql.matches("(?is)^\\s*INSERT\\b.*")) return sql
+    replaceFnOutsideStrings(sql,
+      "(?i)(?<![\\w.])file\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*" +
+        "['\"](\\w+)['\"]\\s*" +
+        "(?:,\\s*['\"]([^'\"]*)['\"])?\\s*\\)") { m =>
+      val rel = m.group(1)
+      val fmt = m.group(2)
+      val p = java.nio.file.Paths.get(userFilesDir, rel)
+      val data =
+        try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"FILE_DOESNT_EXIST: cannot read $rel") }
+      // the payload re-escapes backslashes: selectSql decodes CH
+      // literal escapes and the file carries raw text
+      val sub = graft.formats.DescFormat.selectSql(fmt,
+        data.replace("\\", "\\\\"), Map.empty[String, String])
+        .getOrElse(return sql)
+      val out = Option(m.group(3)).map(_.trim).filter(_.nonEmpty) match {
+        case Some(sch) =>
+          val items = splitTopLevelCommas(sch).map(_.trim)
+            .filter(_.nonEmpty).zipWithIndex.map { case (cd, i) =>
+              val sp = cd.indexWhere(_.isWhitespace)
+              val n = cd.take(sp).stripPrefix("`").stripSuffix("`")
+              val t = chTypeToSpark(cd.drop(sp).trim)
+              s"CAST(c${i + 1} AS $t) AS `$n`"
+            }
+          s"(SELECT ${items.mkString(", ")} FROM $sub __file_src)"
+        case None => sub
+      }
+      java.util.regex.Matcher.quoteReplacement(out)
+    }
+  }
+
+  /** `SELECT …, _version FROM <live view>` → the view's refresh counter
+    * as a literal (it is a virtual column, not part of the view's own
+    * output — star expansion is unaffected). */
+  private[graft] def rewriteLiveViewVersion(sql: String): String = {
+    if (!sql.contains("_version")) return sql
+    val tbl = "(?is)\\bFROM\\s+`?([A-Za-z_]\\w*)`?".r
+      .findFirstMatchIn(sql).map(_.group(1)).getOrElse(return sql)
+    liveViewVersion(tbl) match {
+      case Some(v) =>
+        // first occurrence (the select item) keeps the column name;
+        // later ones (ORDER BY etc.) take the bare literal
+        val re = "(?<![\\w`.])_version(?![\\w`])".r
+        var first = true
+        re.replaceAllIn(sql, _ => {
+          val r = if (first) s"CAST($v AS BIGINT) AS `_version`"
+            else v.toString
+          first = false
+          java.util.regex.Matcher.quoteReplacement(r)
+        })
+      case None => sql
+    }
+  }
+
   /** Engine-internal statement marker: helper SELECTs the DDL emulation
     * builds for itself (INSERT default computation, MV refresh, merge()
     * unions) must NOT receive the session limit/offset window — in the
@@ -3395,8 +3473,8 @@ object ChSql {
     val preItems = topSelectItemSpans(chSql1.trim.stripSuffix(";"))
       .map(_._3)
     var s0 = rewriteTypeIntrospection(rewriteCastCall(
-      rewriteColonCast(rewriteScalarWithDeep(rewriteGroupByAll(rewriteColumnTransformers(rewriteMapLiterals(rewriteUntuple(
-        rewriteStringEscapes(chSql1)))))))))
+      rewriteColonCast(rewriteScalarWithDeep(rewriteGroupByAll(rewriteColumnTransformers(rewriteMapLiterals(rewriteLiveViewVersion(rewriteFileTvf(rewriteUntuple(
+        rewriteStringEscapes(chSql1)))))))))))
     s0 = rewriteBoolDisplay(s0, preItems)
     var s = rewriteSortHof(rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(rewriteChTypes(s0)))))))

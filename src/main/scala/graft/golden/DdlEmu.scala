@@ -52,6 +52,74 @@ object DdlEmu {
   /** Replicated-table insert-block dedup keys (see insertRe). */
   private val insertedBlocks =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+  /** File-engine tables: name → (path under user_files, format). Reads
+    * re-parse the file; INSERTs write through (append, or truncate
+    * under engine_file_truncate_on_insert=1) — ref
+    * src/Storages/StorageFile.cpp. */
+  private val fileBacked = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String)]
+
+  private def renderFileRows(fm: String, casted: DataFrame): Seq[String] =
+    fm.toLowerCase match {
+      case "tsv" | "tabseparated" =>
+        casted.collect().toSeq.map(r =>
+          r.toSeq.map(Golden.fmt).mkString("\t"))
+      case "jsoneachrow" | "ndjson" =>
+        graft.formats.ChOutputFormats.render("jsoneachrow",
+          casted.schema, Seq(casted.collect().toSeq),
+          graft.formats.ChOutputFormats.Ctx(_ => None))
+      case _ => graft.formats.ChOutputFormats.render(fm,
+        casted.schema, Seq(casted.collect().toSeq),
+        graft.formats.ChOutputFormats.Ctx(_ => None))
+    }
+
+  private def readFileBackedDf(spark: SparkSession,
+      name: String): DataFrame = {
+    val (rel, fm) = fileBacked(name)
+    val d = decls(name)
+    import org.apache.spark.sql.types.DataType
+    val p = java.nio.file.Paths.get(graft.ChSql.userFilesDir, rel)
+    if (!java.nio.file.Files.exists(p)) return emptyDf(spark, d)
+    val data = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\\", "\\\\")
+    val sub = graft.formats.DescFormat.selectSql(fm, data,
+      Map.empty[String, String]).getOrElse(return emptyDf(spark, d))
+    val raw = spark.sql(s"SELECT * FROM $sub __fb")
+    if (fm.toLowerCase.startsWith("json") || fm.toLowerCase == "ndjson") {
+      // name-matched columns; missing declared ones take their DEFAULT
+      // expression (input_format_defaults_for_omitted_fields; 01622)
+      var df = raw
+      d.cols.foreach { case (n, t) =>
+        val dt = DataType.fromDDL(t)
+        if (!df.columns.contains(n)) {
+          val de = defExprs.getOrElse(name, Map.empty).get(n)
+          df = de match {
+            case Some(e) => df.withColumn(n,
+              expr(graft.ChSql.translate(e).trim).cast(dt))
+            case None => df.withColumn(n, defaultFor(dt))
+          }
+        } else df = df.withColumn(n, col(s"`$n`").cast(dt))
+      }
+      df.select(d.cols.map(c => col(s"`${c._1}`")).toSeq: _*)
+    } else
+      raw.select(d.cols.zipWithIndex.map { case ((n, t), i) =>
+        col(s"c${i + 1}").cast(DataType.fromDDL(t)).as(n)
+      }.toSeq: _*)
+  }
+
+  private val attachFromRe =
+    ("(?is)^ATTACH\\s+TABLE\\s+`?([\\w.]+)`?\\s+FROM\\s+'([^']*)'\\s*" +
+      "\\(([^)]*)\\)\\s*ENGINE\\s*=?\\s*(.+)$").r
+  private val insertFileRe =
+    ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?FUNCTION\\s+file\\s*\\(\\s*" +
+      "['\"]([^'\"]+)['\"]\\s*,\\s*['\"](\\w+)['\"]\\s*,\\s*" +
+      "['\"]([^'\"]*)['\"]\\s*\\)\\s*" +
+      "(VALUES\\s*\\(.*|SELECT\\b.*|WITH\\b.*)$").r
+  /** LIVE VIEW name → (source tables, refresh version). */
+  private val liveViewVer = scala.collection.concurrent.TrieMap
+    .empty[String, (Set[String], Long)]
+  graft.ChSql.liveViewVersion =
+    (n: String) => liveViewVer.get(n).map(v => math.max(1L, v._2))
   private val alterPartRe =
     ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+" +
       "(DETACH|DROP|ATTACH)\\s+PARTITION\\s+(.+)$").r
@@ -153,10 +221,19 @@ object DdlEmu {
     * must not leak into the next file's fill decisions). */
   def resetNullables(): Unit = {
     nullableDeclared.clear(); defExprs.clear()
+    // the file() table function's user_files dir is per-file state too
+    scala.util.Try {
+      val root = java.nio.file.Paths.get(graft.ChSql.userFilesDir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).sorted(
+          java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     aliasExprs.clear(); matCols.clear(); descColsMap.clear()
     distributedAlias.clear(); replicaPrimary.clear()
     ttlExprs.clear(); colTtlExprs.clear(); detachedDf.clear()
-    detachedParts.clear(); insertedBlocks.clear()
+    detachedParts.clear(); insertedBlocks.clear(); liveViewVer.clear()
+    fileBacked.clear()
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
   }
@@ -933,6 +1010,13 @@ object DdlEmu {
       case createViewRe(mat, name, colDefs, toTarget, select) =>
         registerView(spark, sfDir, name, colDefs, select)
         viewDefs.put(name, (colDefs, select))
+        // LIVE VIEW: track the refresh version (each INSERT into a
+        // source table bumps it; `_version` selects read the counter)
+        if (Option(mat).exists(_.toUpperCase.contains("LIVE"))) {
+          val srcs = "(?i)\\b(?:FROM|JOIN)\\s+`?([A-Za-z_]\\w*)`?".r
+            .findAllMatchIn(select).map(_.group(1)).toSet
+          liveViewVer(name) = (srcs, 0L)
+        }
         // TO-form: reads usually target the destination table; point it
         // at the same deferred select. Columns the TARGET declares that
         // the select does not produce take their declared DEFAULT (or
@@ -967,6 +1051,29 @@ object DdlEmu {
           catch { case _: Exception => }
         }
         true
+      // ATTACH TABLE t FROM 'path' (cols) ENGINE=… (ref
+      // src/Interpreters/InterpreterCreateQuery.cpp attach-from-path;
+      // 01188): File engines read path/data.<Format> under user_files;
+      // MergeTree attaches empty (no parts in a foreign dir); Memory is
+      // NOT_IMPLEMENTED in the reference. Paths may not escape the
+      // user_files root.
+      case attachFromRe(name, path, colDefs, engTail) =>
+        if (path.startsWith("/") || path.contains(".."))
+          sys.error(s"PATH_ACCESS_DENIED: $path is outside user_files")
+        val defs = parseCols(colDefs)
+        decls(name) = Decl(defs)
+        val fileFmt = "(?is)\\bFile\\s*\\(\\s*(\\w+)\\s*\\)".r
+          .findFirstMatchIn(engTail).map(_.group(1))
+        if (engTail.matches("(?is).*\\bMemory\\b.*"))
+          sys.error("NOT_IMPLEMENTED: ATTACH FROM for Memory")
+        fileFmt match {
+          case Some(fm) =>
+            fileBacked(name) = (path + "/data." + fm, fm)
+            register(spark, name, readFileBackedDf(spark, name))
+          case None =>
+            register(spark, name, emptyDf(spark, Decl(defs)))
+        }
+        true
       // DETACH/ATTACH round-trip (ref src/Interpreters/
       // InterpreterDropQuery.cpp detach path + ATTACH TABLE): DETACH
       // hides the table from name resolution but keeps its data; ATTACH
@@ -993,7 +1100,8 @@ object DdlEmu {
         refreshViews(spark, sfDir)
         true
       case dropViewRe(name) =>
-        spark.catalog.dropTempView(name); viewDefs.remove(name); true
+        spark.catalog.dropTempView(name); viewDefs.remove(name)
+        liveViewVer.remove(name); true
       case dropRe(name) =>
         viewDefs.remove(name)
         spark.catalog.dropTempView(name); decls.remove(name)
@@ -1004,6 +1112,7 @@ object DdlEmu {
         ttlExprs.remove(name); colTtlExprs.remove(name)
         replicaPrimary.filterInPlace((_, v) => v != name)
         insertedBlocks.removeIf(k => k._1 == name)
+        liveViewVer.remove(name); fileBacked.remove(name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
         decls.get(name).foreach { d =>
@@ -1037,6 +1146,18 @@ object DdlEmu {
           distributedAlias(name) = src
           viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
           registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
+          return true
+        }
+        // File(Format, 'path') engine with an explicit file under
+        // user_files: reads re-parse the file (declared DEFAULTs pad
+        // omitted fields), inserts write through
+        val fileEng = Option(engTail).flatMap(t =>
+          "(?is)\\bFile\\s*\\(\\s*(\\w+)\\s*,\\s*'([^']+)'\\s*\\)".r
+            .findFirstMatchIn(t).map(m => (m.group(1), m.group(2))))
+        fileEng.foreach { case (fm, pth) =>
+          fileBacked(name) = (pth, fm)
+          register(spark, name, readFileBackedDf(spark, name))
+          refreshViews(spark, sfDir)
           return true
         }
         // Replicated*MergeTree replicas of the SAME zookeeper path are
@@ -1258,9 +1379,75 @@ object DdlEmu {
           refreshViews(spark, sfDir)
         }
         true
+      // INSERT INTO FUNCTION file('path','Format','schema') …: format
+      // the rows and write under userFilesDir (append — CH's file
+      // engine appends for row formats unless
+      // engine_file_truncate_on_insert)
+      case insertFileRe(path0, fmt, sch, body) =>
+        val defs = splitTop(sch).map(_.trim).filter(_.nonEmpty).map { cd =>
+          val sp = cd.indexWhere(_.isWhitespace)
+          (cd.take(sp).stripPrefix("`").stripSuffix("`"),
+            cd.drop(sp).trim)
+        }
+        val rows0 =
+          if (body.trim.toUpperCase.startsWith("VALUES"))
+            valuesDf(spark, sfDir, body.trim.drop(6).trim, defs.length)
+          else graft.ChSql.sql(spark, body.trim, sfDir)
+        val renamed = rows0.toDF(defs.map(_._1): _*)
+        val casted = renamed.select(defs.map { case (n, t) =>
+          col(s"`$n`").cast(org.apache.spark.sql.types.DataType
+            .fromDDL(graft.ChSql.chTypeToSpark(t))).as(n) }.toSeq: _*)
+        val lines = fmt.toLowerCase match {
+          // plain TSV renders through the golden TSV cell formatter
+          // (ChOutputFormats covers the named variants only)
+          case "tsv" | "tabseparated" =>
+            casted.collect().toSeq.map(r =>
+              r.toSeq.map(Golden.fmt).mkString("\t"))
+          case _ => graft.formats.ChOutputFormats.render(fmt,
+            casted.schema, Seq(casted.collect().toSeq),
+            graft.formats.ChOutputFormats.Ctx(_ => None))
+        }
+        val p = java.nio.file.Paths.get(graft.ChSql.userFilesDir, path0)
+        java.nio.file.Files.createDirectories(p.getParent)
+        val truncate = scala.util.Try(spark.conf.getOption(
+          "graft.ch.engine_file_truncate_on_insert")).toOption.flatten
+          .contains("1")
+        val payload = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+        if (truncate || !java.nio.file.Files.exists(p))
+          java.nio.file.Files.write(p, payload)
+        else java.nio.file.Files.write(p, payload,
+          java.nio.file.StandardOpenOption.APPEND)
+        true
       case insertRe(name0, colList, body) =>
         // an INSERT into a Distributed alias writes the local table
         val name = distributedAlias.getOrElse(name0, name0)
+        if (fileBacked.contains(name)) {
+          // write-through to the backing file, then re-read
+          val (rel, fm) = fileBacked(name)
+          val defs = decls(name).cols
+          val rows0 =
+            if (body.trim.toUpperCase.startsWith("VALUES"))
+              valuesDf(spark, sfDir, body.trim.drop(6).trim, defs.length)
+            else graft.ChSql.sql(spark, body.trim, sfDir)
+          val casted = rows0.toDF(defs.map(_._1): _*)
+            .select(defs.map { case (n, t) =>
+              col(s"`$n`").cast(org.apache.spark.sql.types.DataType
+                .fromDDL(t)).as(n) }.toSeq: _*)
+          val lines = renderFileRows(fm, casted)
+          val p = java.nio.file.Paths.get(graft.ChSql.userFilesDir, rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          val truncate = scala.util.Try(spark.conf.getOption(
+            "graft.ch.engine_file_truncate_on_insert")).toOption.flatten
+            .contains("1")
+          val payload = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+          if (truncate || !java.nio.file.Files.exists(p))
+            java.nio.file.Files.write(p, payload)
+          else java.nio.file.Files.write(p, payload,
+            java.nio.file.StandardOpenOption.APPEND)
+          register(spark, name, readFileBackedDf(spark, name))
+          refreshViews(spark, sfDir)
+          return true
+        }
         // Replicated tables DEDUPLICATE identical insert blocks (ref
         // src/Storages/MergeTree/ReplicatedMergeTreeSink.cpp block-id
         // dedup; 00226): an exact repeat of a VALUES payload is a no-op
@@ -1470,6 +1657,11 @@ object DdlEmu {
           publish(spark, name)
         } else register(spark, name, target.union(filled))
         refreshViews(spark, sfDir)
+        // LIVE VIEWs over this table advance their _version (ref
+        // src/Storages/LiveView/StorageLiveView.cpp; 00973 family)
+        liveViewVer.foreach { case (lv, (srcs, n)) =>
+          if (srcs.contains(name)) liveViewVer(lv) = (srcs, n + 1)
+        }
         true
       case createAsTableRe(name, src)
           if scala.util.Try(spark.table(src)).isSuccess =>
