@@ -377,6 +377,26 @@ object DdlEmu {
               case _ => false
             })
           }
+        // Nested "maps" (ref SummingSortedAlgorithm.cpp MapDescription;
+        // 00146/00148): a Nested group `X.ID, X.Num…` — all arrays, the
+        // first the key — merges by summing values per key, keys
+        // sorted, entries whose every value sums to zero erased.
+        val nestedGroups: Seq[(String, Seq[String])] = dataCols
+          .filter(_.contains("."))
+          .groupBy(_.takeWhile(_ != '.')).toSeq
+          .filter { case (p, cs) =>
+            cs.length >= 2 &&
+              cs.forall(c => schema(c).dataType
+                .isInstanceOf[org.apache.spark.sql.types.ArrayType]) &&
+              cs.tail.forall(c => schema(c).dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+                .elementType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType]) &&
+              (spec.sumCols.isEmpty || spec.sumCols.contains(p) ||
+                cs.forall(spec.sumCols.contains))
+          }
+          .map { case (p, cs) => (p, cs.toSeq) } // declaration order
+        val nestedCols = nestedGroups.flatMap(_._2).toSet
         val aggs = dataCols.map { c =>
           if (sums.contains(c)) {
             // CH sums in the column's own width — wraparound, not
@@ -396,11 +416,44 @@ object DdlEmu {
               case _ => s0
             }
             wrapped.cast(schema(c).dataType).as(c)
-          } else min_by(col(c), col("__graft_seq")).as(c)
+          } else if (nestedCols.contains(c))
+            flatten(collect_list(col(s"`$c`"))).as(c)
+          else min_by(col(c), col("__graft_seq")).as(c)
         } :+ min(col("__graft_seq")).as("__graft_seq")
-        val g = (if (keyAliases.isEmpty) withKeys.groupBy()
+        val g0 = (if (keyAliases.isEmpty) withKeys.groupBy()
           else withKeys.groupBy(keyAliases.map(col): _*))
           .agg(aggs.head, aggs.tail: _*)
+        // per-key value summation for the Nested map groups
+        val g = nestedGroups.foldLeft(g0) { case (acc0, (_, cs)) =>
+          val idC = cs.head
+          val valCs = cs.tail
+          val ids = col(s"`$idC`")
+          val keys0 = array_sort(array_distinct(ids))
+          def sumsFor(v: String) = {
+            val et = schema(v).dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType
+            transform(keys0, k => aggregate(
+              zip_with(ids, col(s"`$v`"),
+                (i, n) => struct(i.as("i"), n.as("n"))),
+              lit(0L).cast(et),
+              (accum, p) => accum +
+                when(p.getField("i") === k, p.getField("n")).otherwise(0)))
+          }
+          val sumCols2 = valCs.map(v => sumsFor(v))
+          // erase entries whose every value summed to zero
+          val liveIdx = filter(
+            transform(keys0, (_, i) => i),
+            i => sumCols2.map(s => get(s, i) =!= 0)
+              .reduce(_ || _))
+          var acc = acc0.withColumn(idC,
+            transform(liveIdx, i => get(keys0, i)))
+          valCs.zip(sumCols2).foreach { case (v, s) =>
+            acc = acc.withColumn(v, transform(liveIdx, i => get(s, i))
+              .cast(schema(v).dataType))
+          }
+          acc
+        }
         // a fully-zeroed summed row is deleted on merge (ref
         // SummingSortedAlgorithm.cpp current_row_is_zero)
         val keep = sums.map(c => coalesce(col(c) =!= 0, lit(false)))
