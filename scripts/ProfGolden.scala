@@ -4,7 +4,8 @@ package graft
   * (not part of the API). args(0) = file with one .sql path per line. */
 object ProfGolden {
   def main(args: Array[String]): Unit = {
-    var spark = Engine.session()
+    var spark = Engine.session(
+      sys.env.getOrElse("SWEEP_CORES", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val list = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(args(0))).toArray.map(_.toString).filter(_.nonEmpty)
@@ -39,7 +40,8 @@ object ProfGolden {
       try {
         val s0 = spark
         val fut = Future(golden.Golden.runFile(s0, path, sfDir))
-        try Right(Await.result(fut, 60.seconds))
+        try Right(Await.result(fut,
+          sys.env.getOrElse("SWEEP_TIMEOUT_S", "60").toInt.seconds))
         catch { case _: java.util.concurrent.TimeoutException =>
           rebuild(); timeouts += 1; Left("TIMEOUT 60s") }
       } catch { case e: Throwable =>

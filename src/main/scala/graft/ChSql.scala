@@ -2140,7 +2140,10 @@ object ChSql {
         }.toOption.flatten
       }
     governingLimit match {
-      case Some(v) => Some(math.max(v, 10000000L))
+      // floor 10M + 1: filtered scans commonly probe for the value
+      // 10000000 itself (00086), which an exclusive range(10M) upper
+      // bound would miss by one
+      case Some(v) => Some(math.max(v, 10000001L))
       case None => settingBound
     }
   }
@@ -2333,6 +2336,10 @@ object ChSql {
     * registered view must still carry them for explicit references. */
   private[graft] def rewriteStarHidden(sql: String): String = {
     if (!sql.contains("*")) return sql
+    // bare `SELECT *` (no FROM): the implicit system.one source — one
+    // row, one UInt8 `dummy` column (01333, 02339)
+    if (sql.matches("(?is)^\\s*SELECT\\s+\\*\\s*;?\\s*$"))
+      return "SELECT CAST(0 AS TINYINT) AS dummy"
     replaceFnOutsideStrings(sql,
       "(?i)\\bSELECT\\s+\\*\\s+FROM\\s+(`?)([A-Za-z_]\\w*)`?(?![\\w`.(])") { m =>
       starVisibleColumns(m.group(2)) match {
@@ -4664,6 +4671,30 @@ object ChSql {
             ds.map(c => org.apache.spark.sql.Row(
               c.name, c.typ, c.kind, c.expr, "", "", "")).asJava, st)
         }
+      }
+      // SHOW DATABASES [[NOT] [I]LIKE 'pattern'] (ref
+      // src/Interpreters/InterpreterShowTablesQuery.cpp): the LIKE form
+      // filters the live database list; CH's built-in catalog set is
+      // engine-specific, so only the filtered form is emulated
+      val ShowDbRe = ("(?is)^SHOW\\s+DATABASES\\s+(NOT\\s+)?(I?LIKE)" +
+        "\\s+'([^']*)'\\s*$").r
+      ShowDbRe.findFirstMatchIn(q).foreach { m =>
+        val not = m.group(1) != null
+        val ci = m.group(2).equalsIgnoreCase("ILIKE")
+        val re = ((if (ci) "(?i)" else "") +
+          java.util.regex.Pattern.quote(m.group(3))
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")).r
+        val all = (ChDatabases.known ++
+          Seq("INFORMATION_SCHEMA", "default", "information_schema",
+            "system")).distinct.sorted
+        val hits = all.filter(d =>
+          re.pattern.matcher(d).matches() != not)
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(
+          hits.map(org.apache.spark.sql.Row(_)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType, nullable = false))))
       }
       ShowCreateRe.findFirstMatchIn(q).foreach { m =>
         // SHOW CREATE TABLE renders the stored definition (ref

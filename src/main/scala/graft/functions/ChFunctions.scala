@@ -895,8 +895,9 @@ object ch {
     }
   }
   def bar(v: Column, min: Double, max: Double, width: Int = 80): Column =
-    call_function("repeat", lit("█"),
-      round((v - min) / (max - min) * width).cast("int"))
+    // a NaN/NULL width renders as an empty bar, not NULL (01654)
+    coalesce(call_function("repeat", lit("█"),
+      round((v - min) / (max - min) * width).cast("int")), lit(""))
   def runningDifference(c: Column, over: org.apache.spark.sql.expressions.WindowSpec): Column =
     c - lag(c, 1, 0).over(over)
   def neighbor(c: Column, offset: Int, over: org.apache.spark.sql.expressions.WindowSpec): Column =

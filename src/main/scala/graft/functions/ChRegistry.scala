@@ -2755,7 +2755,15 @@ object ChRegistry {
         n.cast("int"), lit(Array[Byte](0))), "UTF-8"))
     // UUID keeps its canonical lowercase-hex text form; comparisons on
     // the 36-char fixed-width string order identically to CH's u128
-    f1("toUUID")(c => lower(trim(c)))
+    f1("toUUID")(c => {
+      val t = lower(trim(c))
+      // separator-less 32-hex form re-dashes (ref
+      // parseUUIDWithoutSeparator; 01338)
+      when(t.rlike("^[0-9a-f]{32}$"),
+        concat_ws("-", substring(t, 1, 8), substring(t, 9, 4),
+          substring(t, 13, 4), substring(t, 17, 4), substring(t, 21, 12)))
+        .otherwise(t)
+    })
 
     // wave 3c: §2.8 sweep-up
     // shadows builtin isnan (case-insensitive) — build the node directly

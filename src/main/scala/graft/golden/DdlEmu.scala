@@ -999,6 +999,26 @@ object DdlEmu {
       case st if st.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*") =>
         val tn = "(?is)^OPTIMIZE\\s+TABLE\\s+`?([\\w.]+)`?.*$".r
           .findFirstMatchIn(st).map(_.group(1))
+        // OPTIMIZE … DEDUPLICATE drops fully-identical rows (ref
+        // src/Interpreters/InterpreterOptimizeQuery.cpp; 01412)
+        if (st.matches("(?is).*\\bDEDUPLICATE\\b.*")) tn.foreach { n =>
+          staged.get(n) match {
+            case Some(stg) =>
+              val dataCols = stg.columns.filterNot(_ == "__graft_seq")
+              import org.apache.spark.sql.expressions.Window
+              val w = Window.partitionBy(dataCols.map(c =>
+                col(s"`$c`")): _*)
+              staged(n) = stg.withColumn("__graft_min_seq",
+                org.apache.spark.sql.functions.min(col("__graft_seq"))
+                  .over(w))
+                .filter(col("__graft_seq") === col("__graft_min_seq"))
+                .drop("__graft_min_seq")
+              publish(spark, n)
+            case None => scala.util.Try(
+              register(spark, n, storedDf(spark, n).distinct()))
+          }
+          refreshViews(spark, sfDir)
+        }
         tn.foreach { n =>
           for (spec <- engines.get(n); df <- staged.get(n)) {
             // materialize: OPTIMIZE makes the merge the new storage state
@@ -1027,6 +1047,11 @@ object DdlEmu {
             .findFirstMatchIn(pr.trim).getOrElse(
               sys.error(s"RENAME: cannot parse '$pr'"))
           val (a, b) = (m.group(1), m.group(2))
+          // renaming ONTO an existing (even detached) table is
+          // TABLE_ALREADY_EXISTS (ref InterpreterRenameQuery; 01603)
+          if (scala.util.Try(spark.table(b)).isSuccess ||
+              detachedDf.contains(b))
+            sys.error(s"TABLE_ALREADY_EXISTS: $b")
           val df = spark.table(a)
           df.createOrReplaceTempView(b)
           spark.catalog.dropTempView(a)
@@ -1136,8 +1161,19 @@ object DdlEmu {
         val nm = ("(?is)^DETACH\\s+(?:TABLE|VIEW|DICTIONARY)\\s+" +
           "(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?.*$").r
           .findFirstMatchIn(s).map(_.group(1)).getOrElse(return false)
+        // Set/Join engines with persistent=0 hold data in RAM only —
+        // a DETACH loses it (01493/01494); ATTACH restores empty
+        val volatileSet = createdDdl.get(nm).exists(_.matches(
+          "(?is).*\\b(Set|Join)\\s*\\(.*persistent\\s*=\\s*0.*")) ||
+          createdDdl.get(nm).exists(d =>
+            d.matches("(?is).*ENGINE\\s*=?\\s*(Set|Join)\\b.*") &&
+              d.matches("(?is).*\\bpersistent\\s*=\\s*0\\b.*")) ||
+          // the Memory engine holds rows in RAM only — DETACH loses
+          // them (01603: attach after detach finds an empty table)
+          createdDdl.get(nm).exists(_.matches(
+            "(?is).*ENGINE\\s*=?\\s*Memory\\b.*"))
         scala.util.Try(storedDf(spark, nm)).foreach(df =>
-          detachedDf(nm) = df)
+          detachedDf(nm) = if (volatileSet) df.limit(0) else df)
         spark.catalog.dropTempView(nm)
         true
       case s if s.matches("(?is)^ATTACH\\s+(TABLE|VIEW|DICTIONARY)" +
@@ -1607,6 +1643,20 @@ object DdlEmu {
               uniq.schema(c).dataType ==
                 org.apache.spark.sql.types.StringType)
               graft.functions.ch.toDateTime(uniq.col(c))
+            // UUID columns accept the separator-less 32-hex form (01338)
+            else if (chTypes.get(name).flatMap(_.get(n))
+                .exists(_.equalsIgnoreCase("UUID")) &&
+              uniq.schema(c).dataType ==
+                org.apache.spark.sql.types.StringType) {
+              import org.apache.spark.sql.functions.{concat_ws, lower,
+                substring, trim, when}
+              val t0 = lower(trim(uniq.col(s"`$c`")))
+              when(t0.rlike("^[0-9a-f]{32}$"),
+                concat_ws("-", substring(t0, 1, 8), substring(t0, 9, 4),
+                  substring(t0, 13, 4), substring(t0, 17, 4),
+                  substring(t0, 21, 12)))
+                .otherwise(uniq.col(s"`$c`"))
+            }
             // Bool text accepts the CH word set and the session's
             // bool_*_representation (SerializationBool)
             else if (target.schema(n).dataType ==
@@ -1990,7 +2040,8 @@ object DdlEmu {
     val renColRe = ("(?is)^RENAME\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?" +
       "`?(\\w+)`?\\s+TO\\s+`?(\\w+)`?\\s*$").r
     val modRe = "(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(.*)$".r
-    val clearRe = "(?is)^CLEAR\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?`?(\\w+)`?.*$".r
+    val clearRe = ("(?is)^CLEAR\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?" +
+      "`?(\\w+)`?\\s*(?:IN\\s+PARTITION\\s+(\\S+))?\\s*$").r
     splitTop(opsText).foreach { op0 =>
       val op = op0.trim
       op match {
@@ -2112,12 +2163,28 @@ object DdlEmu {
               }
             }
           } else recordDefaults(name, d, merge = true)
-        case clearRe(cn) =>
+        case clearRe(cn, partVal) =>
           if (cols.exists(_._1 == cn)) {
             val dt = DataType.fromDDL(cols.find(_._1 == cn).get._2)
+            // IN PARTITION p limits the reset to that partition's rows
+            // (ref AlterCommands CLEAR_COLUMN; 01114)
+            val cond = Option(partVal).flatMap { v =>
+              createdDdl.get(name).flatMap(d =>
+                ("(?is)\\bPARTITION\\s+BY\\s+(.+?)\\s*(?:ORDER\\s+BY|" +
+                  "PRIMARY\\s+KEY|SAMPLE\\s+BY|SETTINGS|TTL|$).*").r
+                  .findFirstMatchIn(d).map(_.group(1).trim))
+                .map(px => expr(graft.ChSql.translate(
+                  s"($px) = ($v)").trim))
+            }
             def clear(frame: DataFrame): DataFrame =
               frame.select(frame.columns.map { c =>
-                if (c == cn) defaultFor(dt).as(c) else col(s"`$c`")
+                if (c == cn) cond match {
+                  case Some(p) =>
+                    org.apache.spark.sql.functions
+                      .when(p, defaultFor(dt)).otherwise(col(s"`$c`"))
+                      .cast(dt).as(c)
+                  case None => defaultFor(dt).as(c)
+                } else col(s"`$c`")
               }.toSeq: _*)
             df = clear(df); stagedDf = stagedDf.map(clear)
           }
