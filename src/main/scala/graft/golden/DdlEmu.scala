@@ -46,6 +46,9 @@ object DdlEmu {
   /** DETACHed tables' data, restored by ATTACH. */
   private val detachedDf = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+  /** Engine text of CTAS tables (DETACH volatility check). */
+  private val ctasEngines = scala.collection.concurrent.TrieMap
+    .empty[String, String]
   /** DETACHed partitions' rows, keyed (table, partition-value text). */
   private val detachedParts = scala.collection.concurrent.TrieMap
     .empty[(String, String), DataFrame]
@@ -233,7 +236,7 @@ object DdlEmu {
     distributedAlias.clear(); replicaPrimary.clear()
     ttlExprs.clear(); colTtlExprs.clear(); detachedDf.clear()
     detachedParts.clear(); insertedBlocks.clear(); liveViewVer.clear()
-    fileBacked.clear()
+    fileBacked.clear(); ctasEngines.clear()
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
   }
@@ -835,6 +838,11 @@ object DdlEmu {
     if (eng.matches("(?is).*MergeTree\\b.*") &&
         !eng.matches("(?is).*\\bSETTINGS\\b.*"))
       eng += "\nSETTINGS index_granularity = 8192"
+    // an explicit SETTINGS list still gets the default appended (CH
+    // always prints index_granularity for MergeTree; 01278)
+    else if (eng.matches("(?is).*MergeTree\\b.*") &&
+        !eng.matches("(?is).*\\bindex_granularity\\b.*"))
+      eng += ", index_granularity = 8192"
     // ORDER BY/PARTITION BY/etc. clauses each on their own line
     eng = eng.replaceAll(
       "(?i)\\s+(ORDER BY|PARTITION BY|PRIMARY KEY|SAMPLE BY|TTL|SETTINGS)\\b",
@@ -1171,7 +1179,9 @@ object DdlEmu {
           // the Memory engine holds rows in RAM only — DETACH loses
           // them (01603: attach after detach finds an empty table)
           createdDdl.get(nm).exists(_.matches(
-            "(?is).*ENGINE\\s*=?\\s*Memory\\b.*"))
+            "(?is).*ENGINE\\s*=?\\s*Memory\\b.*")) ||
+          ctasEngines.get(nm).exists(_.matches(
+            "(?is)^(ENGINE\\s*=?\\s*)?Memory\\b.*"))
         scala.util.Try(storedDf(spark, nm)).foreach(df =>
           detachedDf(nm) = if (volatileSet) df.limit(0) else df)
         spark.catalog.dropTempView(nm)
@@ -1782,6 +1792,8 @@ object DdlEmu {
         decls(name) =
           Decl(df.schema.fields.map(f => f.name -> f.dataType.sql).toSeq)
         register(spark, name, df)
+        // remember the engine so DETACH knows Memory volatility (01603)
+        Option(engTail).foreach(t => ctasEngines(name) = t.trim)
         Option(engTail).flatMap(parseEngine) match {
           case Some(spec) =>
             engines(name) = spec
