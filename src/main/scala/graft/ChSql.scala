@@ -2170,6 +2170,21 @@ object ChSql {
     * server's user_files_path). */
   val userFilesDir = "/tmp/graft_user_files"
 
+  /** Resolve a file()/File-engine path under userFilesDir, refusing
+    * escapes: absolute paths and any path whose normalized resolution
+    * leaves the root raise PATH_ACCESS_DENIED (ref
+    * src/Common/filesystemHelpers.cpp fileOrSymlinkPathStartsWith —
+    * the reference confines file() to user_files_path). */
+  private[graft] def userFilesPath(rel: String): java.nio.file.Path = {
+    val root =
+      java.nio.file.Paths.get(userFilesDir).toAbsolutePath.normalize
+    val p = root.resolve(rel).normalize
+    if (rel.startsWith("/") || !p.startsWith(root))
+      throw new IllegalArgumentException(
+        s"PATH_ACCESS_DENIED: $rel is outside user_files")
+    p
+  }
+
   /** Translate a bare CH type text to Spark DDL (public face of
     * rewriteChTypes for single types — file() schemas, DdlEmu). */
   private[graft] def chTypeToSpark(t: String): String =
@@ -2184,13 +2199,29 @@ object ChSql {
     val low = sql.toLowerCase
     if (!low.contains("file(") && !low.contains("file (")) return sql
     if (sql.matches("(?is)^\\s*INSERT\\b.*")) return sql
-    replaceFnOutsideStrings(sql,
-      "(?i)(?<![\\w.])file\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*" +
-        "['\"](\\w+)['\"]\\s*" +
-        "(?:,\\s*['\"]([^'\"]*)['\"])?\\s*\\)") { m =>
+    // the TVF's arguments ARE string literals, so the outside-strings
+    // replacer can never see the full call — match directly and skip
+    // only occurrences that START inside a string literal
+    def insideString(pos: Int): Boolean = {
+      var inS = false; var i = 0
+      while (i < pos) {
+        val c = sql.charAt(i)
+        if (inS) { if (c == '\\') i += 1 else if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        i += 1
+      }
+      inS
+    }
+    val rx = ("(?i)(?<![\\w.])file\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*,\\s*" +
+      "['\"](\\w+)['\"]\\s*" +
+      "(?:,\\s*['\"]([^'\"]*)['\"])?\\s*\\)").r
+    rx.replaceAllIn(sql, m => {
+      if (insideString(m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
       val rel = m.group(1)
       val fmt = m.group(2)
-      val p = java.nio.file.Paths.get(userFilesDir, rel)
+      val p = userFilesPath(rel)
       val data =
         try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         catch { case _: Exception => throw new IllegalArgumentException(
@@ -2213,7 +2244,8 @@ object ChSql {
         case None => sub
       }
       java.util.regex.Matcher.quoteReplacement(out)
-    }
+      }
+    })
   }
 
   /** `SELECT …, _version FROM <live view>` → the view's refresh counter
@@ -2712,7 +2744,14 @@ object ChSql {
       else {
         val parts = splitTopLevelCommas(inner).map(_.trim).filter(_.nonEmpty)
         val kvs = parts.map(splitColon)
-        if (kvs.nonEmpty && kvs.forall(_ != null))
+        // a CH query-parameter placeholder `{name:Type}` (ref
+        // src/Parsers/ParserSetQuery.cpp parameter grammar) also splits
+        // at a depth-0 colon — leave it for later substitution/error
+        // reporting instead of corrupting it into map(name, Type)
+        val isPlaceholder = parts.length == 1 && kvs.head != null &&
+          kvs.head._1.matches("[A-Za-z_]\\w*") &&
+          kvs.head._2.matches("[A-Za-z_]\\w*(\\s*\\([\\w\\s,()]*\\))?")
+        if (kvs.nonEmpty && kvs.forall(_ != null) && !isPlaceholder)
           ("map(" + kvs.flatMap(kv => Seq(kv._1, kv._2))
             .mkString(", ") + ")", j)
         else ("{" + inner + "}", j)
@@ -3115,6 +3154,25 @@ object ChSql {
     * rather than risking a wrong types row. */
   /** Top-level select-list span and items of a statement: (listStart,
     * listEnd, items). None when the statement is not a leading SELECT. */
+  /** Alias bare string-literal select items with their CH column name —
+    * the literal INCLUDING quotes (ref src/Parsers/ASTLiteral.cpp
+    * appendColumnNameImpl). Top-level select list only; items that
+    * already carry an alias are untouched. */
+  private[graft] def rewriteLiteralItemNames(sql: String): String = {
+    val litRe = "^'(?:[^'\\\\]|\\\\.)*'$"
+    topSelectItemSpans(sql) match {
+      case Some((st, en, items))
+          if items.exists(_.trim.matches(litRe)) =>
+        val newItems = items.map { it =>
+          val t = it.trim
+          if (t.matches(litRe)) s"$t AS `${t.replace("`", "``")}`" else it
+        }
+        sql.substring(0, st) + newItems.mkString(", ") + " " +
+          sql.substring(en)
+      case _ => sql
+    }
+  }
+
   private def topSelectItemSpans(q: String): Option[(Int, Int, Seq[String])] = {
     val selRe = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
     val m = selRe.findFirstMatchIn(q).getOrElse(return None)
@@ -3477,11 +3535,16 @@ object ChSql {
     // folding especially) see literal values instead of alias names
     // original top-level item texts — the CH column names for the Bool
     // display wrap (captured before any rewrite mangles the text)
-    val preItems = topSelectItemSpans(chSql1.trim.stripSuffix(";"))
+    // CH auto-names a bare string-literal select item WITH its quotes
+    // (`SELECT 'x'` → column `'x'`; ref IAST::getColumnName) — Spark
+    // would name it `x`. Alias the top-level literal items first so
+    // name-bearing formats (JSON*, WithNames, Vertical) match.
+    val chSql2 = rewriteLiteralItemNames(chSql1)
+    val preItems = topSelectItemSpans(chSql2.trim.stripSuffix(";"))
       .map(_._3)
     var s0 = rewriteTypeIntrospection(rewriteCastCall(
       rewriteColonCast(rewriteScalarWithDeep(rewriteGroupByAll(rewriteColumnTransformers(rewriteMapLiterals(rewriteLiveViewVersion(rewriteFileTvf(rewriteUntuple(
-        rewriteStringEscapes(chSql1)))))))))))
+        rewriteStringEscapes(chSql2)))))))))))
     s0 = rewriteBoolDisplay(s0, preItems)
     var s = rewriteSortHof(rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(rewriteChTypes(s0)))))))
@@ -3666,8 +3729,9 @@ object ChSql {
         s"INTERVAL ${mm.group(1)} $u"
       }
     }
-    // zero-arg count() is valid CH (count(*) in ANSI)
-    s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // zero-arg count() is valid CH (count(*) in ANSI); string literals
+    // (query_log LIKE patterns) must keep their text verbatim
+    s = replaceOutsideStrings(s, "(?i)\\bcount\\(\\s*\\)", "count(*)")
     // multi-argument GROUPING(a, b, …) (ref
     // src/Functions/grouping.cpp, standard-compatibility mode — the
     // 23.3 default): the bitmask Σ grouping(aᵢ)·2^(k-1-i). Spark's
@@ -3804,9 +3868,10 @@ object ChSql {
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`
-    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)",
+    s = replaceOutsideStrings(s,
+      "(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)",
       "(SELECT id AS number FROM range($1, $1 + $2))")
-    s = s.replaceAll("(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+)\\)",
+    s = replaceOutsideStrings(s, "(?i)\\bnumbers(?:_mt)?\\s*\\((\\d+)\\)",
       "(SELECT id AS number FROM range($1))")
     // constant-EXPRESSION args (numbers(256-4, 4), numbers(pow(2,32)-64,
     // 64)): CH folds them in the parser; fold here so range() sees
@@ -4696,6 +4761,77 @@ object ChSql {
             org.apache.spark.sql.types.StructField("name",
               org.apache.spark.sql.types.StringType, nullable = false))))
       }
+      // SHOW CREATE DICTIONARY / SHOW DICTIONARIES / EXISTS (ref
+      // src/Interpreters/InterpreterShowCreateQuery.cpp dictionary
+      // branch, InterpreterShowTablesQuery.cpp, InterpreterExistsQuery)
+      locally {
+        import scala.jdk.CollectionConverters._
+        def oneCol(n: String, rows: Seq[String]): DataFrame =
+          spark.createDataFrame(
+            rows.map(org.apache.spark.sql.Row(_)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.StringType,
+                nullable = false))))
+        def bit(n: String, v: Boolean): DataFrame =
+          spark.createDataFrame(
+            Seq(org.apache.spark.sql.Row(
+              if (v) 1.toByte else 0.toByte)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.ByteType, nullable = false))))
+        def fold(n: String): String = graft.ChDatabases.foldQualified(n,
+          replaceOutsideStrings)
+        val ShowCreateDictRe =
+          "(?is)^SHOW\\s+CREATE\\s+DICTIONARY\\s+`?([\\w.]+)`?\\s*$".r
+        ShowCreateDictRe.findFirstMatchIn(q).foreach { m =>
+          val ddl = graft.golden.DdlEmu
+            .showCreateDictionary(fold(m.group(1))).getOrElse(
+              throw new IllegalArgumentException(
+                s"UNKNOWN_DICTIONARY: ${m.group(1)}"))
+          return oneCol("statement", Seq(ddl))
+        }
+        val ShowDictsRe = ("(?is)^SHOW\\s+DICTIONARIES" +
+          "(?:\\s+FROM\\s+`?([\\w.]+)`?)?" +
+          "(?:\\s+(NOT\\s+)?(I?LIKE)\\s+'([^']*)')?\\s*$").r
+        ShowDictsRe.findFirstMatchIn(q).foreach { m =>
+          val db = Option(m.group(1)).map(_.toLowerCase)
+          val not = m.group(2) != null
+          val ci = Option(m.group(3)).exists(_.equalsIgnoreCase("ILIKE"))
+          val pat = Option(m.group(4)).map(p =>
+            ((if (ci) "(?i)" else "") + java.util.regex.Pattern.quote(p)
+              .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")).r)
+          val hits = graft.golden.DdlEmu.dictDefs.values.toSeq
+            .filter(_.attached)
+            .filter(d => db.forall(_ == d.database.toLowerCase))
+            .map(_.bareName)
+            .filter(n => pat.forall(_.pattern.matcher(n).matches() != not))
+            .sorted
+          return oneCol("name", hits)
+        }
+        val ExistsStmtRe = ("(?is)^EXISTS\\s+(?:(TEMPORARY)\\s+)?" +
+          "(?:(TABLE|DICTIONARY|DATABASE|VIEW)\\s+)?" +
+          "`?([\\w.]+)`?\\s*$").r
+        ExistsStmtRe.findFirstMatchIn(q)
+          .filter(m => !m.group(3).equalsIgnoreCase("IN")) // EXISTS (…)
+          .foreach { m =>
+          val kindKw = Option(m.group(2)).map(_.toUpperCase)
+          val name = m.group(3)
+          val folded = fold(name)
+          val v = kindKw match {
+            case Some("DATABASE") =>
+              ChDatabases.known.contains(name.toLowerCase)
+            case Some("DICTIONARY") =>
+              graft.golden.DdlEmu.dictDefs.get(folded).exists(_.attached)
+            case Some("VIEW") => graft.golden.DdlEmu.isView(folded)
+            case _ =>
+              scala.util.Try(spark.table(folded)).isSuccess ||
+                graft.golden.DdlEmu.dictDefs.get(folded)
+                  .exists(_.attached)
+          }
+          return bit("result", v)
+        }
+      }
       ShowCreateRe.findFirstMatchIn(q).foreach { m =>
         // SHOW CREATE TABLE renders the stored definition (ref
         // src/Interpreters/InterpreterShowCreateQuery.cpp)
@@ -4716,7 +4852,13 @@ object ChSql {
           ChRegistry.ensureSynthesized(spark, q)
           Tables.register(spark, sfDir)
           explainDf(spark, m.group(1), m.group(2), sfDir)
-        case None => sqlImpl(spark, chQuery, sfDir)
+        case None =>
+          val df = sqlImpl(spark, chQuery, sfDir)
+          // optimization is lazy (collect time) — force it HERE so
+          // CH-scoped optimizer rules (grouping-set default fill) see
+          // the thread-local scope; queryExecution caches the result
+          scala.util.Try(df.queryExecution.optimizedPlan)
+          df
       }
     }
 
@@ -4855,7 +4997,64 @@ object ChSql {
     ChRegistry.register(spark)
     ChRegistry.ensureSynthesized(spark, chQuery0)
     Tables.register(spark, sfDir)
-    val chQuery = rewriteJoinItemNames(spark, chQuery0)
+    var chQueryS = chQuery0
+    // system.query_log / system.settings stand-ins (ref
+    // src/Interpreters/QueryLog.h:30, Storages/System/
+    // StorageSystemSettings.cpp): refresh the session-local view and
+    // point the query at it; numeric Enum8 comparisons on `type` read
+    // the parallel type_num column
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?query_thread_log`?\\b.*")) {
+      graft.golden.QueryLog.registerThreadLog(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?query_thread_log`?(?![\\w`])",
+        "graft_system_query_thread_log")
+    }
+    if (chQueryS.matches("(?is).*\\bsystem\\s*\\.\\s*`?query_log`?\\b.*")) {
+      graft.golden.QueryLog.register(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?query_log`?(?![\\w`])",
+        "graft_system_query_log")
+      chQueryS = chQueryS.replaceAll(
+        "(?i)\\btype\\s*(=|==|!=|<>|>=|<=|>|<)\\s*(\\d)(?![\\w'])",
+        "type_num $1 $2")
+    }
+    if (chQueryS.matches("(?is).*\\bsystem\\s*\\.\\s*`?settings`?\\b.*")) {
+      graft.golden.QueryLog.registerSettings(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?settings`?(?![\\w`])",
+        "graft_system_settings")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?detached_parts`?\\b.*")) {
+      graft.golden.PartsLog.registerDetached(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?detached_parts`?(?![\\w`])",
+        "graft_system_detached_parts")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?parts`?(?![\\w`]).*")) {
+      graft.golden.PartsLog.register(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?parts`?(?![\\w`])",
+        "graft_system_parts")
+    }
+    // dictionary lazy-load/query-count transitions happen on first
+    // touch (01254/01760), then the dictionaries view reflects them
+    graft.golden.DdlEmu.touchDictionaries(chQueryS)
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?dictionaries`?\\b.*")) {
+      graft.golden.DdlEmu.registerSystemDictionaries(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?dictionaries`?(?![\\w`])",
+        "graft_system_dictionaries")
+      // the Nested-style key.names/attribute.types columns need
+      // backticks or Spark reads them as struct-field access
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\b(key|attribute)\\s*\\.\\s*(names|types)\\b",
+        "`$1.$2`")
+    }
+    val chQuery = rewriteJoinItemNames(spark, chQueryS)
     val asofM = AsofSqlRe.findFirstMatchIn(chQuery.trim.stripSuffix(";"))
       .filter(_ => !chQuery.matches("(?is).*\\bJOIN\\s*\\(.*"))
     val asofDf = asofM.flatMap(asofSql(spark, chQuery, sfDir, _))

@@ -916,6 +916,17 @@ object ch {
   def hostName(): Column = lit("localhost")
   def currentDatabase(): Column = lit("default")
 
+  /** normalizeQuery (ref src/Common/SensitiveDataMasker +
+    * src/Functions/normalizeQuery.cpp): string literals and standalone
+    * numeric literals become `?` — the same transform on both sides of
+    * a comparison is what the query_log goldens rely on. */
+  def normalizeQuery(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val s1 = regexp_replace(c, "'(?:[^'\\\\]|\\\\.)*'", "?")
+    regexp_replace(s1,
+      "(?<![\\w'?])-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?(?![\\w])", "?")
+  }
+
   // ---- wave 2: binary repr, regexp groups, date parts, map algebra,
   // array norms/AUC (ref FunctionsBinaryRepresentation.cpp,
   // extractGroups.cpp, dateName.cpp, mapFilter.cpp, arrayNorm.cpp,

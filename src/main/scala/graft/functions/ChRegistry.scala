@@ -916,6 +916,11 @@ object ChRegistry {
     f("version") { case Seq() => ch.versionCh() }
     f("hostName") { case Seq() => ch.hostName() }
     f("currentDatabase") { case Seq() => ch.currentDatabase() }
+    f1("normalizeQuery")(ch.normalizeQuery)
+    f1("normalizeQueryKeepNames")(ch.normalizeQuery)
+    f1("normalizedQueryHash") { c =>
+      org.apache.spark.sql.functions.abs(
+        org.apache.spark.sql.functions.xxhash64(ch.normalizeQuery(c))) }
 
     // server-introspection constants (ref src/Functions/serverConstants.cpp
     // and registerFunctionsIntrospection.cpp): fixed values matching the

@@ -81,7 +81,7 @@ object DdlEmu {
     val (rel, fm) = fileBacked(name)
     val d = decls(name)
     import org.apache.spark.sql.types.DataType
-    val p = java.nio.file.Paths.get(graft.ChSql.userFilesDir, rel)
+    val p = graft.ChSql.userFilesPath(rel)
     if (!java.nio.file.Files.exists(p)) return emptyDf(spark, d)
     val data = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .replace("\\", "\\\\")
@@ -164,10 +164,21 @@ object DdlEmu {
     "(?is)^DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*(?:SYNC)?\\s*$".r
   /** view name → (colDefs, select), in creation order */
   private val viewDefs = new java.util.LinkedHashMap[String, (String, String)]()
+  /** Whether `name` is a registered VIEW (EXISTS VIEW, 01048). */
+  def isView(name: String): Boolean = viewDefs.containsKey(name)
 
   private def registerView(spark: SparkSession, sfDir: String,
       name: String, colDefs: String, select: String): Unit = {
-    val df0 = graft.ChSql.sql(spark, select.trim, sfDir)
+    // a VIEW over bare system.numbers is legal (reads are lazy; the
+    // consumer's LIMIT stops the scan) — stand in a 10M+1 range, the
+    // same floor numbersBound uses, so LIMIT-bounded reads through the
+    // view work (01946 sleep_view)
+    val select1 =
+      if (select.matches("(?is).*\\bsystem\\.numbers(?:_mt)?\\b.*"))
+        select.replaceAll("(?i)\\bFROM\\s+system\\.numbers(?:_mt)?\\b",
+          "FROM (SELECT id AS number FROM range(10000001))")
+      else select
+    val df0 = graft.ChSql.sql(spark, select1.trim, sfDir)
     val df = Option(colDefs).map(_.trim.stripPrefix("(").stripSuffix(")"))
       .filter(_.nonEmpty).map { cd =>
         val cols = parseCols(cd)
@@ -220,6 +231,21 @@ object DdlEmu {
     val short = col.toLowerCase.split('.').last
     nullableDeclared.values.exists(_.contains(short))
   }
+  /** Table-scoped variant: when the caller knows which relations feed
+    * the plan (grouping-set fill), only THOSE tables' declarations
+    * count — a same-named Nullable column on an unrelated table must
+    * not suppress the fill. Tables absent from the map declared no
+    * Nullable columns. Falls back to the global lookup when none of the
+    * candidate names is a known source (subquery/TVF shapes). */
+  def isDeclaredNullableIn(col: String, tables: Set[String]): Boolean = {
+    val short = col.toLowerCase.split('.').last
+    val scoped = tables.map(_.stripPrefix("__graft_final_").toLowerCase)
+    if (scoped.nonEmpty &&
+        decls.keys.map(_.toLowerCase).exists(scoped.contains))
+      nullableDeclared.exists { case (t, cols) =>
+        scoped.contains(t.toLowerCase) && cols.contains(short) }
+    else isDeclaredNullable(col)
+  }
   /** Per-file reset (the map is session-global; one test's declarations
     * must not leak into the next file's fill decisions). */
   def resetNullables(): Unit = {
@@ -236,7 +262,8 @@ object DdlEmu {
     distributedAlias.clear(); replicaPrimary.clear()
     ttlExprs.clear(); colTtlExprs.clear(); detachedDf.clear()
     detachedParts.clear(); insertedBlocks.clear(); liveViewVer.clear()
-    fileBacked.clear(); ctasEngines.clear()
+    fileBacked.clear(); ctasEngines.clear(); dictDefs.clear()
+    PartsLog.reset()
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
   }
@@ -250,6 +277,7 @@ object DdlEmu {
     val it = viewDefs.keySet().iterator()
     while (it.hasNext) spark.catalog.dropTempView(it.next())
     resetNullables()
+    QueryLog.reset()
   }
 
   // ------------------------------------------------- engine-typed merges
@@ -879,6 +907,154 @@ object DdlEmu {
     else nullableDeclared.remove(table)
   }
 
+  /** Dictionary introspection registry (ref
+    * src/Storages/System/StorageSystemDictionaries.cpp,
+    * InterpreterShowCreateQuery.cpp dictionary branch): one entry per
+    * CREATE DICTIONARY, carrying the pieces SHOW CREATE / SHOW
+    * DICTIONARIES / EXISTS DICTIONARY / system.dictionaries render.
+    * `loaded` models CH's lazy load: NOT_LOADED until first read. */
+  final case class DictDef(folded: String, database: String,
+    bareName: String, keys: Seq[(String, String)],
+    attrs: Seq[(String, String)], colDefs: String, tail: String,
+    var attached: Boolean, var loaded: Boolean, var queryCount: Long)
+  val dictDefs =
+    scala.collection.concurrent.TrieMap.empty[String, DictDef]
+
+  private def recordDictDef(folded: String, colDefs: String,
+      tail: String): Unit = {
+    val (db, bare) = graft.ChDatabases.known
+      .find(d => folded.startsWith(d + "__"))
+      .map(d => (d, folded.stripPrefix(d + "__")))
+      .getOrElse(("default", folded))
+    val pk = "(?is)PRIMARY\\s+KEY\\s+(.*?)\\s*(?:SOURCE|LAYOUT|LIFETIME|RANGE)\\b"
+      .r.findFirstMatchIn(tail).map(_.group(1).trim).getOrElse("")
+    val keyNames = pk.split(",").map(
+      _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+    val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty).map { cd =>
+      val sp = cd.indexWhere(_.isWhitespace)
+      val n = cd.take(sp).stripPrefix("`").stripSuffix("`")
+      (n, cd.drop(sp).trim.split("\\s+").head)
+    }
+    val keys = keyNames.map(k =>
+      k -> cols.find(_._1 == k).map(_._2).getOrElse("UInt64"))
+    val attrs = cols.filterNot(c => keyNames.contains(c._1))
+    dictDefs(folded) = DictDef(folded, db, bare, keys, attrs,
+      colDefs, tail, attached = true, loaded = false, queryCount = 0)
+  }
+
+  /** Canonical SHOW CREATE DICTIONARY rendering (ref
+    * src/Parsers/ASTCreateQuery.cpp + ASTDictionary.cpp formatImpl):
+    * backticked 4-space-indented attributes, clauses in PRIMARY KEY /
+    * SOURCE / LIFETIME / LAYOUT / RANGE order, tcpPort() folded to
+    * 9000, passwords hidden. */
+  def showCreateDictionary(folded: String): Option[String] =
+    dictDefs.get(folded).map { d =>
+      val cols = splitTop(d.colDefs).map(_.trim).filter(_.nonEmpty)
+        .map { cd =>
+          val sp = cd.indexWhere(_.isWhitespace)
+          val n = cd.take(sp).stripPrefix("`").stripSuffix("`")
+          val rest = cd.drop(sp).trim.replaceAll("\\s+", " ")
+          s"    `$n` $rest"
+        }
+      def balanced(kw: String): Option[String] = {
+        val m = s"(?is)\\b$kw\\s*\\(".r.findFirstMatchIn(d.tail)
+          .getOrElse(return None)
+        var i = m.end; var depth = 1
+        while (i < d.tail.length && depth > 0) {
+          val c = d.tail.charAt(i)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          i += 1
+        }
+        Some(d.tail.substring(m.start, i).replaceAll("\\s+", " "))
+      }
+      val pk = "PRIMARY KEY " + d.keys.map(_._1).mkString(", ")
+      val source = balanced("SOURCE").map(_
+        .replaceAll("(?i)PORT\\s+tcpPort\\(\\s*\\)", "PORT 9000")
+        .replaceAll("(?i)PASSWORD\\s+'[^']*'", "PASSWORD '[HIDDEN]'"))
+      val lifetime = balanced("LIFETIME").map { lt =>
+        val inner = lt.drop(lt.indexOf('(') + 1).stripSuffix(")").trim
+        if (inner.matches("\\d+")) s"LIFETIME(MIN 0 MAX $inner)"
+        else "LIFETIME(" + inner.replaceAll("(?i)\\bMIN\\b", "MIN")
+          .replaceAll("(?i)\\bMAX\\b", "MAX") + ")"
+      }
+      val layout = balanced("LAYOUT").map { l =>
+        val inner = l.drop(l.indexOf('(') + 1).stripSuffix(")").trim
+        val nm = inner.takeWhile(c => c.isLetterOrDigit || c == '_')
+        val rest0 = inner.drop(nm.length).trim
+        val rest = if (rest0.isEmpty) "()" else rest0
+        s"LAYOUT(${nm.toUpperCase}$rest)"
+      }
+      val range = balanced("RANGE")
+      val clauses = Seq(Some(pk), source, lifetime, layout, range)
+        .flatten
+      s"CREATE DICTIONARY ${d.database}.${d.bareName}\n(\n" +
+        cols.mkString(",\n") + "\n)\n" + clauses.mkString("\n")
+    }
+
+  /** `system.dictionaries` stand-in (ref
+    * src/Storages/System/StorageSystemDictionaries.cpp): one row per
+    * attached dictionary; status reflects CH's lazy load. */
+  def registerSystemDictionaries(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("database", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("uuid", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("origin", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("key.names", ArrayType(StringType, false),
+        nullable = false),
+      StructField("key.types", ArrayType(StringType, false),
+        nullable = false),
+      StructField("attribute.names", ArrayType(StringType, false),
+        nullable = false),
+      StructField("attribute.types", ArrayType(StringType, false),
+        nullable = false),
+      StructField("element_count", LongType, nullable = false),
+      StructField("query_count", LongType, nullable = false),
+      StructField("found_rate", DoubleType, nullable = true),
+      StructField("source", StringType, nullable = false),
+      StructField("last_exception", StringType, nullable = false)))
+    val rows = dictDefs.values.toSeq.filter(_.attached)
+      .sortBy(d => (d.database, d.bareName)).map { d =>
+        val layout = "(?is)LAYOUT\\s*\\(\\s*(\\w+)".r
+          .findFirstMatchIn(d.tail).map(_.group(1)).getOrElse("Flat")
+        val cnt =
+          if (d.loaded)
+            scala.util.Try(spark.table(d.folded).count()).getOrElse(0L)
+          else 0L
+        org.apache.spark.sql.Row(d.database, d.bareName, "",
+          if (d.loaded) "LOADED" else "NOT_LOADED", "", layout,
+          d.keys.map(_._1), d.keys.map(_._2),
+          d.attrs.map(_._1), d.attrs.map(_._2),
+          cnt, d.queryCount, null, "ClickHouse: " + d.database, "")
+      }
+    spark.createDataFrame(rows.asJava, sch)
+      .createOrReplaceTempView("graft_system_dictionaries")
+  }
+
+  /** Mark lazy-load/query-count transitions for dictionaries the
+    * statement touches (SELECT FROM the dict view loads it; dictGet
+    * loads AND counts — 01254, 01760). */
+  def touchDictionaries(chQuery: String): Unit = {
+    if (dictDefs.isEmpty) return
+    val hasDictGet = chQuery.matches("(?is).*\\bdictGet\\w*\\s*\\(.*") ||
+      chQuery.matches("(?is).*\\bdict(Has|IsIn|GetHierarchy)\\s*\\(.*")
+    dictDefs.values.foreach { d =>
+      val dotted = d.database + "." + d.bareName
+      val referenced = chQuery.contains(d.folded) ||
+        chQuery.contains(dotted) ||
+        (d.database == "default" && chQuery.contains(d.bareName))
+      if (referenced && d.attached &&
+          !chQuery.toLowerCase.contains("system.dictionaries")) {
+        d.loaded = true
+        if (hasDictGet) d.queryCount += 1
+      }
+    }
+  }
+
   // CREATE DICTIONARY (ref src/Interpreters/InterpreterCreateQuery.cpp
   // dictionary branch): attributes + PRIMARY KEY + SOURCE table →
   // materialize from the staged source view into the in-process
@@ -898,11 +1074,26 @@ object DdlEmu {
       .findFirstMatchIn(tail).map(_.group(1).trim)
       .getOrElse(return false)
     val keyCols = pk.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-    if (keyCols.length != 1) return false
-    val srcTbl = "(?is)\\bTABLE\\s+'?([\\w.]+)'?".r.findFirstMatchIn(tail)
-      .map(_.group(1)).getOrElse(return false)
-    val srcDb = "(?is)\\bDB\\s+'([\\w.]+)'".r.findFirstMatchIn(tail)
-      .map(_.group(1))
+    val srcTblOpt = "(?is)\\bTABLE\\s+'?([\\w.]+)'?".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    if (srcTblOpt.isEmpty) {
+      // non-table sources (HTTP/FILE/EXECUTABLE): no data to load in
+      // this environment, but the dictionary EXISTS for introspection
+      // (01048) — register an empty table view with the declared schema
+      val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty)
+        .map { cd =>
+          val sp = cd.indexWhere(_.isWhitespace)
+          (cd.take(sp).stripPrefix("`").stripSuffix("`"),
+            graft.ChSql.chTypeToSpark(
+              cd.drop(sp).trim.split("\\s+").head))
+        }
+      register(spark, name, emptyDf(spark, Decl(cols)))
+      recordDictDef(name, colDefs, tail)
+      return true
+    }
+    val srcTbl = srcTblOpt.get
+    val srcDb = "(?is)\\b(?:DB|DATABASE)\\s+'([\\w.]+)'".r
+      .findFirstMatchIn(tail).map(_.group(1))
     val qualified = srcDb.filter(_ => !srcTbl.contains("."))
       .map(db => graft.ChDatabases.fold(db, srcTbl)).getOrElse(
         graft.ChDatabases.foldQualified(srcTbl,
@@ -923,9 +1114,16 @@ object DdlEmu {
       val typ = rest.split("\\s+").head
       Attr(an, typ, dflt, hier)
     }
+    // a dictionary keys-dedups its source (FLAT/HASHED layouts hold one
+    // element per key — 01785 element_count)
     val dict = src.select(attrs.map(a => col(a.name)).toSeq: _*)
+      .dropDuplicates(keyCols.toSeq)
     // a dictionary is also queryable as a table (SELECT * FROM db.dict)
     dict.createOrReplaceTempView(name)
+    recordDictDef(name, colDefs, tail)
+    // the dictGet registry is single-key; complex-key dictionaries stay
+    // table-readable only
+    if (keyCols.length != 1) return true
     val hierCol = attrs.find(_.hierarchical).map(_.name)
     hierCol match {
       case Some(h) => graft.operators.Dictionaries
@@ -992,6 +1190,9 @@ object DdlEmu {
         decls.keys.filter(_.startsWith(prefix)).foreach { t =>
           spark.catalog.dropTempView(t); decls.remove(t)
         }
+        dictDefs.keys.filter(_.startsWith(prefix)).foreach { d =>
+          dictDefs.remove(d); spark.catalog.dropTempView(d)
+        }
         graft.ChDatabases.unregister(db)
         if (spark.catalog.currentDatabase == db) spark.sql("USE default")
         spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
@@ -1007,6 +1208,13 @@ object DdlEmu {
       case st if st.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*") =>
         val tn = "(?is)^OPTIMIZE\\s+TABLE\\s+`?([\\w.]+)`?.*$".r
           .findFirstMatchIn(st).map(_.group(1))
+        tn.foreach { n =>
+          val pspec = ("(?is)\\bPARTITION\\s+(?!BY\\b)(ID\\s+)?(.+?)" +
+            "\\s*(?:\\bFINAL\\b|\\bDEDUPLICATE\\b|$)").r
+            .findFirstMatchIn(st)
+          PartsLog.onOptimize(n, pspec.map(_.group(2).trim),
+            byId = pspec.exists(_.group(1) != null))
+        }
         // OPTIMIZE … DEDUPLICATE drops fully-identical rows (ref
         // src/Interpreters/InterpreterOptimizeQuery.cpp; 01412)
         if (st.matches("(?is).*\\bDEDUPLICATE\\b.*")) tn.foreach { n =>
@@ -1039,7 +1247,20 @@ object DdlEmu {
         true
       case createDictRe(name, colDefs, tail) =>
         handleCreateDictionary(spark, sfDir, name, colDefs, tail)
-      case dropDictRe(_) => true
+      case dropDictRe(nm) =>
+        dictDefs.remove(nm); spark.catalog.dropTempView(nm); true
+      // SYSTEM RELOAD DICTIONARY loads it without counting a query
+      // (01254: status flips NOT_LOADED -> LOADED, query_count stays 0)
+      case s if s.matches(
+          "(?is)^SYSTEM\\s+RELOAD\\s+DICTIONAR(Y|IES)\\b.*") =>
+        val nm = "(?is)DICTIONARY\\s+`?([\\w.]+)`?\\s*$".r
+          .findFirstMatchIn(s).map(_.group(1))
+        dictDefs.values.foreach { d =>
+          if (nm.isEmpty || nm.contains(d.folded) ||
+              nm.contains(d.database + "." + d.bareName))
+            d.loaded = true
+        }
+        true
       // SYSTEM server-management statements (ref
       // src/Parsers/ASTSystemQuery.h): flush logs, drop caches,
       // stop/start background activity, reload config/dictionaries —
@@ -1144,8 +1365,7 @@ object DdlEmu {
       // NOT_IMPLEMENTED in the reference. Paths may not escape the
       // user_files root.
       case attachFromRe(name, path, colDefs, engTail) =>
-        if (path.startsWith("/") || path.contains(".."))
-          sys.error(s"PATH_ACCESS_DENIED: $path is outside user_files")
+        graft.ChSql.userFilesPath(path)
         val defs = parseCols(colDefs)
         decls(name) = Decl(defs)
         val fileFmt = "(?is)\\bFile\\s*\\(\\s*(\\w+)\\s*\\)".r
@@ -1185,23 +1405,27 @@ object DdlEmu {
         scala.util.Try(storedDf(spark, nm)).foreach(df =>
           detachedDf(nm) = if (volatileSet) df.limit(0) else df)
         spark.catalog.dropTempView(nm)
+        dictDefs.get(nm).foreach(_.attached = false)
         true
       case s if s.matches("(?is)^ATTACH\\s+(TABLE|VIEW|DICTIONARY)" +
           "\\s+`?[\\w.]+`?\\s*$") =>
         val nm = ("(?is)^ATTACH\\s+(?:TABLE|VIEW|DICTIONARY)\\s+" +
           "`?([\\w.]+)`?\\s*$").r.findFirstMatchIn(s).get.group(1)
-        if (engines.contains(nm) && staged.contains(nm)) publish(spark, nm)
-        else detachedDf.remove(nm) match {
+        if (engines.contains(nm) && staged.contains(nm)) {
+          publish(spark, nm); detachedDf.remove(nm)
+        } else detachedDf.remove(nm) match {
           case Some(df) => df.createOrReplaceTempView(nm)
           case None => Option(viewDefs.get(nm)).foreach { case (c, q) =>
             registerView(spark, sfDir, nm, c, q) }
         }
+        dictDefs.get(nm).foreach(_.attached = true)
         refreshViews(spark, sfDir)
         true
       case dropViewRe(name) =>
         spark.catalog.dropTempView(name); viewDefs.remove(name)
         liveViewVer.remove(name); true
       case dropRe(name) =>
+        PartsLog.onDrop(name)
         viewDefs.remove(name)
         spark.catalog.dropTempView(name); decls.remove(name)
         nullableDeclared.remove(name); createdDdl.remove(name)
@@ -1212,8 +1436,13 @@ object DdlEmu {
         replicaPrimary.filterInPlace((_, v) => v != name)
         insertedBlocks.removeIf(k => k._1 == name)
         liveViewVer.remove(name); fileBacked.remove(name)
+        // DROP of a detached table removes its staged snapshot too —
+        // else a later re-CREATE + RENAME trips TABLE_ALREADY_EXISTS
+        detachedDf.remove(name)
+        detachedParts.filterInPlace((k, _) => k._1 != name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
+        PartsLog.onTruncate(name)
         decls.get(name).foreach { d =>
           register(spark, name, emptyDf(spark, d))
           if (engines.contains(name)) {
@@ -1230,6 +1459,7 @@ object DdlEmu {
       case createRe(name, colDefs, engTail) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
+        PartsLog.onCreate(name, Option(engTail).getOrElse(""))
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
         recordAliases(name, colDefs); recordDescCols(name, colDefs)
         recordChTypes(name, colDefs); recordDdl(name, colDefs, engTail)
@@ -1369,6 +1599,9 @@ object DdlEmu {
       case alterPartRe(name, op0, valText0) =>
         val op = op0.toUpperCase
         val valText = valText0.trim.stripSuffix(";").trim
+        PartsLog.onPartitionOp(name, op,
+          valText.replaceFirst("(?i)^ID\\s+", ""),
+          byId = valText.toUpperCase.startsWith("ID "))
         val pExpr = createdDdl.get(name).flatMap(d =>
           ("(?is)\\bPARTITION\\s+BY\\s+(.+?)\\s*(?:ORDER\\s+BY|" +
             "PRIMARY\\s+KEY|SAMPLE\\s+BY|SETTINGS|TTL|$).*").r
@@ -1506,7 +1739,7 @@ object DdlEmu {
             casted.schema, Seq(casted.collect().toSeq),
             graft.formats.ChOutputFormats.Ctx(_ => None))
         }
-        val p = java.nio.file.Paths.get(graft.ChSql.userFilesDir, path0)
+        val p = graft.ChSql.userFilesPath(path0)
         java.nio.file.Files.createDirectories(p.getParent)
         val truncate = scala.util.Try(spark.conf.getOption(
           "graft.ch.engine_file_truncate_on_insert")).toOption.flatten
@@ -1533,7 +1766,7 @@ object DdlEmu {
               col(s"`$n`").cast(org.apache.spark.sql.types.DataType
                 .fromDDL(t)).as(n) }.toSeq: _*)
           val lines = renderFileRows(fm, casted)
-          val p = java.nio.file.Paths.get(graft.ChSql.userFilesDir, rel)
+          val p = graft.ChSql.userFilesPath(rel)
           java.nio.file.Files.createDirectories(p.getParent)
           val truncate = scala.util.Try(spark.conf.getOption(
             "graft.ch.engine_file_truncate_on_insert")).toOption.flatten
@@ -1758,6 +1991,7 @@ object DdlEmu {
           graft.ChSql.sql(spark,
             s"SELECT ${items.mkString(", ")} FROM __graft_ins_src", sfDir)
         }
+        PartsLog.onInsert(spark, name, filled)
         if (engines.contains(name) && staged.contains(name)) {
           val batch = seqCounter.incrementAndGet()
           // monotonically_increasing_id is (partition, offset)-ordered,

@@ -396,6 +396,12 @@ object Golden {
     val expected = readRef(Paths.get(refPath))
       .linesIterator.toSeq.reverse.dropWhile(_.isEmpty).reverse
     val settings = scala.collection.mutable.Map.empty[String, String]
+    // query_log recording is pay-for-use: only files that read the log
+    // tables carry the per-statement bookkeeping (table counts etc.)
+    QueryLog.enabled = text.toLowerCase.contains("query_log") ||
+      text.toLowerCase.contains("query_thread_log")
+    PartsLog.enabled = text.toLowerCase.contains("system.parts") ||
+      text.toLowerCase.contains("detached_parts")
     DdlEmu.resetSession(spark)
     val chunks = splitRaw(text)
     // `stmt; -- { serverError N }` splits the annotation into the NEXT
@@ -454,7 +460,14 @@ object Golden {
       val expectsError =
         stmtText.matches("(?s).*--\\s*\\{\\s*(server|client)Error.*") ||
           (ci + 1 < chunks.length && annotatesPrev(ci + 1))
-      val clean = DdlEmu.rewriteFinal(stripComments(stmtText).trim)
+      val clean0 = DdlEmu.rewriteFinal(stripComments(stmtText).trim)
+      // `… FORMAT X SETTINGS …` is valid CH (settings after the format
+      // clause); normalize to the trailing-FORMAT shape the branches
+      // below expect
+      val clean = "(?is)^(.*)\\bFORMAT\\s+(`?\\w+`?)\\s+(SETTINGS\\b[^;]*)$".r
+        .replaceAllIn(clean0, m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1).trim + " " + m.group(3).trim + " FORMAT " +
+            m.group(2)))
       if (clean.nonEmpty && echo) {
         // a `stmt; -- { serverError N }` annotation was split into the
         // next chunk's first line — clickhouse-test echoes the whole
@@ -465,21 +478,32 @@ object Golden {
           else ""
         out ++= (stmtText + ";" + trailer).linesIterator
       }
+      // query_log element boundaries: output produced past this mark is
+      // the statement's own result (echo lines excluded)
+      val qlOutMark = out.length
+      val qlStartMs = System.currentTimeMillis()
       // CH session `SET name = value` statements configure the server and
       // print nothing; Spark's own SET command would echo a key/value row,
       // so swallow them here (clickhouse-test contract: no output) —
       // result-shaping ones (join_use_nulls) are tracked in `settings`.
       val isSessionSet = clean.matches("(?is)^SET\\s+\\w+\\s*=.*")
       if (isSessionSet) {
-        val kv = "(?is)^SET\\s+(\\w+)\\s*=\\s*(.+)$".r
-        clean match {
-          case kv(k, v) =>
-            settings(k.toLowerCase) = v.trim.stripSuffix(";")
-            // surface the CH setting to function builders (they read
-            // graft.ch.<name> from SQLConf); cleared in the finally below
-            spark.conf.set("graft.ch." + k.toLowerCase,
-              v.trim.stripSuffix(";").stripPrefix("'").stripSuffix("'"))
-          case _ =>
+        // `SET a = 1, b = 'x'` assigns several settings in one
+        // statement (ref ParserSetQuery) — split on commas outside
+        // quotes
+        val body = clean.replaceFirst("(?is)^SET\\s+", "").stripSuffix(";")
+        graft.ChSql.splitTopLevelCommas(body).map(_.trim).foreach { asn =>
+          asn.split("=", 2) match {
+            case Array(k0, v0) if k0.trim.matches("\\w+") =>
+              val k = k0.trim.toLowerCase
+              val v = v0.trim
+              settings(k) = v
+              // surface the CH setting to function builders (they read
+              // graft.ch.<name> from SQLConf); cleared in the finally
+              spark.conf.set("graft.ch." + k,
+                v.stripPrefix("'").stripSuffix("'"))
+            case _ =>
+          }
         }
       }
       // DDL / INSERT statements stage Memory-table state and print
@@ -721,6 +745,37 @@ object Golden {
             out += ""
             out ++= formatDf(two)
           }
+        }
+      }
+      // record the statement in the query_log stand-in (QueryLog.scala;
+      // ref src/Interpreters/QueryLog.h). Error-annotated statements are
+      // not executed, so their element carries the ANNOTATED code — the
+      // reference behavior the test itself asserts.
+      if (clean.nonEmpty && !isSessionSet) {
+        val rawQ = stmtText.replaceAll(
+          "(?s)\\s*--\\s*\\{\\s*(server|client)Error[\\s\\S]*$", "").trim
+        if (expectsError) {
+          val trailer2 =
+            if (ci + 1 < chunks.length && annotatesPrev(ci + 1))
+              chunks(ci + 1).linesIterator.nextOption().getOrElse("")
+            else ""
+          val codeTxt = "(?s)\\{\\s*(?:server|client)Error\\s+(\\w+)".r
+            .findFirstMatchIn(stmtText + trailer2).map(_.group(1))
+          val code = codeTxt.flatMap(t =>
+            scala.util.Try(t.toInt).toOption.orElse(
+              graft.functions.ChErrorCodes.names.collectFirst {
+                case (c, n) if n == t => c }))
+            .getOrElse(1)
+          QueryLog.recordError(rawQ, clean, code, settings)
+        } else {
+          val produced = (out.length - qlOutMark).toLong
+          val bytes = out.drop(qlOutMark).map(_.length + 1L).sum
+          val written =
+            if (clean.matches("(?is)^INSERT\\b.*\\bVALUES\\b.*"))
+              ("\\)\\s*,\\s*\\(".r.findAllIn(clean).size + 1).toLong
+            else 0L
+          QueryLog.recordSuccess(spark, rawQ, clean, produced, bytes,
+            written, System.currentTimeMillis() - qlStartMs, settings)
         }
       }
       out.toSeq

@@ -1,0 +1,328 @@
+package graft.golden
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `system.parts` / `system.detached_parts` stand-in (ref
+  * src/Storages/System/StorageSystemParts.h:14 +
+  * StorageSystemDetachedParts.cpp, part naming in
+  * src/Storages/MergeTree/MergeTreePartInfo.h
+  * `partitionid_minblock_maxblock_level`, partition ids in
+  * MergeTreePartition::getID): every INSERT creates one part per
+  * touched partition (block numbers in first-appearance order),
+  * OPTIMIZE merges a partition's active parts at level+1, and the
+  * partition ops move parts between the active and detached sets.
+  * Tracking is pay-for-use — enabled per golden file. */
+object PartsLog {
+
+  @volatile var enabled: Boolean = false
+
+  final case class Part(table: String, partition: String,
+    partitionId: String, minBlock: Long, maxBlock: Long, level: Int,
+    rows: Long, var active: Boolean, var detached: Boolean) {
+    def name: String = s"${partitionId}_${minBlock}_${maxBlock}_$level"
+  }
+
+  private val parts = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Part]]
+  /** table → PARTITION BY expression ("" = unpartitioned MergeTree). */
+  private val partitionExprs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val blockCounters = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private val engines =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def reset(): Unit = {
+    parts.clear(); partitionExprs.clear(); blockCounters.clear()
+    engines.clear()
+  }
+
+  def onCreate(table: String, engTail: String): Unit = {
+    if (!enabled) return
+    val eng = "(?is)ENGINE\\s*=?\\s*(\\w+)".r.findFirstMatchIn(engTail)
+      .map(_.group(1)).getOrElse(return)
+    if (!eng.toLowerCase.contains("mergetree")) return
+    engines(table) = eng
+    val pb = ("(?is)\\bPARTITION\\s+BY\\s+(.*?)\\s*" +
+      "(?:\\bORDER\\s+BY\\b|\\bPRIMARY\\s+KEY\\b|\\bSAMPLE\\s+BY\\b|" +
+      "\\bTTL\\b|\\bSETTINGS\\b|$)").r
+    partitionExprs(table) =
+      pb.findFirstMatchIn(engTail).map(_.group(1).trim).getOrElse("")
+    parts.remove(table)
+    blockCounters.remove(table)
+  }
+
+  def onDrop(table: String): Unit = {
+    parts.remove(table); partitionExprs.remove(table)
+    blockCounters.remove(table); engines.remove(table)
+  }
+
+  def onTruncate(table: String): Unit = parts.remove(table)
+
+  // ---- partition value formatting (MergeTreePartition::getID) ----
+
+  private def compact(v: Any): String = v match {
+    case d: java.sql.Date => d.toString.replace("-", "")
+    case ld: java.time.LocalDate => ld.toString.replace("-", "")
+    case other => String.valueOf(other)
+  }
+
+  private def displayOne(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.sql.Date => d.toString
+    case ld: java.time.LocalDate => ld.toString
+    case other => String.valueOf(other)
+  }
+
+  private def displayNested(v: Any): String = v match {
+    case s: String => "'" + s.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'"
+    case d: java.sql.Date => "'" + d.toString + "'"
+    case ld: java.time.LocalDate => "'" + ld.toString + "'"
+    case other => String.valueOf(other)
+  }
+
+  private def isNumericOrDate(v: Any): Boolean = v match {
+    case _: java.lang.Number | _: java.sql.Date |
+         _: java.time.LocalDate | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  /** Partition id: `all` for unpartitioned; compact text for numeric /
+    * date keys (tuples joined with `-`); otherwise the lowercase hex of
+    * sipHash128 over the binary-serialized value (string path). */
+  private def partId(v: Any, unpartitioned: Boolean): String = {
+    if (unpartitioned) return "all"
+    v match {
+      case r: Row =>
+        val vs = r.toSeq
+        if (vs.forall(isNumericOrDate) || vs.forall {
+          case _: String => false; case _ => true
+        }) vs.map(compact).mkString("-")
+        else hashId(vs)
+      case s: String => hashId(Seq(s))
+      case other => compact(other)
+    }
+  }
+
+  private def hashId(vs: Seq[Any]): String = {
+    // FieldVisitorHash serialization (ref src/Common/FieldVisitorHash
+    // .cpp): Field type tag byte, then the value — strings carry an
+    // 8-byte little-endian length (verified against 00502's pinned ids)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le8(n: Long): Unit =
+      (0 until 8).foreach(i => bos.write(((n >> (8 * i)) & 0xff).toInt))
+    vs.foreach {
+      case s: String =>
+        val b = s.getBytes("UTF-8")
+        bos.write(16) // Field::Types::String
+        le8(b.length.toLong)
+        bos.write(b)
+      case d: java.sql.Date =>
+        bos.write(1) // dates ride as UInt64 day numbers
+        le8(d.toLocalDate.toEpochDay)
+      case other =>
+        val l = String.valueOf(other).toLong
+        bos.write(if (l < 0) 2 else 1)
+        le8(l)
+    }
+    val (lo, hi) = graft.functions.ChHash.sipHash128Keyed(0L, 0L,
+      bos.toByteArray)
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(lo); bb.putLong(hi)
+    bb.array().map("%02x".format(_)).mkString
+  }
+
+  private def displayPartition(v: Any, unpartitioned: Boolean): String =
+    if (unpartitioned) "tuple()"
+    else v match {
+      case r: Row => "(" + r.toSeq.map(displayNested).mkString(",") + ")"
+      case other => displayOne(other)
+    }
+
+  def onInsert(spark: SparkSession, table: String,
+      rows: DataFrame): Unit = {
+    if (!enabled || !partitionExprs.contains(table)) return
+    val pExpr = partitionExprs(table)
+    val buf = parts.getOrElseUpdate(table,
+      scala.collection.mutable.ArrayBuffer.empty[Part])
+    val counter = blockCounters.getOrElseUpdate(table,
+      new java.util.concurrent.atomic.AtomicLong(0))
+    if (pExpr.isEmpty) {
+      val n = rows.count()
+      val b = counter.incrementAndGet()
+      buf.synchronized {
+        buf += Part(table, "tuple()", "all", b, b, 0, n,
+          active = true, detached = false)
+      }
+      return
+    }
+    val pe = pExpr.stripPrefix("(").stripSuffix(")")
+    val items = graft.ChSql.splitTopLevelCommas(pe).map(_.trim)
+      .filter(_.nonEmpty)
+    val pcols = items.zipWithIndex.map { case (e, i) =>
+      org.apache.spark.sql.functions
+        .expr(graft.ChSql.translate(e).trim).as(s"__p$i")
+    }
+    val vals = rows.select(pcols.toSeq: _*).collect()
+    // blocks in first-appearance order within the insert (00502)
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], Long]
+    vals.foreach { r =>
+      val k = r.toSeq
+      seen(k) = seen.getOrElse(k, 0L) + 1
+    }
+    buf.synchronized {
+      seen.foreach { case (k, n) =>
+        val v: Any = if (items.length == 1) k.head else Row(k: _*)
+        val b = counter.incrementAndGet()
+        buf += Part(table, displayPartition(v, unpartitioned = false),
+          partId(v, unpartitioned = false), b, b, 0, n,
+          active = true, detached = false)
+      }
+    }
+  }
+
+  /** Normalized partition-literal matcher: `tuple()`, `'x'`, `1`,
+    * `('2000-01-01', 1)`, or the `ID 'pid'` form. */
+  private def matches(p: Part, spec: String, byId: Boolean): Boolean = {
+    val s = spec.trim
+    if (byId) return p.partitionId == s.stripPrefix("'").stripSuffix("'")
+    def norm(x: String) = x.replaceAll("\\s+", "")
+      .replaceAll("\\\\'", "'").stripPrefix("'").stripSuffix("'")
+    norm(s) == norm(p.partition) ||
+      s.stripPrefix("'").stripSuffix("'") == p.partitionId
+  }
+
+  def onOptimize(table: String, partSpec: Option[String],
+      byId: Boolean): Unit = {
+    if (!enabled) return
+    val buf = parts.getOrElse(table, return)
+    buf.synchronized {
+      val targets = buf.filter(p => p.active && !p.detached &&
+        partSpec.forall(sp => matches(p, sp, byId)))
+      targets.groupBy(_.partitionId).foreach { case (_, ps) =>
+        if (ps.size >= 2) {
+          ps.foreach(_.active = false)
+          val mb = ps.map(_.minBlock).min
+          val xb = ps.map(_.maxBlock).max
+          val lvl = ps.map(_.level).max + 1
+          buf += Part(table, ps.head.partition, ps.head.partitionId,
+            mb, xb, lvl, ps.map(_.rows).sum,
+            active = true, detached = false)
+        }
+      }
+    }
+  }
+
+  def onPartitionOp(table: String, op: String, spec: String,
+      byId: Boolean): Unit = {
+    if (!enabled) return
+    val buf = parts.getOrElse(table, return)
+    buf.synchronized {
+      op.toUpperCase match {
+        case "DETACH" =>
+          buf.foreach(p => if (p.active && matches(p, spec, byId)) {
+            p.active = false; p.detached = true
+          })
+        case "DROP" =>
+          val keep = buf.filterNot(p => matches(p, spec, byId))
+          buf.clear(); buf ++= keep
+        case "ATTACH" =>
+          buf.foreach(p => if (p.detached && matches(p, spec, byId)) {
+            p.active = true; p.detached = false
+          })
+        case _ =>
+      }
+    }
+  }
+
+  private def partsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("uuid", StringType, nullable = false),
+    StructField("part_type", StringType, nullable = false),
+    StructField("active", IntegerType, nullable = false),
+    StructField("marks", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes_on_disk", LongType, nullable = false),
+    StructField("data_compressed_bytes", LongType, nullable = false),
+    StructField("data_uncompressed_bytes", LongType, nullable = false),
+    StructField("marks_bytes", LongType, nullable = false),
+    StructField("modification_time", TimestampType, nullable = false),
+    StructField("remove_time", TimestampType, nullable = false),
+    StructField("refcount", IntegerType, nullable = false),
+    StructField("min_date", DateType, nullable = false),
+    StructField("max_date", DateType, nullable = false),
+    StructField("min_time", TimestampType, nullable = false),
+    StructField("max_time", TimestampType, nullable = false),
+    StructField("partition_id", StringType, nullable = false),
+    StructField("min_block_number", LongType, nullable = false),
+    StructField("max_block_number", LongType, nullable = false),
+    StructField("level", IntegerType, nullable = false),
+    StructField("data_version", LongType, nullable = false),
+    StructField("database", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("engine", StringType, nullable = false),
+    StructField("disk_name", StringType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  def register(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val epoch = new java.sql.Timestamp(0)
+    val epochD = new java.sql.Date(0)
+    val rows = parts.toSeq.sortBy(_._1).flatMap { case (t, buf) =>
+      val (db, bare) = graft.ChDatabases.known
+        .find(d => t.startsWith(d + "__"))
+        .map(d => (d, t.stripPrefix(d + "__")))
+        .getOrElse(("default", t))
+      buf.synchronized {
+        buf.toSeq.filterNot(_.detached).map { p =>
+          Row(p.partition, p.name, "", "Wide",
+            if (p.active) 1 else 0,
+            math.max(1L, (p.rows + 8191) / 8192), p.rows,
+            p.rows * 16 + 64, p.rows * 12 + 32, p.rows * 16,
+            64L, epoch, epoch, 1, epochD, epochD, epoch, epoch,
+            p.partitionId, p.minBlock, p.maxBlock, p.level,
+            p.minBlock, db, bare, engines.getOrElse(t, "MergeTree"),
+            "default", s"/var/lib/clickhouse/data/$db/$bare/${p.name}/")
+        }
+      }
+    }
+    spark.createDataFrame(rows.asJava, partsSchema)
+      .createOrReplaceTempView("graft_system_parts")
+  }
+
+  def registerDetached(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(
+      StructField("database", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("partition_id", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("bytes_on_disk", LongType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("disk", StringType, nullable = false),
+      StructField("reason", StringType, nullable = false),
+      StructField("min_block_number", LongType, nullable = false),
+      StructField("max_block_number", LongType, nullable = false),
+      StructField("level", IntegerType, nullable = false)))
+    val rows = parts.toSeq.sortBy(_._1).flatMap { case (t, buf) =>
+      val (db, bare) = graft.ChDatabases.known
+        .find(d => t.startsWith(d + "__"))
+        .map(d => (d, t.stripPrefix(d + "__")))
+        .getOrElse(("default", t))
+      buf.synchronized {
+        buf.toSeq.filter(_.detached).map { p =>
+          Row(db, bare, p.partitionId, p.name, p.rows * 16 + 64,
+            s"/var/lib/clickhouse/data/$db/$bare/detached/${p.name}/",
+            "default", "", p.minBlock, p.maxBlock, p.level)
+        }
+      }
+    }
+    spark.createDataFrame(rows.asJava, sch)
+      .createOrReplaceTempView("graft_system_detached_parts")
+  }
+}

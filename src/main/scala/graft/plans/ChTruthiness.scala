@@ -167,34 +167,161 @@ object ChMapArgRule extends Rule[LogicalPlan] {
   * the grouping-id bitmask, not the key value. Gated to grouping-set
   * Expands (spark_grouping_id output) so the optimizer's
   * distinct-aggregate Expand is never touched. */
+/** Analysis-time companion of [[ChGroupingSetDefaultsRule]]: the
+  * optimizer runs after EliminateSubqueryAliases, so the source-table
+  * names needed to SCOPE the declared-nullability lookup are gone by
+  * then. This no-op resolution rule records, per grouping-set key
+  * exprId, whether the key is declared Nullable on one of the tables
+  * actually feeding the Expand. ExprIds are JVM-unique, so the map
+  * never aliases across queries; it is pruned when it grows. */
+object ChGroupingScopeCapture extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Expand,
+    SubqueryAlias}
+  val captured: java.util.concurrent.ConcurrentHashMap[Long, Boolean] =
+    new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (ChAnalysisScope.active.value) {
+      if (captured.size > 100000) captured.clear()
+      plan.foreach {
+        case e: Expand if e.resolved &&
+            e.output.exists(_.name.contains("spark_grouping_id")) =>
+          val srcTables = e.child.collect {
+            case s: SubqueryAlias => s.alias
+          }.toSet
+          e.output.foreach { a =>
+            if (!a.name.contains("spark_grouping_id"))
+              captured.put(a.exprId.id,
+                graft.golden.DdlEmu.isDeclaredNullableIn(a.name, srcTables))
+          }
+        case _ =>
+      }
+    }
+    plan
+  }
+}
+
 object ChGroupingSetDefaultsRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+    SubqueryAlias}
+  import org.apache.spark.sql.catalyst.expressions.aggregate
+    .AggregateExpression
+
+  private val appliedTag = org.apache.spark.sql.catalyst.trees
+    .TreeNodeTag[Boolean]("chGroupingDefaultsApplied")
+
+  // the grouping-set Expand sits directly under the Aggregate (a
+  // pruning Project may intervene post-analysis; attrs pass through)
+  private def expandOf(agg: Aggregate): Option[Expand] = agg.child match {
+    case e: Expand
+        if e.output.exists(_.name.contains("spark_grouping_id")) => Some(e)
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      p.child match {
+        case e: Expand
+            if e.output.exists(_.name.contains("spark_grouping_id")) =>
+          Some(e)
+        case _ => None
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!ChAnalysisScope.active.value) plan
-    // only under an ORDER BY: an unsorted grouping-set output keeps the
-    // engine's incidental row order, and changing NULL keys to 0 would
-    // reshuffle the hash-aggregate emission order the goldens pinned
-    // (01013); every value-sensitive golden sorts its output anyway
-    else if (!plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]))
-      plan
     else plan.transformWithPruning(_ => true) {
-      case e: org.apache.spark.sql.catalyst.plans.logical.Expand
-          if e.resolved &&
-            e.output.exists(_.name.contains("spark_grouping_id")) =>
+      case agg: Aggregate if agg.resolved &&
+          agg.getTagValue(appliedTag).isEmpty &&
+          expandOf(agg).isDefined =>
+        val e = expandOf(agg).get
+        // nullability resolves against the tables that fed this Expand,
+        // captured at analysis time (see ChGroupingScopeCapture) — a
+        // same-named Nullable column declared on an unrelated table
+        // must not suppress (or force) the fill
+        def declaredNullable(a: Attribute): Boolean = {
+          val m = ChGroupingScopeCapture.captured
+          if (m.containsKey(a.exprId.id)) m.get(a.exprId.id)
+          else graft.golden.DdlEmu.isDeclaredNullable(a.name)
+        }
         val out = e.output
-        val proj2 = e.projections.map(_.zipWithIndex.map { case (x, i) =>
-          x match {
-            case Literal(null, dt)
-                if i < out.length &&
-                  !out(i).name.contains("spark_grouping_id") &&
-                  dt != org.apache.spark.sql.types.NullType &&
-                  !graft.golden.DdlEmu.isDeclaredNullable(out(i).name) =>
-              Literal.default(dt)
+        val gidIdx = out.indexWhere(_.name.contains("spark_grouping_id"))
+        val gidAttr = out(gidIdx)
+        def gidOf(p: Seq[Expression]): Option[Long] =
+          if (gidIdx < p.length) p(gidIdx) match {
+            case Literal(v: Long, _) => Some(v)
+            case Literal(v: Int, _) => Some(v.toLong)
+            case _ => None
+          } else None
+        // key positions that SOME grouping set leaves out (a null
+        // literal in its projection) and whose declared type is
+        // non-Nullable take the CH type default in the OUTPUT — but
+        // ONLY on the subtotal rows (gid values whose set omits the
+        // key): a genuine NULL data value on a detail row survives.
+        // The aggregate itself still hashes the NULL, so the engine's
+        // emission order (pinned by unsorted goldens) is unchanged.
+        val fillable: Map[ExprId,
+            (org.apache.spark.sql.types.DataType, Seq[Long])] =
+          out.zipWithIndex.flatMap { case (a, i) =>
+            if (i == gidIdx) None
+            else {
+              val nullGids = e.projections.flatMap(p =>
+                if (i < p.length && (p(i) match {
+                  case Literal(null, dt)
+                      if dt != org.apache.spark.sql.types.NullType => true
+                  case _ => false
+                })) gidOf(p) else None)
+              if (nullGids.nonEmpty && !declaredNullable(a))
+                Some(a.exprId -> (a.dataType, nullGids.distinct))
+              else None
+            }
+          }.toMap
+        if (fillable.isEmpty) agg
+        else {
+          def mkFill(a: AttributeReference): Expression = {
+            val (dt, gids) = fillable(a.exprId)
+            If(In(gidAttr, gids.map(Literal(_))), Literal.default(dt), a)
+          }
+          // an If(gid IN …, default, a) over a fillable attribute IS
+          // the fill — recognizing it keeps the rewrite idempotent
+          // across fixpoint passes (tags don't survive rules that
+          // rebuild Aggregate via case-class copy)
+          def isFilled(e: Expression): Boolean = e match {
+            case If(In(g: AttributeReference, _), _,
+                a2: AttributeReference) =>
+              g.exprId == gidAttr.exprId && fillable.contains(a2.exprId)
+            case If(_: InSet, _, a2: AttributeReference) =>
+              fillable.contains(a2.exprId)
+            case _ => false
+          }
+          // aggregate-function arguments read the pass-through child
+          // columns (different exprIds), never the grouping-set key
+          // attributes — skip their subtrees anyway for safety
+          def fill(expr: Expression): Expression = expr match {
+            case ae: AggregateExpression => ae
+            case e if isFilled(e) => e
+            case a: AttributeReference if fillable.contains(a.exprId) =>
+              mkFill(a)
+            case other => other.mapChildren(fill)
+          }
+          val newResult = agg.aggregateExpressions.map {
+            case a: AttributeReference if fillable.contains(a.exprId) =>
+              Alias(mkFill(a),
+                a.name)(exprId = a.exprId, qualifier = a.qualifier)
+            case al: Alias if isFilled(al.child) => al
+            case al: Alias =>
+              val nc = fill(al.child)
+              if (nc eq al.child) al
+              else Alias(nc, al.name)(al.exprId, al.qualifier,
+                al.explicitMetadata)
             case other => other
           }
-        })
-        if (proj2 == e.projections) e
-        else e.copy(projections = proj2)
+          if (newResult.zip(agg.aggregateExpressions)
+              .forall { case (n, o) => n eq o }) agg
+          else {
+            val res = agg.copy(aggregateExpressions = newResult)
+            res.copyTagsFrom(agg)
+            res.setTagValue(appliedTag, true)
+            res
+          }
+        }
     }
 }
 
@@ -203,7 +330,10 @@ class ChExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ChTruthinessRule)
     ext.injectResolutionRule(_ => ChMapArgRule)
-    ext.injectResolutionRule(_ => ChGroupingSetDefaultsRule)
+    ext.injectResolutionRule(_ => ChGroupingScopeCapture)
+    // runs post-analysis: the fill reuses the Aggregate output exprIds,
+    // which is only safe once ResolveAggregateFunctions is done
+    ext.injectOptimizerRule(_ => ChGroupingSetDefaultsRule)
     ext.injectResolutionRule(_ => ChWrapArithmeticRule)
     ext.injectResolutionRule(_ => ChDateArithRule)
     ext.injectResolutionRule(_ => ChBoolAggRule)
