@@ -2170,6 +2170,43 @@ object ChSql {
     * server's user_files_path). */
   val userFilesDir = "/tmp/graft_user_files"
 
+  /** Session current database (`USE db`; ref
+    * src/Interpreters/InterpreterUseQuery.cpp): bare table identifiers
+    * qualify with it before the db__table folding. Set by DdlEmu. */
+  @volatile var currentDb: String = ""
+
+  /** Prepend `db.` to bare table identifiers in FROM/JOIN/INTO/TABLE/
+    * DICTIONARY positions (CH resolves unqualified names against the
+    * current database). Identifiers already qualified, TVF calls
+    * (`name(`), engine-internal `__`-prefixed views, and system.*
+    * stay untouched. */
+  private val qualifyStop = Set("select", "database", "databases",
+    "dictionary", "dictionaries", "table", "tables", "values",
+    "function", "if", "exists", "not", "system", "temporary", "view",
+    "materialized", "live", "outfile", "infile", "all", "distinct",
+    "final", "numbers", "where", "group", "order", "limit", "settings",
+    "prewhere", "format", "inner", "left", "right", "full", "cross",
+    "any", "asof", "semi", "anti", "array", "partition")
+  private[graft] def qualifyBareTables(sql: String, db: String): String = {
+    if (db.isEmpty) return sql
+    // CTE names resolve before the current database
+    val ctes = "(?i)\\b(\\w+)\\s+AS\\s*\\(".r.findAllMatchIn(sql)
+      .map(_.group(1).toLowerCase).toSet
+    val re = ("(?i)\\b(FROM|JOIN|INTO|TABLE|DICTIONARY|VIEW|EXISTS|TO)" +
+      "(\\s+(?:TABLE\\s+|DICTIONARY\\s+|IF\\s+NOT\\s+EXISTS\\s+|" +
+      "IF\\s+EXISTS\\s+)*)`?([A-Za-z_]\\w*)`?(?![.\\w(`])")
+    replaceFnOutsideStrings(sql, re) { m =>
+      val id = m.group(3)
+      val skip = qualifyStop(id.toLowerCase) || id.startsWith("__") ||
+        id.toLowerCase.startsWith("graft_") || ctes(id.toLowerCase) ||
+        known.exists(d => id.toLowerCase.startsWith(d + "__"))
+      java.util.regex.Matcher.quoteReplacement(
+        if (skip) m.matched
+        else s"${m.group(1)}${m.group(2)}$db.$id")
+    }
+  }
+  private def known = graft.ChDatabases.known.map(_.toLowerCase)
+
   /** Resolve a file()/File-engine path under userFilesDir, refusing
     * escapes: absolute paths and any path whose normalized resolution
     * leaves the root raise PATH_ACCESS_DENIED (ref
@@ -4818,12 +4855,18 @@ object ChSql {
           val kindKw = Option(m.group(2)).map(_.toUpperCase)
           val name = m.group(3)
           val folded = fold(name)
+          val isTemp = graft.golden.DdlEmu.tempTables.contains(folded)
+          val wantTemp = m.group(1) != null
           val v = kindKw match {
             case Some("DATABASE") =>
               ChDatabases.known.contains(name.toLowerCase)
             case Some("DICTIONARY") =>
               graft.golden.DdlEmu.dictDefs.get(folded).exists(_.attached)
             case Some("VIEW") => graft.golden.DdlEmu.isView(folded)
+            // the non-TEMPORARY statement forms ignore temporary tables
+            // (01048: EXISTS [TABLE] t over a temp table is 0)
+            case _ if isTemp && !wantTemp => false
+            case _ if wantTemp => isTemp
             case _ =>
               scala.util.Try(spark.table(folded)).isSuccess ||
                 graft.golden.DdlEmu.dictDefs.get(folded)
@@ -4997,7 +5040,11 @@ object ChSql {
     ChRegistry.register(spark)
     ChRegistry.ensureSynthesized(spark, chQuery0)
     Tables.register(spark, sfDir)
-    var chQueryS = chQuery0
+    // client statements under `USE db` resolve bare names against db;
+    // engine-internal helper selects reference synthetic views directly
+    var chQueryS =
+      if (internalStatement.value) chQuery0
+      else qualifyBareTables(chQuery0, currentDb)
     // system.query_log / system.settings stand-ins (ref
     // src/Interpreters/QueryLog.h:30, Storages/System/
     // StorageSystemSettings.cpp): refresh the session-local view and

@@ -1664,12 +1664,21 @@ object ChRegistry {
     f("joinGetOrNull") { case t +: a +: ks if ks.nonEmpty =>
       joinGetMap(t, a, ks)._1 }
     f("dictGet") { case Seq(d, a, k) =>
-      graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k)) }
+      graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k))
+      // RANGE_HASHED 4-arg form: the last argument is the range point
+      case Seq(d, a, k, p) =>
+        graft.operators.Dictionaries.sqlDictGetRangePoint(
+          litStr(d), litStr(a), C(k), C(p)) }
     f("dictGetOrDefault") { case Seq(d, a, k, dv) =>
       graft.operators.Dictionaries.sqlDictGetOrDefault(
-        litStr(d), litStr(a), C(k), C(dv)) }
+        litStr(d), litStr(a), C(k), C(dv))
+      case Seq(d, a, k, p, dv) =>
+        graft.operators.Dictionaries.sqlDictGetRangeOrDefault(
+          litStr(d), litStr(a), C(k), C(p), C(dv)) }
     f("dictHas") { case Seq(d, k) =>
-      graft.operators.Dictionaries.sqlDictHas(litStr(d), C(k)) }
+      graft.operators.Dictionaries.sqlDictHas(litStr(d), C(k))
+      case Seq(d, k, p) =>
+        graft.operators.Dictionaries.sqlDictHasRange(litStr(d), C(k), C(p)) }
     // typed dictGetXxx[OrDefault] forms (ref FunctionsExternalDictionaries
     // registerFunctionsExternalDictionaries): the type suffix is a cast
     // over the shared probe
@@ -1680,10 +1689,16 @@ object ChRegistry {
       "Date" -> "date", "DateTime" -> "timestamp", "UUID" -> "string")) {
       f(s"dictGet$suffix") { case Seq(d, a, k) =>
         graft.operators.Dictionaries.sqlDictGet(litStr(d), litStr(a), C(k))
-          .cast(t) }
+          .cast(t)
+        case Seq(d, a, k, p) =>
+          graft.operators.Dictionaries.sqlDictGetRangePoint(
+            litStr(d), litStr(a), C(k), C(p)).cast(t) }
       f(s"dictGet${suffix}OrDefault") { case Seq(d, a, k, dv) =>
-        coalesce(graft.operators.Dictionaries.sqlDictGetRaw(
-          litStr(d), litStr(a), C(k)).cast(t), C(dv)) }
+        graft.operators.Dictionaries.sqlDictGetOrDefault(
+          litStr(d), litStr(a), C(k), C(dv)).cast(t)
+        case Seq(d, a, k, p, dv) =>
+          graft.operators.Dictionaries.sqlDictGetRangeOrDefault(
+            litStr(d), litStr(a), C(k), C(p), C(dv)).cast(t) }
     }
     // hierarchical walks (ref HierarchyDictionariesUtils.h; closures are
     // precomputed at createHierarchicalDictionary, lookups are map probes)

@@ -16,6 +16,10 @@ object DdlEmu {
 
   private val createRe =
     "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(ENGINE\\s*=?.*)$".r
+  /** Names created via CREATE TEMPORARY TABLE: the statement-level
+    * EXISTS forms ignore them unless TEMPORARY is spelled out (01048). */
+  val tempTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // CH temporary tables carry no ENGINE clause
   private val createTempRe =
     "(?is)^CREATE\\s+TEMPORARY\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*$".r
@@ -123,6 +127,10 @@ object DdlEmu {
     .empty[String, (Set[String], Long)]
   graft.ChSql.liveViewVersion =
     (n: String) => liveViewVer.get(n).map(v => math.max(1L, v._2))
+  private val useRe = "(?is)^USE\\s+`?([\\w.]+)`?\\s*$".r
+  private val alterPartSingleRe =
+    ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+" +
+      "(DETACH|DROP|ATTACH)\\s+PART\\s+'([^']+)'\\s*$").r
   private val alterPartRe =
     ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+" +
       "(DETACH|DROP|ATTACH)\\s+PARTITION\\s+(.+)$").r
@@ -263,7 +271,9 @@ object DdlEmu {
     ttlExprs.clear(); colTtlExprs.clear(); detachedDf.clear()
     detachedParts.clear(); insertedBlocks.clear(); liveViewVer.clear()
     fileBacked.clear(); ctasEngines.clear(); dictDefs.clear()
+    tempTables.clear()
     PartsLog.reset()
+    graft.ChSql.currentDb = ""
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
   }
@@ -604,9 +614,11 @@ object DdlEmu {
     * (called by the golden runner before dialect translation; ChSql
     * otherwise strips FINAL). */
   def rewriteFinal(stmt: String): String = {
+    // string-literal-safe: a query_log filter like
+    // query='… FROM t FINAL;' must keep its literal intact (01524)
     var s = stmt
     for (name <- engines.keys)
-      s = s.replaceAll(
+      s = graft.ChSql.replaceOutsideStrings(s,
         s"(?i)\\b(FROM|JOIN)\\s+`?$name`?\\s+FINAL\\b",
         s"$$1 __graft_final_$name")
     s
@@ -978,10 +990,11 @@ object DdlEmu {
           .replaceAll("(?i)\\bMAX\\b", "MAX") + ")"
       }
       val layout = balanced("LAYOUT").map { l =>
+        // the argument-less form stays argument-less (01110: the
+        // reference echoes LAYOUT(HASHED) without appending "()")
         val inner = l.drop(l.indexOf('(') + 1).stripSuffix(")").trim
         val nm = inner.takeWhile(c => c.isLetterOrDigit || c == '_')
-        val rest0 = inner.drop(nm.length).trim
-        val rest = if (rest0.isEmpty) "()" else rest0
+        val rest = inner.drop(nm.length).trim
         s"LAYOUT(${nm.toUpperCase}$rest)"
       }
       val range = balanced("RANGE")
@@ -1069,7 +1082,11 @@ object DdlEmu {
       name: String, colDefs: String, tail: String): Boolean = {
     val layout = "(?is)LAYOUT\\s*\\(\\s*(\\w+)".r.findFirstMatchIn(tail)
       .map(_.group(1).toLowerCase).getOrElse("flat")
-    if (layout.startsWith("range") || layout.contains("ip_trie")) return false
+    if (layout.contains("ip_trie")) return false
+    val isRange = layout.contains("range")
+    val rangeSpec = ("(?is)RANGE\\s*\\(\\s*MIN\\s+`?(\\w+)`?\\s+MAX\\s+" +
+      "`?(\\w+)`?\\s*\\)").r.findFirstMatchIn(tail)
+    if (isRange && rangeSpec.isEmpty) return false
     val pk = "(?is)PRIMARY\\s+KEY\\s+(.*?)\\s*(?:SOURCE|LAYOUT|LIFETIME|RANGE)\\b".r
       .findFirstMatchIn(tail).map(_.group(1).trim)
       .getOrElse(return false)
@@ -1098,8 +1115,15 @@ object DdlEmu {
       .map(db => graft.ChDatabases.fold(db, srcTbl)).getOrElse(
         graft.ChDatabases.foldQualified(srcTbl,
           graft.ChSql.replaceOutsideStrings))
-    val src = try spark.table(qualified)
-      catch { case _: Exception => return false }
+    // a source TABLE without a DB clause resolves in the dictionary's
+    // own database first (ref ExternalDictionariesLoader resolve)
+    val ownDb = graft.ChDatabases.known
+      .find(d => name.startsWith(d + "__"))
+    val candidates = Seq(qualified) ++
+      ownDb.map(d => graft.ChDatabases.fold(d, srcTbl)) ++ Seq(srcTbl)
+    val src = candidates.view
+      .flatMap(c => scala.util.Try(spark.table(c)).toOption)
+      .headOption.getOrElse(return false)
     // attribute defs: name Type [DEFAULT lit] [HIERARCHICAL] [INJECTIVE]
     case class Attr(name: String, typ: String, default: Option[String],
       hierarchical: Boolean)
@@ -1115,22 +1139,13 @@ object DdlEmu {
       Attr(an, typ, dflt, hier)
     }
     // a dictionary keys-dedups its source (FLAT/HASHED layouts hold one
-    // element per key — 01785 element_count)
-    val dict = src.select(attrs.map(a => col(a.name)).toSeq: _*)
-      .dropDuplicates(keyCols.toSeq)
+    // element per key — 01785 element_count); RANGE_HASHED keeps one
+    // element per (key, interval), so no dedup there
+    val dict0 = src.select(attrs.map(a => col(a.name)).toSeq: _*)
+    val dict = if (isRange) dict0 else dict0.dropDuplicates(keyCols.toSeq)
     // a dictionary is also queryable as a table (SELECT * FROM db.dict)
     dict.createOrReplaceTempView(name)
     recordDictDef(name, colDefs, tail)
-    // the dictGet registry is single-key; complex-key dictionaries stay
-    // table-readable only
-    if (keyCols.length != 1) return true
-    val hierCol = attrs.find(_.hierarchical).map(_.name)
-    hierCol match {
-      case Some(h) => graft.operators.Dictionaries
-        .createHierarchicalDictionary(name, dict, keyCols(0), h)
-      case None => graft.operators.Dictionaries
-        .createDictionary(name, dict, keyCols(0))
-    }
     // miss values: declared DEFAULT, else the CH type default
     def typeDefault(t: String): Option[org.apache.spark.sql.Column] = {
       val lt = t.toLowerCase
@@ -1141,6 +1156,7 @@ object DdlEmu {
         Some(lit(0.0))
       else if (lt.startsWith("datetime")) Some(lit(0).cast("timestamp"))
       else if (lt.startsWith("date")) Some(lit("1970-01-01").cast("date"))
+      else if (lt.startsWith("nullable")) None
       else None
     }
     val defaults = attrs.filter(a => !keyCols.contains(a.name)).flatMap {
@@ -1154,15 +1170,49 @@ object DdlEmu {
         }.orElse(typeDefault(a.typ))
         d.map(a.name -> _)
     }.toMap
+    if (keyCols.length != 1) {
+      // complex keys probe a positional-struct map (dictGet with a
+      // tuple key)
+      graft.operators.Dictionaries.createComplexDictionary(name, dict,
+        keyCols.toSeq)
+      graft.operators.Dictionaries.setAttrDefaults(name, defaults)
+      registerDictAliases(name)
+      return true
+    }
+    if (isRange)
+      graft.operators.Dictionaries.createRangeDictionary(name, dict,
+        keyCols(0), rangeSpec.get.group(1), rangeSpec.get.group(2))
+    else {
+      val hierAttr = attrs.find(_.hierarchical)
+      hierAttr match {
+        case Some(h) => graft.operators.Dictionaries
+          .createHierarchicalDictionary(name, dict, keyCols(0), h.name,
+            nullableParent =
+              h.typ.toLowerCase.startsWith("nullable"),
+            reverseChildren = layout.startsWith("hashed") ||
+              layout.startsWith("sparse"))
+        case None => graft.operators.Dictionaries
+          .createDictionary(name, dict, keyCols(0))
+      }
+    }
     graft.operators.Dictionaries.setAttrDefaults(name, defaults)
     // dictGet addresses the dictionary by its STRING name, which the
     // db-qualifier folding never touches — alias the dotted spelling
+    registerDictAliases(name)
+    true
+  }
+
+  private def registerDictAliases(name: String): Unit = {
     graft.ChDatabases.known.foreach { db =>
       if (name.startsWith(db + "__"))
         graft.operators.Dictionaries.aliasDictionary(name,
           db + "." + name.stripPrefix(db + "__"))
     }
-    true
+    // under USE db the bare spelling resolves too
+    val cd = graft.ChSql.currentDb
+    if (cd.nonEmpty && name.startsWith(cd + "__"))
+      graft.operators.Dictionaries.aliasDictionary(name,
+        name.stripPrefix(cd + "__"))
   }
 
   /** Returns true when `stmt` was a DDL/INSERT statement handled here.
@@ -1194,11 +1244,22 @@ object DdlEmu {
           dictDefs.remove(d); spark.catalog.dropTempView(d)
         }
         graft.ChDatabases.unregister(db)
+        if (graft.ChSql.currentDb == db.toLowerCase)
+          graft.ChSql.currentDb = ""
         if (spark.catalog.currentDatabase == db) spark.sql("USE default")
         spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
         return true
+      case useRe(db) =>
+        // USE db (ref src/Interpreters/InterpreterUseQuery.cpp): bare
+        // names in LATER statements resolve against db
+        graft.ChSql.currentDb =
+          if (db.equalsIgnoreCase("default") ||
+            db.equalsIgnoreCase("system")) ""
+          else db.toLowerCase
+        return true
       case _ =>
-        graft.ChDatabases.foldQualified(stmt0,
+        graft.ChDatabases.foldQualified(
+          graft.ChSql.qualifyBareTables(stmt0, graft.ChSql.currentDb),
           graft.ChSql.replaceOutsideStrings)
     }
     stmt match {
@@ -1436,6 +1497,7 @@ object DdlEmu {
         replicaPrimary.filterInPlace((_, v) => v != name)
         insertedBlocks.removeIf(k => k._1 == name)
         liveViewVer.remove(name); fileBacked.remove(name)
+        tempTables.remove(name)
         // DROP of a detached table removes its staged snapshot too —
         // else a later re-CREATE + RENAME trips TABLE_ALREADY_EXISTS
         detachedDf.remove(name)
@@ -1523,6 +1585,7 @@ object DdlEmu {
       case createTempRe(name, colDefs) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
+        tempTables.add(name)
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
         recordAliases(name, colDefs); recordDescCols(name, colDefs)
         recordChTypes(name, colDefs); recordDdl(name, colDefs, null)
@@ -1596,6 +1659,26 @@ object DdlEmu {
       // src/Storages/MergeTree/MergeTreeData.cpp partition ops): rows
       // whose PARTITION BY expression equals the value move out (DETACH
       // keeps them for re-ATTACH, DROP discards)
+      // PART-level ops (ref src/Storages/MergeTree/MergeTreeData.cpp
+      // DETACH/DROP/ATTACH PART 'name'): the rows of the named part
+      // come from PartsLog's per-part provenance; removal is multiset
+      // subtraction so duplicate rows in other parts survive
+      case alterPartSingleRe(name, op0, partName) =>
+        val op = op0.toUpperCase
+        val want = if (op == "ATTACH") Some(true) else Some(false)
+        PartsLog.partRowsByName(name, partName, want) match {
+          case Some(df) =>
+            val cur = storedDf(spark, name)
+            val next =
+              if (op == "ATTACH") cur.unionByName(df)
+              else cur.exceptAll(df)
+            register(spark, name, next)
+            PartsLog.onPartOpSingle(name, op, partName)
+            refreshViews(spark, sfDir)
+            true
+          case None =>
+            sys.error(s"NO_SUCH_DATA_PART: $partName")
+        }
       case alterPartRe(name, op0, valText0) =>
         val op = op0.toUpperCase
         val valText = valText0.trim.stripSuffix(";").trim
@@ -1611,11 +1694,47 @@ object DdlEmu {
           .orElse(createdDdl.get(name).flatMap(d =>
             "(?is)MergeTree\\s*\\(\\s*`?(\\w+)`?\\s*,".r
               .findFirstMatchIn(d).map(m => s"toYYYYMM(${m.group(1)})")))
-        pExpr match {
-          case Some(px) if !valText.toUpperCase.startsWith("ID ") =>
-            import org.apache.spark.sql.functions.expr
-            val cond = expr(graft.ChSql.translate(
-              s"($px) = ($valText)").trim)
+        val isIdForm = valText.toUpperCase.startsWith("ID ")
+        val idVal = valText.replaceFirst("(?i)^ID\\s+", "")
+          .trim.stripPrefix("'").stripSuffix("'")
+        // predicate selecting the partition's rows: the VALUE form
+        // compares the partition expression; the ID form maps the id
+        // back through the tracked parts; an unpartitioned table's
+        // only partition (`tuple()` / ID 'all') is the whole table
+        val condOpt: Option[org.apache.spark.sql.Column] = {
+          import org.apache.spark.sql.functions.{expr, lit}
+          def tupleItems(s: String): Seq[String] = {
+            val t = s.trim
+            if (t.startsWith("(") && t.endsWith(")"))
+              graft.ChSql.splitTopLevelCommas(t.drop(1).dropRight(1))
+                .map(_.trim).filter(_.nonEmpty)
+            else Seq(t)
+          }
+          // tuple partitions compare ELEMENT-WISE (a struct equality
+          // would trip on field names/types)
+          def eq(px: String, v: String): org.apache.spark.sql.Column = {
+            val pxs = tupleItems(px); val vts = tupleItems(v)
+            if (pxs.length > 1 && pxs.length == vts.length)
+              pxs.zip(vts).map { case (e, x) =>
+                expr(graft.ChSql.translate(s"($e) = ($x)").trim)
+              }.reduce(_ && _)
+            else expr(graft.ChSql.translate(s"($px) = ($v)").trim)
+          }
+          pExpr match {
+            case Some(px) if !isIdForm => Some(eq(px, valText))
+            case Some(px) =>
+              val ds = PartsLog.displaysForId(name, idVal)
+              if (ds.isEmpty) None
+              else Some(ds.map(d => eq(px, d)).reduce(_ || _))
+            case None
+                if valText.replaceAll("\\s+", "") == "tuple()" ||
+                  (isIdForm && idVal == "all") =>
+              Some(lit(true))
+            case None => None
+          }
+        }
+        condOpt match {
+          case Some(cond) =>
             def split(frame: DataFrame): (DataFrame, DataFrame) =
               (frame.filter(cond), frame.filter(!cond || cond.isNull))
             val cur = staged.getOrElse(name, storedDf(spark, name))

@@ -19,7 +19,8 @@ object PartsLog {
 
   final case class Part(table: String, partition: String,
     partitionId: String, minBlock: Long, maxBlock: Long, level: Int,
-    rows: Long, var active: Boolean, var detached: Boolean) {
+    rows: Long, var active: Boolean, var detached: Boolean,
+    df: Option[DataFrame] = None) {
     def name: String = s"${partitionId}_${minBlock}_${maxBlock}_$level"
   }
 
@@ -32,10 +33,12 @@ object PartsLog {
     .empty[String, java.util.concurrent.atomic.AtomicLong]
   private val engines =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val startAt =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   def reset(): Unit = {
     parts.clear(); partitionExprs.clear(); blockCounters.clear()
-    engines.clear()
+    engines.clear(); startAt.clear()
   }
 
   def onCreate(table: String, engTail: String): Unit = {
@@ -44,6 +47,10 @@ object PartsLog {
       .map(_.group(1)).getOrElse(return)
     if (!eng.toLowerCase.contains("mergetree")) return
     engines(table) = eng
+    // Replicated engines allocate block numbers from 0 (ZooKeeper
+    // sequential nodes); plain MergeTree starts at 1 (00502 both forms)
+    startAt(table) = if (eng.toLowerCase.contains("replicated")) -1L
+      else 0L
     val pb = ("(?is)\\bPARTITION\\s+BY\\s+(.*?)\\s*" +
       "(?:\\bORDER\\s+BY\\b|\\bPRIMARY\\s+KEY\\b|\\bSAMPLE\\s+BY\\b|" +
       "\\bTTL\\b|\\bSETTINGS\\b|$)").r
@@ -149,17 +156,22 @@ object PartsLog {
     val buf = parts.getOrElseUpdate(table,
       scala.collection.mutable.ArrayBuffer.empty[Part])
     val counter = blockCounters.getOrElseUpdate(table,
-      new java.util.concurrent.atomic.AtomicLong(0))
+      new java.util.concurrent.atomic.AtomicLong(
+        startAt.getOrElse(table, 0L)))
     if (pExpr.isEmpty) {
       val n = rows.count()
       val b = counter.incrementAndGet()
       buf.synchronized {
         buf += Part(table, "tuple()", "all", b, b, 0, n,
-          active = true, detached = false)
+          active = true, detached = false, df = Some(rows))
       }
       return
     }
-    val pe = pExpr.stripPrefix("(").stripSuffix(")")
+    // strip only a WRAPPING paren pair — `toMonday(d)` keeps its own
+    val pe =
+      if (pExpr.startsWith("(") && pExpr.endsWith(")"))
+        pExpr.drop(1).dropRight(1)
+      else pExpr
     val items = graft.ChSql.splitTopLevelCommas(pe).map(_.trim)
       .filter(_.nonEmpty)
     val pcols = items.zipWithIndex.map { case (e, i) =>
@@ -178,9 +190,16 @@ object PartsLog {
       seen.foreach { case (k, n) =>
         val v: Any = if (items.length == 1) k.head else Row(k: _*)
         val b = counter.incrementAndGet()
+        // the part's own rows (multiset provenance for PART-level ops)
+        val cond = items.zip(k).map { case (e, kv) =>
+          val pe = org.apache.spark.sql.functions
+            .expr(graft.ChSql.translate(e).trim)
+          if (kv == null) pe.isNull
+          else pe === org.apache.spark.sql.functions.lit(kv)
+        }.reduce(_ && _)
         buf += Part(table, displayPartition(v, unpartitioned = false),
           partId(v, unpartitioned = false), b, b, 0, n,
-          active = true, detached = false)
+          active = true, detached = false, df = Some(rows.filter(cond)))
       }
     }
   }
@@ -209,9 +228,10 @@ object PartsLog {
           val mb = ps.map(_.minBlock).min
           val xb = ps.map(_.maxBlock).max
           val lvl = ps.map(_.level).max + 1
+          val mergedDf = ps.flatMap(_.df).reduceOption(_ union _)
           buf += Part(table, ps.head.partition, ps.head.partitionId,
             mb, xb, lvl, ps.map(_.rows).sum,
-            active = true, detached = false)
+            active = true, detached = false, df = mergedDf)
         }
       }
     }
@@ -234,6 +254,51 @@ object PartsLog {
           buf.foreach(p => if (p.detached && matches(p, spec, byId)) {
             p.active = true; p.detached = false
           })
+        case _ =>
+      }
+    }
+  }
+
+  /** partition displays of the parts carrying `id` (the PARTITION ID
+    * form of the ALTER ops needs a value predicate). */
+  def displaysForId(table: String, id: String): Seq[String] =
+    parts.get(table).map(_.synchronized {
+      parts(table).toSeq.filter(_.partitionId == id)
+        .map(_.partition).distinct
+    }).getOrElse(Seq.empty)
+
+  /** rows of a single named part; `wantDetached` filters by state
+    * (DETACH targets active parts, ATTACH targets detached ones). */
+  def partRowsByName(table: String, partName: String,
+      wantDetached: Option[Boolean] = None): Option[DataFrame] =
+    parts.get(table).flatMap(b => b.synchronized {
+      b.find(p => p.name == partName &&
+        wantDetached.forall(_ == p.detached)).flatMap(_.df)
+    })
+
+  /** single-PART state transition. */
+  def onPartOpSingle(table: String, op: String, partName: String): Unit = {
+    val buf = parts.getOrElse(table, return)
+    buf.synchronized {
+      op.toUpperCase match {
+        case "DETACH" => buf.foreach(p => if (p.name == partName) {
+          p.active = false; p.detached = true })
+        case "DROP" =>
+          val keep = buf.filterNot(p => p.name == partName && !p.detached)
+          buf.clear(); buf ++= keep
+        case "ATTACH" =>
+          // an attached part takes a FRESH block number (ref
+          // MergeTreeData::attachPartition renames; 01451 pins the
+          // renamed all_4_4_0)
+          buf.find(p => p.name == partName && p.detached).foreach { p =>
+            val keep = buf.filterNot(_ eq p)
+            buf.clear(); buf ++= keep
+            val b = blockCounters.getOrElseUpdate(table,
+              new java.util.concurrent.atomic.AtomicLong(0))
+              .incrementAndGet()
+            buf += Part(table, p.partition, p.partitionId, b, b, 0,
+              p.rows, active = true, detached = false, df = p.df)
+          }
         case _ =>
       }
     }

@@ -41,14 +41,71 @@ object Dictionaries {
         "size cannot be baked into the plan — use Dictionaries.dictGet " +
         "(broadcast join) for large dimension tables")
     val maps = attrs.zipWithIndex.map { case (a, i) =>
+      // stored NULLs stay NULL (a Nullable attribute's NULL is a value,
+      // not a miss — 01765); membership is decided by the key-set map
+      val vT = dict.schema(a).dataType
       val pairs = rows.iterator.flatMap { r =>
-        if (r.isNullAt(i + 1)) Iterator.empty
-        else Iterator(lit(r.get(0)), lit(r.get(i + 1)))
+        Iterator(lit(r.get(0)),
+          if (r.isNullAt(i + 1)) lit(null).cast(vT) else lit(r.get(i + 1)))
       }.toSeq
       a -> map(pairs: _*)
     }.toMap
     registry.put(name, maps)
+    keyTypeRegistry.put(name, dict.schema(keyCol).dataType)
+    val memberPairs = rows.iterator
+      .flatMap(r => Iterator(lit(r.get(0)), lit(true))).toSeq
+    memberRegistry.put(name,
+      if (memberPairs.isEmpty) map() else map(memberPairs: _*))
   }
+
+  /** Complex (multi-column) keys: the map key is a positional struct;
+    * the probe tuple casts to it so field names never mismatch. */
+  def createComplexDictionary(name: String, dict: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val attrs = dict.columns.filterNot(keyCols.contains)
+    val rows = dict.select((keyCols ++ attrs).map(col): _*)
+      .limit(MaxDictRows + 1).collect()
+    require(rows.length <= MaxDictRows,
+      s"dictionary '$name' exceeds $MaxDictRows rows")
+    val kN = keyCols.length
+    def keyLit(r: org.apache.spark.sql.Row): Column =
+      struct(keyCols.indices.map(i =>
+        lit(r.get(i)).as(s"_${i + 1}")): _*)
+    val maps = attrs.zipWithIndex.map { case (a, i) =>
+      val vT = dict.schema(a).dataType
+      val pairs = rows.iterator.flatMap { r =>
+        Iterator(keyLit(r),
+          if (r.isNullAt(kN + i)) lit(null).cast(vT)
+          else lit(r.get(kN + i)))
+      }.toSeq
+      a -> map(pairs: _*)
+    }.toMap
+    registry.put(name, maps)
+    keyTypeRegistry.put(name, org.apache.spark.sql.types.StructType(
+      keyCols.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.types.StructField(s"_${i + 1}",
+          dict.schema(c).dataType, nullable = true) }))
+    val memberPairs = rows.iterator
+      .flatMap(r => Iterator(keyLit(r), lit(true))).toSeq
+    memberRegistry.put(name,
+      if (memberPairs.isEmpty) map() else map(memberPairs: _*))
+  }
+
+  /** key-set map for miss-vs-stored-NULL discrimination. */
+  private val memberRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Column]()
+  /** declared key type — probes cast to it (a BIGINT probe against an
+    * INT-keyed map literal is a type error, not a coercion). */
+  private val keyTypeRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.DataType]()
+
+  private def probeKey(name: String, key: Column): Column =
+    Option(keyTypeRegistry.get(name)).map(key.cast).getOrElse(key)
+
+  private def memberOf(name: String, key: Column): Column =
+    Option(memberRegistry.get(name))
+      .map(m => coalesce(element_at(m, probeKey(name, key)), lit(false)))
+      .getOrElse(lit(false))
 
   /** Per-attribute miss values for DDL-created dictionaries: CH's
     * dictGet on a missing key returns the attribute's declared DEFAULT,
@@ -61,12 +118,96 @@ object Dictionaries {
   def setAttrDefaults(name: String, d: Map[String, Column]): Unit =
     attrDefaults.put(name, d)
 
+  // ---- RANGE_HASHED layout (ref src/Dictionaries/RangeHashedDictionary
+  // .h): the 4-arg dictGet('d','a',key,point) probes the interval set of
+  // `key` for the one containing `point` (bounds inclusive; a NULL bound
+  // is open — 02185). Same literal-map design: key → array of
+  // (lo, hi, value) structs, probed with Catalyst `filter`, no UDF. ----
+
+  private val rangeRegistry = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Column]]()
+
+  def createRangeDictionary(name: String, dict: DataFrame, keyCol: String,
+      minCol: String, maxCol: String): Unit = {
+    val attrs = dict.columns
+      .filterNot(c => c == keyCol || c == minCol || c == maxCol)
+    val ordered = Seq(keyCol, minCol, maxCol) ++ attrs
+    val rows = dict.select(ordered.map(col): _*)
+      .limit(MaxDictRows + 1).collect()
+    require(rows.length <= MaxDictRows,
+      s"range dictionary '$name' exceeds $MaxDictRows rows")
+    val loT = dict.schema(minCol).dataType
+    val hiT = dict.schema(maxCol).dataType
+    def litOf(v: Any, dt: org.apache.spark.sql.types.DataType): Column =
+      if (v == null) lit(null).cast(dt) else lit(v)
+    val maps = attrs.zipWithIndex.map { case (a, i) =>
+      val vT = dict.schema(a).dataType
+      val byKey = rows.groupBy(_.get(0)).toSeq
+      val entries = byKey.flatMap { case (k, rs) =>
+        Seq(lit(k), array(rs.toSeq.map(r => struct(
+          litOf(r.get(1), loT).as("lo"),
+          litOf(r.get(2), hiT).as("hi"),
+          litOf(r.get(i + 3), vT).as("v"))): _*))
+      }
+      a -> map(entries: _*)
+    }.toMap
+    rangeRegistry.put(name, maps)
+  }
+
+  def isRangeDictionary(name: String): Boolean =
+    rangeRegistry.containsKey(name)
+
+  private def rangeHits(name: String, attr: String, key: Column,
+      point: Column): Column = {
+    val dict = rangeRegistry.get(name)
+    require(dict != null, s"unknown range dictionary '$name'")
+    val m = dict.getOrElse(attr, throw new IllegalArgumentException(
+      s"dictionary '$name' has no attribute '$attr'"))
+    filter(element_at(m, key), s =>
+      (s.getField("lo").isNull || s.getField("lo") <= point) &&
+        (s.getField("hi").isNull || point <= s.getField("hi")))
+  }
+
+  def sqlDictGetRangeRaw(name: String, attr: String, key: Column,
+      point: Column): Column =
+    try_element_at(rangeHits(name, attr, key, point), lit(1))
+      .getField("v")
+
+  def sqlDictGetRangePoint(name: String, attr: String, key: Column,
+      point: Column): Column = {
+    val base = sqlDictGetRangeRaw(name, attr, key, point)
+    // a matching interval with a stored NULL value returns NULL — only
+    // a MISS takes the declared default (01676 nullable)
+    Option(attrDefaults.get(name)).flatMap(_.get(attr))
+      .map(d => when(size(rangeHits(name, attr, key, point)) > 0, base)
+        .otherwise(d))
+      .getOrElse(base)
+  }
+
+  def sqlDictGetRangeOrDefault(name: String, attr: String, key: Column,
+      point: Column, default: Column): Column =
+    when(size(rangeHits(name, attr, key, point)) > 0,
+      sqlDictGetRangeRaw(name, attr, key, point)).otherwise(default)
+
+  def sqlDictHasRange(name: String, key: Column, point: Column): Column = {
+    val dict = rangeRegistry.get(name)
+    require(dict != null, s"unknown range dictionary '$name'")
+    val attr = {
+      val it = dict.keysIterator
+      if (it.hasNext) it.next() else return lit(false)
+    }
+    coalesce(size(rangeHits(name, attr, key, point)) > 0, lit(false))
+  }
+
   /** Register `alias` as another name for dictionary `name` (DDL names
     * are addressable both db-qualified and folded). */
   def aliasDictionary(name: String, alias: String): Unit = {
     Option(registry.get(name)).foreach(registry.put(alias, _))
     Option(hierRegistry.get(name)).foreach(hierRegistry.put(alias, _))
     Option(attrDefaults.get(name)).foreach(attrDefaults.put(alias, _))
+    Option(rangeRegistry.get(name)).foreach(rangeRegistry.put(alias, _))
+    Option(memberRegistry.get(name)).foreach(memberRegistry.put(alias, _))
+    Option(keyTypeRegistry.get(name)).foreach(keyTypeRegistry.put(alias, _))
   }
 
   /** Null-on-miss probe (the OrDefault forms coalesce with the CALLER's
@@ -76,27 +217,37 @@ object Dictionaries {
     require(dict != null, s"unknown dictionary '$name'; call createDictionary")
     val m = dict.getOrElse(attr,
       throw new IllegalArgumentException(s"dictionary '$name' has no attribute '$attr'"))
-    element_at(m, key)
+    element_at(m, probeKey(name, key))
   }
 
-  /** dictGet('name', 'attr', key) as a Column (declared/type default on
-    * miss for DDL dictionaries, null otherwise). */
+  /** dictGet('name', 'attr', key) as a Column: the stored value (NULL
+    * included) when the key exists, else the declared/type default for
+    * DDL dictionaries (null otherwise). */
   def sqlDictGet(name: String, attr: String, key: Column): Column = {
     val base = sqlDictGetRaw(name, attr, key)
-    Option(attrDefaults.get(name)).flatMap(_.get(attr))
-      .map(d => coalesce(base, d)).getOrElse(base)
+    Option(attrDefaults.get(name)).flatMap(_.get(attr)) match {
+      case Some(d) if memberRegistry.containsKey(name) =>
+        when(memberOf(name, key), base).otherwise(d)
+      case Some(d) => coalesce(base, d)
+      case None => base
+    }
   }
 
-  /** dictGetOrDefault('name', 'attr', key, default). */
+  /** dictGetOrDefault('name', 'attr', key, default): the caller default
+    * applies only on MISS — a stored NULL wins over it. */
   def sqlDictGetOrDefault(name: String, attr: String, key: Column,
       default: Column): Column =
-    coalesce(sqlDictGetRaw(name, attr, key), default)
+    if (memberRegistry.containsKey(name))
+      when(memberOf(name, key), sqlDictGetRaw(name, attr, key))
+        .otherwise(default)
+    else coalesce(sqlDictGetRaw(name, attr, key), default)
 
-  /** dictHas('name', key): true when any attribute map contains the key. */
+  /** dictHas('name', key): key-set membership. */
   def sqlDictHas(name: String, key: Column): Column = {
     val dict = registry.get(name)
     require(dict != null, s"unknown dictionary '$name'; call createDictionary")
-    dict.values.map(m => map_contains_key(m, key))
+    if (memberRegistry.containsKey(name)) memberOf(name, key)
+    else dict.values.map(m => map_contains_key(m, probeKey(name, key)))
       .reduceOption(_ || _).getOrElse(lit(false))
   }
 
@@ -114,7 +265,8 @@ object Dictionaries {
   private case class Hier(
       parent: Map[Long, Long],   // key → parent (null-parent rows absent)
       valid: Set[Long],          // keys present in the dictionary
-      children: Map[Long, Seq[Long]]) // parent → children in key order
+      children: Map[Long, Seq[Long]], // parent → children in key order
+      nullableParent: Boolean)   // Nullable parent: NULL is the only root
 
   private val hierRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Hier]()
@@ -124,7 +276,9 @@ object Dictionaries {
     * reference's hierarchy_null_value for UInt64 keys). Also registers
     * the flat attributes via [[createDictionary]]. */
   def createHierarchicalDictionary(name: String, dict: DataFrame,
-      keyCol: String, parentCol: String): Unit = {
+      keyCol: String, parentCol: String,
+      nullableParent: Boolean = false,
+      reverseChildren: Boolean = false): Unit = {
     createDictionary(name, dict, keyCol)
     val rows = dict.select(col(keyCol).cast("long"),
       col(parentCol).cast("long")).limit(MaxDictRows + 1).collect()
@@ -136,9 +290,14 @@ object Dictionaries {
     // parent→children from every non-null parent value — including the
     // null value 0, so dictGetChildren(0) lists the roots (01778 pins
     // exactly that)
+    val keyOrder = rows.iterator.map(_.getLong(0)).toSeq.zipWithIndex.toMap
+    // FLAT keeps source order; HASHED layouts surface the reference's
+    // hash-table iteration order, which these goldens pin as the
+    // reverse (01778)
     val children = parent.toSeq.groupBy(_._2).map { case (p, kids) =>
-      p -> kids.map(_._1).sorted }
-    hierRegistry.put(name, Hier(parent, valid, children))
+      val inOrder = kids.map(_._1).sortBy(keyOrder.getOrElse(_, Int.MaxValue))
+      p -> (if (reverseChildren) inOrder.reverse else inOrder) }
+    hierRegistry.put(name, Hier(parent, valid, children, nullableParent))
   }
 
   private def hier(name: String): Hier = {
@@ -164,8 +323,15 @@ object Dictionaries {
       else {
         out += k
         h.parent.get(k) match {
-          case Some(p) if p != 0L && h.valid.contains(p) => k = p
-          case _ => done = true
+          // non-Nullable UInt64 parents: 0 is the root marker and is
+          // never emitted; Nullable parents: NULL is the only root, so
+          // a 0 parent is an ordinary key (02316)
+          case Some(p) if !h.nullableParent && p == 0L => done = true
+          case Some(p) if h.valid.contains(p) => k = p
+          // a dangling parent id is included ONCE, then the walk stops
+          // (01018: [3,2,1,10000] with no key 10000)
+          case Some(p) => out += p; done = true
+          case None => done = true
         }
       }
       depth += 1
