@@ -2194,10 +2194,18 @@ object ChSql {
       .map(_.group(1).toLowerCase).toSet
     val re = ("(?i)\\b(FROM|JOIN|INTO|TABLE|DICTIONARY|VIEW|EXISTS|TO)" +
       "(\\s+(?:TABLE\\s+|DICTIONARY\\s+|IF\\s+NOT\\s+EXISTS\\s+|" +
-      "IF\\s+EXISTS\\s+)*)`?([A-Za-z_]\\w*)`?(?![.\\w(`])")
+      "IF\\s+EXISTS\\s+)*)`?([A-Za-z_]\\w*)`?(?![.\\w`])")
     replaceFnOutsideStrings(sql, re) { m =>
       val id = m.group(3)
-      val skip = qualifyStop(id.toLowerCase) || id.startsWith("__") ||
+      // `name(` after FROM/JOIN is a table function; after a DDL
+      // keyword it is the column list (CREATE TABLE t(...)) and the
+      // name still qualifies
+      val src = m.source
+      val nxt = if (m.end < src.length()) src.charAt(m.end) else ' '
+      val kw = m.group(1).toUpperCase
+      val tvf = nxt == '(' && (kw == "FROM" || kw == "JOIN")
+      val skip = tvf || qualifyStop(id.toLowerCase) ||
+        id.startsWith("__") ||
         id.toLowerCase.startsWith("graft_") || ctes(id.toLowerCase) ||
         known.exists(d => id.toLowerCase.startsWith(d + "__"))
       java.util.regex.Matcher.quoteReplacement(
@@ -2509,14 +2517,43 @@ object ChSql {
     val afterFrom = fm.map(m => tail.substring(
       m.end - alias.map(_ => 0).getOrElse(
         Option(fm.get.group(4)).map(_.length + 1).getOrElse(0)))).getOrElse("")
-    if (afterFrom.matches("(?is)^\\s*(,|(INNER|LEFT|RIGHT|FULL|CROSS|" +
-        "ASOF|GLOBAL|ANY|ALL|SEMI|ANTI|JOIN)\\b).*")) return sql0
-    lazy val colsOpt: Option[Seq[String]] = subqCols.orElse(tbl.flatMap {
-      t =>
+    val joinPresent = afterFrom.matches(
+      "(?is)^\\s*(,|(INNER|LEFT|RIGHT|FULL|CROSS|" +
+        "ASOF|GLOBAL|ANY|ALL|SEMI|ANTI|JOIN)\\b).*")
+    // join FROM: resolve EVERY relation's columns so matchers expand
+    // against the whole join scope — a qualified star takes its own
+    // relation's columns, an unqualified one the concatenation
+    // (r12 verdict #3: `t.* APPLY(sum) FROM a JOIN b` fell through raw)
+    val joinRelations: Option[Seq[(String, Option[String], Seq[String])]] =
+      if (!joinPresent) None
+      else {
+        val fromStop = ("(?i)\\b(WHERE|GROUP|ORDER|LIMIT|HAVING|" +
+          "SETTINGS|FORMAT|UNION|WINDOW|PREWHERE)\\b").r
+          .findFirstMatchIn(tail).map(_.start).getOrElse(tail.length)
+        val fromClause = tail.substring(0, fromStop)
+        if (fromClause.contains("(")) None // subquery/TVF scope: bail
+        else {
+          val relRe = ("(?i)\\b(?:FROM|JOIN)\\s+`?([A-Za-z_]\\w*)`?" +
+            "(?:\\s+(?:AS\\s+)?`?([A-Za-z_]\\w*)`?)?").r
+          val rels = relRe.findAllMatchIn(fromClause).map { m =>
+            (m.group(1),
+              Option(m.group(2)).filterNot(a => stopWords(a.toLowerCase)))
+          }.toSeq.filterNot(r => stopWords(r._1.toLowerCase))
+          val resolved = rels.map { case (n, al) =>
+            (n, al, starVisibleColumns(n).orElse(knownTableColumns(n)))
+          }
+          if (resolved.isEmpty || resolved.exists(_._3.isEmpty)) None
+          else Some(resolved.map(r => (r._1, r._2, r._3.get)))
+        }
+      }
+    if (joinPresent && joinRelations.isEmpty) return sql0
+    lazy val colsOpt: Option[Seq[String]] = subqCols
+      .orElse(joinRelations.map(_.flatMap(_._3)))
+      .orElse(tbl.flatMap { t =>
         if (isTvf)
           (if (t.equalsIgnoreCase("numbers")) Some(Seq("number")) else None)
         else starVisibleColumns(t).orElse(knownTableColumns(t))
-    })
+      })
     final case class It(expr: String, name: Option[String])
     // chain tokenizer helpers over one item's text
     def depth0KwIdx(s: String, from: Int): Int = {
@@ -2607,14 +2644,33 @@ object ChSql {
       val StarRe = "(?s)^\\*(?![\\w.])(.*)$".r
       val QualStarRe = "(?s)^(?:`([^`]+)`|([A-Za-z_]\\w*))\\.\\*(.*)$".r
       val ColsRe = "(?is)^COLUMNS\\s*\\((.*)$".r
+      // over a join scope, expand with the relation qualifier so
+      // same-named columns stay unambiguous
+      def scopeIts: Option[Seq[It]] = joinRelations match {
+        case Some(rels) => Some(rels.flatMap { r =>
+          val pre = r._2.getOrElse(r._1)
+          r._3.map(c => It(s"`$pre`.${quoteId(c)}", Some(c)))
+        })
+        case None => colsOpt.map(_.map(c => It(quoteId(c), Some(c))))
+      }
       val matched: Option[(Seq[It], String)] = item match {
         case StarRe(rest) =>
-          colsOpt.map(cs => (cs.map(c => It(quoteId(c), Some(c))), rest))
+          scopeIts.map(its0 => (its0, rest))
         case QualStarRe(q1, q2, rest) =>
           val qn = Option(q1).getOrElse(q2)
-          if (tbl.contains(qn) || alias.contains(qn))
-            colsOpt.map(cs => (cs.map(c => It(quoteId(c), Some(c))), rest))
-          else None
+          joinRelations match {
+            case Some(rels) =>
+              rels.find(r => r._2.contains(qn) || r._1 == qn).map { r =>
+                val pre = r._2.getOrElse(r._1)
+                (r._3.map(c =>
+                  It(s"`$pre`.${quoteId(c)}", Some(c))), rest)
+              }
+            case None =>
+              if (tbl.contains(qn) || alias.contains(qn))
+                colsOpt.map(cs =>
+                  (cs.map(c => It(quoteId(c), Some(c))), rest))
+              else None
+          }
         case ColsRe(restAll) =>
           val full = item
           val open = full.toLowerCase.indexOf('(')
@@ -2623,11 +2679,11 @@ object ChSql {
           else {
             val inner = full.substring(open + 1, close).trim
             val rest = full.substring(close + 1)
-            colsOpt.flatMap { cs =>
+            scopeIts.flatMap { its0 =>
               if (inner.startsWith("'") && inner.endsWith("'")) {
                 val re = inner.stripPrefix("'").stripSuffix("'").r
-                Some((cs.filter(c => re.findFirstIn(c).isDefined)
-                  .map(c => It(quoteId(c), Some(c))), rest))
+                Some((its0.filter(_.name.exists(c =>
+                  re.findFirstIn(c).isDefined)), rest))
               } else if (inner.matches("(?s)[\\w`\\s,.]+")) {
                 val names = splitTopLevelCommas(inner).map(unq)
                 Some((names.map(c => It(quoteId(c), Some(c))), rest))
@@ -3902,6 +3958,57 @@ object ChSql {
         s = sb.toString
       }
     }
+    // generateRandom('schema'[, seed, maxLen, maxArr]) (ref
+    // src/TableFunctions/TableFunctionGenerateRandom.cpp): a
+    // DETERMINISTIC pseudo-random stand-in — the reference's pcg64
+    // bit-stream is out of scope (documented), but the structural
+    // uses (INSERT … SELECT … LIMIT n, count checks) only need typed
+    // rows. Bounded like system.numbers by the governing LIMIT.
+    locally {
+      val grRe = ("(?i)(?<![\\w.])generateRandom\\s*\\(\\s*" +
+        "'([^']*)'\\s*(?:,[^()]*)?\\)").r
+      val ms = grRe.findAllMatchIn(s).toList
+        .filter(m => !inSingleQuoted(s, m.start))
+      if (ms.nonEmpty) {
+        val sb = new java.lang.StringBuilder; var at = 0
+        ms.foreach { m =>
+          val bound = numbersBound(s, m.start).getOrElse(10000L)
+          val cols = splitTopLevelCommas(m.group(1)).map(_.trim)
+            .filter(_.nonEmpty).map { cd =>
+              val sp = cd.indexWhere(_.isWhitespace)
+              val n = cd.take(sp).stripPrefix("`").stripSuffix("`")
+              val t = cd.drop(sp).trim
+              val lt = t.toLowerCase
+              val e =
+                if (lt.startsWith("uint") || lt.startsWith("int"))
+                  s"CAST((id * 2654435761) % 1000000 AS " +
+                    s"${chTypeToSpark(t)})"
+                else if (lt.startsWith("float") || lt.startsWith("decimal"))
+                  s"CAST((id * 137) % 100000 / 100.0 AS " +
+                    s"${chTypeToSpark(t)})"
+                else if (lt.startsWith("datetime"))
+                  "CAST(1262304000 + (id * 2654435761) % 100000000 " +
+                    "AS TIMESTAMP)"
+                else if (lt.startsWith("date"))
+                  "DATE_ADD(DATE'2010-01-01', " +
+                    "CAST((id * 37) % 5000 AS INT))"
+                else if (lt.startsWith("array"))
+                  "ARRAY(CAST((id * 2654435761) % 1000 AS BIGINT))"
+                else if (lt.startsWith("uuid"))
+                  "uuid()"
+                else s"concat('s', CAST((id * 2654435761) % 100000 " +
+                  "AS STRING))"
+              s"$e AS `$n`"
+            }
+          sb.append(s, at, m.start)
+          sb.append(
+            s"(SELECT ${cols.mkString(", ")} FROM range($bound))")
+          at = m.end
+        }
+        sb.append(s, at, s.length)
+        s = sb.toString
+      }
+    }
     // numbers(N) / numbers(offset, N) table function (ref
     // src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range():
     // same lazy integer generator, column renamed to CH's `number`
@@ -4655,6 +4762,169 @@ object ChSql {
   private val ExplainRe =
     "(?is)^\\s*EXPLAIN\\s+(AST\\b|SYNTAX\\b|QUERY\\s+TREE|PIPELINE\\b|ESTIMATE\\b|PLAN\\b)?\\s*(.*)$".r
 
+  /** CH-style EXPLAIN SYNTAX rendering for plain single-table SELECTs
+    * (ref src/Parsers/ASTSelectQuery.cpp formatImpl): multi-item lists
+    * one per 4-space-indented line, clause keywords on their own lines,
+    * ORDER BY directions explicit, stars expanded. Statements the
+    * layout can't represent faithfully (joins, subqueries, UNION,
+    * WITH) return None and keep the translated-text fallback. */
+  /** CH expression re-spacing for EXPLAIN SYNTAX: binary operators get
+    * surrounding spaces (`0+dummy` → `0 + dummy`); unary signs,
+    * scientific-notation exponents and `->` lambdas stay intact. */
+  private def respaceExpr(e: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inS = false
+    def prevNonSpace: Char = {
+      var j = sb.length - 1
+      while (j >= 0 && sb.charAt(j) == ' ') j -= 1
+      if (j < 0) ' ' else sb.charAt(j)
+    }
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (inS) { sb.append(c); if (c == '\\' && i + 1 < e.length) {
+        sb.append(e.charAt(i + 1)); i += 1 } else if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true; sb.append(c)
+        case '-' if i + 1 < e.length && e.charAt(i + 1) == '>' =>
+          sb.append(" -> "); i += 1
+        case '+' | '-' =>
+          val p = prevNonSpace
+          val sci = sb.length >= 2 && (p == 'e' || p == 'E') &&
+            sb.length >= 2 && sb.charAt(sb.length - 2).isDigit
+          val unary = p == ' ' || p == '(' || p == ',' ||
+            "+-*/%<>=!".indexOf(p) >= 0
+          if (sci || unary) sb.append(c)
+          else { sb.append(' '); sb.append(c); sb.append(' ') }
+        case '*' | '/' | '%' =>
+          val p = prevNonSpace
+          if (p == ' ' || p == '(' || p == ',') sb.append(c)
+          else { sb.append(' '); sb.append(c); sb.append(' ') }
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString.replaceAll("\\s+", " ").trim
+  }
+
+  private[graft] def chFormatSelect(raw: String): Option[Seq[String]] = {
+    val q0 = raw.trim.stripSuffix(";").replaceAll("\\s+", " ")
+    if (!q0.matches("(?is)^SELECT\\b.*")) return None
+    if (q0.matches("(?is).*\\b(JOIN|UNION|INTERSECT|EXCEPT|WITH)\\b.*") ||
+      q0.contains("(SELECT") || q0.contains("( SELECT")) return None
+    val (st, en, items0) = topSelectItemSpans(q0).getOrElse(return None)
+    val distinct = q0.substring(0, st)
+      .matches("(?is)^SELECT\\s+DISTINCT\\s*$")
+    val tail = q0.substring(en).trim
+    // clause spans at depth 0
+    val kws = Seq("FROM", "PREWHERE", "WHERE", "GROUP BY", "HAVING",
+      "ORDER BY", "LIMIT", "OFFSET", "SETTINGS", "FORMAT",
+      "WITH TOTALS", "WITH ROLLUP", "WITH CUBE", "WITH FILL")
+    case class Cl(kw: String, start: Int, argStart: Int)
+    val found = scala.collection.mutable.ArrayBuffer.empty[Cl]
+    var i = 0; var depth = 0; var inS = false
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (inS) { if (c == '\\') i += 1 else if (c == '\'') inS = false }
+      else if (c == '\'') inS = true
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (depth == 0 && c.isLetter &&
+        (i == 0 || !(tail.charAt(i - 1).isLetterOrDigit ||
+          tail.charAt(i - 1) == '_'))) {
+        val hit = kws.find(k => tail.regionMatches(true, i, k, 0,
+          k.length) &&
+          (i + k.length >= tail.length ||
+            !tail.charAt(i + k.length).isLetterOrDigit))
+        hit match {
+          case Some(k) =>
+            found += Cl(k.toUpperCase, i, i + k.length)
+            i += k.length - 1
+          case None =>
+            while (i < tail.length && (tail.charAt(i).isLetterOrDigit ||
+              tail.charAt(i) == '_')) i += 1
+            i -= 1
+        }
+      }
+      i += 1
+    }
+    if (found.isEmpty && tail.nonEmpty) return None
+    if (found.nonEmpty && found.head.start != 0) return None
+    val clauses: Seq[(String, String)] = found.toSeq.zipWithIndex.map {
+      case (cl, idx) =>
+        val end = if (idx + 1 < found.length) found(idx + 1).start
+          else tail.length
+        cl.kw -> tail.substring(cl.argStart, end).trim
+    }
+    if (clauses.exists(_._1 == "FORMAT")) return None
+    // star expansion over the single FROM table
+    val fromArg = clauses.find(_._1 == "FROM").map(_._2).getOrElse("")
+    if (fromArg.contains(",")) return None
+    val cols: Option[Seq[String]] =
+      if (fromArg.matches("(?i)system\\.one")) Some(Seq("dummy"))
+      else if (fromArg.matches("[A-Za-z_]\\w*"))
+        starVisibleColumns(fromArg).orElse(knownTableColumns(fromArg))
+      else None
+    def unbq(s: String) =
+      respaceExpr(s.replaceAll("`([A-Za-z_]\\w*)`", "$1"))
+    def expand(its: Seq[String]): Option[Seq[String]] =
+      if (!its.exists(_.trim == "*")) Some(its.map(unbq))
+      else cols.map(cs => its.flatMap(it =>
+        if (it.trim == "*") cs else Seq(unbq(it))))
+    val items = expand(items0.map(_.trim)).getOrElse(return None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def list(head: String, its: Seq[String]): Unit =
+      if (its.length == 1) out += s"$head ${its.head}"
+      else {
+        out += head
+        its.zipWithIndex.foreach { case (it, j) =>
+          out += "    " + it + (if (j < its.length - 1) "," else "")
+        }
+      }
+    list(if (distinct) "SELECT DISTINCT" else "SELECT", items)
+    clauses.foreach { case (kw, arg) =>
+      kw match {
+        case "FROM" => out += s"FROM $arg"
+        case "PREWHERE" | "WHERE" | "HAVING" =>
+          out += s"$kw ${unbq(arg)}"
+        case "GROUP BY" =>
+          list("GROUP BY", splitTopLevelCommas(arg).map(a =>
+            unbq(a.trim)))
+        case "ORDER BY" =>
+          val its = splitTopLevelCommas(arg).map(_.trim).map { o =>
+            val oo = unbq(o)
+            if (oo.matches("(?is).*\\b(ASC|DESC|ASCENDING|DESCENDING)\\b.*"))
+              oo.replaceAll("(?i)\\bASCENDING\\b", "ASC")
+                .replaceAll("(?i)\\bDESCENDING\\b", "DESC")
+            else oo + " ASC"
+          }
+          list("ORDER BY", its)
+        case "LIMIT" =>
+          // LIMIT n BY cols keeps BY items on indented lines when >1
+          val byM = "(?is)^(.*?)\\bBY\\b(.*)$".r.findFirstMatchIn(arg)
+          byM match {
+            case Some(bm) =>
+              val n = bm.group(1).trim
+              val bys0 = splitTopLevelCommas(bm.group(2)).map(_.trim)
+              val bys = expand(bys0).getOrElse(return None)
+              if (bys.length == 1) out += s"LIMIT $n BY ${bys.head}"
+              else {
+                out += s"LIMIT $n BY"
+                bys.zipWithIndex.foreach { case (b, j) =>
+                  out += "    " + b + (if (j < bys.length - 1) "," else "")
+                }
+              }
+            case None => out += s"LIMIT $arg"
+          }
+        case "OFFSET" => out += s"OFFSET $arg"
+        case "SETTINGS" => out += s"SETTINGS $arg"
+        case "WITH TOTALS" | "WITH ROLLUP" | "WITH CUBE" =>
+          if (out.nonEmpty) out(out.length - 1) = out.last + " " + kw
+        case _ => return None
+      }
+    }
+    Some(out.toSeq)
+  }
+
   private def explainDf(spark: SparkSession, kind0: String,
       rest0: String, sfDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -4698,7 +4968,10 @@ object ChSql {
               linesDf(head ++ (if (tail.isEmpty) Nil else Seq(tail)))
             case None => linesDf(translate(rest).trim.linesIterator.toSeq)
           }
-        } else linesDf(translate(rest).trim.linesIterator.toSeq)
+        } else chFormatSelect(rest) match {
+          case Some(lines) => linesDf(lines)
+          case None => linesDf(translate(rest).trim.linesIterator.toSeq)
+        }
       case "AST" =>
         linesDf(planLines(
           spark.sessionState.sqlParser.parsePlan(translate(rest))))
@@ -5071,6 +5344,27 @@ object ChSql {
       chQueryS = replaceOutsideStrings(chQueryS,
         "(?i)\\bsystem\\s*\\.\\s*`?settings`?(?![\\w`])",
         "graft_system_settings")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?parts_columns`?\\b.*")) {
+      graft.golden.PartsLog.registerPartsColumns(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?parts_columns`?(?![\\w`])",
+        "graft_system_parts_columns")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?tables`?(?![\\w`]).*")) {
+      graft.golden.DdlEmu.registerSystemTables(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?tables`?(?![\\w`])",
+        "graft_system_tables")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?mutations`?\\b.*")) {
+      graft.golden.DdlEmu.registerSystemMutations(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?mutations`?(?![\\w`])",
+        "graft_system_mutations")
     }
     if (chQueryS.matches(
         "(?is).*\\bsystem\\s*\\.\\s*`?detached_parts`?\\b.*")) {

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
 object ChOutputFormats {
 
   /** Pretty-format settings (ref Core/Settings.h defaults in 23.3). */
-  final case class Ctx(get: String => Option[String]) {
+  final case class Ctx(get: String => Option[String],
+      colType: String => Option[String] = _ => None) {
     def int(name: String, default: Long): Long =
       get(name).flatMap(v => scala.util.Try(v.trim.stripPrefix("'")
         .stripSuffix("'").toLong).toOption).getOrElse(default)
@@ -86,7 +87,10 @@ object ChOutputFormats {
         // default true
         val esc = ctx.int("output_format_json_escape_forward_slashes", 1L) != 0L
         val q64 = ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
-        bs.flatten.map(jsonEachRow(schema, _, esc, q64))
+        namedTuplesAsObjects.set(ctx.int(
+          "output_format_json_named_tuples_as_objects", 0L) != 0L)
+        try bs.flatten.map(jsonEachRow(schema, _, esc, q64, ctx.colType))
+        finally namedTuplesAsObjects.set(false)
       // row as a JSON array, fields joined with ", " (ref
       // JSONCompactEachRowRowOutputFormat.cpp writeFieldDelimiter)
       case "jsoncompacteachrow" | "jsoncompactstringseachrow" =>
@@ -515,7 +519,15 @@ object ChOutputFormats {
     case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
       a.map(jsonVal(_, et, escSlash, quote64)).mkString("[", ",", "]")
     case (r: Row, StructType(fs)) =>
-      r.toSeq.zip(fs.toSeq)
+      // named tuples render as JSON objects when
+      // output_format_json_named_tuples_as_objects is set (ref
+      // Settings.h; the Object('JSON') tests rely on it)
+      if (namedTuplesAsObjects.get())
+        r.toSeq.zip(fs.toSeq)
+          .map { case (x, f) => jsonStr(f.name) + ":" +
+            jsonVal(x, f.dataType, escSlash, quote64) }
+          .mkString("{", ",", "}")
+      else r.toSeq.zip(fs.toSeq)
         .map { case (x, f) => jsonVal(x, f.dataType, escSlash, quote64) }
         .mkString("[", ",", "]")
     case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
@@ -525,10 +537,25 @@ object ChOutputFormats {
     case (other, _) => jsonStr(cell(other), escSlash)
   }
 
+  /** render-scope flag for struct-as-object (threaded via ThreadLocal
+    * to keep jsonVal's recursive signature stable). */
+  private val namedTuplesAsObjects = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
   private def jsonEachRow(schema: StructType, row: Row,
-      escSlash: Boolean, quote64: Boolean = true): String =
+      escSlash: Boolean, quote64: Boolean = true,
+      colType: String => Option[String] = _ => None): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType, escSlash, quote64)
+      // only genuinely 64-bit CH columns quote under
+      // output_format_json_quote_64bit_integers (UInt32 stays bare
+      // even though it is stored as a Spark BIGINT)
+      val q = quote64 && (colType(f.name) match {
+        case Some(t) =>
+          t.matches("(?is)\\s*(Nullable\\s*\\(\\s*)?U?Int64\\b.*")
+        case None => true
+      })
+      jsonStr(f.name) + ":" + jsonVal(row(i), f.dataType, escSlash, q)
     }.mkString("{", ",", "}")
 
   /** The JSON/JSONCompact/JSONStrings document formats (ref

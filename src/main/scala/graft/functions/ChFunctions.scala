@@ -916,6 +916,17 @@ object ch {
   def hostName(): Column = lit("localhost")
   def currentDatabase(): Column = lit("default")
 
+  /** rowNumberInAllBlocks (ref src/Functions/rowNumberInAllBlocks.cpp):
+    * 0-based global row number in output order — a single-partition
+    * window over the scan order (golden-scale data). */
+  def rowNumberInAllBlocks(): Column = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{monotonically_increasing_id,
+      row_number}
+    row_number().over(
+      Window.orderBy(monotonically_increasing_id())) - lit(1)
+  }
+
   /** normalizeQuery (ref src/Common/SensitiveDataMasker +
     * src/Functions/normalizeQuery.cpp): string literals and standalone
     * numeric literals become `?` — the same transform on both sides of

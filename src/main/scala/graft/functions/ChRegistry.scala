@@ -916,6 +916,7 @@ object ChRegistry {
     f("version") { case Seq() => ch.versionCh() }
     f("hostName") { case Seq() => ch.hostName() }
     f("currentDatabase") { case Seq() => ch.currentDatabase() }
+    f("rowNumberInAllBlocks") { case Seq() => ch.rowNumberInAllBlocks() }
     f1("normalizeQuery")(ch.normalizeQuery)
     f1("normalizeQueryKeepNames")(ch.normalizeQuery)
     f1("normalizedQueryHash") { c =>

@@ -37,6 +37,9 @@ object UserDefinedSqlFunctions {
 
   private val CreateFn =
     """(?is)\s*CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s*\(([^)]*)\)\s*->\s*(.+)""".r
+  // single-parameter lambda without parens: CREATE FUNCTION f AS x -> …
+  private val CreateFn1 =
+    """(?is)\s*CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(\w+)\s*->\s*(.+)""".r
 
   /** Execute a CH `CREATE FUNCTION` statement. Returns true if the
     * statement was a CREATE FUNCTION (and was handled). */
@@ -46,6 +49,9 @@ object UserDefinedSqlFunctions {
         create(spark, name,
           params.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           body.trim.stripSuffix(";"))
+        true
+      case CreateFn1(name, param, body) =>
+        create(spark, name, Seq(param), body.trim.stripSuffix(";"))
         true
       case _ => false
     }

@@ -16,6 +16,12 @@ object DdlEmu {
 
   private val createRe =
     "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(ENGINE\\s*=?.*)$".r
+  /** Executed mutations per table, for the system.mutations stand-in
+    * (ref src/Storages/StorageInMemoryMetadata + system.mutations): the
+    * harness applies mutations synchronously, so is_done is always 1. */
+  val mutationsLog = new java.util.concurrent.CopyOnWriteArrayList[
+    (String, String)]() // (table, command)
+
   /** Names created via CREATE TEMPORARY TABLE: the statement-level
     * EXISTS forms ignore them unless TEMPORARY is spelled out (01048). */
   val tempTables =
@@ -271,8 +277,8 @@ object DdlEmu {
     ttlExprs.clear(); colTtlExprs.clear(); detachedDf.clear()
     detachedParts.clear(); insertedBlocks.clear(); liveViewVer.clear()
     fileBacked.clear(); ctasEngines.clear(); dictDefs.clear()
-    tempTables.clear()
-    PartsLog.reset()
+    tempTables.clear(); mutationsLog.clear()
+    PartsLog.reset(); JsonObject.reset()
     graft.ChSql.currentDb = ""
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
@@ -1068,6 +1074,87 @@ object DdlEmu {
     }
   }
 
+  /** `system.tables` stand-in (ref
+    * src/Storages/System/StorageSystemTables.cpp): one row per live
+    * declared table/view. Row counts are live; byte sizes follow the
+    * parts heuristic. */
+  def registerSystemTables(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("database", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("uuid", StringType, nullable = false),
+      StructField("engine", StringType, nullable = false),
+      StructField("is_temporary", IntegerType, nullable = false),
+      StructField("create_table_query", StringType, nullable = false),
+      StructField("comment", StringType, nullable = false),
+      StructField("total_rows", LongType, nullable = true),
+      StructField("total_bytes", LongType, nullable = true),
+      StructField("lifetime_rows", LongType, nullable = true),
+      StructField("lifetime_bytes", LongType, nullable = true),
+      StructField("parts", LongType, nullable = true),
+      StructField("active_parts", LongType, nullable = true),
+      StructField("total_marks", LongType, nullable = true)))
+    def unfoldDb(t: String): (String, String) =
+      graft.ChDatabases.known.find(d => t.startsWith(d + "__"))
+        .map(d => (d, t.stripPrefix(d + "__"))).getOrElse(("default", t))
+    val rows = decls.keys.toSeq.sorted
+      .filterNot(_.startsWith("__graft")).map { t =>
+        val (db, bare) = unfoldDb(t)
+        val eng = createdDdl.get(t).flatMap(d =>
+          "(?is)ENGINE\\s*=?\\s*(\\w+)".r.findFirstMatchIn(d)
+            .map(_.group(1)))
+          .getOrElse(if (viewDefs.containsKey(t)) "View" else "Memory")
+        val comment = createdDdl.get(t).flatMap(d =>
+          "(?is)\\bCOMMENT\\s+'((?:[^'\\\\]|\\\\.)*)'".r
+            .findFirstMatchIn(d).map(_.group(1))).getOrElse("")
+        val n = scala.util.Try(spark.table(t).count()).toOption
+        org.apache.spark.sql.Row(db, bare, "", eng,
+          if (tempTables.contains(t)) 1 else 0,
+          showCreate(t).getOrElse(""), comment,
+          n.map(Long.box).orNull,
+          n.map(v => Long.box(v * 16 + 64)).orNull,
+          n.map(Long.box).orNull,
+          n.map(v => Long.box(v * 16 + 64)).orNull,
+          null, null, null)
+      }
+    spark.createDataFrame(rows.asJava, sch)
+      .createOrReplaceTempView("graft_system_tables")
+  }
+
+  /** `system.mutations` stand-in: synchronous mutations, all done. */
+  def registerSystemMutations(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("database", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("mutation_id", StringType, nullable = false),
+      StructField("command", StringType, nullable = false),
+      StructField("parts_to_do", LongType, nullable = false),
+      StructField("is_done", IntegerType, nullable = false),
+      StructField("latest_failed_part", StringType, nullable = false),
+      StructField("latest_fail_reason", StringType, nullable = false)))
+    def unfoldDb(t: String): (String, String) =
+      graft.ChDatabases.known.find(d => t.startsWith(d + "__"))
+        .map(d => (d, t.stripPrefix(d + "__"))).getOrElse(("default", t))
+    val rows = mutationsLog.asScala.toSeq.zipWithIndex.map {
+      case ((t, cmd), i) =>
+        val (db, bare) = unfoldDb(t)
+        org.apache.spark.sql.Row(db, bare, s"mutation_${i + 2}.txt",
+          cmd, 0L, 1, "", "")
+    }
+    spark.createDataFrame(rows.asJava, sch)
+      .createOrReplaceTempView("graft_system_mutations")
+  }
+
+  /** CH declared type text per column of `table` (parts_columns). */
+  def chTypesOf(table: String): Seq[(String, String)] =
+    decls.get(table).map(_.cols.map { case (n, _) =>
+      n -> chTypes.get(table).flatMap(_.get(n)).getOrElse("String")
+    }).getOrElse(Seq.empty)
+
   // CREATE DICTIONARY (ref src/Interpreters/InterpreterCreateQuery.cpp
   // dictionary branch): attributes + PRIMARY KEY + SOURCE table →
   // materialize from the staged source view into the in-process
@@ -1189,8 +1276,8 @@ object DdlEmu {
           .createHierarchicalDictionary(name, dict, keyCols(0), h.name,
             nullableParent =
               h.typ.toLowerCase.startsWith("nullable"),
-            reverseChildren = layout.startsWith("hashed") ||
-              layout.startsWith("sparse"))
+            reverseChildren = layout == "hashed" ||
+              layout == "sparse_hashed")
         case None => graft.operators.Dictionaries
           .createDictionary(name, dict, keyCols(0))
       }
@@ -1329,6 +1416,17 @@ object DdlEmu {
       // implicitly fresh (lazy views re-read their sources, so RELOAD
       // DICTIONARY is a no-op) or does not carry (query/mark caches)
       case s if s.matches("(?is)^SYSTEM\\s+\\w+\\b.*") =>
+        true
+      // access-control DDL (ref src/Parsers/Access): this single-user
+      // engine has no RBAC state — the statements are no-output no-ops,
+      // which lets the tests around them run (users/roles/policies/
+      // quotas/profiles, GRANT/REVOKE, SET ROLE)
+      case s if s.matches("(?is)^(CREATE|DROP|ALTER)\\s+" +
+          "(USER|ROLE|ROW\\s+POLICY|POLICY|QUOTA|" +
+          "(SETTINGS\\s+)?PROFILE|NAMED\\s+COLLECTION)\\b.*") =>
+        true
+      case s if s.matches("(?is)^(GRANT|REVOKE|SET\\s+(DEFAULT\\s+)?" +
+          "ROLE)\\b.*") =>
         true
       case renameRe(pairs) if pairs.matches(
           "(?is)[\\w.`]+\\s+TO\\s+[\\w.`]+(\\s*,\\s*[\\w.`]+\\s+TO\\s+[\\w.`]+)*") =>
@@ -1486,7 +1584,7 @@ object DdlEmu {
         spark.catalog.dropTempView(name); viewDefs.remove(name)
         liveViewVer.remove(name); true
       case dropRe(name) =>
-        PartsLog.onDrop(name)
+        PartsLog.onDrop(name); JsonObject.onDrop(name)
         viewDefs.remove(name)
         spark.catalog.dropTempView(name); decls.remove(name)
         nullableDeclared.remove(name); createdDdl.remove(name)
@@ -1505,6 +1603,24 @@ object DdlEmu {
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
         PartsLog.onTruncate(name)
+        if (JsonObject.objCols.contains(name)) {
+          JsonObject.onTruncate(name)
+          import org.apache.spark.sql.types._
+          val objs = JsonObject.objCols(name).toSet
+          val schema = StructType(decls(name).cols.map { case (n, t) =>
+            if (objs(n)) StructField(n, StructType(Nil), nullable = false)
+            else StructField(n, DataType.fromDDL(t), nullable = true)
+          })
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(
+            Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+            .createOrReplaceTempView(name)
+          chTypes(name) = chTypes.getOrElse(name, Map.empty) ++
+            JsonObject.objCols(name).map(c =>
+              c -> JsonObject.typeText(name, c)).toMap
+          refreshViews(spark, sfDir)
+          return true
+        }
         decls.get(name).foreach { d =>
           register(spark, name, emptyDf(spark, d))
           if (engines.contains(name)) {
@@ -1514,10 +1630,131 @@ object DdlEmu {
         }
         refreshViews(spark, sfDir)
         true
+      case s0 if s0.matches("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+" +
+          "EXISTS\\s+)?`?[\\w.]+`?\\s+AS\\s+system\\.numbers(_mt)?\\b.*") =>
+        // CREATE TABLE t AS system.numbers ENGINE=…: empty table with the
+        // generator's schema (UInt64 `number`)
+        val nm = "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+          "`?([\\w.]+)`?\\s+AS\\b"
+        val n0 = nm.r.findFirstMatchIn(s0).get.group(1)
+        val d = Decl(Seq("number" -> "BIGINT"))
+        decls(n0) = d
+        recordDdl(n0, "number UInt64",
+          "(?is).*\\bENGINE\\s*=?\\s*(.*)$".r.findFirstMatchIn(s0)
+            .map(_.group(1)).getOrElse("Memory"))
+        register(spark, n0, emptyDf(spark, d))
+        true
       case createAsNumbersRe(name, n) =>
         spark.range(n.toLong).toDF("number").createOrReplaceTempView(name)
         decls(name) = Decl(Seq("number" -> "BIGINT"))
         true
+      // Object('JSON') tables (ref src/DataTypes/DataTypeObject.h:16,
+      // 01825 family): object columns store real structs whose schema
+      // evolves with the inserted paths — see JsonObject.scala
+      case createRe(name, colDefs, engTail) if colDefs.matches(
+          "(?is).*\\s(Object\\s*\\(\\s*'(json|JSON)'\\s*\\)|JSON)\\s*" +
+            "[,)]?.*") && splitTop(colDefs).exists(_.trim.matches(
+          "(?is)^`?\\w+`?\\s+(Object\\s*\\(\\s*'?(json|JSON)'?\\s*\\)|" +
+            "JSON)\\s*$")) =>
+        val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty)
+          .map { cd =>
+            val sp = cd.indexWhere(_.isWhitespace)
+            (cd.take(sp).stripPrefix("`").stripSuffix("`"),
+              cd.drop(sp).trim)
+          }
+        val objs = cols.filter(_._2.matches(
+          "(?is)^(Object\\s*\\(\\s*'?(json|JSON)'?\\s*\\)|JSON)\\s*$"))
+          .map(_._1)
+        JsonObject.onCreate(name, objs)
+        import org.apache.spark.sql.types._
+        val schema = StructType(cols.map { case (n, t) =>
+          if (objs.contains(n))
+            StructField(n, StructType(Nil), nullable = false)
+          else StructField(n,
+            DataType.fromDDL(graft.ChSql.chTypeToSpark(t)),
+            nullable = true)
+        })
+        decls(name) = Decl(cols.map { case (n, t) =>
+          n -> (if (objs.contains(n)) "STRING"
+            else graft.ChSql.chTypeToSpark(t))
+        })
+        recordDdl(name, colDefs, engTail)
+        chTypes(name) = cols.map { case (n, t) =>
+          n -> (if (objs.contains(n)) JsonObject.typeText(name, n)
+            else t)
+        }.toMap
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+          .createOrReplaceTempView(name)
+        true
+      // VALUES inserts into Object tables ride the same machinery: the
+      // tuple's object fields are json strings — rebuild a JSONEachRow
+      // payload and reuse the stateful path
+      case s0 if ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+          "\\s*VALUES\\s*(\\(.*)$").r.findFirstMatchIn(s0)
+          .exists(m => JsonObject.objCols.contains(m.group(1))) =>
+        val m = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+          "\\s*VALUES\\s*(\\(.*)$").r.findFirstMatchIn(s0).get
+        val name = m.group(1)
+        val cols = decls(name).cols.map(_._1)
+        val objs = JsonObject.objCols(name).toSet
+        val rows = valuesDf(spark, sfDir, m.group(2), cols.length)
+          .collect()
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val payload = rows.map { r =>
+          val node = om.createObjectNode()
+          cols.zipWithIndex.foreach { case (c, i) =>
+            val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+            if (objs(c))
+              node.set[com.fasterxml.jackson.databind.JsonNode](c,
+                om.readTree(if (v.trim.isEmpty) "{}" else v))
+            else {
+              val t = decls(name).cols(i)._2.toLowerCase
+              if (t.contains("int") || t.contains("long"))
+                node.put(c, scala.util.Try(v.trim.toLong).getOrElse(0L))
+              else if (t.contains("double") || t.contains("float") ||
+                t.contains("decimal"))
+                node.put(c, scala.util.Try(v.trim.toDouble)
+                  .getOrElse(0.0))
+              else node.put(c, v)
+            }
+          }
+          node.toString
+        }.mkString(" ")
+        JsonObject.insertJsonEachRow(spark, name, decls(name).cols,
+          spark.table(name), payload) match {
+          case Some(df) =>
+            df.createOrReplaceTempView(name)
+            chTypes(name) = chTypes.getOrElse(name, Map.empty) ++
+              JsonObject.objCols(name).map(c =>
+                c -> JsonObject.typeText(name, c)).toMap
+            refreshViews(spark, sfDir)
+            true
+          case None => sys.error(
+            "NOT_IMPLEMENTED: nested arrays of objects in Object('JSON')")
+        }
+      case s0 if ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+          "\\s+FORMAT\\s+JSONEachRow\\s+(.*)$").r.findFirstMatchIn(s0)
+          .exists(m => JsonObject.objCols.contains(m.group(1))) =>
+        val m = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+          "\\s+FORMAT\\s+JSONEachRow\\s+(.*)$").r
+          .findFirstMatchIn(s0).get
+        val name = m.group(1)
+        val cur = spark.table(name)
+        JsonObject.insertJsonEachRow(spark, name,
+          decls(name).cols, cur, m.group(2)) match {
+          case Some(df) =>
+            df.createOrReplaceTempView(name)
+            // toTypeName sees the evolved Tuple(...) text
+            chTypes(name) = chTypes.getOrElse(name, Map.empty) ++
+              JsonObject.objCols(name).map(c =>
+                c -> JsonObject.typeText(name, c)).toMap
+            refreshViews(spark, sfDir)
+            true
+          case None => sys.error(
+            "NOT_IMPLEMENTED: nested arrays of objects in Object('JSON')")
+        }
       case createRe(name, colDefs, engTail) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
@@ -1594,6 +1831,7 @@ object DdlEmu {
       case alterColsRe(name, ops) =>
         handleAlterColumns(spark, sfDir, name, ops)
       case alterUpdateRe(name, assigns, cond) =>
+        mutationsLog.add((name, s"UPDATE ${assigns.trim} WHERE ${cond.trim}"))
         val target = storedDf(spark, name)
         val assigned = splitTop(assigns).map { a =>
           val eq = a.indexOf('=')
@@ -1632,6 +1870,7 @@ object DdlEmu {
         refreshViews(spark, sfDir)
         true
       case alterDeleteRe(name, cond) =>
+        mutationsLog.add((name, s"DELETE WHERE ${cond.trim}"))
         // NULL condition = not deleted (CH treats it as 0)
         staged.get(name) match {
           case Some(st) =>
@@ -2527,7 +2766,23 @@ object DdlEmu {
                   ds.map(c => if (c.name == dc.name) dc else c))
               }
             }
-          } else recordDefaults(name, d, merge = true)
+          } else {
+            recordDefaults(name, d, merge = true)
+            // DESCRIBE reflects a type-less MODIFY COLUMN … DEFAULT/
+            // MATERIALIZED/ALIAS (01267: default kind+expr change, the
+            // declared type stays)
+            val dm = ("(?is)^`?(\\w+)`?\\s+" +
+              "(DEFAULT|MATERIALIZED|ALIAS)\\s+(.+)$").r
+              .findFirstMatchIn(d)
+            dm.foreach { m =>
+              descColsMap.get(name).foreach(ds => descColsMap(name) =
+                ds.map(c =>
+                  if (c.name == m.group(1))
+                    c.copy(kind = m.group(2).toUpperCase,
+                      expr = m.group(3).trim)
+                  else c))
+            }
+          }
         case clearRe(cn, partVal) =>
           if (cols.exists(_._1 == cn)) {
             val dt = DataType.fromDDL(cols.find(_._1 == cn).get._2)

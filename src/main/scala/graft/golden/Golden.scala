@@ -600,7 +600,8 @@ object Golden {
           if (blockSize == Long.MaxValue || rows.isEmpty) Seq(rows)
           else rows.grouped(blockSize.toInt).toSeq
         }
-        val ctx = graft.formats.ChOutputFormats.Ctx(k =>
+        val ctx = graft.formats.ChOutputFormats.Ctx(colType =
+          n => graft.ChSql.declaredColumnType(n), get = k =>
           settings.get(k).map(_.stripPrefix("'").stripSuffix("'")))
         if (jsonDoc) {
           // the JSON document formats carry meta (CH names + types),

@@ -360,6 +360,45 @@ object PartsLog {
       .createOrReplaceTempView("graft_system_parts")
   }
 
+  /** `system.parts_columns` stand-in (ref
+    * src/Storages/System/StorageSystemPartsColumns.cpp): the parts
+    * cross the table's declared columns; this engine has no sparse
+    * serialization, so serialization_kind is always Default. */
+  def registerPartsColumns(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(
+      StructField("database", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("partition_id", StringType, nullable = false),
+      StructField("active", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("column", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("serialization_kind", StringType, nullable = false),
+      StructField("bytes_on_disk", LongType, nullable = false),
+      StructField("marks_bytes", LongType, nullable = false),
+      StructField("column_bytes_on_disk", LongType, nullable = false)))
+    val rows = parts.toSeq.sortBy(_._1).flatMap { case (t, buf) =>
+      val (db, bare) = graft.ChDatabases.known
+        .find(d => t.startsWith(d + "__"))
+        .map(d => (d, t.stripPrefix(d + "__")))
+        .getOrElse(("default", t))
+      val cols = DdlEmu.chTypesOf(t)
+      buf.synchronized {
+        buf.toSeq.filterNot(_.detached).flatMap { p =>
+          cols.map { case (c, ty) =>
+            Row(db, bare, p.name, p.partitionId,
+              if (p.active) 1 else 0, p.rows, c, ty, "Default",
+              p.rows * 8 + 32, 64L, p.rows * 8 + 32)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows.asJava, sch)
+      .createOrReplaceTempView("graft_system_parts_columns")
+  }
+
   def registerDetached(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     val sch = StructType(Seq(

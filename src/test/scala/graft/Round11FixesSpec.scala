@@ -129,6 +129,9 @@ class Round11FixesSpec extends SparkSpec {
   // ---- declared-Bool toTypeName ----
 
   test("toTypeName reports Bool for a declared Bool column") {
+    // the toTypeName fold resolves declared types by column name —
+    // clear state another suite's tables may have left for `b`
+    graft.golden.DdlEmu.resetSession(spark)
     ddl("CREATE TABLE r11b (b Bool, nb Nullable(Bool)) ENGINE = Memory")
     ddl("INSERT INTO r11b VALUES (true, false)")
     try {

@@ -272,3 +272,26 @@ class SystemTablesSpec extends SparkSpec {
     } finally QueryLog.enabled = false
   }
 }
+
+/** Column transformers over join scopes (r12 verdict #3). */
+class JoinTransformersSpec extends SparkSpec {
+  private def ch(q: String) = ChSql.sql(spark, q, SparkSpec.tiny)
+  private def ddl(s: String) =
+    graft.golden.DdlEmu.handle(spark, SparkSpec.tiny, s)
+
+  test("t.* APPLY(sum) over a JOIN aggregates that table's columns") {
+    graft.golden.DdlEmu.resetSession(spark)
+    ddl("CREATE TABLE r13_ja (k UInt32, x UInt32) ENGINE = Memory")
+    ddl("CREATE TABLE r13_jb (k UInt32, y UInt32) ENGINE = Memory")
+    ddl("INSERT INTO r13_ja VALUES (1, 10), (2, 20)")
+    ddl("INSERT INTO r13_jb VALUES (1, 1), (2, 2)")
+    val r = ch("SELECT a.* APPLY(sum) FROM r13_ja a " +
+      "INNER JOIN r13_jb b ON a.k = b.k").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 30L, r.toString)
+    // unqualified star with EXCEPT over the join scope
+    val r2 = ch("SELECT * EXCEPT (k) APPLY(max) FROM r13_ja a " +
+      "INNER JOIN r13_jb b ON a.k = b.k").collect().head
+    // join scope columns: a.k, a.x, b.k, b.y -> EXCEPT k leaves x, y
+    assert(r2.getLong(0) == 20L && r2.getLong(1) == 2L, r2.toString)
+  }
+}
