@@ -2007,9 +2007,24 @@ object ChSql {
         case _ => // unsupported operand shape: leave untouched
       }
       if (opStart < 0 || tEnd <= tStart) return s
-      s = s.substring(0, opStart) +
-        s"CAST(${s.substring(opStart, opEnd)} AS ${s.substring(tStart, tEnd)})" +
-        s.substring(tEnd)
+      val tyText = s.substring(tStart, tEnd)
+      val opText = s.substring(opStart, opEnd)
+      // '…'::JSON keeps the DYNAMIC Object type — its text form is the
+      // flattened dotted-path JSON (DataTypeObject; 01825_type_json_5)
+      val repl =
+        if (tyText.trim.equalsIgnoreCase("JSON") &&
+            opText.startsWith("'") && opText.endsWith("'")) {
+          val lit = opText.drop(1).dropRight(1).replace("\\'", "'")
+          "chJsonLiteral('" + graft.golden.JsonObject
+            .flattenLiteral(lit).replace("'", "\\'") + "')"
+        } else if (tyText.trim.matches("(?is)^Map\\s*\\(.*") &&
+            opText.startsWith("(")) {
+          // (keys, values)::Map(K, V) builds a map from the two
+          // parallel arrays (ref src/Functions/FunctionsConversion.h
+          // tuple-of-arrays → Map cast)
+          s"map_from_arrays$opText"
+        } else s"CAST($opText AS $tyText)"
+      s = s.substring(0, opStart) + repl + s.substring(tEnd)
       idx = findCC(s)
     }
     s
@@ -2186,32 +2201,85 @@ object ChSql {
     "materialized", "live", "outfile", "infile", "all", "distinct",
     "final", "numbers", "where", "group", "order", "limit", "settings",
     "prewhere", "format", "inner", "left", "right", "full", "cross",
-    "any", "asof", "semi", "anti", "array", "partition")
+    "any", "asof", "semi", "anti", "array", "partition",
+    // operator/clause keywords that can FOLLOW a column named `table`
+    // or a TTL `TO` (`WHERE table IN (...)`, `TTL d TO DISK 'x'`) —
+    // never relation names themselves
+    "in", "on", "using", "as", "is", "and", "or", "between", "like",
+    "ilike", "disk", "volume", "global", "when", "then", "else",
+    "asc", "desc", "interval", "having", "union", "with", "window")
   private[graft] def qualifyBareTables(sql: String, db: String): String = {
     if (db.isEmpty) return sql
     // CTE names resolve before the current database
     val ctes = "(?i)\\b(\\w+)\\s+AS\\s*\\(".r.findAllMatchIn(sql)
       .map(_.group(1).toLowerCase).toSet
-    val re = ("(?i)\\b(FROM|JOIN|INTO|TABLE|DICTIONARY|VIEW|EXISTS|TO)" +
+    // string-literal spans and innermost-unclosed-paren index per
+    // position (one scan) — a FROM inside `extract(... FROM x)` /
+    // trim/substring is an EXPRESSION keyword, recognizable as an
+    // enclosing '(' with no SELECT after it
+    val inStr = new Array[Boolean](sql.length + 1)
+    val openAt = new Array[Int](sql.length + 1)
+    locally {
+      var s = false; var i = 0
+      val stack = scala.collection.mutable.ArrayDeque.empty[Int]
+      while (i < sql.length) {
+        inStr(i) = s
+        openAt(i) = if (stack.isEmpty) -1 else stack.last
+        val c = sql.charAt(i)
+        if (s) {
+          if (c == '\\') { if (i + 1 < sql.length) { i += 1; inStr(i) = true
+            openAt(i) = if (stack.isEmpty) -1 else stack.last } }
+          else if (c == '\'') s = false
+        } else if (c == '\'') s = true
+        else if (c == '(') stack.append(i)
+        else if (c == ')' && stack.nonEmpty) stack.removeLast()
+        i += 1
+      }
+    }
+    val hasSelect = "(?i)\\bselect\\b".r
+    def skipId(id: String): Boolean =
+      qualifyStop(id.toLowerCase) || id.startsWith("__") ||
+        id.toLowerCase.startsWith("graft_") || ctes(id.toLowerCase) ||
+        known.exists(d => id.toLowerCase.startsWith(d + "__"))
+    val rx = ("(?i)\\b(FROM|JOIN|INTO|TABLE|DICTIONARY|VIEW|EXISTS|TO)" +
       "(\\s+(?:TABLE\\s+|DICTIONARY\\s+|IF\\s+NOT\\s+EXISTS\\s+|" +
-      "IF\\s+EXISTS\\s+)*)`?([A-Za-z_]\\w*)`?(?![.\\w`])")
-    replaceFnOutsideStrings(sql, re) { m =>
+      "IF\\s+EXISTS\\s+)*)`?([A-Za-z_]\\w*)`?(?![.\\w`])").r
+    // comma-join siblings of a qualified FROM relation (`FROM t1, t2`)
+    val tailRx = "\\s*,\\s*([A-Za-z_]\\w*)(?![.\\w`(])".r
+    // java builder: the scala one auto-tuples a 3-arg append
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    for (m <- rx.findAllMatchIn(sql) if m.start >= last) {
       val id = m.group(3)
+      val kw = m.group(1).toUpperCase
+      val nxt = if (m.end < sql.length) sql.charAt(m.end) else ' '
       // `name(` after FROM/JOIN is a table function; after a DDL
       // keyword it is the column list (CREATE TABLE t(...)) and the
       // name still qualifies
-      val src = m.source
-      val nxt = if (m.end < src.length()) src.charAt(m.end) else ' '
-      val kw = m.group(1).toUpperCase
       val tvf = nxt == '(' && (kw == "FROM" || kw == "JOIN")
-      val skip = tvf || qualifyStop(id.toLowerCase) ||
-        id.startsWith("__") ||
-        id.toLowerCase.startsWith("graft_") || ctes(id.toLowerCase) ||
-        known.exists(d => id.toLowerCase.startsWith(d + "__"))
-      java.util.regex.Matcher.quoteReplacement(
-        if (skip) m.matched
-        else s"${m.group(1)}${m.group(2)}$db.$id")
+      val exprFrom = kw == "FROM" && {
+        val o = openAt(m.start)
+        o >= 0 && hasSelect.findFirstIn(sql.substring(o, m.start)).isEmpty
+      }
+      val skip = inStr(m.start) || tvf || exprFrom || skipId(id)
+      sb.append(sql, last, m.start)
+      if (skip) sb.append(m.matched)
+      else sb.append(m.group(1)).append(m.group(2))
+        .append(db).append('.').append(id)
+      last = m.end
+      if (!skip && kw == "FROM") {
+        var more = true
+        while (more) tailRx.findPrefixMatchOf(sql.substring(last)) match {
+          case Some(t) if !inStr(last) && !skipId(t.group(1)) =>
+            sb.append(sql, last, last + t.start(1))
+              .append(db).append('.').append(t.group(1))
+            last += t.end
+          case _ => more = false
+        }
+      }
     }
+    sb.append(sql, last, sql.length)
+    sb.toString
   }
   private def known = graft.ChDatabases.known.map(_.toLowerCase)
 
@@ -2227,6 +2295,27 @@ object ChSql {
     if (rel.startsWith("/") || !p.startsWith(root))
       throw new IllegalArgumentException(
         s"PATH_ACCESS_DENIED: $rel is outside user_files")
+    // lexical containment is not enough: a symlink under the root can
+    // still point outside it (ref filesystemHelpers.cpp checks the
+    // RESOLVED path too) — re-check after resolving existing links
+    val rootReal =
+      try root.toRealPath() catch { case _: Exception => root }
+    // resolve the deepest EXISTING ancestor (the file itself may not
+    // be created yet), so a symlinked directory can't smuggle the
+    // write out either
+    var probe = p
+    var tail = List.empty[java.nio.file.Path]
+    while (probe != null && !java.nio.file.Files.exists(probe,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        probe.startsWith(root)) {
+      tail = probe.getFileName :: tail; probe = probe.getParent
+    }
+    if (probe != null && java.nio.file.Files.exists(probe)) {
+      val real = tail.foldLeft(probe.toRealPath())(_.resolve(_))
+      if (!real.startsWith(rootReal))
+        throw new IllegalArgumentException(
+          s"PATH_ACCESS_DENIED: $rel resolves outside user_files")
+    }
     p
   }
 
@@ -3617,7 +3706,8 @@ object ChSql {
     // single-quoted only — ref src/Parsers/Lexer.cpp DoubleQuotedString
     // → identifier), while Spark reads "…" as a string literal: convert
     // simple double-quoted identifiers to backticks outside strings
-    val chSql0 = replaceOutsideStrings(chSql,
+    val chSql0 = replaceOutsideStrings(
+      graft.golden.JsonObject.rewritePaths(chSql),
       "\"([A-Za-z_]\\w*)\"(?!\\s*:)", "`$1`")
     // known-database qualifiers fold first (`db.tbl` → `db__tbl` temp
     // views — DdlEmu registers the names); pure identifier renaming
@@ -5021,7 +5111,8 @@ object ChSql {
   private val ShowCreateRe =
     "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TEMPORARY\\s+)?(?:TABLE\\s+)?`?([\\w.]+)`?\\s*$".r
   private val DescTableRe =
-    "(?is)^\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?`?([\\w.]+)`?\\s*$".r
+    ("(?is)^\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+      "(\\s+SETTINGS\\s+describe_extend_object_types\\s*=\\s*1)?\\s*$").r
 
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame =
     graft.plans.ChAnalysisScope.active.withValue(true) {
@@ -5042,9 +5133,22 @@ object ChSql {
               "comment", "codec_expression", "ttl_expression")
               .map(n => org.apache.spark.sql.types.StructField(n,
                 org.apache.spark.sql.types.StringType, nullable = false)))
+          // Object('JSON') columns display the normalized dynamic type
+          // — or the CONCRETE evolved Tuple under
+          // describe_extend_object_types=1 (InterpreterDescribeQuery)
+          val extend = m.group(2) != null
+          val objs = graft.golden.JsonObject.objCols
+            .getOrElse(m.group(1), Seq.empty).toSet
           return spark.createDataFrame(
-            ds.map(c => org.apache.spark.sql.Row(
-              c.name, c.typ, c.kind, c.expr, "", "", "")).asJava, st)
+            ds.map { c =>
+              val ty =
+                if (!objs(c.name)) c.typ
+                else if (extend)
+                  graft.golden.JsonObject.typeText(m.group(1), c.name)
+                else "Object('json')"
+              org.apache.spark.sql.Row(
+                c.name, ty, c.kind, c.expr, "", "", "")
+            }.asJava, st)
         }
       }
       // SHOW DATABASES [[NOT] [I]LIKE 'pattern'] (ref
@@ -5335,7 +5439,7 @@ object ChSql {
       chQueryS = replaceOutsideStrings(chQueryS,
         "(?i)\\bsystem\\s*\\.\\s*`?query_log`?(?![\\w`])",
         "graft_system_query_log")
-      chQueryS = chQueryS.replaceAll(
+      chQueryS = replaceOutsideStrings(chQueryS,
         "(?i)\\btype\\s*(=|==|!=|<>|>=|<=|>|<)\\s*(\\d)(?![\\w'])",
         "type_num $1 $2")
     }

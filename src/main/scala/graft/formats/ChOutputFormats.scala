@@ -492,6 +492,8 @@ object ChOutputFormats {
   private def jsonVal(v: Any, dt: DataType,
       escSlash: Boolean = false, quote64: Boolean = true): String = (v, dt) match {
     case (null, _) => "null"
+    // a dynamic Object('json') value IS json — embed it unquoted
+    case (j: graft.functions.ChJsonText, _) => j.s
     case (s: String, _) => jsonStr(s, escSlash)
     case (b: Boolean, _) => if (b) "true" else "false"
     // JSON keeps raw booleans regardless of bool_*_representation

@@ -139,7 +139,11 @@ case class ChElementAt(left: Expression, right: Expression,
         val keys = map.keyArray()
         val vals = map.valueArray()
         var i = 0
-        var found: Any = miss
+        // a missing map key yields the VALUE TYPE DEFAULT (ref
+        // src/Functions/array/arrayElement.cpp map path — m['absent']
+        // is 0/'' for non-Nullable values; Spark's always-nullable map
+        // schema must not turn that into NULL)
+        var found: Any = defaultOf(vt)
         var done = false
         while (!done && i < map.numElements()) {
           if (sameKey(keys.get(i, kt), key)) {

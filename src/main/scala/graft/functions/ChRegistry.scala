@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, ArrayFilter, ArrayExists, ArrayForAll, ArrayPosition, Cast, Coalesce, GetArrayItem, Literal => Lit, Md5, Rand, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, ArrayFilter, ArrayExists, ArrayForAll, ArrayPosition, Cast, Coalesce, GetArrayItem, Literal => Lit, Md5, Rand, Size, ZipWith}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DateType, DayTimeIntervalType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, YearMonthIntervalType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
@@ -536,9 +536,13 @@ object ChRegistry {
     f2("dotProduct")(ch.dotProduct); f1("L2Norm")(ch.arrayL2Norm)
     f2("cosineDistance")(ch.cosineDistance)
     f2("L2Distance")(ch.arrayL2Distance)
-    // CH lambda-first higher-order functions → Spark HOF expressions
+    // CH lambda-first higher-order functions → Spark HOF expressions.
+    // The multi-array forms zip positionally (ref
+    // src/Functions/array/FunctionArrayMapped.h — the lambda takes one
+    // argument per array)
     reg.createOrReplaceTempFunction("arrayMap",
-      { case Seq(l, a) => ArrayTransform(a, l) }, "scala_udf")
+      { case Seq(l, a) => ArrayTransform(a, l)
+        case Seq(l, a, b) => ZipWith(a, b, l) }, "scala_udf")
     // CH predicates return UInt8; Spark wants Boolean — cast the lambda
     // body (int→bool is 0/nonzero, CH's truthiness)
     def boolLambda(l: Expression): Expression = l match {
@@ -549,10 +553,23 @@ object ChRegistry {
     }
     reg.createOrReplaceTempFunction("arrayFilter",
       { case Seq(l, a) => ArrayFilter(a, boolLambda(l)) }, "scala_udf")
+    // zipped 2-array predicate → per-element booleans, then fold
+    def boolId: Expression = {
+      val v = org.apache.spark.sql.catalyst.expressions
+        .UnresolvedNamedLambdaVariable(Seq("__zb"))
+      org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+        Cast(v, org.apache.spark.sql.types.BooleanType), Seq(v))
+    }
     reg.createOrReplaceTempFunction("arrayExists",
-      { case Seq(l, a) => ArrayExists(a, boolLambda(l)) }, "scala_udf")
+      { case Seq(l, a) => ArrayExists(a, boolLambda(l))
+        case Seq(l, a, b) =>
+          ArrayExists(ZipWith(a, b, boolLambda(l)), boolId) },
+      "scala_udf")
     reg.createOrReplaceTempFunction("arrayAll",
-      { case Seq(l, a) => ArrayForAll(a, boolLambda(l)) }, "scala_udf")
+      { case Seq(l, a) => ArrayForAll(a, boolLambda(l))
+        case Seq(l, a, b) =>
+          ArrayForAll(ZipWith(a, b, boolLambda(l)), boolId) },
+      "scala_udf")
     reg.createOrReplaceTempFunction("arrayFold",
       { case Seq(l, a, z) =>
         org.apache.spark.sql.catalyst.expressions.ArrayAggregate(
@@ -1124,6 +1141,9 @@ object ChRegistry {
       C(ChBoolWrap(E(b)))
       }
     }
+    // dynamic Object('json') literal (a '…'::JSON cast — the text is
+    // pre-flattened by the translate pass)
+    f("chJsonLiteral") { case Seq(a) => C(ChJsonWrap(a)) }
     f1("toLowCardinality")(c => c)
     // sleep/sleepEachRow return 0 without delaying — tests use them to
     // exercise scheduling, which has no analogue here (ref

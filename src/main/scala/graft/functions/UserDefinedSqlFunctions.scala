@@ -43,15 +43,31 @@ object UserDefinedSqlFunctions {
 
   /** Execute a CH `CREATE FUNCTION` statement. Returns true if the
     * statement was a CREATE FUNCTION (and was handled). */
+  // the body is CH-dialect text (length over arrays, CH names) — it
+  // must ride the same translation as any query expression before
+  // Spark's parser sees it
+  private def chBody(body: String): String =
+    graft.ChSql.translate(body.trim.stripSuffix(";")).trim
+
+  private val DropFn =
+    """(?is)\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+
   def maybeExecute(spark: SparkSession, statement: String): Boolean =
     statement match {
       case CreateFn(name, params, body) =>
         create(spark, name,
           params.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          body.trim.stripSuffix(";"))
+          chBody(body))
         true
       case CreateFn1(name, param, body) =>
-        create(spark, name, Seq(param), body.trim.stripSuffix(";"))
+        create(spark, name, Seq(param), chBody(body))
+        true
+      case DropFn(ifExists, name) =>
+        val reg = spark.sessionState.functionRegistry
+        val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+        if (!reg.functionExists(id) && ifExists == null)
+          sys.error(s"UNKNOWN_FUNCTION: $name")
+        reg.dropFunction(id)
         true
       case _ => false
     }

@@ -204,6 +204,31 @@ object DdlEmu {
 
   /** Views capture their sources' plans at registration; after any
     * mutation, re-register every live view so it reads current data. */
+  /** The TYPE text declaring an Object('JSON') column — including the
+    * Object(Nullable('JSON')) variant. */
+  private val objTypeRe =
+    "(?is)^(Object\\s*\\(\\s*(?:Nullable\\s*\\(\\s*)?" +
+      "'?(json|JSON)'?\\s*\\)?\\s*\\)|JSON)\\s*$"
+  private val objColRe = "(?is)^`?\\w+`?\\s+" + objTypeRe.drop(6)
+
+  /** Publish an Object('JSON') insert: swap in the rebuilt frame,
+    * record the part (with its per-batch schema snapshot), refresh the
+    * toTypeName text. */
+  private def commitObjectInsert(spark: SparkSession, sfDir: String,
+      name: String, res: Option[JsonObject.InsertResult]): Boolean =
+    res match {
+      case Some(r) =>
+        r.full.createOrReplaceTempView(name)
+        PartsLog.onInsert(spark, name, r.batch, r.batchStates)
+        chTypes(name) = chTypes.getOrElse(name, Map.empty) ++
+          JsonObject.objCols(name).map(c =>
+            c -> JsonObject.typeText(name, c)).toMap
+        refreshViews(spark, sfDir)
+        true
+      case None => sys.error(
+        "NOT_IMPLEMENTED: unsupported shape in Object('JSON')")
+    }
+
   private def refreshViews(spark: SparkSession, sfDir: String): Unit = {
     val it = viewDefs.entrySet().iterator()
     while (it.hasNext) {
@@ -1311,8 +1336,42 @@ object DdlEmu {
     graft.ChSql.internalStatement.withValue(true)(
       handleImpl(spark, sfDir, stmt0))
 
+  /** CH's client terminates an INSERT's inline VALUES data at the end
+    * of line — a following statement needs no `;` (01825 files rely on
+    * it). Find the depth-0, outside-string newline that starts a new
+    * INSERT after this statement's VALUES payload. */
+  private def valuesSplitPoint(s: String): Option[Int] = {
+    if (!s.matches("(?is)^\\s*INSERT\\s+INTO\\b.*\\bVALUES\\b.*\\n.*"))
+      return None
+    var depth = 0; var inStr = false; var i = 0
+    var seenValues = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'V' | 'v' if !seenValues &&
+            s.regionMatches(true, i, "VALUES", 0, 6) => seenValues = true
+        case '\n' if depth == 0 && seenValues =>
+          val rest = s.substring(i + 1)
+          if (rest.matches("(?is)^\\s*INSERT\\s+INTO\\b.*"))
+            return Some(i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
   private def handleImpl(spark: SparkSession, sfDir: String,
       stmt0: String): Boolean = {
+    valuesSplitPoint(stmt0).foreach { i =>
+      val a = handle(spark, sfDir, stmt0.substring(0, i).trim)
+      val b = handle(spark, sfDir, stmt0.substring(i).trim)
+      return a && b
+    }
     // CREATE DATABASE registers the qualifier BEFORE folding so its own
     // tables fold; every other statement folds known `db.tbl` names
     val stmt = stmt0 match {
@@ -1463,6 +1522,10 @@ object DdlEmu {
         val srcDf = spark.table(src)
         decls(name) = decls.getOrElse(src,
           Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
+        // AS an Object('JSON') table: the new table carries the same
+        // dynamic columns, starting from an EMPTY evolving schema
+        JsonObject.objCols.get(src).foreach(cs =>
+          JsonObject.onCreate(name, cs))
         // a Distributed(…) table over a local table READS it live (the
         // single-process model resolves every shard to the local data,
         // ref src/Storages/StorageDistributed.cpp) — register it as a
@@ -1651,21 +1714,21 @@ object DdlEmu {
       // Object('JSON') tables (ref src/DataTypes/DataTypeObject.h:16,
       // 01825 family): object columns store real structs whose schema
       // evolves with the inserted paths — see JsonObject.scala
-      case createRe(name, colDefs, engTail) if colDefs.matches(
-          "(?is).*\\s(Object\\s*\\(\\s*'(json|JSON)'\\s*\\)|JSON)\\s*" +
-            "[,)]?.*") && splitTop(colDefs).exists(_.trim.matches(
-          "(?is)^`?\\w+`?\\s+(Object\\s*\\(\\s*'?(json|JSON)'?\\s*\\)|" +
-            "JSON)\\s*$")) =>
+      case createRe(name, colDefs, engTail) if splitTop(colDefs)
+          .exists(_.trim.matches(objColRe)) =>
         val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty)
           .map { cd =>
             val sp = cd.indexWhere(_.isWhitespace)
             (cd.take(sp).stripPrefix("`").stripSuffix("`"),
               cd.drop(sp).trim)
           }
-        val objs = cols.filter(_._2.matches(
-          "(?is)^(Object\\s*\\(\\s*'?(json|JSON)'?\\s*\\)|JSON)\\s*$"))
-          .map(_._1)
-        JsonObject.onCreate(name, objs)
+        val objDefs = cols.filter(_._2.matches(objTypeRe))
+        val objs = objDefs.map(_._1)
+        JsonObject.onCreate(name, objs,
+          objDefs.filter(_._2.toLowerCase.contains("nullable"))
+            .map(_._1).toSet)
+        PartsLog.onCreate(name, Option(engTail).getOrElse(""))
+        recordDescCols(name, colDefs)
         import org.apache.spark.sql.types._
         val schema = StructType(cols.map { case (n, t) =>
           if (objs.contains(n))
@@ -1699,17 +1762,82 @@ object DdlEmu {
         val name = m.group(1)
         val cols = decls(name).cols.map(_._1)
         val objs = JsonObject.objCols(name).toSet
-        val rows = valuesDf(spark, sfDir, m.group(2), cols.length)
-          .collect()
+        // rows evaluate ONE AT A TIME: two VALUES rows may cast their
+        // object field to DIFFERENT tuple types (01825_type_json_field)
+        // and would not union
+        val rowTexts = graft.ChSql
+          .splitTopLevelCommas(m.group(2).trim.stripSuffix(";"))
+          .map(_.trim).filter(_.nonEmpty)
+        val rows =
+          if (rowTexts.length <= 1)
+            valuesDf(spark, sfDir, m.group(2), cols.length).collect()
+          else rowTexts.flatMap(rt =>
+            valuesDf(spark, sfDir, rt, cols.length).collect()).toArray
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        // a TYPED tuple/map VALUE feeds the object column directly
+        // (01825_type_json_field) — its integers came through CH
+        // UNSIGNED types, which the type ladder must preserve
+        var typedSource = false
+        def toNode(v: Any): com.fasterxml.jackson.databind.JsonNode =
+          v match {
+            case null => om.readTree("{}")
+            case r: org.apache.spark.sql.Row =>
+              typedSource = true
+              val o = om.createObjectNode()
+              val names = Option(r.schema).map(_.fieldNames)
+                .getOrElse(Array.empty[String])
+              if (names.isEmpty ||
+                  names.forall(_.matches("(col|_)\\d+")))
+                sys.error("TYPE_MISMATCH: unnamed tuple into Object")
+              names.zipWithIndex.foreach { case (fn, fi) =>
+                o.set[com.fasterxml.jackson.databind.JsonNode](fn,
+                  scalarNode(r.get(fi)))
+              }
+              o
+            case mp: scala.collection.Map[_, _] =>
+              typedSource = true
+              val o = om.createObjectNode()
+              mp.foreach { case (k, mv) =>
+                if (!k.isInstanceOf[String])
+                  sys.error("TYPE_MISMATCH: non-String map key " +
+                    "into Object")
+                o.set[com.fasterxml.jackson.databind.JsonNode](
+                  k.asInstanceOf[String], scalarNode(mv))
+              }
+              o
+            case s: String =>
+              om.readTree(if (s.trim.isEmpty) "{}" else s)
+            case other => om.readTree(String.valueOf(other))
+          }
+        def scalarNode(v: Any): com.fasterxml.jackson.databind.JsonNode =
+          v match {
+            case null => om.getNodeFactory.nullNode()
+            case i: java.lang.Long => om.getNodeFactory.numberNode(i)
+            case i: java.lang.Integer =>
+              om.getNodeFactory.numberNode(i.longValue())
+            case i: java.lang.Short =>
+              om.getNodeFactory.numberNode(i.longValue())
+            case i: java.lang.Byte =>
+              om.getNodeFactory.numberNode(i.longValue())
+            case d: java.lang.Double => om.getNodeFactory.numberNode(d)
+            case f: java.lang.Float =>
+              om.getNodeFactory.numberNode(f.doubleValue())
+            case s: String => om.getNodeFactory.textNode(s)
+            case a: scala.collection.Seq[_] =>
+              val arr = om.createArrayNode()
+              a.foreach(e => arr.add(scalarNode(e)))
+              arr
+            case r: org.apache.spark.sql.Row => toNode(r)
+            case other => om.getNodeFactory.textNode(String.valueOf(other))
+          }
         val payload = rows.map { r =>
           val node = om.createObjectNode()
           cols.zipWithIndex.foreach { case (c, i) =>
-            val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
             if (objs(c))
               node.set[com.fasterxml.jackson.databind.JsonNode](c,
-                om.readTree(if (v.trim.isEmpty) "{}" else v))
+                toNode(if (r.isNullAt(i)) null else r.get(i)))
             else {
+              val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
               val t = decls(name).cols(i)._2.toLowerCase
               if (t.contains("int") || t.contains("long"))
                 node.put(c, scala.util.Try(v.trim.toLong).getOrElse(0L))
@@ -1722,18 +1850,23 @@ object DdlEmu {
           }
           node.toString
         }.mkString(" ")
-        JsonObject.insertJsonEachRow(spark, name, decls(name).cols,
-          spark.table(name), payload) match {
-          case Some(df) =>
-            df.createOrReplaceTempView(name)
-            chTypes(name) = chTypes.getOrElse(name, Map.empty) ++
-              JsonObject.objCols(name).map(c =>
-                c -> JsonObject.typeText(name, c)).toMap
-            refreshViews(spark, sfDir)
-            true
-          case None => sys.error(
-            "NOT_IMPLEMENTED: nested arrays of objects in Object('JSON')")
-        }
+        JsonObject.unsignedHint.set(typedSource)
+        try commitObjectInsert(spark, sfDir, name,
+          JsonObject.insertJsonEachRow(spark, name, decls(name).cols,
+            spark.table(name), payload))
+        finally JsonObject.unsignedHint.set(false)
+      // JSONAsObject: each payload object IS the single Object
+      // column's value (extra top-level keys become its subcolumns)
+      case s0 if ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+          "\\s+FORMAT\\s+JSONAsObject\\s+(.*)$").r.findFirstMatchIn(s0)
+          .exists(m => JsonObject.objCols.contains(m.group(1))) =>
+        val m = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
+          "\\s+FORMAT\\s+JSONAsObject\\s+(.*)$").r
+          .findFirstMatchIn(s0).get
+        val name = m.group(1)
+        commitObjectInsert(spark, sfDir, name,
+          JsonObject.insertJsonAsObject(spark, name, spark.table(name),
+            m.group(2)))
       case s0 if ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
           "\\s+FORMAT\\s+JSONEachRow\\s+(.*)$").r.findFirstMatchIn(s0)
           .exists(m => JsonObject.objCols.contains(m.group(1))) =>
@@ -1742,19 +1875,9 @@ object DdlEmu {
           .findFirstMatchIn(s0).get
         val name = m.group(1)
         val cur = spark.table(name)
-        JsonObject.insertJsonEachRow(spark, name,
-          decls(name).cols, cur, m.group(2)) match {
-          case Some(df) =>
-            df.createOrReplaceTempView(name)
-            // toTypeName sees the evolved Tuple(...) text
-            chTypes(name) = chTypes.getOrElse(name, Map.empty) ++
-              JsonObject.objCols(name).map(c =>
-                c -> JsonObject.typeText(name, c)).toMap
-            refreshViews(spark, sfDir)
-            true
-          case None => sys.error(
-            "NOT_IMPLEMENTED: nested arrays of objects in Object('JSON')")
-        }
+        commitObjectInsert(spark, sfDir, name,
+          JsonObject.insertJsonEachRow(spark, name,
+            decls(name).cols, cur, m.group(2)))
       case createRe(name, colDefs, engTail) =>
         val d = Decl(parseCols(colDefs))
         decls(name) = d
@@ -1916,7 +2039,12 @@ object DdlEmu {
             refreshViews(spark, sfDir)
             true
           case None =>
-            sys.error(s"NO_SUCH_DATA_PART: $partName")
+            // when per-part tracking was never enabled (a caller
+            // outside the golden harness), a named-part op can't
+            // resolve rows — degrade to a no-op rather than claiming a
+            // part the reference does have is missing
+            if (!PartsLog.enabled) true
+            else sys.error(s"NO_SUCH_DATA_PART: $partName")
         }
       case alterPartRe(name, op0, valText0) =>
         val op = op0.toUpperCase
@@ -2108,6 +2236,31 @@ object DdlEmu {
         else java.nio.file.Files.write(p, payload,
           java.nio.file.StandardOpenOption.APPEND)
         true
+      // INSERT SELECT into an Object('JSON') table: object values
+      // arrive as JSON text (or structs from another object table) —
+      // schema inference over the bounded DISTINCT payloads, the batch
+      // itself materializes distributively (JsonObject.insertSelect)
+      case insertRe(name0, colList, body)
+          if JsonObject.objCols.contains(
+            distributedAlias.getOrElse(name0, name0)) &&
+            body.trim.matches("(?is)^(SELECT|WITH)\\b.*") =>
+        val name = distributedAlias.getOrElse(name0, name0)
+        val df0 = graft.ChSql.sql(spark, body.trim, sfDir)
+        val declNames = decls(name).cols.map(_._1)
+        val names = Option(colList)
+          .map(_.stripPrefix("(").stripSuffix(")").split(",")
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+          .getOrElse(declNames)
+        if (df0.columns.length != names.length)
+          sys.error("NUMBER_OF_COLUMNS_DOESNT_MATCH")
+        val aligned = df0.toDF(names: _*)
+        commitObjectInsert(spark, sfDir, name,
+          JsonObject.insertSelect(spark, name, aligned,
+            storedDf(spark, name)).map { r =>
+            if (names == declNames) r
+            else sys.error(
+              "NOT_IMPLEMENTED: column-list object INSERT SELECT")
+          })
       case insertRe(name0, colList, body) =>
         // an INSERT into a Distributed alias writes the local table
         val name = distributedAlias.getOrElse(name0, name0)
@@ -2170,6 +2323,19 @@ object DdlEmu {
             val payload = fmtBody.get.group(2)
             if (fmt.equalsIgnoreCase("Values"))
               valuesDf(spark, sfDir, payload.trim, names0.length)
+            else if (fmt.equalsIgnoreCase("JSONAsString")) {
+              // each top-level json value is ONE ROW of the single
+              // String column (ref JSONAsStringRowInputFormat.cpp)
+              val om = new com.fasterxml.jackson.databind.ObjectMapper()
+              val it = om.readerFor(
+                classOf[com.fasterxml.jackson.databind.JsonNode])
+                .readValues[com.fasterxml.jackson.databind.JsonNode](
+                  JsonObject.stripTopCommas(payload).trim)
+              val b = Seq.newBuilder[String]
+              while (it.hasNext) b += it.next().toString
+              import spark.implicits._
+              b.result().toDF(names0.head)
+            }
             else {
               val sub = graft.formats.DescFormat.selectSql(fmt,
                 payload.replace("\\", "\\\\"),
@@ -2373,6 +2539,10 @@ object DdlEmu {
         val srcDf = spark.table(src)
         decls(name) = decls.getOrElse(src,
           Decl(srcDf.schema.fields.map(f => f.name -> f.dataType.sql).toSeq))
+        // AS an Object('JSON') table: the new table carries the same
+        // dynamic columns, starting from an EMPTY evolving schema
+        JsonObject.objCols.get(src).foreach(cs =>
+          JsonObject.onCreate(name, cs))
         if (stmt.matches("(?is).*\\bENGINE\\s*=?\\s*Distributed\\s*\\(.*")) {
           distributedAlias(name) = src
           viewDefs.put(name, (null, s"SELECT * FROM `$src`"))

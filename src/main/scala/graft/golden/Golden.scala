@@ -401,7 +401,11 @@ object Golden {
     QueryLog.enabled = text.toLowerCase.contains("query_log") ||
       text.toLowerCase.contains("query_thread_log")
     PartsLog.enabled = text.toLowerCase.contains("system.parts") ||
-      text.toLowerCase.contains("detached_parts")
+      text.toLowerCase.contains("detached_parts") ||
+      // PART-level ALTERs need per-part provenance even when the file
+      // never reads system.parts
+      "(?i)\\b(detach|drop|attach)\\s+part\\b".r
+        .findFirstIn(text).isDefined
     DdlEmu.resetSession(spark)
     val chunks = splitRaw(text)
     // `stmt; -- { serverError N }` splits the annotation into the NEXT

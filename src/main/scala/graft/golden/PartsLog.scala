@@ -20,7 +20,8 @@ object PartsLog {
   final case class Part(table: String, partition: String,
     partitionId: String, minBlock: Long, maxBlock: Long, level: Int,
     rows: Long, var active: Boolean, var detached: Boolean,
-    df: Option[DataFrame] = None) {
+    df: Option[DataFrame] = None,
+    objStates: Map[String, JsonObject.ObjState] = Map.empty) {
     def name: String = s"${partitionId}_${minBlock}_${maxBlock}_$level"
   }
 
@@ -35,10 +36,15 @@ object PartsLog {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val startAt =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** ratio_of_defaults_for_sparse_serialization per table (ref
+    * MergeTreeSettings.h; a column whose defaults fraction is ≥ the
+    * ratio is written Sparse). */
+  private val sparseRatio =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
 
   def reset(): Unit = {
     parts.clear(); partitionExprs.clear(); blockCounters.clear()
-    engines.clear(); startAt.clear()
+    engines.clear(); startAt.clear(); sparseRatio.clear()
   }
 
   def onCreate(table: String, engTail: String): Unit = {
@@ -51,6 +57,9 @@ object PartsLog {
     // sequential nodes); plain MergeTree starts at 1 (00502 both forms)
     startAt(table) = if (eng.toLowerCase.contains("replicated")) -1L
       else 0L
+    "(?is)ratio_of_defaults_for_sparse_serialization\\s*=\\s*([\\d.]+)".r
+      .findFirstMatchIn(engTail)
+      .foreach(m => sparseRatio(table) = m.group(1).toDouble)
     val pb = ("(?is)\\bPARTITION\\s+BY\\s+(.*?)\\s*" +
       "(?:\\bORDER\\s+BY\\b|\\bPRIMARY\\s+KEY\\b|\\bSAMPLE\\s+BY\\b|" +
       "\\bTTL\\b|\\bSETTINGS\\b|$)").r
@@ -65,7 +74,22 @@ object PartsLog {
     blockCounters.remove(table); engines.remove(table)
   }
 
-  def onTruncate(table: String): Unit = parts.remove(table)
+  /** TRUNCATE replaces each MERGED (level>0) active part with an
+    * empty covering part one level up, and drops level-0 parts
+    * outright (ref MergeTreeData — 01825_type_json_1 pins the
+    * all_1_2_2 / all_1_2_3 empty-part lineage across two truncates). */
+  def onTruncate(table: String): Unit = {
+    val buf = parts.getOrElse(table, return)
+    buf.synchronized {
+      val act = buf.filter(p => p.active && !p.detached).toSeq
+      val keep = buf.filterNot(p => p.active && !p.detached)
+      buf.clear(); buf ++= keep
+      act.filter(_.level > 0).foreach { p =>
+        buf += Part(table, p.partition, p.partitionId, p.minBlock,
+          p.maxBlock, p.level + 1, 0, active = true, detached = false)
+      }
+    }
+  }
 
   // ---- partition value formatting (MergeTreePartition::getID) ----
 
@@ -149,8 +173,8 @@ object PartsLog {
       case other => displayOne(other)
     }
 
-  def onInsert(spark: SparkSession, table: String,
-      rows: DataFrame): Unit = {
+  def onInsert(spark: SparkSession, table: String, rows: DataFrame,
+      objStates: Map[String, JsonObject.ObjState] = Map.empty): Unit = {
     if (!enabled || !partitionExprs.contains(table)) return
     val pExpr = partitionExprs(table)
     val buf = parts.getOrElseUpdate(table,
@@ -163,7 +187,8 @@ object PartsLog {
       val b = counter.incrementAndGet()
       buf.synchronized {
         buf += Part(table, "tuple()", "all", b, b, 0, n,
-          active = true, detached = false, df = Some(rows))
+          active = true, detached = false, df = Some(rows),
+          objStates = objStates)
       }
       return
     }
@@ -199,7 +224,8 @@ object PartsLog {
         }.reduce(_ && _)
         buf += Part(table, displayPartition(v, unpartitioned = false),
           partId(v, unpartitioned = false), b, b, 0, n,
-          active = true, detached = false, df = Some(rows.filter(cond)))
+          active = true, detached = false, df = Some(rows.filter(cond)),
+          objStates = objStates)
       }
     }
   }
@@ -228,10 +254,24 @@ object PartsLog {
           val mb = ps.map(_.minBlock).min
           val xb = ps.map(_.maxBlock).max
           val lvl = ps.map(_.level).max + 1
-          val mergedDf = ps.flatMap(_.df).reduceOption(_ union _)
+          // part snapshots can carry different OBJECT schemas (the
+          // column widened between inserts) — reconcile by name, and
+          // give up provenance rather than fail the merge
+          val mergedDf = ps.flatMap(_.df).reduceOption { (a, b) =>
+            try a.union(b)
+            catch { case _: Exception =>
+              a.unionByName(b, allowMissingColumns = true) }
+          }
+          // the merged part's object-column type is the widen-merge of
+          // the constituents' snapshots (01825_type_json_1 lineage)
+          val mergedObj = ps.flatMap(_.objStates.toSeq)
+            .groupBy(_._1).map { case (c, sts) =>
+              c -> sts.map(_._2).reduce(JsonObject.mergeStates)
+            }
           buf += Part(table, ps.head.partition, ps.head.partitionId,
             mb, xb, lvl, ps.map(_.rows).sum,
-            active = true, detached = false, df = mergedDf)
+            active = true, detached = false, df = mergedDf,
+            objStates = mergedObj)
         }
       }
     }
@@ -366,6 +406,11 @@ object PartsLog {
     * serialization, so serialization_kind is always Default. */
   def registerPartsColumns(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
+    val subSch = ArrayType(StructType(Seq(
+      StructField("names", StringType, nullable = false),
+      StructField("types", StringType, nullable = false),
+      StructField("serializations", StringType, nullable = false))),
+      containsNull = false)
     val sch = StructType(Seq(
       StructField("database", StringType, nullable = false),
       StructField("table", StringType, nullable = false),
@@ -376,6 +421,7 @@ object PartsLog {
       StructField("column", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("serialization_kind", StringType, nullable = false),
+      StructField("subcolumns", subSch, nullable = false),
       StructField("bytes_on_disk", LongType, nullable = false),
       StructField("marks_bytes", LongType, nullable = false),
       StructField("column_bytes_on_disk", LongType, nullable = false)))
@@ -385,12 +431,33 @@ object PartsLog {
         .map(d => (d, t.stripPrefix(d + "__")))
         .getOrElse(("default", t))
       val cols = DdlEmu.chTypesOf(t)
+      val objs = JsonObject.objCols.getOrElse(t, Seq.empty).toSet
+      val ratio = sparseRatio.getOrElse(t, 0.9375)
       buf.synchronized {
         buf.toSeq.filterNot(_.detached).flatMap { p =>
           cols.map { case (c, ty) =>
+            // object columns carry the PER-PART schema snapshot — the
+            // type the column had when this part was written/merged —
+            // and per-subcolumn serialization kinds (Sparse when the
+            // part's defaults fraction reaches the table ratio)
+            val st = if (objs(c)) p.objStates.get(c) else None
+            val ty2 =
+              if (objs(c)) st.map(JsonObject.renderState)
+                .getOrElse("Tuple(_dummy UInt8)")
+              else ty
+            val subs = st.map { s0 =>
+              val fr = p.df.map(JsonObject.defaultFractions(_, c, s0))
+                .getOrElse(Map.empty[String, Double])
+              JsonObject.leafPaths(s0).map { case (path, pty) =>
+                val kind =
+                  if (fr.getOrElse(path, 0.0) >= ratio) "Sparse"
+                  else "Default"
+                Row(path, pty, kind)
+              }
+            }.getOrElse(Seq.empty)
             Row(db, bare, p.name, p.partitionId,
-              if (p.active) 1 else 0, p.rows, c, ty, "Default",
-              p.rows * 8 + 32, 64L, p.rows * 8 + 32)
+              if (p.active) 1 else 0, p.rows, c, ty2, "Default",
+              subs, p.rows * 8 + 32, 64L, p.rows * 8 + 32)
           }
         }
       }

@@ -177,8 +177,17 @@ object ChMapArgRule extends Rule[LogicalPlan] {
 object ChGroupingScopeCapture extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{Expand,
     SubqueryAlias}
-  val captured: java.util.concurrent.ConcurrentHashMap[Long, Boolean] =
-    new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+  // per-THREAD capture: analysis and the eagerly-forced optimization of
+  // one CH statement run on the same thread (ChSql.sql forces
+  // optimizedPlan inside ChAnalysisScope), so a thread-local map makes
+  // concurrent sessions unable to wipe each other's capture between a
+  // query's analysis and its optimization (a JVM-global map with a
+  // size-triggered clear() could)
+  private val tl =
+    new ThreadLocal[java.util.HashMap[Long, Boolean]] {
+      override def initialValue() = new java.util.HashMap[Long, Boolean]()
+    }
+  def captured: java.util.HashMap[Long, Boolean] = tl.get()
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (ChAnalysisScope.active.value) {
