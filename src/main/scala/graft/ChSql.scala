@@ -4954,8 +4954,128 @@ object ChSql {
       else if (fromArg.matches("[A-Za-z_]\\w*"))
         starVisibleColumns(fromArg).orElse(knownTableColumns(fromArg))
       else None
-    def unbq(s: String) =
-      respaceExpr(s.replaceAll("`([A-Za-z_]\\w*)`", "$1"))
+    // matching close paren of the '(' at index i (string-aware)
+    def closeOf(s: String, i: Int): Int = {
+      var depth = 0; var k = i; var inS = false
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (inS) { if (c == '\\') k += 1 else if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return k }
+        k += 1
+      }
+      -1
+    }
+    // drop redundant parens wrapping a complete if(...) call — the
+    // ternary rewrite parenthesizes its else-branch, CH's formatter
+    // prints the bare call (01388)
+    def stripParenIf(s0: String): String = {
+      var s = s0; var again = true
+      while (again) {
+        again = false
+        val i = s.indexOf("(if(")
+        if (i >= 0) {
+          val outer = closeOf(s, i)
+          val inner = closeOf(s, i + 1 + 2) // the if's '('
+          if (outer >= 0 && inner == outer - 1) {
+            s = s.substring(0, i) + s.substring(i + 1, outer) +
+              s.substring(outer + 1)
+            again = true
+          }
+        }
+      }
+      s
+    }
+    // optimize_if_chain_to_multiif: if(a, b, if(c, d, e)) chains
+    // print as multiIf(a, b, c, d, e) (ref TreeOptimizer if-chain pass)
+    def collapseMultiIf(s0: String): String = {
+      var s = s0; var again = true
+      while (again) {
+        again = false
+        var i = s.indexOf("if(")
+        while (i >= 0 && !again) {
+          if (i == 0 || !(s.charAt(i - 1).isLetterOrDigit ||
+              s.charAt(i - 1) == '_')) {
+            val open = i + 2
+            val close = closeOf(s, open)
+            if (close > open) {
+              val args = splitTopLevelCommas(
+                s.substring(open + 1, close)).map(_.trim)
+              val last = args.lastOption.getOrElse("")
+              val isIf = last.startsWith("if(") &&
+                closeOf(last, 2) == last.length - 1
+              val isMulti = last.startsWith("multiIf(") &&
+                closeOf(last, 7) == last.length - 1
+              if (args.length >= 3 && (isIf || isMulti)) {
+                val innerArgs = last.substring(
+                  last.indexOf('(') + 1, last.length - 1)
+                s = s.substring(0, i) + "multiIf(" +
+                  (args.dropRight(1) :+ innerArgs).mkString(", ") +
+                  ")" + s.substring(close + 1)
+                again = true
+              }
+            }
+          }
+          if (!again) i = s.indexOf("if(", i + 1)
+        }
+      }
+      s
+    }
+    // display-level `cond ? a : b` → if(cond, a, b): CH's formatter
+    // prints the if() call (no truthiness casts — those are execution
+    // artifacts of the ternary rewrite)
+    def displayTernary(s0: String): String = {
+      val s = s0.trim
+      // fully parenthesized operand: recurse inside, drop the parens
+      // when the content becomes a single call
+      if (s.startsWith("(") && closeOf(s, 0) == s.length - 1) {
+        val inner = displayTernary(s.substring(1, s.length - 1))
+        if (inner.matches("(?s)^\\w+\\(.*\\)$") &&
+          closeOf(inner, inner.indexOf('(')) == inner.length - 1)
+          return inner
+        return s"($inner)"
+      }
+      var q = -1; var depth = 0; var inS = false; var k = 0
+      while (q < 0 && k < s.length) {
+        val c = s.charAt(k)
+        if (inS) { if (c == '\\') k += 1 else if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == '?' && depth == 0) q = k
+        k += 1
+      }
+      if (q < 0) return s
+      // the matching ':' (ternaries nest right-associatively)
+      var colon = -1; var lvl = 0; depth = 0; inS = false; k = q + 1
+      while (colon < 0 && k < s.length) {
+        val c = s.charAt(k)
+        if (inS) { if (c == '\\') k += 1 else if (c == '\'') inS = false }
+        else if (c == '\'') inS = true
+        else if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == '?' && depth == 0) lvl += 1
+        else if (c == ':' && depth == 0) {
+          if (lvl == 0) colon = k else lvl -= 1
+        }
+        k += 1
+      }
+      if (colon < 0) return s
+      val cond = s.substring(0, q).trim
+      val thn = displayTernary(s.substring(q + 1, colon))
+      val els = displayTernary(s.substring(colon + 1))
+      s"if($cond, $thn, $els)"
+    }
+    val multiIfOn =
+      try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.ch.optimize_if_chain_to_multiif", "0") == "1"
+      catch { case _: Throwable => false }
+    def unbq(s: String) = {
+      var t = stripParenIf(displayTernary(s))
+      if (multiIfOn) t = collapseMultiIf(t)
+      respaceExpr(t.replaceAll("`([A-Za-z_]\\w*)`", "$1"))
+    }
     def expand(its: Seq[String]): Option[Seq[String]] =
       if (!its.exists(_.trim == "*")) Some(its.map(unbq))
       else cols.map(cs => its.flatMap(it =>
@@ -5112,7 +5232,7 @@ object ChSql {
     "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TEMPORARY\\s+)?(?:TABLE\\s+)?`?([\\w.]+)`?\\s*$".r
   private val DescTableRe =
     ("(?is)^\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?`?([\\w.]+)`?" +
-      "(\\s+SETTINGS\\s+describe_extend_object_types\\s*=\\s*1)?\\s*$").r
+      "(\\s+SETTINGS\\s+[^;]*)?\\s*$").r
 
   def sql(spark: SparkSession, chQuery: String, sfDir: String): DataFrame =
     graft.plans.ChAnalysisScope.active.withValue(true) {
@@ -5136,7 +5256,8 @@ object ChSql {
           // Object('JSON') columns display the normalized dynamic type
           // — or the CONCRETE evolved Tuple under
           // describe_extend_object_types=1 (InterpreterDescribeQuery)
-          val extend = m.group(2) != null
+          val extend = m.group(2) != null && m.group(2).matches(
+            "(?is).*describe_extend_object_types\\s*=\\s*1.*")
           val objs = graft.golden.JsonObject.objCols
             .getOrElse(m.group(1), Seq.empty).toSet
           return spark.createDataFrame(
@@ -5196,6 +5317,55 @@ object ChSql {
                 org.apache.spark.sql.types.ByteType, nullable = false))))
         def fold(n: String): String = graft.ChDatabases.foldQualified(n,
           replaceOutsideStrings)
+        // CHECK TABLE returns 1 for a healthy table (ref
+        // src/Interpreters/InterpreterCheckQuery.cpp)
+        val CheckTableRe = ("(?is)^CHECK\\s+TABLE\\s+`?([\\w.]+)`?" +
+          "(?:\\s+SETTINGS\\b.*)?\\s*$").r
+        CheckTableRe.findFirstMatchIn(q).foreach { _ =>
+          return bit("result", v = true)
+        }
+        // SHOW CREATE of a window view's `.inner.wv` table renders the
+        // derived AggregatingMergeTree definition (01047/01048)
+        val ShowCreateInnerRe = ("(?is)^SHOW\\s+CREATE\\s+TABLE\\s+" +
+          "(?:`?(\\w+)`?\\.)?`\\.inner\\.(\\w+)`\\s*$").r
+        ShowCreateInnerRe.findFirstMatchIn(q).foreach { m =>
+          val ddl = graft.golden.WindowView.innerShowCreate(
+            Option(m.group(1)).getOrElse(""), m.group(2)).getOrElse(
+            throw new IllegalArgumentException(
+              s"UNKNOWN_TABLE: .inner.${m.group(2)}"))
+          return oneCol("statement", Seq(ddl))
+        }
+        // SHOW TABLES [FROM db] [[NOT] [I]LIKE '…'] — the session's
+        // emulated tables plus window-view catalog entries
+        val ShowTablesRe = ("(?is)^SHOW\\s+TABLES" +
+          "(?:\\s+FROM\\s+`?(\\w+)`?)?" +
+          "(?:\\s+(NOT\\s+)?(I?LIKE)\\s+'([^']*)')?" +
+          "(?:\\s+SETTINGS\\b.*)?\\s*$").r
+        ShowTablesRe.findFirstMatchIn(q).foreach { m =>
+          val db = Option(m.group(1)).getOrElse(
+            if (currentDb.nonEmpty) currentDb else "")
+          val not = m.group(2) != null
+          val ci = Option(m.group(3)).exists(_.equalsIgnoreCase("ILIKE"))
+          val pat = Option(m.group(4)).map(p =>
+            ((if (ci) "(?i)" else "") + java.util.regex.Pattern.quote(p)
+              .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")).r)
+          val all = knownTables()
+          val dbs = ChDatabases.known.map(_.toLowerCase)
+          val base =
+            if (db.nonEmpty)
+              all.filter(_.startsWith(db + "__"))
+                .map(_.stripPrefix(db + "__"))
+            else all.filterNot(t => dbs.exists(d =>
+              t.startsWith(d + "__")))
+          val hits = (base.filterNot(t => t.startsWith("__") ||
+            t.startsWith("graft_") ||
+            graft.golden.DdlEmu.sessionBaseline.contains(
+              if (db.isEmpty) t else s"${db}__$t")) ++
+            graft.golden.WindowView.names(db)).distinct
+            .filter(n => pat.forall(_.pattern.matcher(n)
+              .matches() != not)).sorted
+          return oneCol("name", hits)
+        }
         val ShowCreateDictRe =
           "(?is)^SHOW\\s+CREATE\\s+DICTIONARY\\s+`?([\\w.]+)`?\\s*$".r
         ShowCreateDictRe.findFirstMatchIn(q).foreach { m =>
@@ -5225,7 +5395,7 @@ object ChSql {
         }
         val ExistsStmtRe = ("(?is)^EXISTS\\s+(?:(TEMPORARY)\\s+)?" +
           "(?:(TABLE|DICTIONARY|DATABASE|VIEW)\\s+)?" +
-          "`?([\\w.]+)`?\\s*$").r
+          "`?([\\w.]+)`?(?:\\s+SETTINGS\\b.*)?\\s*$").r
         ExistsStmtRe.findFirstMatchIn(q)
           .filter(m => !m.group(3).equalsIgnoreCase("IN")) // EXISTS (…)
           .foreach { m =>
@@ -5443,6 +5613,13 @@ object ChSql {
         "(?i)\\btype\\s*(=|==|!=|<>|>=|<=|>|<)\\s*(\\d)(?![\\w'])",
         "type_num $1 $2")
     }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?query_cache`?\\b.*")) {
+      graft.golden.QueryCache.register(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?query_cache`?(?![\\w`])",
+        "graft_system_query_cache")
+    }
     if (chQueryS.matches("(?is).*\\bsystem\\s*\\.\\s*`?settings`?\\b.*")) {
       graft.golden.QueryLog.registerSettings(spark)
       chQueryS = replaceOutsideStrings(chQueryS,
@@ -5455,6 +5632,13 @@ object ChSql {
       chQueryS = replaceOutsideStrings(chQueryS,
         "(?i)\\bsystem\\s*\\.\\s*`?parts_columns`?(?![\\w`])",
         "graft_system_parts_columns")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?columns`?(?![\\w`]).*")) {
+      graft.golden.DdlEmu.registerSystemColumns(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?columns`?(?![\\w`])",
+        "graft_system_columns")
     }
     if (chQueryS.matches(
         "(?is).*\\bsystem\\s*\\.\\s*`?tables`?(?![\\w`]).*")) {

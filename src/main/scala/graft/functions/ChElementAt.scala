@@ -139,11 +139,21 @@ case class ChElementAt(left: Expression, right: Expression,
         val keys = map.keyArray()
         val vals = map.valueArray()
         var i = 0
-        // a missing map key yields the VALUE TYPE DEFAULT (ref
-        // src/Functions/array/arrayElement.cpp map path — m['absent']
-        // is 0/'' for non-Nullable values; Spark's always-nullable map
-        // schema must not turn that into NULL)
-        var found: Any = defaultOf(vt)
+        // a missing map key yields the VALUE TYPE DEFAULT for a
+        // non-Nullable value type, NULL for Map(K, Nullable(V)) (ref
+        // src/Functions/array/arrayElement.cpp map path). Spark's map
+        // schema says nullable for both, so the DECLARED nullability is
+        // approximated by whether this map holds any NULL value
+        // (02473 pins the Nullable case, 01825_from_map the default)
+        var hasNullVal = false
+        if (elementNullable && !forceDefault) {
+          var j = 0
+          while (!hasNullVal && j < map.numElements()) {
+            if (vals.isNullAt(j)) hasNullVal = true
+            j += 1
+          }
+        }
+        var found: Any = if (hasNullVal) null else defaultOf(vt)
         var done = false
         while (!done && i < map.numElements()) {
           if (sameKey(keys.get(i, kt), key)) {

@@ -1277,7 +1277,10 @@ object ch {
   /** bar(x, min, max, width): unicode bar chart — full blocks plus one
     * partial eighth block, matching CH's UnicodeBar::render. */
   def barCh(x: Column, mn: Column, mx: Column, w: Column): Column = {
-    val unit = (x - mn) / (mx - mn) * w.cast("double")
+    val unit0 = (x - mn) / (mx - mn) * w.cast("double")
+    // a NaN bound draws an empty bar (CH's float→int conversion of
+    // NaN is 0; Spark's ordering would treat NaN as +inf — 01654)
+    val unit = when(isnan(unit0), lit(0.0)).otherwise(unit0)
     val clamped = greatest(least(unit, w.cast("double")), lit(0.0))
     val full = floor(clamped).cast("int")
     val eighths = floor((clamped - full) * 8).cast("int")

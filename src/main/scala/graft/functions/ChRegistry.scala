@@ -894,7 +894,11 @@ object ChRegistry {
     // a CH-registered session doesn't hijack functions.rand(seed) callers
     f("rand") {
       case Seq() => (C(new Rand()) * 4294967296L).cast("bigint")
-      case Seq(seed @ Literal(_: Number, _)) => C(Rand(seed))
+      // a SEEDED rand only bypasses common-subexpression elimination in
+      // CH; a deterministic derivation lets it sit inside aggregates
+      // (Spark rejects nondeterministic aggregate children; 02494)
+      case Seq(seed @ Literal(_: Number, _)) =>
+        pmod(ch.sparkXxhash64(C(seed)), lit(4294967296L))
       // non-literal arg only keys per-column generator state in CH
       case _ => (C(new Rand()) * 4294967296L).cast("bigint") }
     f("rand64") { case _ => ch.sparkXxhash64(C(new Rand())) }
@@ -1577,6 +1581,128 @@ object ChRegistry {
     // total months (make_ym_interval alone types as YEAR TO MONTH)
     f1("toIntervalYear")(n =>
       make_ym_interval(n, lit(0)).cast("interval year"))
+
+    // ---- window-view time windows (ref src/Functions/
+    // FunctionsTimeWindow.cpp; 01049_window_view_window_functions):
+    // tumble/hop bound computation over the wall clock of the given
+    // (or the value's own) timezone; second-family windows return
+    // tz-tagged DateTimes, month/week-family return Dates
+    locally {
+      import org.apache.spark.sql.types.{DayTimeIntervalType,
+        YearMonthIntervalType}
+      // (kind, n): "sec" n seconds | "months" n months | "week" n weeks
+      def ivOf(e: Expression): (String, Long) = {
+        val (inner, weekTag) = e match {
+          case ChIntervalTag(c, 7) => (c, true)
+          case ChIntervalTag(c, _) => (c, false)
+          case other => (other, false)
+        }
+        val v = inner.eval(null)
+        inner.dataType match {
+          case _: DayTimeIntervalType =>
+            val secs = v.asInstanceOf[Long] / 1000000L
+            if (weekTag) ("week", secs / 604800L) else ("sec", secs)
+          case _: YearMonthIntervalType =>
+            ("months", v.asInstanceOf[Number].longValue())
+          case _ => ("sec", 1L)
+        }
+      }
+      def tzOf(t: Expression, explicit: Option[Expression])
+          : Option[String] =
+        explicit.map(litStr).orElse(t.dataType match {
+          case d: DateTime64UDT => d.tz
+          case _ => None
+        })
+      def wallOf(t: Expression, tz: Option[String]): Column = {
+        val ts = C(t).cast("timestamp")
+        tz.map(z => from_utc_timestamp(ts, z)).getOrElse(ts)
+      }
+      // wall-clock floor of the window grid; (start, end) both wall
+      def bounds(wall: Column, kind: String, slide: Long, win: Long)
+          : (Column, Column) = kind match {
+        case "months" =>
+          val m = (year(wall) - lit(1970)) * lit(12) + month(wall) -
+            lit(1)
+          val fm = floor(m / lit(slide)) * lit(slide) - lit(win - slide)
+          val start = make_date(lit(1970) + (fm / lit(12)).cast("int"),
+            (fm % lit(12)).cast("int") + lit(1), lit(1))
+          (start, add_months(start, win.toInt))
+        case "week" =>
+          // Monday-aligned week grid (1970-01-05 was a Monday)
+          val d = datediff(wall.cast("date"), lit("1970-01-05")
+            .cast("date"))
+          val fd = floor(d / lit(slide * 7)) * lit(slide * 7) -
+            lit((win - slide) * 7)
+          val start = date_add(lit("1970-01-05").cast("date"),
+            fd.cast("int"))
+          (start, date_add(start, (win * 7).toInt))
+        case _ =>
+          val s = floor(unix_timestamp(wall) / lit(slide)) *
+            lit(slide) - lit(win - slide)
+          (to_timestamp(s), to_timestamp(s + lit(win)))
+      }
+      def outCol(wall: Column, kind: String,
+          tz: Option[String]): Column =
+        if (kind != "sec") wall.cast("date")
+        else tz match {
+          case Some(z) =>
+            C(ToDateTime64(E(to_utc_timestamp(wall, z)), 0, Some(z)))
+          case None => wall
+        }
+      def windowOf(t: Expression, slideE: Expression,
+          winE: Option[Expression], tzE: Option[Expression])
+          : (Column, Column) = {
+        val (kind, ns) = ivOf(slideE)
+        val nw = winE.map(e => ivOf(e)._2).getOrElse(ns)
+        val tz = tzOf(t, tzE)
+        val (s0, e0) = bounds(wallOf(t, tz), kind, ns, nw)
+        (outCol(s0, kind, tz), outCol(e0, kind, tz))
+      }
+      def pair(s: Column, e: Column): Column =
+        struct(s.as("1"), e.as("2"))
+      def fld(t: Expression, i: Int): Column = C(
+        org.apache.spark.sql.catalyst.expressions.GetStructField(t, i))
+      f("tumble") {
+        case Seq(t, iv) =>
+          val (s, e) = windowOf(t, iv, None, None); pair(s, e)
+        case Seq(t, iv, tz) =>
+          val (s, e) = windowOf(t, iv, None, Some(tz)); pair(s, e)
+      }
+      f("hop") {
+        case Seq(t, h, w) =>
+          val (s, e) = windowOf(t, h, Some(w), None); pair(s, e)
+        case Seq(t, h, w, tz) =>
+          val (s, e) = windowOf(t, h, Some(w), Some(tz)); pair(s, e)
+      }
+      f("tumbleStart") {
+        case Seq(t) if t.resolved &&
+            t.dataType.isInstanceOf[org.apache.spark.sql.types
+              .StructType] => fld(t, 0)
+        case Seq(t, iv) => windowOf(t, iv, None, None)._1
+        case Seq(t, iv, tz) => windowOf(t, iv, None, Some(tz))._1
+      }
+      f("tumbleEnd") {
+        case Seq(t) if t.resolved &&
+            t.dataType.isInstanceOf[org.apache.spark.sql.types
+              .StructType] => fld(t, 1)
+        case Seq(t, iv) => windowOf(t, iv, None, None)._2
+        case Seq(t, iv, tz) => windowOf(t, iv, None, Some(tz))._2
+      }
+      f("hopStart") {
+        case Seq(t) if t.resolved &&
+            t.dataType.isInstanceOf[org.apache.spark.sql.types
+              .StructType] => fld(t, 0)
+        case Seq(t, h, w) => windowOf(t, h, Some(w), None)._1
+        case Seq(t, h, w, tz) => windowOf(t, h, Some(w), Some(tz))._1
+      }
+      f("hopEnd") {
+        case Seq(t) if t.resolved &&
+            t.dataType.isInstanceOf[org.apache.spark.sql.types
+              .StructType] => fld(t, 1)
+        case Seq(t, h, w) => windowOf(t, h, Some(w), None)._2
+        case Seq(t, h, w, tz) => windowOf(t, h, Some(w), Some(tz))._2
+      }
+    }
 
     // wave 2: binary repr, regexp groups, date parts, map algebra,
     // array norms/AUC, JSON raw (ref FunctionsBinaryRepresentation.cpp,

@@ -303,7 +303,7 @@ object DdlEmu {
     detachedParts.clear(); insertedBlocks.clear(); liveViewVer.clear()
     fileBacked.clear(); ctasEngines.clear(); dictDefs.clear()
     tempTables.clear(); mutationsLog.clear()
-    PartsLog.reset(); JsonObject.reset()
+    PartsLog.reset(); JsonObject.reset(); QueryCache.reset()
     graft.ChSql.currentDb = ""
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
@@ -312,13 +312,19 @@ object DdlEmu {
   /** Per-file session cleanup: drop helper views this emulation registered
     * (a failed test would otherwise leak `__graft_final_*` into the next
     * file's SHOW TABLES / EXISTS output). */
+  /** Tables that already existed when the current golden file began —
+    * SHOW TABLES must not list another file's leftovers. */
+  @volatile var sessionBaseline: Set[String] = Set.empty
+
   def resetSession(spark: SparkSession): Unit = {
+    sessionBaseline = decls.keys.toSet
     for (n <- engines.keys)
       spark.catalog.dropTempView(s"__graft_final_$n")
     val it = viewDefs.keySet().iterator()
     while (it.hasNext) spark.catalog.dropTempView(it.next())
     resetNullables()
     QueryLog.reset()
+    WindowView.reset()
   }
 
   // ------------------------------------------------- engine-typed merges
@@ -882,8 +888,18 @@ object DdlEmu {
   private val createdDdl =
     scala.collection.concurrent.TrieMap.empty[String, String]
   def showCreate(name: String): Option[String] = createdDdl.get(name)
+  /** Tables with ENGINE = Null: direct reads are empty, but a
+    * MATERIALIZED VIEW over one still sees every inserted block (ref
+    * src/Storages/StorageNull.h) — inserts land in a shadow store the
+    * MV selects read. */
+  private[golden] val nullEngines =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[golden] def nullShadow(t: String) = s"__graft_nullsrc_$t"
+
   private def recordDdl(table: String, colDefs: String,
       engTail: String): Unit = {
+    nullEngines(table) = Option(engTail).exists(_.matches(
+      "(?is)\\s*(ENGINE\\s*=?\\s*)?Null\\b(?!\\w).*"))
     val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty).map { cd =>
       val sp = cd.indexWhere(_.isWhitespace)
       if (sp <= 0) cd
@@ -1148,6 +1164,62 @@ object DdlEmu {
       .createOrReplaceTempView("graft_system_tables")
   }
 
+  /** `system.columns` stand-in (ref
+    * src/Storages/System/StorageSystemColumns.cpp): one row per
+    * declared column of every live table, in declaration order. A
+    * static block for the built-in system tables keeps the view
+    * non-empty with no session tables (00696 probes LIMIT n). */
+  def registerSystemColumns(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("database", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("position", LongType, nullable = false),
+      StructField("default_kind", StringType, nullable = false),
+      StructField("default_expression", StringType, nullable = false),
+      StructField("comment", StringType, nullable = false),
+      StructField("compression_codec", StringType, nullable = false),
+      StructField("data_compressed_bytes", LongType, nullable = false),
+      StructField("data_uncompressed_bytes", LongType, nullable = false)))
+    def unfoldDb(t: String): (String, String) =
+      graft.ChDatabases.known.find(d => t.startsWith(d + "__"))
+        .map(d => (d, t.stripPrefix(d + "__"))).getOrElse(("default", t))
+    val builtin = Seq(
+      ("system", "one", "dummy", "UInt8"),
+      ("system", "numbers", "number", "UInt64"),
+      ("system", "tables", "database", "String"),
+      ("system", "tables", "name", "String"),
+      ("system", "tables", "engine", "String"),
+      ("system", "columns", "database", "String"),
+      ("system", "columns", "table", "String"),
+      ("system", "columns", "name", "String"),
+      ("system", "columns", "type", "String"),
+      ("system", "databases", "name", "String"),
+      ("system", "settings", "name", "String"),
+      ("system", "settings", "value", "String"))
+      .map { case (db, t, c, ty) =>
+        org.apache.spark.sql.Row(db, t, c, ty, 1L, "", "", "", "",
+          0L, 0L)
+      }
+    val rows = decls.keys.toSeq.sorted
+      .filterNot(t => t.startsWith("__graft") || t.startsWith("graft_"))
+      .flatMap { t =>
+        val (db, bare) = unfoldDb(t)
+        val descs = descColsMap.getOrElse(t, Nil)
+        chTypesOf(t).zipWithIndex.map { case ((c, ty), i) =>
+          val d = descs.find(_.name == c)
+          org.apache.spark.sql.Row(db, bare, c, ty, (i + 1).toLong,
+            d.map(_.kind).getOrElse(""), d.map(_.expr).getOrElse(""),
+            "", "", 0L, 0L)
+        }
+      }
+    spark.createDataFrame((rows ++ builtin).asJava, sch)
+      .createOrReplaceTempView("graft_system_columns")
+  }
+
   /** `system.mutations` stand-in: synchronous mutations, all done. */
   def registerSystemMutations(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1367,6 +1439,25 @@ object DdlEmu {
 
   private def handleImpl(spark: SparkSession, sfDir: String,
       stmt0: String): Boolean = {
+    // window-view DDL works on the UNfolded text (db.name intact)
+    if (WindowView.maybeHandle(stmt0)) return true
+    // type alias (ref DataTypeLowCardinality registerAlias)
+    val stmt0n = stmt0.replaceAll("(?i)\\bStringWithDictionary\\b",
+      "LowCardinality(String)")
+    // `DROP/DETACH … NO DELAY|SYNC` suffixes and trailing QUERY-level
+    // SETTINGS on maintenance statements are execution hints
+    locally {
+      val t = stmt0.trim.stripSuffix(";")
+      if (t.matches("(?is)^(DROP|DETACH|TRUNCATE)\\b.*\\s(NO\\s+DELAY|SYNC)\\s*$") &&
+          !t.matches("(?is).*system\\s*\\.\\s*query_log.*"))
+        return handle(spark, sfDir,
+          t.replaceAll("(?is)\\s+(NO\\s+DELAY|SYNC)\\s*$", ""))
+      if (t.matches("(?is)^(ALTER|CHECK|KILL|OPTIMIZE|TRUNCATE|RENAME|" +
+          "EXCHANGE)\\b.*\\bSETTINGS\\s+\\w+\\s*=[^;]*$") &&
+          !t.matches("(?is).*\\bMODIFY\\s+SETTING\\b.*"))
+        return handle(spark, sfDir,
+          t.replaceAll("(?is)\\s+SETTINGS\\s+\\w+\\s*=[^;]*$", ""))
+    }
     valuesSplitPoint(stmt0).foreach { i =>
       val a = handle(spark, sfDir, stmt0.substring(0, i).trim)
       val b = handle(spark, sfDir, stmt0.substring(i).trim)
@@ -1374,7 +1465,7 @@ object DdlEmu {
     }
     // CREATE DATABASE registers the qualifier BEFORE folding so its own
     // tables fold; every other statement folds known `db.tbl` names
-    val stmt = stmt0 match {
+    val stmt = stmt0n match {
       case createDbRe(db) =>
         graft.ChDatabases.register(db)
         // also create the real Spark schema so a later `USE db` works
@@ -1405,7 +1496,7 @@ object DdlEmu {
         return true
       case _ =>
         graft.ChDatabases.foldQualified(
-          graft.ChSql.qualifyBareTables(stmt0, graft.ChSql.currentDb),
+          graft.ChSql.qualifyBareTables(stmt0n, graft.ChSql.currentDb),
           graft.ChSql.replaceOutsideStrings)
     }
     stmt match {
@@ -1474,8 +1565,21 @@ object DdlEmu {
       // all no-output maintenance over state this engine either keeps
       // implicitly fresh (lazy views re-read their sources, so RELOAD
       // DICTIONARY is a no-op) or does not carry (query/mark caches)
+      case s if s.matches("(?is)^SYSTEM\\s+DROP\\s+QUERY\\s+CACHE\\b.*") =>
+        QueryCache.clear(); true
+      case s if s.matches("(?is)^SYSTEM\\s+FLUSH\\s+LOGS\\b.*") =>
+        QueryLog.markFlushed(); true
+      // KILL QUERY/MUTATION with no matching target prints nothing
+      // (ref src/Interpreters/InterpreterKillQueryQuery.cpp)
+      case s if s.matches("(?is)^KILL\\s+(QUERY|MUTATION)\\b.*") =>
+        true
       case s if s.matches("(?is)^SYSTEM\\s+\\w+\\b.*") =>
         true
+      // the 02494 tests reset the query log by dropping the system
+      // table — clear the stand-in's entries
+      case s if s.matches(
+          "(?is)^DROP\\s+TABLE\\s+system\\s*\\.\\s*query_log\\b.*") =>
+        QueryLog.dropFlushed(); true
       // access-control DDL (ref src/Parsers/Access): this single-user
       // engine has no RBAC state — the statements are no-output no-ops,
       // which lets the tests around them run (users/roles/policies/
@@ -1532,11 +1636,25 @@ object DdlEmu {
         // view so mutations of the underlying table stay visible
         if (stmt.matches("(?is).*\\bENGINE\\s*=?\\s*Distributed\\s*\\(.*")) {
           distributedAlias(name) = src
+          // system.tables reports the DECLARED engine (00763)
+          "(?is)\\bENGINE\\s*=?\\s*(Distributed\\s*\\([^)]*\\))".r
+            .findFirstMatchIn(stmt)
+            .foreach(m => recordDdl(name, "", "ENGINE = " + m.group(1)))
           viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
           registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
         } else register(spark, name, srcDf.limit(0))
         true
-      case createViewRe(mat, name, colDefs, toTarget, select) =>
+      case createViewRe(mat, name, colDefs, toTarget, select0) =>
+        // a MATERIALIZED view over a Null table reads the shadow store
+        // (plain views read the table itself: always empty)
+        val select =
+          if (Option(mat).exists(_.toUpperCase.contains("MATERIALIZED")))
+            nullEngines.collect { case (t, true) => t }
+              .foldLeft(select0)((q, t) => q.replaceAll(
+                "(?i)\\b(FROM|JOIN)\\s+`?" +
+                  java.util.regex.Pattern.quote(t) + "`?(?![\\w`])",
+                "$1 " + nullShadow(t)))
+          else select0
         registerView(spark, sfDir, name, colDefs, select)
         viewDefs.put(name, (colDefs, select))
         // LIVE VIEW: track the refresh version (each INSERT into a
@@ -1882,6 +2000,11 @@ object DdlEmu {
         val d = Decl(parseCols(colDefs))
         decls(name) = d
         PartsLog.onCreate(name, Option(engTail).getOrElse(""))
+        if (Option(engTail).exists(_.matches(
+            "(?is)\\s*(ENGINE\\s*=?\\s*)?Null\\b(?!\\w).*"))) {
+          decls(nullShadow(name)) = d
+          register(spark, nullShadow(name), emptyDf(spark, d))
+        }
         recordNullables(name, colDefs); recordDefaults(name, colDefs)
         recordAliases(name, colDefs); recordDescCols(name, colDefs)
         recordChTypes(name, colDefs); recordDdl(name, colDefs, engTail)
@@ -2264,6 +2387,24 @@ object DdlEmu {
       case insertRe(name0, colList, body) =>
         // an INSERT into a Distributed alias writes the local table
         val name = distributedAlias.getOrElse(name0, name0)
+        // the Null engine discards everything written to it — but the
+        // shadow store keeps the block for MATERIALIZED views over the
+        // table (StorageNull.h; 00481 + 00508/00687 MV captures)
+        if (nullEngines.getOrElse(name, false)) {
+          if (!decls.contains(nullShadow(name))) {
+            decls.get(name).foreach { d =>
+              decls(nullShadow(name)) = d
+              register(spark, nullShadow(name), emptyDf(spark, d))
+            }
+          }
+          val diverted = stmt.replaceFirst(
+            "(?is)^(INSERT\\s+INTO\\s+(?:TABLE\\s+)?)`?" +
+              java.util.regex.Pattern.quote(name0) + "`?",
+            "$1" + nullShadow(name))
+          val r = handle(spark, sfDir, diverted)
+          refreshViews(spark, sfDir)
+          return r
+        }
         if (fileBacked.contains(name)) {
           // write-through to the backing file, then re-read
           val (rel, fm) = fileBacked(name)
@@ -2545,6 +2686,10 @@ object DdlEmu {
           JsonObject.onCreate(name, cs))
         if (stmt.matches("(?is).*\\bENGINE\\s*=?\\s*Distributed\\s*\\(.*")) {
           distributedAlias(name) = src
+          // system.tables reports the DECLARED engine (00763)
+          "(?is)\\bENGINE\\s*=?\\s*(Distributed\\s*\\([^)]*\\))".r
+            .findFirstMatchIn(stmt)
+            .foreach(m => recordDdl(name, "", "ENGINE = " + m.group(1)))
           viewDefs.put(name, (null, s"SELECT * FROM `$src`"))
           registerView(spark, sfDir, name, null, s"SELECT * FROM `$src`")
         } else register(spark, name, srcDf.limit(0))
@@ -2923,7 +3068,11 @@ object DdlEmu {
             val (cn, ct) = parseCols(d).head
             if (cols.exists(_._1 == cn)) {
               val dt = DataType.fromDDL(ct)
+              // MODIFY updates ONE column — the other columns' declared
+              // CH types must survive (00714: two MODIFYs in a row)
+              val keep = chTypes.getOrElse(name, Map.empty)
               recordChTypes(name, d)
+              chTypes(name) = keep ++ chTypes.getOrElse(name, Map.empty)
               def recast(frame: DataFrame): DataFrame =
                 frame.select(frame.columns.map { c =>
                   if (c == cn)

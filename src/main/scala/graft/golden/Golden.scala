@@ -400,6 +400,7 @@ object Golden {
     // tables carry the per-statement bookkeeping (table counts etc.)
     QueryLog.enabled = text.toLowerCase.contains("query_log") ||
       text.toLowerCase.contains("query_thread_log")
+    QueryCache.enabled = text.toLowerCase.contains("query_cache")
     PartsLog.enabled = text.toLowerCase.contains("system.parts") ||
       text.toLowerCase.contains("detached_parts") ||
       // PART-level ALTERs need per-part provenance even when the file
@@ -779,8 +780,16 @@ object Golden {
             if (clean.matches("(?is)^INSERT\\b.*\\bVALUES\\b.*"))
               ("\\)\\s*,\\s*\\(".r.findAllIn(clean).size + 1).toLong
             else 0L
+          // query-cache participation (02494 family): the hit/miss
+          // profile counters land on this statement's log element
+          val qcProf = QueryCache.onStatement(clean, settings,
+            System.currentTimeMillis() - qlStartMs)
+            .map { case (h, m) =>
+              Map("QueryCacheHits" -> h, "QueryCacheMisses" -> m) }
+            .getOrElse(Map.empty[String, Long])
           QueryLog.recordSuccess(spark, rawQ, clean, produced, bytes,
-            written, System.currentTimeMillis() - qlStartMs, settings)
+            written, System.currentTimeMillis() - qlStartMs, settings,
+            qcProf)
         }
       }
       out.toSeq

@@ -803,6 +803,12 @@ object JsonObject {
     * exist. */
   def rewritePaths(sql: String): String = {
     if (states.isEmpty) return sql
+    // only queries that NAME an object table participate — another
+    // session's concurrent DataFrame work (suites share the JVM) must
+    // never see its `data.x` identifiers rewritten
+    val low = sql.toLowerCase
+    if (!objCols.keysIterator.exists(t => low.contains(t.toLowerCase)))
+      return sql
     val cols = states.keysIterator.map(_._2).toSet
     if (cols.isEmpty) return sql
     val rx = ("(?<![\\w.`])(" + cols.map(java.util.regex.Pattern.quote)

@@ -420,6 +420,7 @@ object PartsLog {
       StructField("rows", LongType, nullable = false),
       StructField("column", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
+      StructField("column_position", LongType, nullable = false),
       StructField("serialization_kind", StringType, nullable = false),
       StructField("subcolumns", subSch, nullable = false),
       StructField("bytes_on_disk", LongType, nullable = false),
@@ -435,7 +436,7 @@ object PartsLog {
       val ratio = sparseRatio.getOrElse(t, 0.9375)
       buf.synchronized {
         buf.toSeq.filterNot(_.detached).flatMap { p =>
-          cols.map { case (c, ty) =>
+          cols.zipWithIndex.map { case ((c, ty), ci) =>
             // object columns carry the PER-PART schema snapshot — the
             // type the column had when this part was written/merged —
             // and per-subcolumn serialization kinds (Sparse when the
@@ -456,8 +457,8 @@ object PartsLog {
               }
             }.getOrElse(Seq.empty)
             Row(db, bare, p.name, p.partitionId,
-              if (p.active) 1 else 0, p.rows, c, ty2, "Default",
-              subs, p.rows * 8 + 32, 64L, p.rows * 8 + 32)
+              if (p.active) 1 else 0, p.rows, c, ty2, (ci + 1).toLong,
+              "Default", subs, p.rows * 8 + 32, 64L, p.rows * 8 + 32)
           }
         }
       }

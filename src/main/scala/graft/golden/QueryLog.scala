@@ -34,7 +34,22 @@ object QueryLog {
   private val entries =
     new java.util.concurrent.CopyOnWriteArrayList[Entry]()
 
-  def reset(): Unit = entries.clear()
+  /** Entries below this index have been FLUSHED to the (emulated)
+    * storage table; `DROP TABLE system.query_log` removes only those —
+    * later entries are still in the in-memory buffer and reappear
+    * after the next SYSTEM FLUSH LOGS (02494_query_cache_events). */
+  @volatile private var flushMark = 0
+
+  def markFlushed(): Unit = flushMark = entries.size()
+
+  def dropFlushed(): Unit = {
+    val n = math.min(flushMark, entries.size())
+    var i = 0
+    while (i < n) { entries.remove(0); i += 1 }
+    flushMark = 0
+  }
+
+  def reset(): Unit = { entries.clear(); flushMark = 0 }
 
   private val qidCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private def nextQid(): String = s"graft-q${qidCounter.incrementAndGet()}"
@@ -155,7 +170,8 @@ object QueryLog {
   def recordSuccess(spark: SparkSession, raw: String, clean: String,
       resultRows: Long, resultBytes: Long, writtenRows: Long,
       durationMs: Long,
-      settings: collection.Map[String, String]): Unit = {
+      settings: collection.Map[String, String],
+      extraProfile: Map[String, Long] = Map.empty): Unit = {
     if (!enabled) return
     val st = settings.toMap ++ inlineSettings(clean)
     if (!logQueriesOn(st)) return
@@ -170,6 +186,10 @@ object QueryLog {
       if (kind != "Select" && kind != "Insert") 0L
       else {
         val tblRows = tbls.map(_.stripPrefix("default."))
+          // a Null-engine table's rows live in its shadow store — the
+          // read estimate must still see the block volume (02350)
+          .map(t => if (DdlEmu.nullEngines.getOrElse(t, false))
+            DdlEmu.nullShadow(t) else t)
           .flatMap(t => scala.util.Try(spark.table(t).count()).toOption)
         val numbersN = "(?i)\\bnumbers(?:_mt)?\\s*\\(\\s*(\\d+)\\s*\\)".r
           .findAllMatchIn(clean).map(_.group(1).toLong).sum
@@ -185,7 +205,8 @@ object QueryLog {
             else 8192L)
         else est
       }
-    val prof = profileOf(clean, readRows.max(resultRows), writtenRows)
+    val prof = profileOf(clean, readRows.max(resultRows), writtenRows) ++
+      extraProfile
     // a statement's duration includes its sleeps even though the golden
     // harness skips FORMAT Null execution
     val effDur = math.max(durationMs,
