@@ -32,3 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput and avoids G1 concurrent-mark pauses skewing bench runs.
   "-XX:+UseParallelGC",
 )
+
+// Test suites share one SparkSession AND the CH dialect's session-scoped
+// globals (USE current database, golden log/parts gating, the user_files
+// root) — parallel suites race on them (FormatsSpec vs GoldenSpec flakes).
+// Suites run sequentially; parallelism lives inside Spark's local[32].
+Test / parallelExecution := false

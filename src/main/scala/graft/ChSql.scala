@@ -1488,6 +1488,20 @@ object ChSql {
     * columns). Textual splice of the literal-tuple forms, innermost
     * first so nested untuples unfold; the named `AS x` form (columns
     * x.1…x.N) is not expressible by splicing and stays unsupported. */
+  /** aggregate_functions_null_for_empty=1: common aggregates (with an
+    * optional If combinator) take the -OrNull combinator (ref
+    * TreeRewriter.cpp appendOrNullSuffix usage; 01528). */
+  private[graft] def applyNullForEmpty(sql: String): String = {
+    val on =
+      try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.ch.aggregate_functions_null_for_empty", "0") == "1"
+      catch { case _: Throwable => false }
+    if (!on) return sql
+    replaceOutsideStrings(sql,
+      "(?<![\\w.])(sum|count|avg|min|max|any)(If)?\\(",
+      "$1OrNull$2(")
+  }
+
   private[graft] def rewriteUntuple(sql: String): String = {
     var s = sql
     var guard = 0
@@ -1540,7 +1554,22 @@ object ChSql {
           else None
         inner match {
           case Some(list) =>
-            s = s.substring(0, idx) + list + s.substring(close + 1)
+            // a trailing alias names every expanded column `alias.N`
+            // (ref ASTFunction untuple; 02113 pins ut.1 … in
+            // TSVWithNames headers)
+            val aliasM = "(?is)^\\s+AS\\s+`?(\\w+)`?".r
+              .findPrefixMatchOf(s.substring(close + 1))
+            aliasM match {
+              case Some(am) =>
+                val named = splitTopLevelCommas(list).map(_.trim)
+                  .zipWithIndex.map { case (e, i) =>
+                    s"$e AS `${am.group(1)}.${i + 1}`"
+                  }.mkString(", ")
+                s = s.substring(0, idx) + named +
+                  s.substring(close + 1 + am.end)
+              case None =>
+                s = s.substring(0, idx) + list + s.substring(close + 1)
+            }
             idx = s.indexOf("untuple(")
           case None =>
             // non-literal tuple (a struct-returning expression, e.g.
@@ -1889,6 +1918,7 @@ object ChSql {
   private[graft] def rewriteTupleAccess(sql: String): String = {
     val out = new StringBuilder
     var inStr = false
+    var inBq = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -1896,6 +1926,10 @@ object ChSql {
         out.append(c)
         if (c == '\'' && sql.charAt(i - 1) != '\\') inStr = false
       } else if (c == '\'') { inStr = true; out.append(c) }
+      // a backquoted IDENTIFIER may contain dots (untuple's `x.1`
+      // expansion aliases) — never positional access
+      else if (inBq) { out.append(c); if (c == '`') inBq = false }
+      else if (c == '`') { inBq = true; out.append(c) }
       else if (c == '.' && i + 1 < sql.length && sql.charAt(i + 1).isDigit &&
           out.nonEmpty) {
         // token before the dot: identifier not starting with a digit, or )
@@ -3729,6 +3763,10 @@ object ChSql {
       rewriteColonCast(rewriteScalarWithDeep(rewriteGroupByAll(rewriteColumnTransformers(rewriteMapLiterals(rewriteLiveViewVersion(rewriteFileTvf(rewriteUntuple(
         rewriteStringEscapes(chSql2)))))))))))
     s0 = rewriteBoolDisplay(s0, preItems)
+    // aggregate_functions_null_for_empty needs no EXECUTION rewrite:
+    // Spark's global aggregates over an empty input already return
+    // NULL (the -OrNull semantics; 01559/02515 pass natively). Only
+    // the EXPLAIN SYNTAX formatter renders the -OrNull names (01528).
     var s = rewriteSortHof(rewriteHofs(rewriteTupleAccess(rewriteBrackets(
       rewriteParamAggs(rewriteTernary(rewriteChTypes(s0)))))))
     // CH transform(x, from, to[, default]) value mapping: rename the
@@ -5072,7 +5110,7 @@ object ChSql {
         "graft.ch.optimize_if_chain_to_multiif", "0") == "1"
       catch { case _: Throwable => false }
     def unbq(s: String) = {
-      var t = stripParenIf(displayTernary(s))
+      var t = stripParenIf(displayTernary(applyNullForEmpty(s)))
       if (multiIfOn) t = collapseMultiIf(t)
       respaceExpr(t.replaceAll("`([A-Za-z_]\\w*)`", "$1"))
     }

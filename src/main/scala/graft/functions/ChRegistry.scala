@@ -897,8 +897,12 @@ object ChRegistry {
       // a SEEDED rand only bypasses common-subexpression elimination in
       // CH; a deterministic derivation lets it sit inside aggregates
       // (Spark rejects nondeterministic aggregate children; 02494)
+      // DOUBLE-typed like Spark's rand (functions.rand(seed) resolves
+      // into this session registry), deterministic so it may sit
+      // inside aggregates (02494_query_cache_nondeterministic)
       case Seq(seed @ Literal(_: Number, _)) =>
         pmod(ch.sparkXxhash64(C(seed)), lit(4294967296L))
+          .cast("double") / lit(4294967296.0)
       // non-literal arg only keys per-column generator state in CH
       case _ => (C(new Rand()) * 4294967296L).cast("bigint") }
     f("rand64") { case _ => ch.sparkXxhash64(C(new Rand())) }
