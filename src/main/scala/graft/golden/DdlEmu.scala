@@ -744,10 +744,12 @@ object DdlEmu {
       .r.findFirstMatchIn(rest)
     m match {
       case Some(mm) =>
-        Some(DescCol(name, mm.group(1).trim.replaceAll("\\s+", " "),
+        Some(DescCol(name,
+          canonTypeText(mm.group(1).trim.replaceAll("\\s+", " ")),
           mm.group(2).toUpperCase, mm.group(3).trim))
       case None =>
-        Some(DescCol(name, rest.replaceAll("\\s+", " "), "", ""))
+        Some(DescCol(name,
+          canonTypeText(rest.replaceAll("\\s+", " ")), "", ""))
     }
   }
   /** A type-less `c ALIAS expr` / `c DEFAULT expr` declaration reports
@@ -796,7 +798,7 @@ object DdlEmu {
             else s" ${c.kind}" + (if (c.expr.isEmpty) "" else s" ${c.expr}")
           val typ = if (c.typ.isEmpty) "" else s" ${c.typ}"
           s"    `${c.name}`$typ$kind"
-        }
+        } ++ extraDefs.getOrElse(name, Nil).map("    " + _)
         createdDdl(name) =
           old.substring(0, open + 2) + cols.mkString(",\n") +
             old.substring(close)
@@ -896,11 +898,112 @@ object DdlEmu {
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private[golden] def nullShadow(t: String) = s"__graft_nullsrc_$t"
 
+  /** CH prints CANONICAL type names in SHOW CREATE / DESC (ref
+    * src/DataTypes/DataTypeFactory.cpp alias registration): SQL-standard
+    * aliases resolve to the native name, and a plain Enum takes the
+    * width its values fit (Enum8 for -128..127, else Enum16; ref
+    * src/DataTypes/DataTypeEnum.cpp). Only the leading type token is
+    * rewritten — DEFAULT/CODEC expressions after it are left alone. */
+  private[golden] def canonTypeText(t0: String): String = {
+    var t = t0
+    val aliases = Map(
+      "tinyint" -> "Int8", "int1" -> "Int8", "byte" -> "Int8",
+      "smallint" -> "Int16", "int2" -> "Int16",
+      "int" -> "Int32", "int4" -> "Int32", "integer" -> "Int32",
+      "mediumint" -> "Int32",
+      "bigint" -> "Int64", "int8" -> "Int64",
+      "float" -> "Float32", "real" -> "Float32", "single" -> "Float32",
+      "double" -> "Float64",
+      "varchar" -> "String", "text" -> "String", "char" -> "String",
+      "blob" -> "String", "clob" -> "String",
+      "boolean" -> "Bool", "binary" -> "String")
+    // leading alias token (possibly wrapped in Nullable/Array/
+    // LowCardinality) — rewrite word-wise, case-insensitively, but only
+    // LOWER/UPPER-cased alias spellings: `Int8`-style canonical names
+    // must not match the `int8` alias
+    t = "(?<![\\w])([A-Za-z]+)(?![\\w(])".r.replaceAllIn(t, m => {
+      val w = m.group(1)
+      aliases.get(w.toLowerCase) match {
+        case Some(c) if w == w.toLowerCase || w == w.toUpperCase => c
+        case _ => m.group(1)
+      }
+    })
+    // Enum → Enum8/Enum16 by value range
+    val enumRe = "(?i)(?<![\\w])Enum\\(".r
+    enumRe.findFirstMatchIn(t).foreach { m =>
+      val vals = "=\\s*(-?\\d+)".r.findAllMatchIn(t.drop(m.end))
+        .map(_.group(1).toLong).toSeq
+      val w = if (vals.forall(v => v >= -128 && v <= 127)) "Enum8"
+        else "Enum16"
+      t = t.substring(0, m.start) + w + "(" + t.substring(m.end)
+    }
+    t
+  }
+
+  /** INDEX / PROJECTION / CONSTRAINT table-level definitions rendered
+    * the way InterpreterShowCreateQuery prints them: the index
+    * expression loses its call-style parens and gains the default
+    * GRANULARITY 1; a projection renders as an indented SELECT block
+    * with uppercased keywords. */
+  private def renderNonColumnDef(cd0: String): String = {
+    val cd = cd0.trim.replaceAll("\\s+", " ")
+    val idx = ("(?is)^INDEX\\s+`?([\\w]+)`?\\s*(.*?)\\s+TYPE\\s+(.+?)" +
+      "(?:\\s+GRANULARITY\\s+(\\d+))?$").r
+    val proj = "(?is)^PROJECTION\\s+`?([\\w]+)`?\\s*\\((.*)\\)$".r
+    cd match {
+      case idx(name, expr0, typ, gran) =>
+        var expr = expr0.trim
+        // `bf_idx(name)` parses as name + parenthesized expression —
+        // a single bare identifier renders without the parens
+        if (expr.matches("\\(\\s*`?[\\w]+`?\\s*\\)"))
+          expr = expr.stripPrefix("(").stripSuffix(")").trim
+        val g = Option(gran).getOrElse("1")
+        s"INDEX $name $expr TYPE $typ GRANULARITY $g"
+      case proj(name, body) =>
+        s"PROJECTION $name\n    (\n        ${renderProjectionSelect(body)}\n    )"
+      case other => other
+    }
+  }
+
+  private def renderProjectionSelect(body0: String): String = {
+    var b = body0.trim.replaceAll("\\s+", " ")
+    // uppercase the clause keywords (outside strings; projection bodies
+    // in the tests carry no string literals with keywords)
+    for (kw <- Seq("select", "apply", "order by", "group by", "with"))
+      b = ("(?i)(?<![\\w])" + kw.replace(" ", "\\s+") + "(?![\\w])").r
+        .replaceAllIn(b, kw.toUpperCase)
+    // ORDER BY / GROUP BY start a new line inside the block
+    b.replaceAll("\\s+(ORDER BY|GROUP BY)\\b", "\n        $1")
+  }
+
+  /** Table-level INDEX/PROJECTION/CONSTRAINT lines (already rendered),
+    * kept so regenDdl and ALTER ADD/DROP PROJECTION preserve them. */
+  private val extraDefs =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  private[golden] def addProjection(table: String, name: String,
+      body: String): Unit = {
+    val line =
+      s"PROJECTION $name\n    (\n        ${renderProjectionSelect(body)}\n    )"
+    extraDefs(table) = extraDefs.getOrElse(table, Nil) :+ line
+    regenDdl(table)
+  }
+  private[golden] def dropProjection(table: String, name: String): Unit = {
+    extraDefs.get(table).foreach { ds =>
+      extraDefs(table) = ds.filterNot(_.startsWith(s"PROJECTION $name\n"))
+    }
+    regenDdl(table)
+  }
+
   private def recordDdl(table: String, colDefs: String,
       engTail: String): Unit = {
     nullEngines(table) = Option(engTail).exists(_.matches(
       "(?is)\\s*(ENGINE\\s*=?\\s*)?Null\\b(?!\\w).*"))
-    val cols = splitTop(colDefs).map(_.trim).filter(_.nonEmpty).map { cd =>
+    val (extraRaw, colRaw) = splitTop(colDefs).map(_.trim)
+      .filter(_.nonEmpty).partition(isNonColumnDef)
+    val extras = extraRaw.map(renderNonColumnDef)
+    if (extras.nonEmpty) extraDefs(table) = extras
+    else extraDefs.remove(table)
+    val cols = colRaw.map { cd =>
       val sp = cd.indexWhere(_.isWhitespace)
       if (sp <= 0) cd
       else {
@@ -912,6 +1015,12 @@ object DdlEmu {
           descColsMap.get(table).flatMap(_.find(_.name == n))
             .filter(_.typ.nonEmpty)
             .foreach(c => rest = s"${c.typ} $rest")
+        else {
+          // canonicalize only the TYPE prefix, not default expressions
+          val stop = "(?i)\\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL|EPHEMERAL)\\b"
+            .r.findFirstMatchIn(rest).map(_.start).getOrElse(rest.length)
+          rest = canonTypeText(rest.take(stop)) + rest.drop(stop)
+        }
         s"`$n` $rest"
       }
     }
@@ -922,6 +1031,21 @@ object DdlEmu {
       .getOrElse("ENGINE = Memory")
     // CH prints MergeTree() as MergeTree and appends default SETTINGS
     eng = eng.replaceAll("(?i)^(ENGINE = \\w*MergeTree)\\(\\)", "$1")
+    // server-side macro expansion in Replicated zookeeper paths (ref
+    // src/Common/Macros.cpp; 01135 pins {database} -> default)
+    val curDb = Option(graft.ChSql.currentDb).filter(_.nonEmpty)
+      .getOrElse("default")
+    eng = eng.replace("{database}", curDb).replace("{table}", table)
+    // ODBC-style federation engines quote their identifier args (ref
+    // src/Storages/StorageODBC.cpp getCreateQuery; 01033)
+    val odbcRe = "(?i)^(ENGINE = (?:ODBC|JDBC)\\()([^)]*)(\\).*)$".r
+    eng = eng match {
+      case odbcRe(pre, args, post) =>
+        pre + splitTop(args).map(_.trim).map(a =>
+          if (a.matches("[A-Za-z_][\\w.]*")) s"'$a'" else a)
+          .mkString(", ") + post
+      case e => e
+    }
     if (eng.matches("(?is).*MergeTree\\b.*") &&
         !eng.matches("(?is).*\\bSETTINGS\\b.*"))
       eng += "\nSETTINGS index_granularity = 8192"
@@ -930,12 +1054,15 @@ object DdlEmu {
     else if (eng.matches("(?is).*MergeTree\\b.*") &&
         !eng.matches("(?is).*\\bindex_granularity\\b.*"))
       eng += ", index_granularity = 8192"
-    // ORDER BY/PARTITION BY/etc. clauses each on their own line
-    eng = eng.replaceAll(
-      "(?i)\\s+(ORDER BY|PARTITION BY|PRIMARY KEY|SAMPLE BY|TTL|SETTINGS)\\b",
-      "\n$1")
+    // ORDER BY/PARTITION BY/etc. clauses each on their own line,
+    // keywords uppercased (CH renders the AST, not the input casing)
+    eng =
+      ("(?i)\\s+(ORDER BY|PARTITION BY|PRIMARY KEY|SAMPLE BY|TTL|" +
+        "SETTINGS|COMMENT)\\b").r.replaceAllIn(eng,
+        m => "\n" + m.group(1).toUpperCase)
     createdDdl(table) = "CREATE TABLE default." + table + "\n(\n" +
-      cols.map("    " + _).mkString(",\n") + "\n)\n" + eng
+      (cols ++ extraDefs.getOrElse(table, Nil))
+        .map("    " + _).mkString(",\n") + "\n)\n" + eng
   }
 
   private def recordChTypes(table: String, colDefs: String): Unit = {
@@ -2132,9 +2259,22 @@ object DdlEmu {
         true
       // projections are a physical-layout optimization (ref
       // src/Storages/ProjectionsDescription.cpp) — reads stay correct
-      // without them, so the DDL is metadata-only here
+      // without them, so the DDL only updates SHOW CREATE metadata
       case s if s.matches("(?is)^ALTER\\s+TABLE\\s+`?[\\w.]+`?\\s+" +
           "(ADD|DROP|CLEAR|MATERIALIZE)\\s+PROJECTION\\b.*") =>
+        val tm = "(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+(\\w+)\\s+PROJECTION\\s+(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?`?([\\w]+)`?\\s*(.*)$"
+          .r.findFirstMatchIn(s)
+        tm.foreach { m =>
+          val (t, op, pname, rest) =
+            (m.group(1), m.group(2).toUpperCase, m.group(3),
+              m.group(4).trim.stripSuffix(";").trim)
+          op match {
+            case "ADD" if rest.startsWith("(") && rest.endsWith(")") =>
+              addProjection(t, pname, rest.drop(1).dropRight(1))
+            case "DROP" => dropProjection(t, pname)
+            case _ =>
+          }
+        }
         true
       // table-settings tweaks don't change observable results here
       case s if s.matches("(?is)^ALTER\\s+TABLE\\s+`?[\\w.]+`?\\s+" +

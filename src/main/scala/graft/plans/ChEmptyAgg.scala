@@ -38,7 +38,7 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
               if ae.getTagValue(tag).isEmpty && defaultable(f, scope) =>
             ae.setTagValue(tag, true)
             changed = true
-            Coalesce(Seq(ae, Literal.default(ae.dataType)))
+            Coalesce(Seq(ae, emptyDefault(f, ae.dataType)))
         }.asInstanceOf[NamedExpression]
       }
       if (changed) agg.copy(aggregateExpressions = rewritten) else agg
@@ -95,7 +95,23 @@ object ChEmptyAggRule extends Rule[LogicalPlan] {
       case Max(c) => chNonNullable(c, scope)
       case First(c, _) => chNonNullable(c, scope)
       case Last(c, _) => chNonNullable(c, scope)
+      // avg over the empty set is 0/0 = nan (ref
+      // AggregateFunctionAvg.h: divides untouched sums), not NULL
+      case a: Average if a.dataType ==
+          org.apache.spark.sql.types.DoubleType =>
+        chNonNullable(a.child, scope)
       case _ => false
     }
+  }
+
+  /** The value CH's insertResultInto emits from an untouched state:
+    * the type default for sum/min/max/any, nan for avg (0/0). */
+  private def emptyDefault(
+      f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction,
+      dt: org.apache.spark.sql.types.DataType): Expression = f match {
+    case _: org.apache.spark.sql.catalyst.expressions.aggregate.Average =>
+      Literal(Double.NaN, org.apache.spark.sql.types.DoubleType)
+    case _ => Literal.default(dt)
   }
 }
