@@ -193,7 +193,7 @@ object ChSql {
     "quantilesTimingWeighted", "quantileBFloat16", "quantilesBFloat16",
     "quantileBFloat16Weighted", "quantilesBFloat16Weighted",
     "quantileDeterministic", "quantilesDeterministic", "sparkbar",
-    "groupArraySample", "topK", "uniqUpTo",
+    "groupArraySample", "topK", "topKWeighted", "uniqUpTo",
     "uniqUpToArray", "histogram", "groupArrayInsertAt", "groupArrayLast",
     "groupArrayLastArray", "exponentialMovingAverage",
     "exponentialTimeDecayedSum", "exponentialTimeDecayedCount",
@@ -1500,6 +1500,108 @@ object ChSql {
     replaceOutsideStrings(sql,
       "(?<![\\w.])(sum|count|avg|min|max|any)(If)?\\(",
       "$1OrNull$2(")
+  }
+
+  /** optimize_rewrite_sum_if_to_count_if=1 under the OLD analyzer
+    * reproduces the reference's rewrite INCLUDING its NULL-condition
+    * bug: sum(if(c, 0, 1)) becomes countIf(NOT c), which counts 0 when
+    * c is NULL (ref RewriteSumIfFunctionVisitor.cpp; 02495 pins 0 for
+    * the old analyzer and 1024 for the new one). */
+  private[graft] def rewriteSumIfToCountIf(sql: String): String = {
+    def confVal(k: String, d: String) =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.ch." + k, d)
+      catch { case _: Throwable => d }
+    // per-query `SETTINGS k=v` overrides the session conf (02495 sets
+    // both per statement)
+    def inline(k: String): Option[String] =
+      ("(?is)\\bSETTINGS\\b[^;]*\\b" + k + "\\s*=\\s*(\\w+)").r
+        .findFirstMatchIn(sql).map(_.group(1))
+    val rewriteOn = inline("optimize_rewrite_sum_if_to_count_if")
+      .getOrElse(confVal("optimize_rewrite_sum_if_to_count_if", "0"))
+      .trim == "1"
+    val newAnalyzer = inline("allow_experimental_analyzer")
+      .getOrElse(confVal("allow_experimental_analyzer", "0")).trim == "1"
+    if (!rewriteOn || newAnalyzer) return sql
+    var s = sql
+    var guard = 0
+    var idx = s.toLowerCase.indexOf("sum(if(")
+    while (idx >= 0 && guard < 32) {
+      guard += 1
+      val ifOpen = idx + 6 // the if's '('
+      val close = matchParen(s, ifOpen)
+      val outerClose = if (close > 0) matchParen(s, idx + 3) else -1
+      if (close > 0 && outerClose == close + 1) {
+        val args = splitTopLevelCommas(s.substring(ifOpen + 1, close))
+          .map(_.trim)
+        if (args.length == 3 && (
+          (args(1) == "1" && args(2) == "0") ||
+            (args(1) == "0" && args(2) == "1"))) {
+          val cond =
+            if (args(1) == "1") args.head else s"NOT (${args.head})"
+          s = s.substring(0, idx) + s"countIf($cond)" +
+            s.substring(outerClose + 1)
+        }
+      }
+      idx = s.toLowerCase.indexOf("sum(if(", idx + 1)
+    }
+    // sumIf(1, cond) → countIf(cond)
+    var idx2 = s.toLowerCase.indexOf("sumif(")
+    guard = 0
+    while (idx2 >= 0 && guard < 32) {
+      guard += 1
+      val open = idx2 + 5
+      val close = matchParen(s, open)
+      if (close > 0) {
+        val args = splitTopLevelCommas(s.substring(open + 1, close))
+          .map(_.trim)
+        if (args.length == 2 && args.head == "1")
+          s = s.substring(0, idx2) + s"countIf(${args(1)})" +
+            s.substring(close + 1)
+      }
+      idx2 = s.toLowerCase.indexOf("sumif(", idx2 + 1)
+    }
+    s
+  }
+
+  /** finalizeAggregation(initializeAggregation('xState', …)) collapses
+    * to initializeAggregation('x', …) — the single-row FINAL value
+    * (ref src/Functions/finalizeAggregation.cpp over an initialized
+    * state; 02097). */
+  private[graft] def rewriteFinalizeInit(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var i = s.toLowerCase.indexOf("finalizeaggregation(")
+    while (i >= 0 && guard < 32) {
+      guard += 1
+      val open = i + "finalizeAggregation".length
+      val close = matchParen(s, open)
+      val inner = if (close > 0) s.substring(open + 1, close).trim else ""
+      val m = "(?is)^initializeAggregation\\(\\s*'(\\w+?)State'".r
+        .findFirstMatchIn(inner)
+      if (close > 0 && m.isDefined) {
+        val collapsed = inner.replaceFirst(
+          "(?is)^initializeAggregation\\(\\s*'(\\w+?)State'",
+          "initializeAggregation('$1'")
+        s = s.substring(0, i) + collapsed + s.substring(close + 1)
+      }
+      i = s.toLowerCase.indexOf("finalizeaggregation(", i + 1)
+    }
+    s
+  }
+
+  /** index of the ')' matching the '(' at `open` (string-aware). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
   }
 
   private[graft] def rewriteUntuple(sql: String): String = {
@@ -3763,6 +3865,8 @@ object ChSql {
       rewriteColonCast(rewriteScalarWithDeep(rewriteGroupByAll(rewriteColumnTransformers(rewriteMapLiterals(rewriteLiveViewVersion(rewriteFileTvf(rewriteUntuple(
         rewriteStringEscapes(chSql2)))))))))))
     s0 = rewriteBoolDisplay(s0, preItems)
+    s0 = rewriteSumIfToCountIf(s0)
+    s0 = rewriteFinalizeInit(s0)
     // aggregate_functions_null_for_empty needs no EXECUTION rewrite:
     // Spark's global aggregates over an empty input already return
     // NULL (the -OrNull semantics; 01559/02515 pass natively). Only
@@ -5216,9 +5320,16 @@ object ChSql {
               linesDf(head ++ (if (tail.isEmpty) Nil else Seq(tail)))
             case None => linesDf(translate(rest).trim.linesIterator.toSeq)
           }
-        } else chFormatSelect(rest) match {
+        } else ChExplain.explainSyntax(rest0) match {
+          // the AST-based formatter (parser + TreeOptimizer display
+          // passes + the reference's paren/layout rules) handles the
+          // general statement shapes; the string-level chFormatSelect
+          // stays as the fallback for constructs it can't parse
           case Some(lines) => linesDf(lines)
-          case None => linesDf(translate(rest).trim.linesIterator.toSeq)
+          case None => chFormatSelect(rest) match {
+            case Some(lines) => linesDf(lines)
+            case None => linesDf(translate(rest).trim.linesIterator.toSeq)
+          }
         }
       case "AST" =>
         linesDf(planLines(
@@ -6106,7 +6217,26 @@ object ChSql {
       }
       val out = new StringBuilder
       branches.zipWithIndex.foreach { case (br, k) =>
-        if (k > 0) out.append(t.substring(seps(k - 1)._1, seps(k - 1)._2))
+        if (k > 0) {
+          val sep = t.substring(seps(k - 1)._1, seps(k - 1)._2)
+          out.append(sep)
+          // CH's bare INTERSECT/EXCEPT default to ALL semantics
+          // (intersect_default_mode/except_default_mode; Spark's
+          // operators are DISTINCT — 02552 pins the multiplicity)
+          val bare = sep.trim.toUpperCase
+          // only a real set-operation branch (SELECT or parenthesized
+          // select follows) — `* EXCEPT col` transformers must not
+          // gain an ALL (00502)
+          val follows = br.trim
+          if ((bare == "INTERSECT" || bare == "EXCEPT") &&
+              follows.matches("(?is)^\\(*\\s*SELECT\\b.*")) {
+            val mode =
+              try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+                "graft.ch." + bare.toLowerCase + "_default_mode", "ALL")
+              catch { case _: Throwable => "ALL" }
+            if (mode.toUpperCase.contains("ALL")) out.append(" ALL")
+          }
+        }
         val tr = br.trim
         if (hasModifier(br) && !alreadyWrapped(br) &&
           "(?is)^(SELECT|WITH)\\b".r.findPrefixMatchOf(tr).isDefined) {
@@ -6403,9 +6533,18 @@ object ChSql {
           try {
             val df = sql(spark, totQ, sfDir)
             Some(df.select(df.schema.fields.map { f =>
-              import org.apache.spark.sql.functions.{coalesce, col}
-              defaultLit(f.dataType)
-                .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name))
+              import org.apache.spark.sql.functions.{coalesce, col, lit}
+              // an Enum-declared key takes the enum's default NAME
+              // (first declared entry; ref DataTypeEnum getDefault —
+              // 00388 pins 'hello' on the totals row)
+              val enumDef = declaredColumnType(f.name)
+                .filter(_.matches("(?is)\\s*Enum(8|16)?\\s*\\(.*"))
+                .flatMap(t => "'((?:[^'\\\\]|\\\\.)*)'".r
+                  .findFirstMatchIn(t).map(_.group(1)))
+              enumDef.map(n => coalesce(col(s"`${f.name}`"),
+                  lit(n)).as(f.name))
+                .orElse(defaultLit(f.dataType)
+                  .map(d => coalesce(col(s"`${f.name}`"), d).as(f.name)))
                 .getOrElse(col(s"`${f.name}`"))
             }.toSeq: _*))
           } catch { case _: Exception => None }

@@ -89,8 +89,10 @@ object ChOutputFormats {
         val q64 = ctx.int("output_format_json_quote_64bit_integers", 1L) != 0L
         namedTuplesAsObjects.set(ctx.int(
           "output_format_json_named_tuples_as_objects", 0L) != 0L)
+        quoteFloats.set(ctx.int(
+          "output_format_json_quote_64bit_floats", 0L) != 0L)
         try bs.flatten.map(jsonEachRow(schema, _, esc, q64, ctx.colType))
-        finally namedTuplesAsObjects.set(false)
+        finally { namedTuplesAsObjects.set(false); quoteFloats.set(false) }
       // row as a JSON array, fields joined with ", " (ref
       // JSONCompactEachRowRowOutputFormat.cpp writeFieldDelimiter)
       case "jsoncompacteachrow" | "jsoncompactstringseachrow" =>
@@ -511,13 +513,17 @@ object ChOutputFormats {
     case (d: java.math.BigDecimal, _: DecimalType) =>
       d.stripTrailingZeros.toPlainString
     case (d: java.lang.Double, _) =>
-      if (d.isNaN) "nan"
-      else if (d.isInfinite) (if (d > 0) "inf" else "-inf")
-      else graft.golden.Golden.chDouble(d)
+      val t =
+        if (d.isNaN) "nan"
+        else if (d.isInfinite) (if (d > 0) "inf" else "-inf")
+        else graft.golden.Golden.chDouble(d)
+      if (quoteFloats.get()) "\"" + t + "\"" else t
     case (f: java.lang.Float, _) =>
-      if (f.isNaN) "nan"
-      else if (f.isInfinite) (if (f > 0) "inf" else "-inf")
-      else graft.golden.Golden.chFloat(f)
+      val t =
+        if (f.isNaN) "nan"
+        else if (f.isInfinite) (if (f > 0) "inf" else "-inf")
+        else graft.golden.Golden.chFloat(f)
+      if (quoteFloats.get()) "\"" + t + "\"" else t
     case (a: scala.collection.Seq[_], ArrayType(et, _)) =>
       a.map(jsonVal(_, et, escSlash, quote64)).mkString("[", ",", "]")
     case (r: Row, StructType(fs)) =>
@@ -542,6 +548,11 @@ object ChOutputFormats {
   /** render-scope flag for struct-as-object (threaded via ThreadLocal
     * to keep jsonVal's recursive signature stable). */
   private val namedTuplesAsObjects = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** output_format_json_quote_64bit_floats (default 0; 02423). */
+  private val quoteFloats = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
 

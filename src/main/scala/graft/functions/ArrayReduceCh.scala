@@ -28,7 +28,15 @@ object ArrayReduceCh {
     case "anyLast" => get(arrs.head, size(arrs.head) - 1)
     case "uniq" | "uniqExact" =>
       size(array_distinct(arrs.head)).cast("bigint")
-    case "groupArray" => arrs.head
+    case "groupArray" | "groupArrayState" | "quantileState" |
+         "quantilesState" | "medianState" => arrs.head
+    case "uniqState" | "uniqExactState" | "groupUniqArrayState" =>
+      array_sort(array_distinct(arrs.head))
+    case "sumState" => dsum(arrs.head)
+    case "minState" => array_min(arrs.head)
+    case "maxState" => array_max(arrs.head)
+    case "avgState" =>
+      struct(dsum(arrs.head).as("s"), size(arrs.head).cast("bigint").as("c"))
     case "groupUniqArray" => array_distinct(arrs.head)
     case UpTo(k) =>
       // uniqUpTo(K): exact distinct up to K, K+1 past it (ref

@@ -193,7 +193,8 @@ object ChRegistry {
             ch.toDayOfWeek(from_utc_timestamp(
               C(a).cast("timestamp"), s.toString))
         }.getOrElse(ch.toDayOfWeek(zonedWall(a)))
-        val mode = litInt(es(1))
+        // WeekDayMode is the low two bits (mode 5 behaves like 1)
+        val mode = litInt(es(1)) & 3
         val sunday = mode == 2 || mode == 3
         val zeroBased = mode == 1 || mode == 2
         val r1 = if (sunday) base % 7 + 1 else base
@@ -2550,6 +2551,91 @@ object ChRegistry {
           lit(1.0) / (lit(1.0) + exp(-z))).otherwise(z)
       }
     }
+    // topKWeighted family (ref AggregateFunctionTopK.cpp weighted
+    // path): state = the collected (value, weight) pairs; merge sums
+    // weights per value and emits count-descending
+    locally {
+      def topKWeightedFinal(pairs: Column, k: Column): Column = {
+        // tie-break matches SpaceSaving eviction: equal weights keep
+        // the LATER-inserted values (01356 pins [990..999])
+        val idx = transform(pairs, (p, i) =>
+          struct(p.getField("v").as("v"), p.getField("w").as("w"),
+            i.cast("long").as("i")))
+        val vals = array_distinct(transform(pairs, p => p.getField("v")))
+        slice(
+          transform(
+            array_sort(transform(vals, v => {
+              val mine = filter(idx, p => p.getField("v") <=> v)
+              struct(
+                (lit(0L) - aggregate(mine, lit(0L),
+                  (acc, p) => acc + p.getField("w").cast("bigint")))
+                  .as("n"),
+                (lit(0L) - aggregate(mine, lit(0L),
+                  (acc, p) => greatest(acc, p.getField("i")))).as("p"),
+                v.as("v"))
+            })),
+            s => s.getField("v")),
+          lit(1), k.cast("int"))
+      }
+      f("topKWeighted") {
+        case Seq(v, w) =>
+          topKWeightedFinal(collect_list(struct(C(v).as("v"),
+            C(w).as("w"))), lit(10))
+        case Seq(v, w, k) =>
+          topKWeightedFinal(collect_list(struct(C(v).as("v"),
+            C(w).as("w"))), C(k))
+      }
+      f("topKWeightedState") {
+        case v +: w +: _ =>
+          collect_list(struct(C(v).as("v"), C(w).as("w")))
+      }
+      f("topKWeightedMerge") {
+        case Seq(s) =>
+          topKWeightedFinal(flatten(collect_list(C(s))), lit(10))
+        case Seq(s, k) =>
+          topKWeightedFinal(flatten(collect_list(C(s))), C(k))
+      }
+    }
+    // initializeAggregation('fn', args…): the aggregate's state (or
+    // final value) over this single row, as a SCALAR (ref
+    // src/Functions/initializeAggregation.cpp). Emits the engine's
+    // documented state encodings (set/list states are the collected
+    // values; avg is a (sum, count) pair; value-is-state otherwise).
+    f("initializeAggregation") {
+      case nameE +: args if args.nonEmpty =>
+        val raw = nameE match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => other.toString
+        }
+        val m = "^(\\w+?)(?:\\((.*)\\))?$".r.findFirstMatchIn(raw.trim)
+          .getOrElse(throw new IllegalArgumentException(
+            s"initializeAggregation: bad name $raw"))
+        val base = m.group(1)
+        val a = args.map(C)
+        base match {
+          case "uniqState" | "uniqExactState" | "uniqCombinedState" |
+               "uniqHLL12State" | "groupArrayState" |
+               "groupUniqArrayState" | "quantileState" |
+               "quantilesState" | "medianState" =>
+            array(a.head)
+          case "avgState" =>
+            struct(a.head.cast("double").as("s"), lit(1L).as("c"))
+          case "topKWeightedState" =>
+            array(struct(a(0).as("v"), a(1).as("w")))
+          case "sumState" | "minState" | "maxState" | "anyState" |
+               "anyLastState" | "sumWithOverflowState" =>
+            a.head
+          case "countState" =>
+            when(a.head.isNotNull, lit(1L)).otherwise(lit(0L))
+          case "uniq" | "uniqExact" | "count" =>
+            when(a.head.isNotNull, lit(1L)).otherwise(lit(0L))
+          case "sum" | "min" | "max" | "any" | "anyLast" => a.head
+          case "groupArray" | "groupUniqArray" => array(a.head)
+          case other => throw new IllegalArgumentException(
+            s"initializeAggregation: unsupported $other")
+        }
+    }
     // topK(x, k): most-frequent values, count-descending (ref
     // SpaceSaving.h — exact here; the sketch only matters above memory)
     f("topK") {
@@ -3302,7 +3388,10 @@ object ChRegistry {
         case 0 if a.resolved => a.dataType match {
           case ByteType => 1; case ShortType => 2; case IntegerType => 4
           case LongType => 8; case FloatType => 4; case DoubleType => 8
-          case DateType => 2; case _ => 0
+          case DateType => 2
+          case d: org.apache.spark.sql.types.DecimalType
+              if d.scale == 0 => 8
+          case _ => 0
         }
         case x => x
       }

@@ -986,6 +986,22 @@ object ChTypes {
         fnType(n.dropRight(5), args, scope, go)
       case n if n.endsWith("State") && n.length > 5 =>
         fnType(n.dropRight(5), args, scope, go)
+      // initializeAggregation('fnState', args…) carries the CH state
+      // type name (ref src/Functions/initializeAggregation.cpp; 02097
+      // pins AggregateFunction(uniqExact, Nullable(UInt8)))
+      case "initializeAggregation" if args.nonEmpty =>
+        args.head match {
+          case StrL(raw) =>
+            val base0 = raw.trim.replaceAll("\\(.*\\)$", "")
+            if (base0.endsWith("State")) {
+              val argTs = args.tail.map(a => go(a, scope))
+              if (argTs.forall(_.isDefined))
+                Some(Scalar(s"AggregateFunction(${base0.dropRight(5)}, " +
+                  argTs.map(_.get.name).mkString(", ") + ")"))
+              else None
+            } else fnType(base0, args.tail, scope, go)
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -64,6 +64,9 @@ case class ChReinterpret(child: Expression, target: String, srcWidth: Int)
     case DateType => leBytesOf(input.asInstanceOf[Int].toLong, 2)
     case TimestampType => leBytesOf(
       Math.floorDiv(input.asInstanceOf[Long], 1000000L), 4)
+    case d: DecimalType if d.scale == 0 =>
+      leBytesOf(input.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toBigDecimal.toBigInt.longValue, 8)
     case StringType =>
       input.asInstanceOf[UTF8String].getBytes
     case BinaryType => input.asInstanceOf[Array[Byte]]

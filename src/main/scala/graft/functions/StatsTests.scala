@@ -248,6 +248,12 @@ class AnovaAgg extends org.apache.spark.sql.expressions.Aggregator[
     val ssb = m.values.map { case (c, s, _) =>
       val gm = s / c; c * (gm - grandMean) * (gm - grandMean) }.sum
     val ssw = m.values.map { case (c, s, q) => q - s * s / c }.sum
+    // a numerically-degenerate spread (all values identical up to
+    // double rounding) is 0/0 in the reference → (nan, nan); the
+    // float residue of q - s²/c must not masquerade as variance
+    val totalQ = m.values.map(_._3).sum
+    if (ssw.abs <= 1e-10 * totalQ.abs && ssb.abs <= 1e-10 * totalQ.abs)
+      return (Double.NaN, Double.NaN)
     val f = (ssb / (k - 1)) / (ssw / (n - k))
     if (!java.lang.Double.isFinite(f) || f < 0) return (f, Double.NaN)
     val dist = new org.apache.commons.math3.distribution.FDistribution(

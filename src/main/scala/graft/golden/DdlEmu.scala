@@ -890,6 +890,43 @@ object DdlEmu {
   private val createdDdl =
     scala.collection.concurrent.TrieMap.empty[String, String]
   def showCreate(name: String): Option[String] = createdDdl.get(name)
+  /** ENGINE and SETTINGS lines of the canonical CREATE (the explain
+    * prewhere display needs the storage kind and wide-part settings). */
+  def engineTextOf(name: String): Option[String] =
+    createdDdl.get(name).flatMap(
+      _.linesIterator.find(_.startsWith("ENGINE = ")))
+  def settingsTextOf(name: String): Option[String] =
+    createdDdl.get(name).flatMap(
+      _.linesIterator.find(_.startsWith("SETTINGS ")))
+  def knownTables: Set[String] = createdDdl.keySet.toSet
+  /** ALTER TABLE … MODIFY SETTING overrides (part-type thresholds). */
+  val settingOverrides = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Long]]
+  /** Estimated in-memory width of a CH type (part-type estimation). */
+  def chTypeWidth(t: String): Int = {
+    val b = t.trim.replaceAll("(?i)^(Nullable|LowCardinality)\\(", "")
+    if (b.matches("(?i)(UInt8|Int8|Enum8|Bool).*")) 1
+    else if (b.matches("(?i)(UInt16|Int16|Date|Enum16).*")) 2
+    else if (b.matches("(?i)(UInt32|Int32|Float32|DateTime|IPv4).*")) 4
+    else if (b.matches("(?i)(UInt64|Int64|Float64|DateTime64|Decimal).*")) 8
+    else 100
+  }
+  /** Part type at creation time (ref MergeTreeDataWriter choosePartType:
+    * Wide iff rows >= min_rows_for_wide_part AND bytes >=
+    * min_bytes_for_wide_part, with bytes estimated from declared
+    * widths; 01606/01824). */
+  def partTypeFor(table: String, rows: Long): String = {
+    val st = settingsTextOf(table).getOrElse("")
+    val over = settingOverrides.getOrElse(table, Map.empty)
+    def num(k: String, d: Long): Long = over.getOrElse(k,
+      (k + "\\s*=\\s*(\\d+)").r.findFirstMatchIn(st)
+        .map(_.group(1).toLong).getOrElse(d))
+    val minRows = num("min_rows_for_wide_part", 0L)
+    val minBytes = num("min_bytes_for_wide_part", 10485760L)
+    val rowW = chTypes.get(table)
+      .map(_.values.map(chTypeWidth).sum.max(1)).getOrElse(16)
+    if (rows >= minRows && rows * rowW >= minBytes) "Wide" else "Compact"
+  }
   /** Tables with ENGINE = Null: direct reads are empty, but a
     * MATERIALIZED VIEW over one still sees every inserted block (ref
     * src/Storages/StorageNull.h) — inserts land in a shadow store the
@@ -980,6 +1017,27 @@ object DdlEmu {
     * kept so regenDdl and ALTER ADD/DROP PROJECTION preserve them. */
   private val extraDefs =
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  /** Simple one-column ASSUME constraints per table, for the
+    * constraints-based WHERE simplification display (ref
+    * src/Interpreters/WhereConstraintsOptimizer.cpp; 01622):
+    * (column, op, bound) with op in <, <=, >, >=, =. */
+  val assumeConstraints = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String, BigDecimal)]]
+  private def recordConstraints(table: String,
+      extraRaw: Seq[String]): Unit = {
+    val re = ("(?is)^CONSTRAINT\\s+`?\\w+`?\\s+ASSUME\\s+" +
+      "`?(\\w+)`?\\s*(<=|>=|<|>|==?)\\s*(-?\\d+(?:\\.\\d+)?)$").r
+    // splitTop's angle-bracket tracking miscounts the `>` of `>=`, so
+    // several constraints can arrive glued in one item — re-split flat
+    val cs = extraRaw.flatMap(x => splitTop(x, angled = false))
+      .map(_.trim.replaceAll("\\s+", " ")).flatMap { cd =>
+        re.findFirstMatchIn(cd).map(m =>
+          (m.group(1), if (m.group(2) == "==") "=" else m.group(2),
+            BigDecimal(m.group(3))))
+      }
+    if (cs.nonEmpty) assumeConstraints(table) = cs
+    else assumeConstraints.remove(table)
+  }
   private[golden] def addProjection(table: String, name: String,
       body: String): Unit = {
     val line =
@@ -1003,6 +1061,7 @@ object DdlEmu {
     val extras = extraRaw.map(renderNonColumnDef)
     if (extras.nonEmpty) extraDefs(table) = extras
     else extraDefs.remove(table)
+    recordConstraints(table, extraRaw)
     val cols = colRaw.map { cd =>
       val sp = cd.indexWhere(_.isWhitespace)
       if (sp <= 0) cd
@@ -1638,7 +1697,8 @@ object DdlEmu {
             "\\s*(?:\\bFINAL\\b|\\bDEDUPLICATE\\b|$)").r
             .findFirstMatchIn(st)
           PartsLog.onOptimize(n, pspec.map(_.group(2).trim),
-            byId = pspec.exists(_.group(1) != null))
+            byId = pspec.exists(_.group(1) != null),
+            isFinal = st.matches("(?is).*\\bFINAL\\b.*"))
         }
         // OPTIMIZE … DEDUPLICATE drops fully-identical rows (ref
         // src/Interpreters/InterpreterOptimizeQuery.cpp; 01412)
@@ -1907,6 +1967,8 @@ object DdlEmu {
         // DROP of a detached table removes its staged snapshot too —
         // else a later re-CREATE + RENAME trips TABLE_ALREADY_EXISTS
         detachedDf.remove(name)
+        extraDefs.remove(name); assumeConstraints.remove(name)
+        settingOverrides.remove(name)
         detachedParts.filterInPlace((k, _) => k._1 != name)
         spark.catalog.dropTempView(s"__graft_final_$name"); true
       case truncateRe(name) =>
@@ -2205,6 +2267,24 @@ object DdlEmu {
         handleAlterColumns(spark, sfDir, name, ops)
       case alterUpdateRe(name, assigns, cond) =>
         mutationsLog.add((name, s"UPDATE ${assigns.trim} WHERE ${cond.trim}"))
+        PartsLog.onMutate(name, { d =>
+          val assigned0 = splitTop(assigns).map { a =>
+            val eq = a.indexOf('=')
+            a.take(eq).trim.stripPrefix("`").stripSuffix("`") ->
+              a.drop(eq + 1).trim
+          }.toMap
+          val cs = d.columns.map { n =>
+            assigned0.get(n) match {
+              case Some(e) =>
+                val dt = d.schema(n).dataType
+                expr(s"CASE WHEN (${graft.ChSql.translate(cond).trim}) " +
+                  s"THEN (${graft.ChSql.translate(e).trim}) " +
+                  s"ELSE `$n` END").cast(dt).as(n)
+              case None => col(s"`$n`")
+            }
+          }
+          d.select(cs.toSeq: _*)
+        })
         val target = storedDf(spark, name)
         val assigned = splitTop(assigns).map { a =>
           val eq = a.indexOf('=')
@@ -2276,9 +2356,19 @@ object DdlEmu {
           }
         }
         true
-      // table-settings tweaks don't change observable results here
+      // table-settings tweaks: track the wide-part thresholds (01606
+      // freezes part types at creation against the CURRENT settings)
       case s if s.matches("(?is)^ALTER\\s+TABLE\\s+`?[\\w.]+`?\\s+" +
           "(MODIFY|RESET)\\s+SETTING\\b.*") =>
+        val mm = ("(?is)^ALTER\\s+TABLE\\s+`?([\\w.]+)`?\\s+MODIFY\\s+" +
+          "SETTING\\s+(.*)$").r.findFirstMatchIn(s)
+        mm.foreach { m =>
+          val kvs = "(\\w+)\\s*=\\s*(\\d+)".r.findAllMatchIn(m.group(2))
+            .map(x => x.group(1) -> x.group(2).toLong).toMap
+          if (kvs.nonEmpty)
+            settingOverrides(m.group(1)) =
+              settingOverrides.getOrElse(m.group(1), Map.empty) ++ kvs
+        }
         true
       // ALTER … DETACH/DROP/ATTACH PARTITION <value> (ref
       // src/Storages/MergeTree/MergeTreeData.cpp partition ops): rows

@@ -378,7 +378,18 @@ object Golden {
           }
         case None => Seq(chunk)
       }
-    raw.toSeq.flatMap(splitFmtData)
+    // a mid-chunk `-- { serverError/clientError }` annotation ends its
+    // statement at that LINE even without a ';' (clickhouse-client
+    // newline rule) — split the swallowed follow-up statements back out
+    // (02165: `… VALUES (1) -- { clientError } \n EXPLAIN …;`)
+    def splitErrAnnotated(chunk: String): Seq[String] =
+      ("(?s)^(.*?--\\s*\\{\\s*(?:server|client)Error[^}\\n]*\\}[^\\S\\n]*)\\n" +
+        "(\\s*\\S.*)$").r.findFirstMatchIn(chunk) match {
+        case Some(m) if m.group(2).trim.nonEmpty =>
+          m.group(1) +: splitErrAnnotated(m.group(2))
+        case _ => Seq(chunk)
+      }
+    raw.toSeq.flatMap(splitErrAnnotated).flatMap(splitFmtData)
   }
 
   private val EchoMarker = "\\s*--\\s*\\{\\s*(echo|echoOn|echoOff)\\s*\\}\\s*".r
@@ -605,9 +616,24 @@ object Golden {
           if (blockSize == Long.MaxValue || rows.isEmpty) Seq(rows)
           else rows.grouped(blockSize.toInt).toSeq
         }
+        // per-statement `SETTINGS k=v, ...` tail (normalized to sit
+        // before FORMAT above) overrides session SET for format options
+        // (ref InterpreterSetQuery::applySettingsFromQuery; 02423)
+        val inlineSettings: Map[String, String] =
+          "(?is)\\bSETTINGS\\s+((?:\\w+\\s*=\\s*[^,;]+)(?:\\s*,\\s*\\w+\\s*=\\s*[^,;]+)*)\\s*$".r
+            .findFirstMatchIn(bare).map { m =>
+              graft.ChSql.splitTopLevelCommas(m.group(1)).flatMap { asn =>
+                asn.split("=", 2) match {
+                  case Array(k0, v0) if k0.trim.matches("\\w+") =>
+                    Some(k0.trim.toLowerCase -> v0.trim)
+                  case _ => None
+                }
+              }.toMap
+            }.getOrElse(Map.empty)
         val ctx = graft.formats.ChOutputFormats.Ctx(colType =
           n => graft.ChSql.declaredColumnType(n), get = k =>
-          settings.get(k).map(_.stripPrefix("'").stripSuffix("'")))
+          inlineSettings.get(k).orElse(settings.get(k))
+            .map(_.stripPrefix("'").stripSuffix("'")))
         if (jsonDoc) {
           // the JSON document formats carry meta (CH names + types),
           // totals/extremes sections, and rows_before_limit_at_least

@@ -21,8 +21,16 @@ object PartsLog {
     partitionId: String, minBlock: Long, maxBlock: Long, level: Int,
     rows: Long, var active: Boolean, var detached: Boolean,
     df: Option[DataFrame] = None,
-    objStates: Map[String, JsonObject.ObjState] = Map.empty) {
+    objStates: Map[String, JsonObject.ObjState] = Map.empty,
+    partType: String = null,
+    /** pre-mutation snapshot: ALTER UPDATE rewrites only the mutated
+      * column file, leaving the part's serialization kinds as written
+      * (02662) — kinds compute from here until a merge rebuilds */
+    kindDf: Option[DataFrame] = None) {
     def name: String = s"${partitionId}_${minBlock}_${maxBlock}_$level"
+    /** frozen at creation; legacy parts fall back to the live rule */
+    def typ: String =
+      if (partType != null) partType else DdlEmu.partTypeFor(table, rows)
   }
 
   private val parts = scala.collection.concurrent.TrieMap
@@ -188,7 +196,8 @@ object PartsLog {
       buf.synchronized {
         buf += Part(table, "tuple()", "all", b, b, 0, n,
           active = true, detached = false, df = Some(rows),
-          objStates = objStates)
+          objStates = objStates,
+          partType = DdlEmu.partTypeFor(table, n))
       }
       return
     }
@@ -225,7 +234,8 @@ object PartsLog {
         buf += Part(table, displayPartition(v, unpartitioned = false),
           partId(v, unpartitioned = false), b, b, 0, n,
           active = true, detached = false, df = Some(rows.filter(cond)),
-          objStates = objStates)
+          objStates = objStates,
+          partType = DdlEmu.partTypeFor(table, n))
       }
     }
   }
@@ -241,15 +251,41 @@ object PartsLog {
       s.stripPrefix("'").stripSuffix("'") == p.partitionId
   }
 
+  /** ALTER UPDATE rewrites every part's row snapshot in place (rows
+    * and lineage unchanged) so serialization kinds recompute against
+    * the mutated values (02662). */
+  def onMutate(table: String, f: DataFrame => DataFrame): Unit = {
+    val buf = parts.getOrElse(table, return)
+    buf.synchronized {
+      val upd = buf.map(p =>
+        if (p.df.isDefined)
+          p.copy(df = p.df.map(f),
+            kindDf = p.kindDf.orElse(p.df))
+        else p).toSeq
+      buf.clear(); buf ++= upd
+    }
+  }
+
   def onOptimize(table: String, partSpec: Option[String],
-      byId: Boolean): Unit = {
+      byId: Boolean, isFinal: Boolean = false): Unit = {
     if (!enabled) return
     val buf = parts.getOrElse(table, return)
     buf.synchronized {
       val targets = buf.filter(p => p.active && !p.detached &&
         partSpec.forall(sp => matches(p, sp, byId)))
       targets.groupBy(_.partitionId).foreach { case (_, ps) =>
-        if (ps.size >= 2) {
+        // OPTIMIZE FINAL rewrites even a lone part (level+1, kinds and
+        // type recomputed from the current rows — 02662 after mutation)
+        if (ps.size == 1 && isFinal) {
+          val p = ps.head
+          p.active = false
+          buf += Part(table, p.partition, p.partitionId, p.minBlock,
+            p.maxBlock, p.level + 1, p.rows,
+            active = true, detached = false, df = p.df,
+            objStates = p.objStates,
+            partType = if (p.typ == "Wide") "Wide"
+              else DdlEmu.partTypeFor(table, p.rows))
+        } else if (ps.size >= 2) {
           ps.foreach(_.active = false)
           val mb = ps.map(_.minBlock).min
           val xb = ps.map(_.maxBlock).max
@@ -268,10 +304,14 @@ object PartsLog {
             .groupBy(_._1).map { case (c, sts) =>
               c -> sts.map(_._2).reduce(JsonObject.mergeStates)
             }
+          // a merge of Wide sources stays Wide (the vertical merge
+          // path; 01606 pins Wide surviving a lowered threshold)
           buf += Part(table, ps.head.partition, ps.head.partitionId,
             mb, xb, lvl, ps.map(_.rows).sum,
             active = true, detached = false, df = mergedDf,
-            objStates = mergedObj)
+            objStates = mergedObj,
+            partType = if (ps.exists(_.typ == "Wide")) "Wide"
+              else DdlEmu.partTypeFor(table, ps.map(_.rows).sum))
         }
       }
     }
@@ -337,7 +377,8 @@ object PartsLog {
               new java.util.concurrent.atomic.AtomicLong(0))
               .incrementAndGet()
             buf += Part(table, p.partition, p.partitionId, b, b, 0,
-              p.rows, active = true, detached = false, df = p.df)
+              p.rows, active = true, detached = false, df = p.df,
+              partType = p.partType)
           }
         case _ =>
       }
@@ -385,7 +426,7 @@ object PartsLog {
         .getOrElse(("default", t))
       buf.synchronized {
         buf.toSeq.filterNot(_.detached).map { p =>
-          Row(p.partition, p.name, "", "Wide",
+          Row(p.partition, p.name, "", p.typ,
             if (p.active) 1 else 0,
             math.max(1L, (p.rows + 8191) / 8192), p.rows,
             p.rows * 16 + 64, p.rows * 12 + 32, p.rows * 16,
@@ -456,9 +497,32 @@ object PartsLog {
                 Row(path, pty, kind)
               }
             }.getOrElse(Seq.empty)
+            // plain columns go Sparse when the part's default-value
+            // fraction reaches the table ratio (ref
+            // ISerialization::getKind / MergeTreeDataPartWriter;
+            // 01780/02662). Computed from the part's row snapshot.
+            val plainKind =
+              if (objs(c) || p.rows == 0) "Default"
+              else p.kindDf.orElse(p.df)
+                .filter(_.columns.contains(c)).map { df =>
+                import org.apache.spark.sql.functions.col
+                val isNum = ty.matches(
+                  "(?i)\\s*(U?Int|Float|Decimal|Bool|Enum).*")
+                val isStr = ty.matches("(?i)\\s*(String|FixedString).*")
+                val defCount =
+                  if (isNum) scala.util.Try(
+                    df.filter(col(c).cast("double") === 0.0).count())
+                    .getOrElse(-1L)
+                  else if (isStr) scala.util.Try(
+                    df.filter(col(c) === "").count()).getOrElse(-1L)
+                  else -1L
+                if (defCount >= 0 &&
+                    defCount.toDouble / p.rows >= ratio) "Sparse"
+                else "Default"
+              }.getOrElse("Default")
             Row(db, bare, p.name, p.partitionId,
               if (p.active) 1 else 0, p.rows, c, ty2, (ci + 1).toLong,
-              "Default", subs, p.rows * 8 + 32, 64L, p.rows * 8 + 32)
+              plainKind, subs, p.rows * 8 + 32, 64L, p.rows * 8 + 32)
           }
         }
       }
