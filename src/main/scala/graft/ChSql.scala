@@ -2117,18 +2117,31 @@ object ChSql {
       var opStart = -1
       if (i >= 0) s.charAt(i) match {
         case ')' | ']' =>
-          val close = s.charAt(i)
-          val open = if (close == ')') '(' else '['
-          var depth = 0
-          while (i >= 0 && opStart < 0) {
-            val c = s.charAt(i)
-            if (c == close) depth += 1
-            else if (c == open) { depth -= 1; if (depth == 0) opStart = i }
-            i -= 1
+          // postfix chains bind tighter than `::` — consume every
+          // trailing ()/[] group (`(expr)[2]::UInt64`, `f(x)[1]::T`)
+          // plus a leading call identifier (02539)
+          var cont = true
+          while (cont && i >= 0) {
+            val c0 = s.charAt(i)
+            if (c0 == ')' || c0 == ']') {
+              val close = c0
+              val open = if (close == ')') '(' else '['
+              var depth = 0
+              var st = -1
+              while (i >= 0 && st < 0) {
+                val c = s.charAt(i)
+                if (c == close) depth += 1
+                else if (c == open) { depth -= 1; if (depth == 0) st = i }
+                i -= 1
+              }
+              if (st < 0) cont = false else opStart = st
+            } else if (c0.isLetterOrDigit || c0 == '_') {
+              while (i >= 0 && (s.charAt(i).isLetterOrDigit ||
+                s.charAt(i) == '_')) i -= 1
+              opStart = i + 1
+              cont = false
+            } else cont = false
           }
-          // call form: include a preceding identifier
-          while (opStart > 0 && (s.charAt(opStart - 1).isLetterOrDigit ||
-            s.charAt(opStart - 1) == '_')) opStart -= 1
         case '\'' =>
           i -= 1
           while (i >= 0 && opStart < 0) {
@@ -5769,6 +5782,18 @@ object ChSql {
         "(?i)\\bsystem\\s*\\.\\s*`?query_cache`?(?![\\w`])",
         "graft_system_query_cache")
     }
+    if (chQueryS.matches("(?is).*\\bsystem\\s*\\.\\s*`?events`?\\b.*")) {
+      graft.golden.EventsLog.register(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?events`?(?![\\w`])",
+        "graft_system_events")
+    }
+    if (chQueryS.matches("(?is).*\\bsystem\\s*\\.\\s*`?metrics`?\\b.*")) {
+      graft.golden.EventsLog.registerMetrics(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?metrics`?(?![\\w`])",
+        "graft_system_metrics")
+    }
     if (chQueryS.matches("(?is).*\\bsystem\\s*\\.\\s*`?settings`?\\b.*")) {
       graft.golden.QueryLog.registerSettings(spark)
       chQueryS = replaceOutsideStrings(chQueryS,
@@ -5802,6 +5827,13 @@ object ChSql {
       chQueryS = replaceOutsideStrings(chQueryS,
         "(?i)\\bsystem\\s*\\.\\s*`?mutations`?(?![\\w`])",
         "graft_system_mutations")
+    }
+    if (chQueryS.matches(
+        "(?is).*\\bsystem\\s*\\.\\s*`?part_log`?\\b.*")) {
+      graft.golden.PartsLog.registerPartLog(spark)
+      chQueryS = replaceOutsideStrings(chQueryS,
+        "(?i)\\bsystem\\s*\\.\\s*`?part_log`?(?![\\w`])",
+        "graft_system_part_log")
     }
     if (chQueryS.matches(
         "(?is).*\\bsystem\\s*\\.\\s*`?detached_parts`?\\b.*")) {

@@ -3034,6 +3034,16 @@ object ChRegistry {
           substring(t, 13, 4), substring(t, 17, 4), substring(t, 21, 12)))
         .otherwise(t)
     })
+    // unparsable/NULL input yields the nil UUID (or the given default;
+    // ref src/Functions/FunctionsConversion.h toUUIDOrDefault; 02491)
+    f("toUUIDOrDefault") { es =>
+      val zero = lit("00000000-0000-0000-0000-000000000000")
+      val dflt = if (es.length >= 2) C(es(1)) else zero
+      val t = lower(trim(C(es.head).cast("string")))
+      coalesce(when(t.rlike(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"),
+        t), dflt)
+    }
 
     // wave 3c: §2.8 sweep-up
     // shadows builtin isnan (case-insensitive) — build the node directly

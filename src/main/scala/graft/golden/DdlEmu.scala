@@ -304,6 +304,7 @@ object DdlEmu {
     fileBacked.clear(); ctasEngines.clear(); dictDefs.clear()
     tempTables.clear(); mutationsLog.clear()
     PartsLog.reset(); JsonObject.reset(); QueryCache.reset()
+    EventsLog.reset()
     graft.ChSql.currentDb = ""
     engines.clear(); staged.clear(); chTypes.clear()
     viewDefs.clear(); createdDdl.clear()
@@ -916,17 +917,33 @@ object DdlEmu {
     * min_bytes_for_wide_part, with bytes estimated from declared
     * widths; 01606/01824). */
   def partTypeFor(table: String, rows: Long): String = {
-    val st = settingsTextOf(table).getOrElse("")
-    val over = settingOverrides.getOrElse(table, Map.empty)
-    def num(k: String, d: Long): Long = over.getOrElse(k,
-      (k + "\\s*=\\s*(\\d+)").r.findFirstMatchIn(st)
-        .map(_.group(1).toLong).getOrElse(d))
-    val minRows = num("min_rows_for_wide_part", 0L)
-    val minBytes = num("min_bytes_for_wide_part", 10485760L)
-    val rowW = chTypes.get(table)
-      .map(_.values.map(chTypeWidth).sum.max(1)).getOrElse(16)
+    val minRows = mtSettingNum(table, "min_rows_for_wide_part", 0L)
+    val minBytes =
+      mtSettingNum(table, "min_bytes_for_wide_part", 10485760L)
+    val rowW = rowWidthOf(table)
     if (rows >= minRows && rows * rowW >= minBytes) "Wide" else "Compact"
   }
+
+  /** Effective MergeTree setting for a table: ALTER MODIFY SETTING
+    * override, then the CREATE's SETTINGS text, then the default. */
+  private[golden] def mtSettingNum(table: String, k: String,
+      d: Long): Long = {
+    val over = settingOverrides.getOrElse(table, Map.empty)
+    over.getOrElse(k, (k + "\\s*=\\s*(\\d+)").r
+      .findFirstMatchIn(settingsTextOf(table).getOrElse(""))
+      .map(_.group(1).toLong).getOrElse(d))
+  }
+
+  /** Estimated uncompressed byte width of one row. */
+  private[golden] def rowWidthOf(table: String): Long =
+    chTypes.get(table)
+      .map(_.values.map(chTypeWidth).sum.max(1)).getOrElse(16).toLong
+
+  /** Deterministic per-table UUID (system.tables ↔ part_log joins in
+    * 02491; Atomic-database tables always carry one). */
+  private[golden] def uuidOf(table: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      ("graft:" + table).getBytes("UTF-8")).toString
   /** Tables with ENGINE = Null: direct reads are empty, but a
     * MATERIALIZED VIEW over one still sees every inserted block (ref
     * src/Storages/StorageNull.h) — inserts land in a shadow store the
@@ -1311,6 +1328,8 @@ object DdlEmu {
     val sch = StructType(Seq(
       StructField("database", StringType, nullable = false),
       StructField("name", StringType, nullable = false),
+      // `table` is an alias column of `name` (StorageSystemTables)
+      StructField("table", StringType, nullable = false),
       StructField("uuid", StringType, nullable = false),
       StructField("engine", StringType, nullable = false),
       StructField("is_temporary", IntegerType, nullable = false),
@@ -1337,7 +1356,7 @@ object DdlEmu {
           "(?is)\\bCOMMENT\\s+'((?:[^'\\\\]|\\\\.)*)'".r
             .findFirstMatchIn(d).map(_.group(1))).getOrElse("")
         val n = scala.util.Try(spark.table(t).count()).toOption
-        org.apache.spark.sql.Row(db, bare, "", eng,
+        org.apache.spark.sql.Row(db, bare, bare, uuidOf(t), eng,
           if (tempTables.contains(t)) 1 else 0,
           showCreate(t).getOrElse(""), comment,
           n.map(Long.box).orNull,
@@ -1699,6 +1718,8 @@ object DdlEmu {
           PartsLog.onOptimize(n, pspec.map(_.group(2).trim),
             byId = pspec.exists(_.group(1) != null),
             isFinal = st.matches("(?is).*\\bFINAL\\b.*"))
+          // the profile counter moves on every attempted merge (01014)
+          EventsLog.onMerge(0L)
         }
         // OPTIMIZE … DEDUPLICATE drops fully-identical rows (ref
         // src/Interpreters/InterpreterOptimizeQuery.cpp; 01412)
@@ -2324,6 +2345,10 @@ object DdlEmu {
         true
       case alterDeleteRe(name, cond) =>
         mutationsLog.add((name, s"DELETE WHERE ${cond.trim}"))
+        PartsLog.onMutate(name, { d =>
+          val c = expr(graft.ChSql.translate(cond).trim)
+          d.filter(!c || c.isNull)
+        })
         // NULL condition = not deleted (CH treats it as 0)
         staged.get(name) match {
           case Some(st) =>
@@ -3303,6 +3328,9 @@ object DdlEmu {
               val keep = chTypes.getOrElse(name, Map.empty)
               recordChTypes(name, d)
               chTypes(name) = keep ++ chTypes.getOrElse(name, Map.empty)
+              PartsLog.onModifyColumn(name, cn,
+                keep.getOrElse(cn, ct),
+                chTypes.getOrElse(name, Map.empty).getOrElse(cn, ct))
               def recast(frame: DataFrame): DataFrame =
                 frame.select(frame.columns.map { c =>
                   if (c == cn)

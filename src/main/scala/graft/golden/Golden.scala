@@ -412,8 +412,12 @@ object Golden {
     QueryLog.enabled = text.toLowerCase.contains("query_log") ||
       text.toLowerCase.contains("query_thread_log")
     QueryCache.enabled = text.toLowerCase.contains("query_cache")
+    EventsLog.enabled = text.toLowerCase.contains("system.events") ||
+      text.toLowerCase.contains("system.metrics")
     PartsLog.enabled = text.toLowerCase.contains("system.parts") ||
       text.toLowerCase.contains("detached_parts") ||
+      // part_log events ride on the same per-part provenance
+      text.toLowerCase.contains("part_log") ||
       // PART-level ALTERs need per-part provenance even when the file
       // never reads system.parts
       "(?i)\\b(detach|drop|attach)\\s+part\\b".r
@@ -498,6 +502,8 @@ object Golden {
       // the statement's own result (echo lines excluded)
       val qlOutMark = out.length
       val qlStartMs = System.currentTimeMillis()
+      // part_log events created while this statement runs carry its id
+      PartsLog.currentQid = s"graft-stmt-$ci"
       // CH session `SET name = value` statements configure the server and
       // print nothing; Spark's own SET command would echo a key/value row,
       // so swallow them here (clickhouse-test contract: no output) —
@@ -799,7 +805,10 @@ object Golden {
                 case (c, n) if n == t => c }))
             .getOrElse(1)
           QueryLog.recordError(rawQ, clean, code, settings)
+          EventsLog.onError(clean, code)
         } else {
+          EventsLog.onSuccess(clean)
+          EventsLog.onLimits(clean, settings)
           val produced = (out.length - qlOutMark).toLong
           val bytes = out.drop(qlOutMark).map(_.length + 1L).sum
           val written =

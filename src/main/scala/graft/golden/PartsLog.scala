@@ -26,8 +26,18 @@ object PartsLog {
     /** pre-mutation snapshot: ALTER UPDATE rewrites only the mutated
       * column file, leaving the part's serialization kinds as written
       * (02662) — kinds compute from here until a merge rebuilds */
-    kindDf: Option[DataFrame] = None) {
-    def name: String = s"${partitionId}_${minBlock}_${maxBlock}_$level"
+    kindDf: Option[DataFrame] = None,
+    /** mutation version: a mutated part keeps its block range and
+      * level but gains a trailing version (all_1_1_0 → all_1_1_0_3;
+      * ref MergeTreePartInfo::getPartNameV1 with mutation). */
+    mutation: Long = 0L,
+    /** per-part physical column types where they lag the table's
+      * declared type (a MODIFY COLUMN that skipped rewriting this
+      * part — 02669 keeps `String` on the no-rewrite part). */
+    colTypes: Map[String, String] = Map.empty) {
+    def name: String =
+      s"${partitionId}_${minBlock}_${maxBlock}_$level" +
+        (if (mutation > 0) s"_$mutation" else "")
     /** frozen at creation; legacy parts fall back to the live rule */
     def typ: String =
       if (partType != null) partType else DdlEmu.partTypeFor(table, rows)
@@ -53,6 +63,7 @@ object PartsLog {
   def reset(): Unit = {
     parts.clear(); partitionExprs.clear(); blockCounters.clear()
     engines.clear(); startAt.clear(); sparseRatio.clear()
+    resetLog()
   }
 
   def onCreate(table: String, engTail: String): Unit = {
@@ -93,9 +104,14 @@ object PartsLog {
       val keep = buf.filterNot(p => p.active && !p.detached)
       buf.clear(); buf ++= keep
       act.filter(_.level > 0).foreach { p =>
-        buf += Part(table, p.partition, p.partitionId, p.minBlock,
+        val np = Part(table, p.partition, p.partitionId, p.minBlock,
           p.maxBlock, p.level + 1, 0, active = true, detached = false)
+        buf += np
+        logEvent("NewPart", table, np)
       }
+      // every previously-active part is deleted outright (02491 pins
+      // the RemovePart element after a truncate)
+      act.foreach(p => logEvent("RemovePart", table, p))
     }
   }
 
@@ -194,10 +210,13 @@ object PartsLog {
       val n = rows.count()
       val b = counter.incrementAndGet()
       buf.synchronized {
-        buf += Part(table, "tuple()", "all", b, b, 0, n,
+        val p = Part(table, "tuple()", "all", b, b, 0, n,
           active = true, detached = false, df = Some(rows),
           objStates = objStates,
           partType = DdlEmu.partTypeFor(table, n))
+        buf += p
+        logEvent("NewPart", table, p,
+          profile = writerProfile(table, n))
       }
       return
     }
@@ -231,11 +250,14 @@ object PartsLog {
           if (kv == null) pe.isNull
           else pe === org.apache.spark.sql.functions.lit(kv)
         }.reduce(_ && _)
-        buf += Part(table, displayPartition(v, unpartitioned = false),
+        val p = Part(table, displayPartition(v, unpartitioned = false),
           partId(v, unpartitioned = false), b, b, 0, n,
           active = true, detached = false, df = Some(rows.filter(cond)),
           objStates = objStates,
           partType = DdlEmu.partTypeFor(table, n))
+        buf += p
+        logEvent("NewPart", table, p,
+          profile = writerProfile(table, n))
       }
     }
   }
@@ -251,17 +273,196 @@ object PartsLog {
       s.stripPrefix("'").stripSuffix("'") == p.partitionId
   }
 
+  // ---- system.part_log stand-in (ref src/Interpreters/PartLog.h) ----
+
+  final case class LogEvent(qid: String, eventType: String,
+    table: String, partName: String, partType: String,
+    partitionId: String, rows: Long, mergedFrom: Seq[String],
+    mergeReason: String, mergeAlgorithm: String, readRows: Long,
+    profile: Map[String, Long], ms: Long, tick: Long)
+
+  private val logEvents =
+    new java.util.concurrent.ConcurrentLinkedQueue[LogEvent]
+  private val logTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** per-statement provenance, set by the golden runner. */
+  @volatile var currentQid: String = "initial"
+
+  private def logEvent(eventType: String, table: String, p: Part,
+      mergedFrom: Seq[String] = Nil, reason: String = "NotAMerge",
+      algorithm: String = "Undecided", readRows: Long = 0L,
+      profile: Map[String, Long] = Map.empty): Unit =
+    logEvents.add(LogEvent(currentQid, eventType, table, p.name, p.typ,
+      p.partitionId, p.rows, mergedFrom, reason, algorithm, readRows,
+      profile, System.currentTimeMillis(), logTick.incrementAndGet()))
+
+  private[golden] def resetLog(): Unit = {
+    logEvents.clear(); logTick.set(0L); currentQid = "initial"
+  }
+
+  /** Horizontal vs Vertical pick (ref MergeTreeDataMergerMutator::
+    * chooseMergeAlgorithm): Vertical when the merged row count and the
+    * non-key column count reach the activation thresholds, the result
+    * is a Wide part, and every source is Wide (or compact→wide
+    * vertical merges are allowed — 02362/02539 pin both paths). */
+  private def mergeAlgorithmOf(table: String, rows: Long,
+      sources: Seq[Part]): String = {
+    val minRows = DdlEmu.mtSettingNum(table,
+      "vertical_merge_algorithm_min_rows_to_activate", 131072L)
+    val minCols = DdlEmu.mtSettingNum(table,
+      "vertical_merge_algorithm_min_columns_to_activate", 11L)
+    val allowCompact = DdlEmu.mtSettingNum(table,
+      "allow_vertical_merges_from_compact_to_wide_parts", 0L) != 0L
+    val nonKeyCols = math.max(DdlEmu.chTypesOf(table).size - 1, 0)
+    val targetWide = DdlEmu.partTypeFor(table, rows) == "Wide"
+    if (rows >= minRows && nonKeyCols >= minCols && targetWide &&
+      (sources.forall(_.typ == "Wide") || allowCompact)) "Vertical"
+    else "Horizontal"
+  }
+
+  /** New-part writer profile counters (ref ProfileEvents
+    * MergeTreeDataWriter*; 02378 asserts sums over them). */
+  private def writerProfile(table: String, rows: Long): Map[String, Long] = {
+    val ub = rows * DdlEmu.rowWidthOf(table)
+    Map("MergeTreeDataWriterRows" -> rows,
+      "MergeTreeDataWriterUncompressedBytes" -> math.max(ub, 1L),
+      "MergeTreeDataWriterCompressedBytes" -> math.max(ub / 2, 1L),
+      "MergeTreeDataWriterBlocks" -> 1L)
+  }
+
+  private val partLogSchema = StructType(Seq(
+    StructField("query_id", StringType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("merge_reason", StringType, nullable = false),
+    StructField("merge_algorithm", StringType, nullable = false),
+    StructField("event_date", DateType, nullable = false),
+    StructField("event_time", TimestampType, nullable = false),
+    StructField("event_time_microseconds", TimestampType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("database", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("table_uuid", StringType, nullable = false),
+    StructField("part_name", StringType, nullable = false),
+    StructField("partition_id", StringType, nullable = false),
+    StructField("part_type", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("size_in_bytes", LongType, nullable = false),
+    StructField("merged_from", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("read_rows", LongType, nullable = false),
+    StructField("read_bytes", LongType, nullable = false),
+    StructField("peak_memory_usage", LongType, nullable = false),
+    StructField("error", IntegerType, nullable = false),
+    StructField("exception", StringType, nullable = false),
+    StructField("ProfileEvents",
+      MapType(StringType, LongType, valueContainsNull = false),
+      nullable = false)))
+
+  def registerPartLog(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = logEvents.asScala.toSeq.map { e =>
+      val (db, bare) = graft.ChDatabases.known
+        .find(d => e.table.startsWith(d + "__"))
+        .map(d => (d, e.table.stripPrefix(d + "__")))
+        .getOrElse(("default", e.table))
+      val t = new java.sql.Timestamp(e.ms)
+      // strictly monotonic micros: the global tick breaks same-ms ties
+      val tus = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli(e.ms)
+          .plusNanos(e.tick % 1000 * 1000))
+      Row(e.qid, e.eventType, e.mergeReason, e.mergeAlgorithm,
+        new java.sql.Date(e.ms), t, tus, 1L, db, bare,
+        DdlEmu.uuidOf(e.table), e.partName, e.partitionId, e.partType,
+        e.rows, e.rows * 8 + 64, e.mergedFrom, e.readRows,
+        // a merge/mutation streams blocks: peak memory stays a
+        // fraction of the bytes it reads (01200 asserts ≤ read_bytes)
+        e.readRows * 8, math.max(math.min(e.readRows * 8, 8388608L) / 2,
+          1L), 0, "", e.profile)
+    }
+    spark.createDataFrame(rows.asJava, partLogSchema)
+      .createOrReplaceTempView("graft_system_part_log")
+  }
+
+  /** Serialization kind of a plain column in one part: Sparse when the
+    * part's default-value fraction reaches the table ratio (ref
+    * ISerialization::getKind / MergeTreeDataPartWriter; 01780/02662). */
+  private def plainKindOf(p: Part, c: String, ty: String,
+      ratio: Double): String =
+    if (p.rows == 0) "Default"
+    else p.kindDf.orElse(p.df).filter(_.columns.contains(c)).map { df =>
+      import org.apache.spark.sql.functions.col
+      val isNum = ty.matches("(?i)\\s*(U?Int|Float|Decimal|Bool|Enum).*")
+      val isStr = ty.matches("(?i)\\s*(String|FixedString).*")
+      val defCount =
+        if (isNum) scala.util.Try(
+          df.filter(col(c).cast("double") === 0.0).count())
+          .getOrElse(-1L)
+        else if (isStr) scala.util.Try(
+          df.filter(col(c) === "").count()).getOrElse(-1L)
+        else -1L
+      if (defCount >= 0 && defCount.toDouble / p.rows >= ratio) "Sparse"
+      else "Default"
+    }.getOrElse("Default")
+
+  /** ALTER MODIFY COLUMN over live parts: a part whose on-disk
+    * serialization can be read through a lightweight conversion keeps
+    * its files — and its physical type — while an incompatible one
+    * rewrites and adopts the new type (ref MutationsInterpreter;
+    * 02669 pins a Default-serialized String keeping `String` under a
+    * widen to Nullable while the Sparse part rewrites). Every active
+    * part gains the mutation version either way. */
+  def onModifyColumn(table: String, column: String, oldTy: String,
+      newTy: String): Unit = {
+    if (!enabled) return
+    val buf = parts.getOrElse(table, return)
+    val mv = blockCounters.get(table).map(_.incrementAndGet())
+      .getOrElse(0L)
+    val ratio = sparseRatio.getOrElse(table, 0.9375)
+    buf.synchronized {
+      val upd = buf.map { p =>
+        if (!(p.active && !p.detached)) p
+        else {
+          val widenToNullable =
+            newTy.trim.matches("(?is)^Nullable\\s*\\(.*") &&
+              !oldTy.trim.matches("(?is)^Nullable\\s*\\(.*")
+          val rewrite = !widenToNullable ||
+            plainKindOf(p, column, oldTy, ratio) == "Sparse"
+          val np =
+            if (rewrite) p.copy(mutation = mv, kindDf = None,
+              colTypes = p.colTypes - column)
+            else p.copy(mutation = mv,
+              colTypes = p.colTypes + (column -> oldTy))
+          logEvent("MutatePart", table, np, mergedFrom = Seq(p.name),
+            readRows = if (rewrite) p.rows else 0L,
+            profile = Map("MergedRows" -> (if (rewrite) p.rows else 0L)))
+          np
+        }
+      }.toSeq
+      buf.clear(); buf ++= upd
+    }
+  }
+
   /** ALTER UPDATE rewrites every part's row snapshot in place (rows
     * and lineage unchanged) so serialization kinds recompute against
     * the mutated values (02662). */
   def onMutate(table: String, f: DataFrame => DataFrame): Unit = {
     val buf = parts.getOrElse(table, return)
+    val mv = blockCounters.get(table)
+      .map(_.incrementAndGet()).getOrElse(0L)
     buf.synchronized {
-      val upd = buf.map(p =>
-        if (p.df.isDefined)
-          p.copy(df = p.df.map(f),
-            kindDf = p.kindDf.orElse(p.df))
-        else p).toSeq
+      val upd = buf.map { p =>
+        if (p.df.isDefined) {
+          val np = p.copy(df = p.df.map(f),
+            kindDf = p.kindDf.orElse(p.df),
+            mutation = if (p.active && !p.detached) mv else p.mutation)
+          if (p.active && !p.detached)
+            logEvent("MutatePart", table, np,
+              mergedFrom = Seq(p.name), reason = "NotAMerge",
+              readRows = p.rows,
+              profile = Map("MergedRows" -> p.rows, "FileOpen" ->
+                (DdlEmu.chTypesOf(table).size + 3L)))
+          np
+        } else p
+      }.toSeq
       buf.clear(); buf ++= upd
     }
   }
@@ -279,12 +480,21 @@ object PartsLog {
         if (ps.size == 1 && isFinal) {
           val p = ps.head
           p.active = false
-          buf += Part(table, p.partition, p.partitionId, p.minBlock,
+          val np = Part(table, p.partition, p.partitionId, p.minBlock,
             p.maxBlock, p.level + 1, p.rows,
             active = true, detached = false, df = p.df,
             objStates = p.objStates,
             partType = if (p.typ == "Wide") "Wide"
               else DdlEmu.partTypeFor(table, p.rows))
+          buf += np
+          logEvent("MergeParts", table, np,
+            mergedFrom = Seq(p.name), reason = "RegularMerge",
+            algorithm = mergeAlgorithmOf(table, p.rows, Seq(p)),
+            readRows = p.rows,
+            profile = Map("MergedRows" -> p.rows,
+              "MergedUncompressedBytes" ->
+                math.max(p.rows * DdlEmu.rowWidthOf(table), 1L),
+              "FileOpen" -> (DdlEmu.chTypesOf(table).size + 3L)))
         } else if (ps.size >= 2) {
           ps.foreach(_.active = false)
           val mb = ps.map(_.minBlock).min
@@ -306,12 +516,22 @@ object PartsLog {
             }
           // a merge of Wide sources stays Wide (the vertical merge
           // path; 01606 pins Wide surviving a lowered threshold)
-          buf += Part(table, ps.head.partition, ps.head.partitionId,
-            mb, xb, lvl, ps.map(_.rows).sum,
+          val tot = ps.map(_.rows).sum
+          val np = Part(table, ps.head.partition, ps.head.partitionId,
+            mb, xb, lvl, tot,
             active = true, detached = false, df = mergedDf,
             objStates = mergedObj,
             partType = if (ps.exists(_.typ == "Wide")) "Wide"
-              else DdlEmu.partTypeFor(table, ps.map(_.rows).sum))
+              else DdlEmu.partTypeFor(table, tot))
+          buf += np
+          logEvent("MergeParts", table, np,
+            mergedFrom = ps.map(_.name).toSeq, reason = "RegularMerge",
+            algorithm = mergeAlgorithmOf(table, tot, ps.toSeq),
+            readRows = tot,
+            profile = Map("MergedRows" -> tot,
+              "MergedUncompressedBytes" ->
+                math.max(tot * DdlEmu.rowWidthOf(table), 1L),
+              "FileOpen" -> (DdlEmu.chTypesOf(table).size + 3L)))
         }
       }
     }
@@ -486,7 +706,7 @@ object PartsLog {
             val ty2 =
               if (objs(c)) st.map(JsonObject.renderState)
                 .getOrElse("Tuple(_dummy UInt8)")
-              else ty
+              else p.colTypes.getOrElse(c, ty)
             val subs = st.map { s0 =>
               val fr = p.df.map(JsonObject.defaultFractions(_, c, s0))
                 .getOrElse(Map.empty[String, Double])
@@ -497,29 +717,9 @@ object PartsLog {
                 Row(path, pty, kind)
               }
             }.getOrElse(Seq.empty)
-            // plain columns go Sparse when the part's default-value
-            // fraction reaches the table ratio (ref
-            // ISerialization::getKind / MergeTreeDataPartWriter;
-            // 01780/02662). Computed from the part's row snapshot.
             val plainKind =
-              if (objs(c) || p.rows == 0) "Default"
-              else p.kindDf.orElse(p.df)
-                .filter(_.columns.contains(c)).map { df =>
-                import org.apache.spark.sql.functions.col
-                val isNum = ty.matches(
-                  "(?i)\\s*(U?Int|Float|Decimal|Bool|Enum).*")
-                val isStr = ty.matches("(?i)\\s*(String|FixedString).*")
-                val defCount =
-                  if (isNum) scala.util.Try(
-                    df.filter(col(c).cast("double") === 0.0).count())
-                    .getOrElse(-1L)
-                  else if (isStr) scala.util.Try(
-                    df.filter(col(c) === "").count()).getOrElse(-1L)
-                  else -1L
-                if (defCount >= 0 &&
-                    defCount.toDouble / p.rows >= ratio) "Sparse"
-                else "Default"
-              }.getOrElse("Default")
+              if (objs(c)) "Default"
+              else plainKindOf(p, c, p.colTypes.getOrElse(c, ty), ratio)
             Row(db, bare, p.name, p.partitionId,
               if (p.active) 1 else 0, p.rows, c, ty2, (ci + 1).toLong,
               plainKind, subs, p.rows * 8 + 32, 64L, p.rows * 8 + 32)

@@ -36,10 +36,13 @@ object ChTruthinessRule extends Rule[LogicalPlan] {
       case n @ Not(c) if isNum(c) => Not(toBool(c))
       // numeric CASE WHEN / If conditions: non-zero is true (ref
       // FunctionsConditional if.cpp UInt8 condition)
-      case cw: CaseWhen if cw.branches.exists(b => isNum(b._1)) =>
+      case cw: CaseWhen if cw.branches.exists(b => isNum(b._1)) ||
+          mixedBoolNum(cw.branches.map(_._2) ++ cw.elseValue) =>
         cw.copy(branches = cw.branches.map { case (c, v) =>
-          (toBool(c), v) })
-      case i @ If(p, a, b) if isNum(p) => If(toBool(p), a, b)
+          (toBool(c), boolToInt(v)) },
+          elseValue = cw.elseValue.map(boolToInt))
+      case i @ If(p, a, b) if isNum(p) || mixedBoolNum(Seq(a, b)) =>
+        If(toBool(p), boolToInt(a), boolToInt(b))
       // CH booleans are UInt8 in comparisons too: `x >= (expr IS NOT
       // NULL)` compares against 0/1 (ref FunctionsComparison.cpp)
       case c: BinaryComparison
@@ -64,6 +67,17 @@ object ChTruthinessRule extends Rule[LogicalPlan] {
 
   private def isNum(e: Expression): Boolean =
     e.resolved && e.dataType.isInstanceOf[NumericType]
+
+  /** mixed boolean/numeric RESULT branches unify to UInt8-style ints —
+    * CH `if(cond, x <= 3, 1)` returns UInt8 (01882). */
+  private def mixedBoolNum(es: Seq[Expression]): Boolean =
+    es.forall(_.resolved) &&
+      es.exists(_.dataType == BooleanType) &&
+      es.exists(_.dataType.isInstanceOf[NumericType])
+
+  private def boolToInt(e: Expression): Expression =
+    if (e.resolved && e.dataType == BooleanType) Cast(e, IntegerType)
+    else e
 }
 
 /** CH treats booleans as UInt8 everywhere, including as aggregate inputs
