@@ -84,6 +84,9 @@ object Bench {
         cache: scala.collection.mutable.HashMap[String, org.apache.spark.sql.DataFrame],
         samples: Map[String, scala.collection.mutable.ArrayBuffer[Double]],
         name: String, tag: String): Unit = {
+      // §1.5 job labels: makes the shared-SparkContext UI/event log
+      // attributable per (session, query); no effect on the timing
+      sess.sparkContext.setJobDescription(s"bench $tag $name")
       val t0 = System.nanoTime()
       try force(sess, cache, name)
       catch { case e: Throwable =>

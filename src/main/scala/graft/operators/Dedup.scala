@@ -91,9 +91,19 @@ object Dedup {
     // bounding work. The window partitions by (band,bucket) — the same key
     // the self-join shuffles on, so no extra exchange.
     val bw = Window.partitionBy(col("band"), col("bucket"))
+    // Persisted: `sized` has THREE consumers (self-join left, self-join
+    // right, star-pair branch). Without a materialization barrier Spark
+    // re-executes the whole banded subtree — posexplode(MinHashBands) ×
+    // exchange × sort × window — once per consumer (the r15 before-plan
+    // shows the subtree three times), tripling the signature computation
+    // and the (band,bucket) shuffle. The cached rows are (id, band,
+    // bucket, size, min) — ~32 bytes × bands per document, far smaller
+    // than the text, and MEMORY_AND_DISK spills rather than OOMs at
+    // corpus scale. Same deliberate-lineage-cut pattern as `hashed`.
     val sized = banded
       .withColumn("__bsz", count(lit(1)).over(bw))
       .withColumn("__bmin", min(col("id")).over(bw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = sized.filter(col("__bsz") <= maxBucketSize)
     val l = small.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = small.select(col("band"), col("bucket"), col("id").as("id_b"))

@@ -19,24 +19,25 @@ import org.apache.spark.sql.functions._
   *    buckets (Charikar hyperplane LSH); queries only join candidates in
   *    the same bucket, turning the n×m product into a bucket-local join.
   *
-  * All math is double-precision `aggregate`/`zip_with` built-ins (codegen'd).
+  * All vector math runs through the fused single-pass kernels in
+  * graft.functions.VectorOps (bit-identical to the composed
+  * `aggregate`/`zip_with` forms they replaced — see VectorOpsSpec).
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  // Fused single-pass kernels (graft.functions.VectorOps) — bit-identical
+  // to the previous composed `aggregate(zip_with(...))` forms (same
+  // left-to-right fold, same widening casts; VectorOpsSpec pins it), but
+  // one tight JVM loop instead of an interpreted HOF tree-walk per
+  // element — the scoring joins below run these |corpus|·|queries| times.
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dotD(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v))
+    sqrt(graft.functions.VectorOps.l2sqD(a, b))
 
   /** Per-query top-k of scored (query_id, neighbor_id, score) rows via
     * the bounded-k aggregate: the map side combines each partition down
@@ -61,12 +62,19 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       queryId: String, corpusId: String, vecCol: String,
       k: Int): DataFrame = {
+    // Norms are hoisted OUT of the pairwise scoring join: ‖q‖ is computed
+    // once per query row and ‖c‖ once per corpus row instead of once per
+    // (query, corpus) pair — at |q| queries that deletes |q|·dim
+    // multiplies per corpus row from the hot loop. cos = dot/(‖q‖·‖c‖)
+    // evaluates the exact same double ops in the same order as
+    // cosine(q, c), so scores (and the 6-dp rounding) are bit-identical.
     val q = queries.select(col(queryId).as("query_id"),
-      col(vecCol).as("__qv"))
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-      col(vecCol).as("__cv"))
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     topKByScore(scored, "cos_sim", k)
   }
 
@@ -97,16 +105,19 @@ object Similarity {
       queryId: String, corpusId: String, vecCol: String,
       dim: Int, k: Int, nPlanes: Int = 8, nTables: Int = 4,
       maxBucketSize: Int = 4096): DataFrame = {
+    // ‖v‖ is computed once per point BEFORE the nTables-way explode (and
+    // before the bucket-local join) — not once per scored candidate pair
     def withBuckets(df: DataFrame, idName: String, idAs: String,
-        vecAs: String) =
-      df.select(col("*"),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col(vecCol), dim, nPlanes, seed = 42L + t)): _*))
-          .as(Seq("table_id", "bucket")))
+        vecAs: String, normAs: String) =
+      df.select(col("*"), norm(col(vecCol)).as("__vn"))
+        .select(col("*"),
+          posexplode(array((0 until nTables).map(t =>
+            lshBucket(col(vecCol), dim, nPlanes, seed = 42L + t)): _*))
+            .as(Seq("table_id", "bucket")))
         .select(col(idName).as(idAs), col(vecCol).as(vecAs),
-          col("table_id"), col("bucket"))
+          col("__vn").as(normAs), col("table_id"), col("bucket"))
     val q = withBuckets(queries.select(col(queryId), col(vecCol)),
-      queryId, "query_id", "__qv")
+      queryId, "query_id", "__qv", "__qn")
     // Bucket occupancy cap: a degenerate bucket (mass-duplicated embeddings
     // hashing identically) would make the bucket-local join quadratic. Keep
     // a deterministic pseudo-random sample of `maxBucketSize` corpus rows
@@ -116,14 +127,15 @@ object Similarity {
     val cw = Window.partitionBy(col("table_id"), col("bucket"))
       .orderBy(graft.functions.ch.sparkXxhash64(col("neighbor_id")), col("neighbor_id"))
     val c = withBuckets(corpus.select(col(corpusId), col(vecCol)),
-      corpusId, "neighbor_id", "__cv")
+      corpusId, "neighbor_id", "__cv", "__cn")
       .withColumn("__rn", row_number().over(cw))
       .filter(col("__rn") <= maxBucketSize)
       .drop("__rn")
     val scored = c.join(q, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -203,17 +215,16 @@ object Similarity {
   /** Cosine between two quantized vectors without materializing the
     * dequantized arrays: integer dot product scaled once. */
   def cosineInt8(codeA: Column, codeB: Column): Column = {
-    val di = aggregate(zip_with(codeA, codeB,
-        (x, y) => x.cast("bigint") * y.cast("bigint")),
-      lit(0L), (acc, v) => acc + v).cast("double")
-    val na = sqrt(aggregate(transform(codeA,
-        x => x.cast("bigint") * x.cast("bigint")),
-      lit(0L), (acc, v) => acc + v).cast("double"))
-    val nb = sqrt(aggregate(transform(codeB,
-        x => x.cast("bigint") * x.cast("bigint")),
-      lit(0L), (acc, v) => acc + v).cast("double"))
+    val di = graft.functions.VectorOps.dotL(codeA, codeB).cast("double")
+    val na = normInt8(codeA)
+    val nb = normInt8(codeB)
     di / (na * nb)
   }
+
+  /** √(Σ cᵢ²) of an integral code array (exact long accumulation, then
+    * one long→double cast — same ops as the composed form). */
+  def normInt8(code: Column): Column =
+    sqrt(graft.functions.VectorOps.dotL(code, code).cast("double"))
 
   /** Brute-force top-k over int8-quantized vectors: same plan shape as
     * bruteForceTopK (corpus scan × broadcast queries) at a quarter of
@@ -224,12 +235,18 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       queryId: String, corpusId: String, vecCol: String,
       k: Int): DataFrame = {
+    // same norm-hoisting as bruteForceTopK: per-row ‖code‖ columns
+    // instead of per-pair recomputation; identical double ops and order
     val q = quantizeInt8(queries, vecCol, "__qc", "__qs")
-      .select(col(queryId).as("query_id"), col("__qc"))
+      .select(col(queryId).as("query_id"), col("__qc"),
+        normInt8(col("__qc")).as("__qn"))
     val c = quantizeInt8(corpus, vecCol, "__cc", "__cs")
-      .select(col(corpusId).as("neighbor_id"), col("__cc"))
+      .select(col(corpusId).as("neighbor_id"), col("__cc"),
+        normInt8(col("__cc")).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosineInt8(col("__qc"), col("__cc")), 6))
+      .withColumn("cos_sim", round(
+        graft.functions.VectorOps.dotL(col("__qc"), col("__cc")).cast("double")
+          / (col("__qn") * col("__cn")), 6))
     topKByScore(scored, "cos_sim", k)
   }
 
@@ -247,7 +264,10 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nPlanes: Int = 6,
       maxBucketSize: Int = 512): DataFrame = {
+    // ‖v‖ computed once per point here (r15 norm hoisting — identical
+    // double ops/order to cosine(), see bruteForceTopK), not per pair
     val b = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
     val bw = Window.partitionBy(col("bucket"))
     val sized = b
@@ -255,21 +275,24 @@ object Similarity {
       .withColumn("__bmin", min(col("id")).over(bw))
     val small = sized.filter(col("__bsz") <= maxBucketSize)
     val l = small.select(col("bucket"), col("id").as("id_a"),
-      col("__v").as("__va"))
+      col("__v").as("__va"), col("__n").as("__na"))
     val r = small.select(col("bucket"), col("id").as("id_b"),
-      col("__v").as("__vb"))
+      col("__v").as("__vb"), col("__n").as("__nb"))
     val allPairs = l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__va", "__vb")
+      .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
     val big = sized.filter(col("__bsz") > maxBucketSize)
     val hubs = big.filter(col("id") === col("__bmin"))
-      .select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+      .select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na"))
     val starPairs = big.filter(col("id") =!= col("__bmin"))
-      .select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+      .select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb"))
       .join(hubs, Seq("bucket"))
-      .select("id_a", "id_b", "__va", "__vb")
+      .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
     allPairs.union(starPairs)
-      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cos_sim", round(
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
       .dropDuplicates("id_a", "id_b")
@@ -319,8 +342,7 @@ object Similarity {
     def subvec(j: Int) =
       slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
     def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.l2sqD(a, b)  // fused, bit-identical fold
     val codes = (0 until m).map { j =>
       val dists = transform(bookLit(codebooks(j)), c => l2sq(subvec(j), c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
@@ -358,8 +380,7 @@ object Similarity {
     val encoded = pqEncode(corpus, vecCol, codebooks)
       .select(col(corpusId).as("neighbor_id"), col("pq_code"))
     def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.l2sqD(a, b)  // fused, bit-identical fold
     def subvec(j: Int) =
       slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
     // LUT: luts(j)(c) = ||q_j - centroid_c||² for subspace j
@@ -389,8 +410,7 @@ object Similarity {
       corpus: DataFrame, queryId: String, corpusId: String,
       vecCol: String, k: Int): DataFrame = {
     def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorOps.l2sqD(a, b)  // fused, bit-identical fold
     val q = queries.select(col(queryId).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
     val refined = shortlist
