@@ -26,6 +26,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Sort-based shuffle writer for BOTH sessions (engine and control,
+      // so the ratio stays apples-to-apples): the default bypass-merge
+      // writer opens mapTasks×reducePartitions shuffle files per
+      // exchange, which dominated small-stage wall time on this host
+      // (r15 stack sampling); >200-partition production shuffles never
+      // use bypass, so this also makes the bench exercise the at-scale
+      // writer path. See OPTIMIZATION_r15.md.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
