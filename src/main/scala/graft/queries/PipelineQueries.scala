@@ -235,14 +235,21 @@ object PipelineQueries {
         |           string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // single-pass TextStats expression; semantics pinned equal to the
-      // composed TextAnalysis forms by TextStatsSpec
+      // composed TextAnalysis forms by TextStatsSpec.
+      // r15: the ORDER BY sits BELOW the projection — a range-partitioned
+      // sort executes its child twice (partition-boundary sampling pass +
+      // real pass), so an expensive projection under the sort runs 2×.
+      // Sorting the raw (doc_id, text) rows first and projecting above
+      // the Sort evaluates TextStats exactly once; rows and order are
+      // identical (Project preserves order).
       Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           graft.functions.TextStats(col("text")).as("ts"))
         .select(col("doc_id"), col("ts.lang_guess").as("lang_guess"),
           col("ts.n_tokens").as("n_tokens"),
           col("ts.bpe_tokens").as("bpe_tokens"), col("ts.fp").as("fp"))
-        .orderBy("doc_id")
     },
 
     // Quality scoring (cheap web-text pre-filter) — formula mirrored in SQL
@@ -261,10 +268,14 @@ object PipelineQueries {
         |                      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.4 END)), 6)
         |    AS quality
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // same sort-before-project rationale as q_text_analysis (r15):
+      // the quality formula is several interpreted passes per row and
+      // must not run twice for the range-sampling pass
       Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
     },
 
     // Rolling (order-sensitive) token hash — xxhash64 has no DuckDB
