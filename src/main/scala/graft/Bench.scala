@@ -26,6 +26,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Match Engine.session (r15): let AQE coalesce post-shuffle
+      // partitions to the advisory size instead of maximizing
+      // parallelism — fewer, fuller tasks cut scheduler overhead on
+      // KB-scale shuffle stages (measured −10-15% total here, and it
+      // restores 32-core ≥ 8-core ordering at this SF); at the 100 TB
+      // end the advisory size governs and nothing shrinks below real
+      // data parallelism. Applied to BOTH sessions via this builder.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // Sort-based shuffle writer for BOTH sessions (engine and control,
       // so the ratio stays apples-to-apples): the default bypass-merge
       // writer opens mapTasks×reducePartitions shuffle files per
