@@ -23,6 +23,20 @@ object PlanDump {
           new java.io.File(outDir, s"${name}_$suffix.txt"), "UTF-8")
         try w.write(plan) finally w.close()
         println(s"[plandump] wrote ${name}_$suffix.txt (${plan.length} chars)")
+        // "executed" suffix: run the query once and dump the FINAL
+        // adaptive plan (AQE may elide statically-planned exchanges whose
+        // required distribution a cached child already satisfies — the
+        // static plan alone can overstate the shuffle count)
+        if (suffix.endsWith("executed")) {
+          // run THIS QueryExecution (df.write would plan a separate one);
+          // toRdd.count() executes distributed, nothing is collected
+          df.queryExecution.toRdd.count()
+          val ep = df.queryExecution.executedPlan.toString
+          val w2 = new java.io.PrintWriter(
+            new java.io.File(outDir, s"${name}_${suffix}_final.txt"), "UTF-8")
+          try w2.write(ep) finally w2.close()
+          println(s"[plandump] wrote ${name}_${suffix}_final.txt")
+        }
       } catch {
         case e: Throwable =>
           println(s"[plandump] FAILED $name: ${e.getMessage}")

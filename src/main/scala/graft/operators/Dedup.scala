@@ -105,11 +105,27 @@ object Dedup {
       .withColumn("__bmin", min(col("id")).over(bw))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = sized.filter(col("__bsz") <= maxBucketSize)
-    val l = small.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = small.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val allPairs = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Bucket-local pair generation (r15): the cached `sized` frame is
+    // already hash-partitioned on (band,bucket) from the window's
+    // exchange, so this aggregation runs EXCHANGE-FREE and the pairs are
+    // emitted in the same stage. The previous formulation self-joined
+    // two scans of `sized` on (band,bucket), which planned a
+    // BroadcastExchange over one full copy of the small-bucket frame —
+    // at corpus scale that is a driver-sized broadcast (or, if AQE picks
+    // SMJ, two extra sorts). The collected per-bucket id array is
+    // bounded by the `__bsz <= maxBucketSize` filter above (≤512 ids ≈
+    // 4 KB), so this is NOT an unbounded collect_list: degenerate buckets
+    // take the star-link branch below and never reach this aggregate.
+    // Pair semantics are identical to the join: all (a,b) with a < b
+    // sharing a small (band,bucket).
+    val allPairs = small
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("__ids"))
+      .select(explode(transform(col("__ids"), a =>
+        transform(filter(col("__ids"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b"))))).as("__ps"))
+      .select(explode(col("__ps")).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
     val starPairs = sized
       .filter(col("__bsz") > maxBucketSize && col("id") =!= col("__bmin"))
       .select(col("__bmin").as("id_a"), col("id").as("id_b"))
