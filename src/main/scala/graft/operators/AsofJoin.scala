@@ -63,6 +63,63 @@ object AsofJoin {
         lit(null).cast(rTagged.schema("__rv").dataType).as("__rv")) ++
         leftCols.map(c => col(c).as(s"__l_$c")): _*)
 
+    resolve(rTagged.unionByName(lTagged), on, leftCols.toSeq,
+      rightPayload.toSeq, backward, strict, joinType)
+  }
+
+  /** ASOF self-join: both sides are DISJOINT filters over the same source.
+    * `join(source.filter(l)…, source.filter(r)…)` cannot share the scan —
+    * Spark plans are trees, so the Union's two branches each re-read the
+    * source — whereas here each row projects straight to its side's tagged
+    * shape in ONE pass (left shape if `leftFilter`, right if
+    * `rightFilter`), halving the scan. Same window mechanics, identical
+    * row multiset, identical results.
+    *
+    * `leftSelect` / `rightSelect` are the (name -> expr) projections you
+    * would have applied per side before `join()`; both must contain every
+    * `on` name. The caller guarantees the filters are disjoint (a row
+    * matching both would contribute one row per side in `join()`, but only
+    * a left-shaped row here).
+    */
+  def selfJoin(
+      source: DataFrame,
+      leftFilter: Column,
+      rightFilter: Column,
+      leftSelect: Seq[(String, Column)],
+      rightSelect: Seq[(String, Column)],
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      inequality: String = ">=",
+      joinType: String = "left"): DataFrame = {
+    require(Seq(">=", ">", "<=", "<").contains(inequality), s"bad inequality $inequality")
+    val backward = inequality == ">=" || inequality == ">"
+    val strict = inequality == ">" || inequality == "<"
+    val lmap = leftSelect.toMap
+    val rmap = rightSelect.toMap
+    val rightPayload = rightSelect.map(_._1).filterNot(on.contains)
+    val leftCols = leftSelect.map(_._1).filterNot(on.contains)
+
+    val tagged = source.filter(leftFilter || rightFilter).select(
+      on.map(n => when(leftFilter, lmap(n)).otherwise(rmap(n)).as(n)) ++ Seq(
+        when(leftFilter, lmap(leftTime)).otherwise(rmap(rightTime)).as("__t"),
+        when(leftFilter, lit(1)).otherwise(lit(0)).as("__tag"),
+        when(rightFilter,
+          struct(rightPayload.map(n => rmap(n).as(n)): _*)).as("__rv")) ++
+        leftCols.map(c => when(leftFilter, lmap(c)).as(s"__l_$c")): _*)
+    resolve(tagged, on, leftCols, rightPayload, backward, strict, joinType)
+  }
+
+  /** Shared core: tagged rows → per-key window carry-forward → left rows
+    * with their matched right payload. */
+  private def resolve(
+      tagged: DataFrame,
+      on: Seq[String],
+      leftCols: Seq[String],
+      rightPayload: Seq[String],
+      backward: Boolean,
+      strict: Boolean,
+      joinType: String): DataFrame = {
     // Equal-time visibility: inclusive → right(0) sorts before left(1) so
     // last() sees it; strict → right sorts after left and is excluded.
     val tagOrder: Column = if (strict) col("__tag").desc else col("__tag").asc
@@ -70,7 +127,7 @@ object AsofJoin {
     val w = Window.partitionBy(on.map(col): _*).orderBy(tOrder, tagOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = rTagged.unionByName(lTagged)
+    val matched = tagged
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
 

@@ -24,14 +24,18 @@ object OperatorQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, dir) =>
+      // single-scan ASOF self-join (r15): both sides filter the same
+      // events table, so the tagged union is built in ONE pass instead of
+      // two filtered scans (identical row multiset — see AsofJoin.selfJoin)
       val ev = Tables.load(s, dir, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          col("value").as("purchase_value"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("view_ts"),
-          col("value").as("view_value"))
-      AsofJoin.join(purchases, views,
+      AsofJoin.selfJoin(ev,
+          leftFilter = col("event_type") === "purchase",
+          rightFilter = col("event_type") === "view",
+          leftSelect = Seq("user_id" -> col("user_id"),
+            "event_id" -> col("event_id"), "ts" -> col("ts"),
+            "purchase_value" -> col("value")),
+          rightSelect = Seq("user_id" -> col("user_id"),
+            "view_ts" -> col("ts"), "view_value" -> col("value")),
           on = Seq("user_id"), leftTime = "ts", rightTime = "view_ts",
           inequality = ">=")
         .select(col("user_id"), col("event_id"), col("purchase_value"),
@@ -46,12 +50,15 @@ object OperatorQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.ts > e.ts
         |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
+      // single-scan ASOF self-join (r15), same rewrite as q_asof_join
       val ev = Tables.load(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts").as("err_ts"))
-      AsofJoin.join(clicks, errors,
+      AsofJoin.selfJoin(ev,
+          leftFilter = col("event_type") === "click",
+          rightFilter = col("event_type") === "error",
+          leftSelect = Seq("user_id" -> col("user_id"),
+            "event_id" -> col("event_id"), "ts" -> col("ts")),
+          rightSelect = Seq("user_id" -> col("user_id"),
+            "err_ts" -> col("ts")),
           on = Seq("user_id"), leftTime = "ts", rightTime = "err_ts",
           inequality = ">")
         .select(col("user_id"), col("event_id"), col("err_ts"))
