@@ -132,3 +132,63 @@ object ShingleHashes {
   def apply(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
 }
+
+/** All ordered pairs (a, b) with a < b from one array, as
+  * array<struct<a,b>> — the fused form of
+  * `transform(ids, a => transform(filter(ids, b => b > a),
+  *                                b => struct(a, b)))` flattened.
+  * One tight loop instead of interpreted per-element lambda tree-walks
+  * (guide §4), with identical semantics: null elements contribute no
+  * pairs, equal elements pair with nothing (strict <), emission order is
+  * outer-index-then-inner-index. Used by the dedup bucket-local pair
+  * generator, where the input is bounded by the LSH bucket-size cap. */
+case class ArrayPairs(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  private def et: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = {
+    val nullable = child.dataType.asInstanceOf[ArrayType].containsNull
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", et, nullable),
+      org.apache.spark.sql.types.StructField("b", et, nullable))),
+      containsNull = false)
+  }
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val t = et
+    val n = arr.numElements()
+    val vals = arr.toObjectArray(t)
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(t)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val a = vals(i)
+      if (a != null) {
+        var j = 0
+        while (j < n) {
+          val b = vals(j)
+          if (b != null && ord.compare(a, b) < 0) {
+            out += new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](a, b))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayPairs =
+    copy(child = c)
+}
+
+object ArrayPairs {
+  def apply(ids: Column): Column =
+    ColumnBridge.column(ArrayPairs(ColumnBridge.expression(ids)))
+}

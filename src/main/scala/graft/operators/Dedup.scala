@@ -118,14 +118,13 @@ object Dedup {
     // take the star-link branch below and never reach this aggregate.
     // Pair semantics are identical to the join: all (a,b) with a < b
     // sharing a small (band,bucket).
+    // ArrayPairs = fused tight-loop form of the nested
+    // transform/filter/struct HOFs (interpreted lambdas, guide §4)
     val allPairs = small
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("__ids"))
-      .select(explode(transform(col("__ids"), a =>
-        transform(filter(col("__ids"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b"))))).as("__ps"))
-      .select(explode(col("__ps")).as("__p"))
-      .select(col("__p.id_a"), col("__p.id_b"))
+      .select(explode(graft.functions.ArrayPairs(col("__ids"))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
     val starPairs = sized
       .filter(col("__bsz") > maxBucketSize && col("id") =!= col("__bmin"))
       .select(col("__bmin").as("id_a"), col("id").as("id_b"))

@@ -22,6 +22,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == truth)
   }
 
+  test("ArrayPairs equals the composed transform/filter HOF form") {
+    // the fused pair generator must match the HOF form it replaced
+    // element-for-element: null skips, duplicate elements (no self-pair),
+    // empty/singleton arrays, non-long element types
+    val rows = Seq(
+      Seq[java.lang.Long](3L, 1L, 2L),
+      Seq[java.lang.Long](5L, null, 1L, 5L),
+      Seq[java.lang.Long](7L),
+      Seq[java.lang.Long](),
+      Seq[java.lang.Long](4L, 4L, 4L)
+    ).toDF("ids")
+    val fused = rows.select(
+        explode(graft.functions.ArrayPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(_.toString).sorted.toSeq
+    val hof = rows.select(explode(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("a"), b.as("b"))))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fused == hof)
+    // string element type goes through the generic ordering
+    val s = Seq(Seq("b", "a", "c")).toDF("ids")
+      .select(explode(graft.functions.ArrayPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b")).as[(String, String)]
+      .collect().toSet
+    assert(s == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("minhash bucket cap: 1000 identical docs stay linear via star linkage") {
     // A mass-duplicated boilerplate doc puts all 1000 copies in every band
     // bucket; without the cap the candidate join is ~500k pairs per band.
