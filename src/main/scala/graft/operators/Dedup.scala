@@ -135,9 +135,12 @@ object Dedup {
     // arrays: |A∩B|/|A∪B| on 64-bit hashes equals the string-shingle
     // Jaccard (collisions are negligible and would be caught by the
     // oracle). Reusing `hashed` avoids recomputing shingles — the
-    // interpreted-HOF recompute used to dominate the whole pipeline — and
-    // the candidate side is small (LSH-filtered pairs), so AQE broadcasts
-    // it and the corpus-side cache is streamed, not shuffled.
+    // interpreted-HOF recompute used to dominate the whole pipeline. The
+    // join strategy is deliberately left to AQE (no broadcast hint):
+    // locally it broadcasts the MB-scale corpus cache; at corpus scale it
+    // would broadcast the (LSH-filtered, far smaller) candidate side or
+    // degrade to a shuffled join — a hint would force-broadcast one side
+    // and OOM on whichever degenerate input makes that side large.
     candidates
       .join(hashed.select(col("id").as("id_a"), col("base").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("base").as("sh_b")), Seq("id_b"))
