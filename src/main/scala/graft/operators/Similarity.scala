@@ -270,26 +270,37 @@ object Similarity {
       norm(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
     val bw = Window.partitionBy(col("bucket"))
+    // __bhub = the bucket's min-id MEMBER with its vector and norm: ids
+    // are unique, so min over struct(id, …) is ordered by id alone and
+    // carries the hub's payload along — the star branch below needs no
+    // join back to find the hub's vector.
     val sized = b
       .withColumn("__bsz", count(lit(1)).over(bw))
-      .withColumn("__bmin", min(col("id")).over(bw))
-    val small = sized.filter(col("__bsz") <= maxBucketSize)
-    val l = small.select(col("bucket"), col("id").as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val r = small.select(col("bucket"), col("id").as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    val allPairs = l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
-    val big = sized.filter(col("__bsz") > maxBucketSize)
-    val hubs = big.filter(col("id") === col("__bmin"))
-      .select(col("bucket"), col("id").as("id_a"), col("__v").as("__va"),
-        col("__n").as("__na"))
-    val starPairs = big.filter(col("id") =!= col("__bmin"))
-      .select(col("bucket"), col("id").as("id_b"), col("__v").as("__vb"),
-        col("__n").as("__nb"))
-      .join(hubs, Seq("bucket"))
-      .select("id_a", "id_b", "__va", "__vb", "__na", "__nb")
+      .withColumn("__bhub",
+        min(struct(col("id"), col("__v"), col("__n"))).over(bw))
+    // Bucket-local pair generation (r15, same rewrite as
+    // Dedup.minhashPairs): the window output is already hash-partitioned
+    // on `bucket`, so the aggregation adds no exchange, and the collected
+    // per-bucket member array is bounded by the __bsz filter (≤
+    // maxBucketSize structs). The previous self-join planned a broadcast
+    // of one full copy of the small-bucket frame — vectors included —
+    // and, with no cache barrier here, re-executed the lshBucket+window
+    // subtree once per join side. ArrayPairs orders struct members by
+    // the leading (unique) id field, so pairs are exactly the join's
+    // id_a < id_b set.
+    val allPairs = sized.filter(col("__bsz") <= maxBucketSize)
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("__v"), col("__n"))).as("__ms"))
+      .select(explode(graft.functions.ArrayPairs(col("__ms"))).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        col("__p.a.__v").as("__va"), col("__p.b.__v").as("__vb"),
+        col("__p.a.__n").as("__na"), col("__p.b.__n").as("__nb"))
+    val starPairs = sized
+      .filter(col("__bsz") > maxBucketSize &&
+        col("id") =!= col("__bhub.id"))
+      .select(col("__bhub.id").as("id_a"), col("id").as("id_b"),
+        col("__bhub.__v").as("__va"), col("__v").as("__vb"),
+        col("__bhub.__n").as("__na"), col("__n").as("__nb"))
     allPairs.union(starPairs)
       .withColumn("cos_sim", round(
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
