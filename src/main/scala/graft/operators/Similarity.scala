@@ -131,11 +131,19 @@ object Similarity {
       .withColumn("__rn", row_number().over(cw))
       .filter(col("__rn") <= maxBucketSize)
       .drop("__rn")
+    // Score BEFORE the cross-table dedup (r15, guide §2.2 — shuffle fewer
+    // bytes): a (query, neighbor) pair found in several tables carries
+    // identical vectors, hence a bit-identical cos_sim, so deduping after
+    // scoring returns the same rows while the dedup exchange moves
+    // (id, id, score) instead of both vectors (~24 B vs ~2·dim·4 B per
+    // row). The per-duplicate extra dot products run map-side, pre-shuffle,
+    // and are bounded by nTables.
     val scored = c.join(q, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos_sim", round(
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .select("query_id", "neighbor_id", "cos_sim")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
