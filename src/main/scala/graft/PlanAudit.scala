@@ -26,6 +26,21 @@ object PlanAudit {
         var nExchange = 0
         val joins = scala.collection.mutable.LinkedHashSet[String]()
         val smells = scala.collection.mutable.LinkedHashSet[String]()
+        // same-file scan multiplicity: a file scanned >1× in one plan is
+        // the duplicate-scan shape §8 removed from the ASOF self-joins
+        // (tree plans re-read shared sources once per consumer). Bounded
+        // declared self-joins (e.g. q_ngram_jaccard's 40-doc cross) will
+        // flag too — the writeup carries the per-case rationale.
+        val scans = scala.collection.mutable.ArrayBuffer[String]()
+        plan.foreach {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            scans += f.relation.location.rootPaths.mkString(",")
+          case _ =>
+        }
+        scans.groupBy(identity).filter(_._2.size > 1).foreach { case (p, v) =>
+          val base = p.split('/').lastOption.getOrElse(p)
+          smells += s"DUP_SCAN(${base}x${v.size})"
+        }
         plan.foreach {
           case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
             nExchange += 1
