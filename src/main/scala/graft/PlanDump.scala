@@ -1,18 +1,20 @@
 package graft
 
-/** Round-15 measurement tool: dump `.explain("formatted")` for declared
-  * queries to plans/r15/<query>_<suffix>.txt (judge-checkable evidence of
-  * plan-shape claims). args: <suffix> [comma-separated query subset]
-  * (default: the Bench headline set). Engine session, sf0.1.
+/** Measurement tool: dump `.explain("formatted")` for declared queries to
+  * plans/<round>/<query>_<suffix>.txt (judge-checkable evidence of
+  * plan-shape claims). args: <suffix> [comma-separated query subset] [round
+  * dir, default r16] (query default: the Bench headline set). Engine
+  * session, sf0.1.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val suffix = if (args.nonEmpty) args(0) else "before"
     val names: Seq[String] =
       if (args.length > 1) args(1).split(",").toSeq else Bench.headline
+    val round = if (args.length > 2) args(2) else "r16"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(32)
-    val outDir = new java.io.File("plans/r15")
+    val outDir = new java.io.File(s"plans/$round")
     outDir.mkdirs()
     names.foreach { name =>
       try {
