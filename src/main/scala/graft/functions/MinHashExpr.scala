@@ -192,3 +192,64 @@ object ArrayPairs {
   def apply(ids: Column): Column =
     ColumnBridge.column(ArrayPairs(ColumnBridge.expression(ids)))
 }
+
+/** SimHash-64 of a token array as ONE tight-loop expression.
+  *
+  * Fused form of `Dedup.simhashComposed` (r15 VERDICT next-round item 4):
+  * the composed builtins ran 64 interpreted `aggregate` passes over the
+  * token-hash array per document — 64 lambda tree-walks per token. This
+  * computes the identical fingerprint in a single pass: per token one
+  * XxHash64 (same `xxhash64(token)` the composed form evaluates, seed 42,
+  * null token → seed, matching XxHash64's null handling), then 64
+  * bit-votes; bit b of the result is set iff the vote is positive —
+  * exactly `when(vote > 0, 1L << b)` OR-folded.
+  *
+  * Null/empty semantics match the composed form (DedupSimilaritySpec pins
+  * bit-equality): a NULL token array folds to 0L (the composed form's
+  * per-bit aggregates go null, `when(null > 0, ..).otherwise(0)` emits 0,
+  * the OR-fold of zeros is 0L), an empty array likewise gives 0L (all
+  * votes 0, never > 0).
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) return 0L
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // xxhash64(token), seed 42: the exact bytes-block hash XxHash64
+      // evaluates for a string child; a null element leaves the seed
+      val h =
+        if (a.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(a.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0L) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+object SimHash64 {
+  def apply(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

@@ -53,8 +53,20 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
     * ratio and mean word length — the standard cheap pre-filter for web
-    * text. Deterministic, SQL-expressible (oracle-able). */
-  def qualityScore(text: Column): Column = {
+    * text. Deterministic, SQL-expressible (oracle-able).
+    *
+    * r16: fused single-pass expression (graft.functions.QualityScoreRaw)
+    * with Spark's own `round` on top — bit-identical to
+    * [[qualityScoreComposed]] (TextAnalysisSpec pins it), one pass per row
+    * instead of several interpreted split/regexp/intersect passes
+    * (guide §4). */
+  def qualityScore(text: Column): Column =
+    round(graft.functions.QualityScoreRaw(text), 6)
+
+  /** The original composed-builtin quality formula — kept as the
+    * equivalence oracle for the fused expression, not used on any query
+    * path. */
+  private[graft] def qualityScoreComposed(text: Column): Column = {
     val toks = split(text, "\\s+")
     val n = size(toks).cast("double")
     val meanLen = length(text).cast("double") / greatest(n, lit(1.0))

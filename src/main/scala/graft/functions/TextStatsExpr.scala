@@ -101,3 +101,84 @@ object TextStats {
   def apply(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
 }
+
+/** Single-pass quality score (UNROUNDED — callers apply Spark's own
+  * `round(_, 6)` so the final rounding is literally the same expression
+  * the composed form evaluated).
+  *
+  * Semantics are EXACTLY `TextAnalysis.qualityScoreComposed` without the
+  * outer round (TextAnalysisSpec pins bit-equality): the composed form
+  * re-evaluates `split(text, "\\s+")` and walks several interpreted
+  * passes (regexp_replace, transform(lower), array_intersect) per row —
+  * r15 VERDICT next-round item 5. Every sub-step below reproduces the
+  * exact builtin it replaces:
+  *  - token count n = `split(text, "\\s+", -1)` length (Java regex split,
+  *    limit -1, as StringSplit evaluates it);
+  *  - text length in CODE POINTS (Spark `length` = UTF8String.numChars);
+  *  - alpha count = code points in [A-Za-z ] — precisely the code points
+  *    `regexp_replace(text, "[^A-Za-z ]", "")` keeps;
+  *  - stop hits = DISTINCT lowered tokens in the EN stopword set
+  *    (array_intersect's distinct semantics), with UTF8String.toLowerCase
+  *    applied per token exactly as `lower()` does;
+  *  - greatest/least/between/arithmetic in the same IEEE order.
+  */
+case class QualityScoreRaw(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    val toks = QualityScoreRaw.WS.split(s, -1)
+    val n = toks.length.toDouble
+    // Spark length() = number of Unicode code points
+    val lenChars = s.codePointCount(0, s.length).toDouble
+    var alpha = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || cp == ' ')
+        alpha += 1
+      i += Character.charCount(cp)
+    }
+    // array_intersect(transform(toks, lower), enStop) counts DISTINCT hits
+    val hits = new java.util.HashSet[String]()
+    var t = 0
+    while (t < toks.length) {
+      // lower() = UTF8String.toLowerCase (ASCII fast path / locale slow
+      // path) — call the engine's own implementation, no re-derivation
+      val lowered = UTF8String.fromString(toks(t)).toLowerCase.toString
+      if (QualityScoreRaw.enStop.contains(lowered)) hits.add(lowered)
+      t += 1
+    }
+    val nClamped = if (n > 1.0) n else 1.0 // greatest(n, 1.0)
+    val lenClamped = if (lenChars > 1.0) lenChars else 1.0
+    val meanLen = lenChars / nClamped
+    val alphaRatio = alpha.toDouble / lenClamped
+    val stopRatio = hits.size.toDouble / nClamped
+    val lengthOk = if (n >= 5.0 && n <= 1000.0) 1.0 else 0.5
+    val meanOk = if (meanLen >= 3.0 && meanLen <= 10.0) 1.0 else 0.4
+    val sum = 0.25 * lengthOk +
+      0.25 * math.min(alphaRatio * 1.2, 1.0) +
+      0.25 * math.min(stopRatio * 5.0, 1.0) +
+      0.25 * meanOk
+    math.min(1.0, sum)
+  }
+
+  override protected def withNewChildInternal(c: Expression): QualityScoreRaw =
+    copy(child = c)
+}
+
+object QualityScoreRaw {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val enStop: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    TextAnalysis.stopwordLists("en").foreach(s.add)
+    s
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.column(QualityScoreRaw(ColumnBridge.expression(text)))
+}

@@ -159,8 +159,18 @@ object Dedup {
   /** SimHash: 64-bit fingerprint where bit b is the sign of the sum over
     * tokens of (bit b of xxhash64(token) ? +1 : -1). Near-dup docs differ
     * in few bits (compare with Hamming distance via bit_count(a ^ b)).
-    * Composed from built-ins: per-token hashes → per-bit vote → bits. */
-  def simhash(tokens: Column): Column = {
+    *
+    * r16: fused single-pass expression (graft.functions.SimHash64) —
+    * bit-identical to [[simhashComposed]] (DedupSimilaritySpec pins it),
+    * but one loop over the tokens instead of 64 interpreted per-bit
+    * `aggregate` passes (guide §4: non-codegen expressions out of the
+    * hot path; the worst remaining HOF offender after r15's kernels). */
+  def simhash(tokens: Column): Column = graft.functions.SimHash64(tokens)
+
+  /** The original composed-builtin SimHash — kept as the equivalence
+    * oracle for the fused expression (per-token hashes → per-bit vote →
+    * bits), not used on any query path. */
+  private[graft] def simhashComposed(tokens: Column): Column = {
     val hashes = transform(tokens, t => ch.sparkXxhash64(t))
     // vote(b) = sum over hashes of (bit b set ? 1 : -1); dynamic shift
     // amounts need the SQL shiftright/shiftleft (column shift operand)

@@ -42,6 +42,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rx != ry)
   }
 
+  test("fused qualityScore equals the composed form bit-for-bit") {
+    // r16 fusion guard: round(QualityScoreRaw, 6) must reproduce the
+    // composed split/regexp_replace/array_intersect formula exactly —
+    // fixture docs plus adversarial strings (empty, whitespace runs and
+    // tabs/newlines, unicode incl. non-BMP, Kelvin-sign lowering, token
+    // count boundaries 4/5/1000/1001, mean-word-length boundaries)
+    val crafted = Seq(
+      "",
+      " ",
+      "   \t\n  ",
+      "the cat is on the mat and it is a fine day for all of us",
+      "a  b   c", // consecutive separators -> empty first-split behavior
+      " leading and trailing ",
+      "@@@@ #### $$$$ %%%% ^^^^ &&&&",
+      "THE THE THE the tHe", // distinct-hit semantics of array_intersect
+      "KIT KIT the", // Kelvin sign lowers into ASCII 'kit'
+      "日本語 テキスト と English words mixed",
+      "𝒜𝒷𝒸 𝔞𝔟𝔠 non-bmp codepoints here", // surrogate pairs: length() = code points
+      "one two three four", // n = 4 (below 5-token band)
+      "one two three four five", // n = 5 (boundary)
+      Seq.fill(1000)("word").mkString(" "), // n = 1000 (boundary)
+      Seq.fill(1001)("word").mkString(" "), // n = 1001
+      "ab ab ab ab ab ab", // meanLen below 3.0 band
+      "abcdefghij " * 5, // meanLen near 10 band edge + trailing space
+      "supercalifragilisticexpialidocious antidisestablishmentarianism")
+      .toDF("text")
+    val both = crafted.select(
+      TextAnalysis.qualityScore(col("text")),
+      TextAnalysis.qualityScoreComposed(col("text"))).as[(Double, Double)]
+      .collect()
+    both.zip(crafted.as[String].collect()).foreach { case ((f, c), txt) =>
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(c),
+        s"fused $f != composed $c for '${txt.take(40)}'")
+    }
+    val docs = graft.Tables.load(spark, graft.SparkSpec.tiny, "documents")
+    val fixture = docs.select(
+      TextAnalysis.qualityScore(col("text")),
+      TextAnalysis.qualityScoreComposed(col("text"))).as[(Double, Double)]
+      .collect()
+    assert(fixture.nonEmpty && fixture.forall(p =>
+      java.lang.Double.doubleToRawLongBits(p._1) ==
+        java.lang.Double.doubleToRawLongBits(p._2)))
+  }
+
   test("qualityScore ranks clean text above junk") {
     val r = Seq(("the cat is on the mat and it is a fine day for all of us",
       "@@@@ #### $$$$ %%%% ^^^^ &&&&"))

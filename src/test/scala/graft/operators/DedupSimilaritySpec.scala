@@ -106,6 +106,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall(_._1 == 0L))
   }
 
+  test("fused SimHash64 equals the composed per-bit aggregate form bit-for-bit") {
+    // r16 fusion guard: the single-pass expression must reproduce the
+    // 64-aggregate composed form exactly — fixture docs plus adversarial
+    // token arrays (empty, single, duplicate, empty-string tokens from
+    // split on consecutive spaces, unicode, null elements, null array)
+    val docs = Tables.load(spark, SparkSpec.tiny, "documents")
+      .select(split(col("text"), " ").as("toks"))
+    val crafted = spark.range(1).select(
+      array().cast("array<string>").as("empty"),
+      array(lit("solo")).as("single"),
+      array(lit("a"), lit("a"), lit("a")).as("dups"),
+      split(lit("a  b   c"), " ").as("emptyToks"), // "" tokens
+      array(lit("日本語"), lit("ügé"), lit("")).as("uni"),
+      array(lit("x"), lit(null).cast("string")).as("withNull"),
+      lit(null).cast("array<string>").as("nullArr"))
+    for (c <- Seq("empty", "single", "dups", "emptyToks", "uni",
+        "withNull", "nullArr")) {
+      val r = crafted.select(Dedup.simhash(col(c)),
+        Dedup.simhashComposed(col(c))).as[(Long, Long)].head()
+      assert(r._1 == r._2, s"column $c: fused ${r._1} != composed ${r._2}")
+    }
+    val pairs = docs.select(Dedup.simhash(col("toks")),
+      Dedup.simhashComposed(col("toks"))).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall(p => p._1 == p._2))
+  }
+
   test("simhash of near-identical token sets has small hamming distance") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
