@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -23,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashBands(
     child: Expression, numHashes: Int, bands: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(numHashes % bands == 0, "bands must divide numHashes")
   private val rowsPerBand = numHashes / bands
@@ -31,8 +32,19 @@ case class MinHashBands(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // r16: real codegen (a CodegenFallback expression excludes its host
+  // operator from WholeStageCodegen entirely); the generated code is one
+  // direct call into the same JIT-compiled kernel the interpreted path
+  // runs — no reflective fallback, and the surrounding stage stays fused.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashBands", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -78,12 +90,21 @@ object MinHashBands {
   * string-shingle builder (`Dedup.wordShingles`) remains the exact-verify
   * path; this is the scan-side sketch input. */
 case class ShingleHashes(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  // r16: real codegen — same rationale as MinHashBands above
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val s = input.toString
     // tokenize: hash each whitespace-separated token
     val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
@@ -143,7 +164,7 @@ object ShingleHashes {
   * outer-index-then-inner-index. Used by the dedup bucket-local pair
   * generator, where the input is bounded by the LSH bucket-size cap. */
 case class ArrayPairs(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   private def et: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -157,8 +178,16 @@ case class ArrayPairs(child: Expression)
   }
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // r16: real codegen — same rationale as MinHashBands above
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("arrayPairs", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
     val t = et
     val n = arr.numElements()
     val vals = arr.toObjectArray(t)
@@ -211,15 +240,28 @@ object ArrayPairs {
   * votes 0, never > 0).
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
+  // r16: real codegen — same rationale as MinHashBands above; the null
+  // child -> 0L folding is generated inline to match eval()
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("simHash64", this)
+    ev.copy(code = c.code + code"""
+      final long ${ev.value} = ${c.isNull} ? 0L : $ref.kernel(${c.value});""",
+      isNull = FalseLiteral)
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val arr = child.eval(input)
     if (arr == null) return 0L
-    val a = arr.asInstanceOf[ArrayData]
+    kernel(arr.asInstanceOf[ArrayData])
+  }
+
+  def kernel(a: ArrayData): Long = {
     val n = a.numElements()
     val votes = new Array[Long](64)
     var i = 0

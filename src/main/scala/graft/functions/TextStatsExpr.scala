@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the text-pipeline benchmark.
   */
 case class TextStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("lang_guess", StringType),
@@ -28,7 +28,20 @@ case class TextStats(child: Expression)
 
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  // r16: real codegen (a CodegenFallback expression excludes its host
+  // operator from WholeStageCodegen entirely, so the text-pipeline
+  // projection ran as an interpreted Project outside the codegen span);
+  // the generated code is one direct call into the same JIT-compiled
+  // kernel the interpreted path runs.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStats", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(input: UTF8String): InternalRow = {
     val s = input.toString
     // whitespace tokens: count + bpe estimate + distinct lowered set
     var nTokens = 0
@@ -123,13 +136,21 @@ object TextStats {
   *  - greatest/least/between/arithmetic in the same IEEE order.
   */
 case class QualityScoreRaw(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  // r16: real codegen — same rationale as TextStats above
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityScoreRaw", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(u: UTF8String): Double = {
     val s = u.toString
     val toks = QualityScoreRaw.WS.split(s, -1)
     val n = toks.length.toDouble

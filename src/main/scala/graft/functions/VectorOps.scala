@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -56,10 +56,80 @@ object VectorOps {
   private def elemType(dt: DataType): DataType =
     dt.asInstanceOf[ArrayType].elementType
 
-  sealed trait VecBinary extends BinaryExpression with CodegenFallback {
+  /** Java accessor expression yielding element i of `arr` as an unboxed
+    * double — compile-time-specialized on the element type, mirroring
+    * [[numAsDouble]] exactly (same widening casts, Decimal.toDouble). */
+  private def javaAsDouble(arr: String, et: DataType, i: String): String =
+    et match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case d: DecimalType =>
+        s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other => throw new IllegalStateException(s"VectorOps: bad elem $other")
+    }
+
+  /** Same, as an unboxed long — mirrors [[numAsLong]]. */
+  private def javaAsLong(arr: String, et: DataType, i: String): String =
+    et match {
+      case LongType => s"$arr.getLong($i)"
+      case IntegerType => s"(long) $arr.getInt($i)"
+      case ShortType => s"(long) $arr.getShort($i)"
+      case ByteType => s"(long) $arr.getByte($i)"
+      case d: DecimalType =>
+        s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toLong()"
+      case other => throw new IllegalStateException(s"VectorOps: bad elem $other")
+    }
+
+  /** r16: the kernels implement real whole-stage codegen (doGenCode
+    * below) instead of CodegenFallback — a CodegenFallback expression
+    * excludes its entire host operator from WholeStageCodegen
+    * (CollapseCodegenStages rejects any plan whose expressions contain
+    * one), so the ANN scoring projections ran as interpreted Project
+    * nodes outside the codegen span. The generated loop is the same
+    * tight loop as the interpreted eval — identical fold order, casts
+    * and null semantics (VectorOpsSpec pins codegen == interpreted ==
+    * composed bit-for-bit). */
+  sealed trait VecBinary extends BinaryExpression {
     override def nullable: Boolean = true
     // null-intolerant on the array arguments themselves
     override def nullIntolerant: Boolean = true
+
+    /** java type + zero literal of the accumulator. */
+    protected def accType: String
+    protected def accZero: String
+    /** loop-body statement(s) updating `acc` from the two accessors. */
+    protected def accUpdate(acc: String, xa: String, xb: String,
+        ctx: CodegenContext): String
+
+    protected def elemAccessor(arr: String, et: DataType, i: String): String
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (ta, tb) = (elemType(left.dataType), elemType(right.dataType))
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  $accType $acc = $accZero;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }
+           |    ${accUpdate(acc, elemAccessor(a, ta, i), elemAccessor(b, tb, i), ctx)}
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
   }
 
   /** Σ aᵢ·bᵢ in double — fused
@@ -67,6 +137,12 @@ object VectorOps {
     */
   case class DotD(left: Expression, right: Expression) extends VecBinary {
     override def dataType: DataType = DoubleType
+    override protected def accType: String = "double"
+    override protected def accZero: String = "0.0"
+    override protected def elemAccessor(arr: String, et: DataType,
+        i: String): String = javaAsDouble(arr, et, i)
+    override protected def accUpdate(acc: String, xa: String, xb: String,
+        ctx: CodegenContext): String = s"$acc += $xa * $xb;"
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val (ta, tb) = (elemType(left.dataType), elemType(right.dataType))
@@ -89,6 +165,15 @@ object VectorOps {
     * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, +)`. */
   case class L2SqD(left: Expression, right: Expression) extends VecBinary {
     override def dataType: DataType = DoubleType
+    override protected def accType: String = "double"
+    override protected def accZero: String = "0.0"
+    override protected def elemAccessor(arr: String, et: DataType,
+        i: String): String = javaAsDouble(arr, et, i)
+    override protected def accUpdate(acc: String, xa: String, xb: String,
+        ctx: CodegenContext): String = {
+      val d = ctx.freshName("d")
+      s"final double $d = $xa - $xb; $acc += $d * $d;"
+    }
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val (ta, tb) = (elemType(left.dataType), elemType(right.dataType))
@@ -113,6 +198,12 @@ object VectorOps {
     */
   case class DotL(left: Expression, right: Expression) extends VecBinary {
     override def dataType: DataType = LongType
+    override protected def accType: String = "long"
+    override protected def accZero: String = "0L"
+    override protected def elemAccessor(arr: String, et: DataType,
+        i: String): String = javaAsLong(arr, et, i)
+    override protected def accUpdate(acc: String, xa: String, xb: String,
+        ctx: CodegenContext): String = s"$acc += $xa * $xb;"
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val (ta, tb) = (elemType(left.dataType), elemType(right.dataType))

@@ -128,6 +128,49 @@ class VectorOpsSpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
   }
 
+  test("codegen and interpreted paths agree bit-for-bit (r16 doGenCode)") {
+    // r16: the kernels gained real whole-stage codegen; the generated
+    // loop must produce exactly the interpreted eval's bits, including
+    // null semantics (length mismatch, null element)
+    val s = spark
+    import s.implicits._
+    val df = floatRows(100, 64).toDF("a", "b")
+    val rnd = new scala.util.Random(13)
+    val dfL = Seq.fill(50)((
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte))).toDF("a", "b")
+    def run(): (Seq[(Long, Long)], Seq[Long], Seq[Boolean]) = {
+      val d = df.select(
+        VectorOps.dotD(col("a"), col("b")), VectorOps.l2sqD(col("a"), col("b")))
+        .collect().map(r => (
+          java.lang.Double.doubleToRawLongBits(r.getDouble(0)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))).toSeq
+      val l = dfL.select(VectorOps.dotL(col("a"), col("b")))
+        .collect().map(_.getLong(0)).toSeq
+      val nulls = s.sql(
+        """SELECT * FROM VALUES
+          |  (array(1.0D, 2.0D), array(3.0D)),
+          |  (array(1.0D, 2.0D), array(3.0D, CAST(NULL AS DOUBLE))),
+          |  (array(1.0D, 2.0D), array(3.0D, 4.0D))
+          |  AS t(a, b)""".stripMargin)
+        .select(VectorOps.dotD(col("a"), col("b")))
+        .collect().map(_.isNullAt(0)).toSeq
+      (d, l, nulls)
+    }
+    val mode = "spark.sql.codegen.factoryMode"
+    val ws = "spark.sql.codegen.wholeStage"
+    val prev = (s.conf.get(mode), s.conf.get(ws))
+    try {
+      s.conf.set(mode, "CODEGEN_ONLY"); s.conf.set(ws, "true")
+      val cg = run()
+      s.conf.set(mode, "NO_CODEGEN"); s.conf.set(ws, "false")
+      val interp = run()
+      assert(cg._1 == interp._1)
+      assert(cg._2 == interp._2)
+      assert(cg._3 == interp._3 && cg._3 == Seq(true, true, false))
+    } finally { s.conf.set(mode, prev._1); s.conf.set(ws, prev._2) }
+  }
+
   test("Similarity.cosine with hoisted norms matches pairwise cosine") {
     val s = spark
     import s.implicits._
