@@ -295,3 +295,83 @@ object SimHash64 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 }
+
+/** Streaming pair generator: the same (a, b), a < b pairs as
+  * `explode(ArrayPairs(arr))`, emitted LAZILY one row at a time.
+  *
+  * r16, for `Similarity.nearDupPairs` (r15 VERDICT "What's wrong" #3):
+  * ArrayPairs materializes all C(n,2) pairs as ONE array value before
+  * explode — with struct(id, vector, norm) elements and the 512 bucket
+  * cap that is ~131k pairs × 2 duplicated vectors ≈ 67 MB for a single
+  * degenerate bucket (a §5 per-row allocation hazard at scale). This
+  * generator holds only the input array and emits pairs through
+  * GenerateExec's lazy iterator, so downstream operators consume them
+  * row by row: worst-case live allocation is the input bucket array
+  * (≤512 structs ≈ 256 KB), not the pair product.
+  *
+  * Pair multiset, ordering semantics (interpreted ordering on the
+  * element type, strict <, null elements contribute nothing) and
+  * emission order are EXACTLY ArrayPairs' (DedupSimilaritySpec pins the
+  * equality). Dedup.minhashPairs deliberately keeps explode(ArrayPairs):
+  * its elements are bare longs (≤512 ids → ≤131k id pairs ≈ 2 MB worst
+  * case), and the fully codegen'd explode path is faster there.
+  */
+case class PairsGen(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def et: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def elementSchema: org.apache.spark.sql.types.StructType = {
+    val nullable = child.dataType.asInstanceOf[ArrayType].containsNull
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", et, nullable),
+      org.apache.spark.sql.types.StructField("b", et, nullable)))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Iterator.empty
+    val vals = arr.asInstanceOf[ArrayData].toObjectArray(et)
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(et)
+    val n = vals.length
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      private var j = 0
+      private var nextRow: org.apache.spark.sql.catalyst.InternalRow = null
+      private def advance(): Unit = {
+        while (nextRow == null && i < n) {
+          val a = vals(i)
+          if (a == null) { i += 1; j = 0 }
+          else if (j < n) {
+            val b = vals(j)
+            j += 1
+            if (b != null && ord.compare(a, b) < 0) {
+              nextRow = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](a, b))
+            }
+          } else { i += 1; j = 0 }
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextRow != null }
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        advance()
+        val r = nextRow
+        nextRow = null
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): PairsGen =
+    copy(child = c)
+}
+
+object PairsGen {
+  def apply(arr: Column): Column =
+    ColumnBridge.column(PairsGen(ColumnBridge.expression(arr)))
+}

@@ -279,9 +279,17 @@ object Similarity {
       lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
     val bw = Window.partitionBy(col("bucket"))
     // __bhub = the bucket's min-id MEMBER with its vector and norm: ids
-    // are unique, so min over struct(id, …) is ordered by id alone and
-    // carries the hub's payload along — the star branch below needs no
-    // join back to find the hub's vector.
+    // are unique (documented precondition — a duplicated id would make
+    // struct-min fall through to the vector field), so min over
+    // struct(id, …) is ordered by id alone and carries the hub's payload
+    // along — the star branch below needs no join back to find the hub's
+    // vector.
+    // `sized` feeds two consumers (allPairs, starPairs) and is
+    // deliberately NOT persisted, unlike Dedup.minhashPairs' 32 B/row
+    // banded frame: these rows carry the full vectors, so a barrier
+    // would cache a corpus-sized frame — re-executing the lshBucket +
+    // window subtree twice is the cheaper trade at scale (exchange
+    // reuse still dedups the shuffle itself).
     val sized = b
       .withColumn("__bsz", count(lit(1)).over(bw))
       .withColumn("__bhub",
@@ -296,13 +304,25 @@ object Similarity {
     // subtree once per join side. ArrayPairs orders struct members by
     // the leading (unique) id field, so pairs are exactly the join's
     // id_a < id_b set.
+    // r16: PairsGen streams the (a, b) pairs lazily instead of
+    // explode(ArrayPairs(...)), which materialized all C(n,2) pairs WITH
+    // both vectors duplicated as one array value first — ~67 MB for a
+    // single degenerate 512-struct bucket at dim=64 (r15 VERDICT
+    // "What's wrong" #3, guide §5 per-row memory). Pair multiset and
+    // order are identical (spec-pinned); worst-case live allocation is
+    // now the bucket array itself (≤512 structs ≈ 256 KB).
+    // The trailing id_a =!= id_b guard restores the strict-inequality
+    // contract even if ids are NOT unique (struct ordering would fall
+    // through to the vector fields; ADVICE r15): with unique ids it
+    // filters nothing.
     val allPairs = sized.filter(col("__bsz") <= maxBucketSize)
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("id"), col("__v"), col("__n"))).as("__ms"))
-      .select(explode(graft.functions.ArrayPairs(col("__ms"))).as("__p"))
-      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
-        col("__p.a.__v").as("__va"), col("__p.b.__v").as("__vb"),
-        col("__p.a.__n").as("__na"), col("__p.b.__n").as("__nb"))
+      .select(graft.functions.PairsGen(col("__ms")).as(Seq("__pa", "__pb")))
+      .select(col("__pa.id").as("id_a"), col("__pb.id").as("id_b"),
+        col("__pa.__v").as("__va"), col("__pb.__v").as("__vb"),
+        col("__pa.__n").as("__na"), col("__pb.__n").as("__nb"))
+      .filter(col("id_a") =!= col("id_b"))
     val starPairs = sized
       .filter(col("__bsz") > maxBucketSize &&
         col("id") =!= col("__bhub.id"))

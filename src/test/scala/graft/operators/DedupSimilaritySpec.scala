@@ -106,6 +106,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall(_._1 == 0L))
   }
 
+  test("PairsGen streams exactly explode(ArrayPairs(...))'s pairs in order") {
+    // r16 guard: the lazy generator that replaced the materialized
+    // pair array in Similarity.nearDupPairs must emit the identical
+    // pair sequence — longs and structs, nulls, duplicates, empties
+    val rows = Seq(
+      Seq[java.lang.Long](3L, 1L, 2L),
+      Seq[java.lang.Long](5L, null, 1L, 5L),
+      Seq[java.lang.Long](7L),
+      Seq[java.lang.Long](),
+      Seq[java.lang.Long](4L, 4L, 4L)
+    ).toDF("ids")
+    val viaGen = rows
+      .select(graft.functions.PairsGen(col("ids")).as(Seq("a", "b")))
+      .collect().map(_.toString).toSeq
+    val viaArr = rows
+      .select(explode(graft.functions.ArrayPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(_.toString).toSeq
+    assert(viaGen == viaArr && viaGen.nonEmpty)
+    // struct elements (the nearDupPairs shape): ordering falls through
+    // struct fields exactly like ArrayPairs' interpreted ordering
+    val structs = Seq(
+      Seq((2L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (3L, Seq(1f, 1f))))
+      .toDF("ms")
+    val g = structs
+      .select(graft.functions.PairsGen(col("ms")).as(Seq("a", "b")))
+      .select(col("a._1"), col("b._1")).collect().map(_.toString).toSeq
+    val e = structs
+      .select(explode(graft.functions.ArrayPairs(col("ms"))).as("p"))
+      .select(col("p.a._1"), col("p.b._1")).collect().map(_.toString).toSeq
+    assert(g == e && g.nonEmpty)
+  }
+
   test("fused SimHash64 equals the composed per-bit aggregate form bit-for-bit") {
     // r16 fusion guard: the single-pass expression must reproduce the
     // 64-aggregate composed form exactly — fixture docs plus adversarial
