@@ -348,7 +348,17 @@ object Similarity {
 
   /** Per-subspace codebooks: codebooks(j)(c) = centroid c of subspace j.
     * Driver-side k-means fit — index-build cost, amortized exactly like
-    * [[ivfTopK]]'s coarse quantizer (SCALE.md's quarantine note). */
+    * [[ivfTopK]]'s coarse quantizer (SCALE.md's quarantine note).
+    *
+    * r16 (guide §1.2 — don't read the same data m times): all m subspace
+    * slices are projected in ONE pass over the corpus and persisted for
+    * the duration of the fits, so the index build reads the source once
+    * instead of m times (each `fit` previously triggered its own scan —
+    * KMeans caches internally per fit, but that still cost m parquet
+    * passes). The cache is released in `finally`, bounded to the fit
+    * phase. Each fit sees the same rows, same partitioning and the same
+    * per-subspace feature column as before, so the codebooks are
+    * unchanged. */
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int,
       ksub: Int = 16, seed: Long = 42L): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
@@ -356,14 +366,18 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      val slices = corpus.select(array_to_vector(
+    val sliced = corpus.select((0 until m).map { j =>
+      array_to_vector(
         slice(col(vecCol).cast("array<double>"), j * sub + 1, sub))
-        .as("__features"))
-      new KMeans().setK(ksub).setSeed(seed + j)
-        .setFeaturesCol("__features").fit(slices)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+        .as(s"__features$j")
+    }: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { j =>
+        new KMeans().setK(ksub).setSeed(seed + j)
+          .setFeaturesCol(s"__features$j").fit(sliced)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+    } finally sliced.unpersist(false)
   }
 
   /** Literal column of one subspace's codebook. */
