@@ -15,10 +15,13 @@ object ProfStages {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(32)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    var collecting = false
+    // AtomicBoolean, not a plain var: written by the main thread, read on
+    // the listener-bus thread (r15 ADVICE — a plain var has no visibility
+    // guarantee across those threads)
+    val collecting = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        if (collecting) {
+        if (collecting.get()) {
           val si = sc.stageInfo
           val wall = (for {s <- si.submissionTime; c <- si.completionTime}
             yield c - s).getOrElse(-1L)
@@ -33,12 +36,16 @@ object ProfStages {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.write.format("noop").mode("overwrite").save() // warmup + cache fill
     (1 to runs).foreach { r =>
-      stages.clear(); collecting = true
+      stages.clear(); collecting.set(true)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e6
-      collecting = false
-      Thread.sleep(300) // let listener drain
+      // deterministic drain: deliver everything posted so far, THEN stop
+      // collecting (replaces the 300 ms sleep heuristic, which could drop
+      // stages or attribute them to the wrong run)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenersProcessed(spark.sparkContext)
+      collecting.set(false)
       println(f"[profstages] $name run $r: $dt%.0f ms")
       stages.forEach(s => println(s))
     }

@@ -51,6 +51,18 @@ object Dedup {
 
   /** Near-duplicate pairs by MinHash LSH, verified with exact Jaccard.
     *
+    * Cache lifetime: the pipeline persists two internal barriers
+    * (`hashed`: one long array per doc; `sized`: ~32 B × bands per doc)
+    * that are REQUIRED within one execution (3 consumers each — without
+    * them the signature computation runs 3x, see the inline comments)
+    * and remain registered in the session's CacheManager afterwards so
+    * re-executions of the returned DataFrame stay cheap. A long-lived
+    * session that is done with the result should release them with
+    * `spark.catalog.clearCache()` (or targeted unpersist); the bench
+    * does exactly that after every timed run so each run is a cold
+    * end-to-end execution. MEMORY_AND_DISK evicts under pressure, so an
+    * unreleased cache degrades gracefully rather than failing.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def minhashPairs(

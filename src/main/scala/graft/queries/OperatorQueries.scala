@@ -26,7 +26,9 @@ object OperatorQueries {
         |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, dir) =>
       // single-scan ASOF self-join (r15): both sides filter the same
       // events table, so the tagged union is built in ONE pass instead of
-      // two filtered scans (identical row multiset — see AsofJoin.selfJoin)
+      // two filtered scans (identical row multiset — see AsofJoin.selfJoin).
+      // selfJoin REQUIRES disjoint side filters: here two equality tests
+      // on the same column ('purchase' vs 'view'), disjoint by construction
       val ev = Tables.load(s, dir, "events")
       AsofJoin.selfJoin(ev,
           leftFilter = col("event_type") === "purchase",
@@ -50,7 +52,8 @@ object OperatorQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.ts > e.ts
         |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
-      // single-scan ASOF self-join (r15), same rewrite as q_asof_join
+      // single-scan ASOF self-join (r15), same rewrite as q_asof_join;
+      // disjointness invariant holds ('click' vs 'error' on one column)
       val ev = Tables.load(s, dir, "events")
       AsofJoin.selfJoin(ev,
           leftFilter = col("event_type") === "click",
