@@ -3,15 +3,15 @@ package graft
 /** Round-15 measurement tool: one-line physical-plan audit of EVERY
   * declared query — Exchange count, join strategies, scale smells
   * (CartesianProduct, single-partition global Window, non-broadcast
-  * nested-loop joins). Output is committed as plans/r15/AUDIT.txt so the
+  * nested-loop joins). Output is committed as plans/r16/AUDIT.txt so the
   * judge can check coverage claims without running Spark.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(32)
-    val out = new java.io.PrintWriter("plans/r15/AUDIT.txt", "UTF-8")
-    out.println("# Physical-plan audit of every declared query (r15)")
+    val out = new java.io.PrintWriter("plans/r16/AUDIT.txt", "UTF-8")
+    out.println("# Physical-plan audit of every declared query (r16)")
     out.println("# query | #Exchange | joins | smells")
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
@@ -67,7 +67,7 @@ object PlanAudit {
       out.flush()
     }
     out.close()
-    println("[planaudit] wrote plans/r15/AUDIT.txt")
+    println("[planaudit] wrote plans/r16/AUDIT.txt")
     spark.stop()
   }
 }
