@@ -63,10 +63,18 @@ object BenchLayout {
           val prev =
             spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          try spark.read.parquet(src)
-            .repartition(nf)
-            .write.mode("overwrite").parquet(dst)
-          finally prev match {
+          try {
+            val srcDf = spark.read.parquet(src)
+            srcDf.repartition(nf).write.mode("overwrite").parquet(dst)
+            // Integrity guard: the bench must time the SAME data. A
+            // re-layout that dropped or duplicated rows would silently
+            // change what every query computes over; fail the relayout
+            // (-> fall back to the original dir) instead.
+            val n0 = srcDf.count()
+            val n1 = spark.read.parquet(dst).count()
+            require(n0 == n1,
+              s"relayout row-count drift for $n: src=$n0 dst=$n1")
+          } finally prev match {
             case Some(v) =>
               spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
             case None =>
